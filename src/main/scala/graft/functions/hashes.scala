@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side FNV-1a over UTF-8 bytes — the hash the reference uses to bucket
+  * keys (src/mr/worker.go:273-277 uses Go's hash/fnv 32-bit, then masks the
+  * sign bit). Static methods so generated code can call them directly.
+  */
+object FnvHash {
+  final val Offset32 = 0x811c9dc5
+  final val Prime32 = 0x01000193
+  final val Offset64 = 0xcbf29ce484222325L
+  final val Prime64 = 0x100000001b3L
+
+  def hash32(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var h = Offset32
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * Prime32; i += 1 }
+    h
+  }
+
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = Offset64
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * Prime64; i += 1 }
+    h
+  }
+
+  /** The reference's ihash: fnv1a-32 with the sign bit cleared
+    * (src/mr/worker.go:273-277); partition = ihash(key) % nReduce.
+    */
+  def ihash(s: UTF8String): Int = hash32(s) & 0x7fffffff
+}
+
+/** Native Catalyst expression (whole-stage-codegen'd, no UDF boundary) for
+  * FNV-1a 64 of a string column.
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+  override protected def nullSafeEval(input: Any): Any =
+    FnvHash.hash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FnvHash.hash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** 32-bit sign-masked variant — column form of the reference's ihash. */
+case class Fnv1aIHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a_ihash"
+  override protected def nullSafeEval(input: Any): Any =
+    FnvHash.ihash(input.asInstanceOf[UTF8String]).toLong
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(long) graft.functions.FnvHash.ihash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1aIHash =
+    copy(child = newChild)
+}
+
+object hashes {
+
+  /** FNV-1a 64 of a string column as a native codegen'd expression. */
+  def fnv1a64(c: Column): Column = GraftShims.column(Fnv1a64(expression(c)))
+
+  /** The reference's bucket hash as a column: fnv1a32(key) & 0x7fffffff. */
+  def fnv1aIHash(c: Column): Column = GraftShims.column(Fnv1aIHash(expression(c)))
+
+  /** Engine-portable 60-bit positive hash built ONLY from functions with
+    * bit-identical semantics in Spark and in the DuckDB correctness oracle:
+    * the first 15 hex digits of md5(s) as a bigint. In DuckDB:
+    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. Used wherever a
+    * hash participates in oracle-checked results (minhash, simhash,
+    * fingerprints); fnv/murmur/xxhash all differ across engines.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Column → catalyst Expression on Spark 4's column-node API. */
+  private def expression(c: Column): Expression = GraftShims.expression(c)
+}
