@@ -1,0 +1,455 @@
+package graft.queries
+
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory over the TPC-H-ish tables: aggregation,
+  * filter/projection pushdown, broadcast + shuffle joins, semi/anti joins,
+  * window functions, top-k, distinct, set ops, rollup, scalar functions,
+  * JSON, sessionization, time windows, as-of join, range join.
+  *
+  * The reference engine has NO relational operators (SURVEY §2c) — its only
+  * dataflow is generic map/shuffle/reduce. This module is the Spark-native
+  * capability surface a user of the reference would gain, and every query
+  * here is DuckDB-oracle-checked (driver t2 gate).
+  *
+  * Determinism rules (oracle hash-parity across engines):
+  *  - money arithmetic in DECIMAL(18,2) (exact), cast to DOUBLE only at
+  *    the output boundary — identical doubles in Spark and DuckDB;
+  *  - every query has a total ORDER BY;
+  *  - timestamps leave the engine as formatted strings (Spark reads the
+  *    events table's ns timestamps as µs — raw values would differ);
+  *  - averages computed as exact decimal sum / count in double division.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 2)
+  private def d2(c: Column): Column = c.cast(D)
+  /** Exact decimal sum, exported as double. */
+  private def money(c: Column): Column = sum(d2(c)).cast("double")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_pushdown" -> q02,
+    "q03_broadcast_join_agg" -> q03,
+    "q04_shuffle_join_agg" -> q04,
+    "q05_semi_join" -> q05,
+    "q06_anti_join" -> q06,
+    "q07_window_rank" -> q07,
+    "q08_window_running" -> q08,
+    "q09_topk" -> q09,
+    "q10_distinct_agg" -> q10,
+    "q11_setops" -> q11,
+    "q12_rollup" -> q12,
+    "q13_scalar_string_math" -> q13,
+    "q14_scalar_date" -> q14,
+    "q15_json_extract" -> q15,
+    "q16_sessionize" -> q16,
+    "q17_time_window" -> q17,
+    "q18_asof_join" -> q18,
+    "q19_range_join" -> q19,
+  )
+
+  /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
+    * map-side partial aggregation (HashAggregate x2 around one shuffle).
+    */
+  private def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_base_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(d2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Filter + narrow projection — predicate and column pruning must reach
+    * the parquet scan (asserted in PlanSpec).
+    */
+  private def q02(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1999-01-01") && col("l_quantity") < 5)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Star-join: fact lineitem joined to orders, then broadcast-joined up
+    * the customer->nation->region dimension chain; revenue per region/nation.
+    */
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Big-big shuffle join (lineitem x orders co-partitioned on orderkey). */
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        money(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one high-value
+    * open order.
+    */
+  private def q05(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000 && col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order above 400k. */
+  private def q06(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** Ranking window: top-3 orders per customer by totalprice (orderkey as
+    * deterministic tiebreak).
+    */
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-frame window: cumulative exact-decimal sum + lag over each
+    * user's event stream (event_id is the deterministic per-user order).
+    */
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    e.select(
+        col("user_id"), col("event_id"), col("event_type"),
+        sum(d2(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Global top-k with total order. */
+  private def q09(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Distinct aggregation: exact count-distinct per group. */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    c.groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_cust"),
+        money(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Set operations: (BUILDING ∪ MACHINERY nations) ∖ (nations of customers
+    * with negative balance), plus an intersect — exercised as DataFrame
+    * union/intersect/except.
+    */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_nationkey"))
+    val negative = c.filter(col("c_acctbal") < 0).select(col("c_nationkey"))
+    building.union(machinery).distinct()
+      .intersect(c.filter(col("c_acctbal") > 9000).select(col("c_nationkey")))
+      .except(negative.filter(col("c_nationkey") > 20))
+      .orderBy("c_nationkey")
+  }
+
+  /** Hierarchical aggregate: ROLLUP(returnflag, linestatus), null grouping
+    * levels surfaced as 'ALL' for engine-portable output.
+    */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(money(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Scalar string/math functions (codegen'd, no UDFs). */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+    p.select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        (d2(col("p_retailprice")) * lit(BigDecimal("1.1")).cast(DecimalType(2, 1)))
+          .cast("double").as("price_bump"),
+        abs(col("p_size") - 25).as("size_dist"))
+      .orderBy("p_partkey")
+  }
+
+  /** Scalar date functions over timestamp columns. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"))
+      .filter(col("yr") === 2000)
+      .orderBy("o_orderkey")
+  }
+
+  /** JSON extraction from the events.props string column. */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .filter(col("k_val") >= 50)
+      .orderBy("event_id")
+  }
+
+  /** Sessionization: per-user sessions split on >30 min idle gaps (exact
+    * epoch-microsecond arithmetic), then per-session aggregates. The same
+    * semantics are exposed for streams in [[graft.streaming.EventStream]].
+    */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val gapped = e.select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      when(col("ts_ns") - lag(col("ts_ns"), 1).over(w)
+             > 1800L * 1000000000L, 1).otherwise(0).as("is_new"))
+    val sess = gapped.withColumn(
+      "session_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        money(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling 1-hour event-time window — the batch twin of the streaming
+    * aggregation in [[graft.streaming.EventStream]].
+    */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("v"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("v"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** As-of join — an operator Spark lacks natively (DuckDB: ASOF JOIN).
+    * For each purchase event, the most recent click of the same user at or
+    * before its timestamp. Composed Spark-first: union the two streams and
+    * carry the last click forward with a running window (clicks sort before
+    * purchases at equal ts to honor >=), avoiding any per-row range probe —
+    * one shuffle on user_id, linear scan, scales to arbitrary stream
+    * length.
+    */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("user_id"), col("event_id"), col("ts_ns"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("click_id",
+        last(when(col("is_purchase") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+      .orderBy("purchase_id")
+  }
+
+  /** Range (inequality) join against a tiny in-memory band dimension —
+    * broadcast nested-loop on purpose; bands per order totals.
+    */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val bands = Seq(
+      ("b0_low", 0.0, 100000.0),
+      ("b1_mid", 100000.0, 250000.0),
+      ("b2_high", 250000.0, 400000.0),
+      ("b3_top", 400000.0, 1e9)).toDF("band", "lo", "hi")
+    o.join(broadcast(bands),
+        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("sum_price"))
+      .orderBy("band")
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE l_shipdate >= '1999-01-01' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_broadcast_join_agg" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q04_shuffle_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > 450000 AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q08_window_running" ->
+      """SELECT user_id, event_id, event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        | lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        | count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_setops" ->
+      """SELECT c_nationkey FROM (
+        | SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION
+        | SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+        |EXCEPT
+        |SELECT c_nationkey FROM customer WHERE c_acctbal < 0 AND c_nationkey > 20
+        |ORDER BY c_nationkey""".stripMargin,
+    "q12_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q13_scalar_string_math" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_up, substr(p_name, 1, 8) AS name_pfx,
+        | length(p_name) AS name_len, concat_ws('/', p_brand, p_type) AS brand_type,
+        | CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS price_bump,
+        | abs(p_size - 25) AS size_dist
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_scalar_date" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | day(o_orderdate) AS dom, strftime(o_orderdate, '%Y-%m-%d') AS d_str
+        |FROM orders WHERE year(o_orderdate) = 2000 ORDER BY o_orderkey""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q16_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gapped)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q17_time_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q18_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q19_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_low', 0.0, 100000.0), ('b1_mid', 100000.0, 250000.0),
+        |  ('b2_high', 250000.0, 400000.0), ('b3_top', 400000.0, 1000000000.0))
+        |SELECT band, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,18 +1,37 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see /root/repo/TESTDATA.md). Every query in [[graft.SparkEntry]]
   * receives the scale-factor directory at call time, so nothing here
   * caches paths. Reads are plain parquet scans — Catalyst pushes
-  * filters/column pruning into them (verified via .explain in tests).
+  * filters/column pruning into them (asserted on .explain output in
+  * PlanSpec).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(names.contains(name), s"unknown table: $name (have: ${names.mkString(", ")})")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default (PARQUET_TYPE_ILLEGAL). Read it as a nanosecond epoch long
+      // — exact, and ns arithmetic then matches the DuckDB oracle
+      // bit-for-bit (no µs truncation).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table with `ts_ns` (exact epoch nanoseconds, LongType) and
+    * `ts` (µs-truncated TimestampType for calendar functions / windows).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 }

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(writes <out>/<query>.parquet dirs + oracle_sql.json), then this script runs
+each oracle SQL in DuckDB against the same sf dir and compares.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    """Sort columns by name, then rows by all columns — order-insensitive
+    exact compare (mirrors the driver's sort-columns-then-hash)."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = Path(out_dir) / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark result written")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got_n, want_n = norm(got), norm(want)
+        if list(got_n.columns) != list(want_n.columns):
+            print(f"FAIL {name}: columns {list(got_n.columns)} != {list(want_n.columns)}")
+            n_fail += 1
+            continue
+        if len(got_n) != len(want_n):
+            print(f"FAIL {name}: rows {len(got_n)} != {len(want_n)}")
+            n_fail += 1
+            continue
+        if len(got_n) == 0:
+            print(f"WARN {name}: 0 rows on both sides (weak)")
+        try:
+            same = got_n.astype(str).equals(want_n.astype(str))
+        except Exception as e:
+            print(f"FAIL {name}: compare error {e}")
+            n_fail += 1
+            continue
+        if same:
+            print(f"PASS {name} ({len(got_n)} rows)")
+            n_pass += 1
+        else:
+            diff = (got_n.astype(str) != want_n.astype(str))
+            bad_cols = [c for c in got_n.columns if diff[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:3]:
+                idx = diff[c].idxmax()
+                print(f"  first diff col={c} row={idx}: "
+                      f"spark={got_n[c][idx]!r} duckdb={want_n[c][idx]!r}")
+            n_fail += 1
+    # queries without oracle get the driver's weaker rows>0 check
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
+                print(f"{'ROWS' if n > 0 else 'EMPTY'} {d.name} (no oracle, {n} rows)")
+            except Exception as e:
+                print(f"EMPTY {d.name} (no oracle, unreadable: {e})")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
