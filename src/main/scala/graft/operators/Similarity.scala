@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.hashes.portableHash60
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]):
+  *  - brute-force cosine top-k — the exact baseline (oracle-checked);
+  *  - sign-random-projection LSH bucketing — the approximate scale path:
+  *    candidates only within a query's bucket, so the per-query cost drops
+  *    from O(N) to O(N / 2^bits) expected, at a recall cost measured in
+  *    SimilaritySpec.
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions in double
+  * precision — no UDFs, stays inside codegen.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors of each query vector among candidates
+    * (self-matches excluded). Broadcast the (small) query side; candidates
+    * stream through — one pass, no shuffle of the candidate table.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv")))
+    val c = candidates.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Multi-table sign-random-projection signatures: `tables` independent
+    * hash tables of `bits` hyperplanes each. Hyperplane signs are
+    * deterministically derived from the portable hash of (table, bit, dim),
+    * so buckets are stable across runs. Returns (vec_id, table, bucket).
+    *
+    * Single-table SRP is useless on near-uniform embeddings (measured
+    * recall 0.02 with one 8-bit table on the test corpus — matching the
+    * (1-θ/π)^bits collision probability); the union over L small tables is
+    * the standard fix, trading candidate volume for recall.
+    */
+  def srpBuckets(emb: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val planes = broadcast(
+      spark.range(0, tables.toLong).select(col("id").cast("int").as("t"))
+        .crossJoin(spark.range(0, bits.toLong).select(col("id").cast("int").as("b")))
+        .crossJoin(spark.range(0, dim.toLong).select(col("id").cast("int").as("d")))
+        .withColumn("sign",
+          when(portableHash60(concat_ws(",", col("t"), col("b"), col("d"))) % 2 === 1, 1.0)
+            .otherwise(-1.0)))
+    emb.select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("d", "x")))
+      .join(planes, "d")
+      .groupBy(col("vec_id"), col("t"), col("b"))
+      .agg(sum(col("x") * col("sign")).as("proj"))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(expr(
+        "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("bucket"))
+  }
+
+  /** Approximate top-k: exact cosine ranking over the union of candidates
+    * sharing any (table, bucket) with the query. Candidate volume per query
+    * ~ N * tables / 2^bits; recall measured in DedupSpec.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val cb = srpBuckets(candidates, tables, bits, dim)
+      .select(col("vec_id").as("neighbor_id"), col("t"), col("bucket"))
+    val qb = broadcast(srpBuckets(queries, tables, bits, dim)
+      .select(col("vec_id").as("query_id"), col("t"), col("bucket")))
+    val cand = qb.join(cb, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val withVec = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))), "query_id")
+      .join(candidates.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cv")), "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    withVec
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  // --- driver-checked query surface ---
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Approximate by construction -> no SQL oracle; recall vs brute force
+    // is asserted in SimilaritySpec, the driver records rows>0.
+    "ann_lsh" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      lshTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
+}

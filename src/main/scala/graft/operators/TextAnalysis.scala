@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.hashes.portableHash60
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs) over a `text`
+  * column, so they scale embarrassingly: no shuffle at all — every score is
+  * computed in the scan stage.
+  *
+  * No reference counterpart (SURVEY §2c: the reference's only text
+  * operation is the wc/indexer tokenizer); these are the north-star
+  * LLM-pipeline operators.
+  */
+object TextAnalysis {
+
+  /** Tokens of `c` split on non-letter runs, empties dropped — same
+    * semantics as the reference tokenizer (Go FieldsFunc(!IsLetter),
+    * src/mrapps/wc.go:21-24).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "[^\\p{L}]+"), x => length(x) > 0)
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_unique"),
+        length(col("text")).as("n_chars_obs"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scores: mean token length, stopword ratio, type-token ratio,
+    * whitespace ratio — the usual cheap text-quality filters. All ratios
+    * are double divisions of exact ints (bit-identical across engines).
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        (aggregate(col("w"), lit(0), (acc, x) => acc + length(x)).cast("double")
+          / size(col("w"))).as("mean_tok_len"),
+        (size(filter(col("w"), x => array_contains(sw, x))).cast("double")
+          / size(col("w"))).as("stopword_ratio"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
+        ((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+          .cast("double") / length(col("text"))).as("space_ratio"))
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "ne"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  /** Language-ID heuristic: stopword-marker voting with a fixed precedence
+    * tiebreak (alphabetical). A real pipeline would use fastText/CLD3; the
+    * operator shape — per-doc scores + deterministic argmax, no shuffle —
+    * is what matters at 100 TB.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs.withColumn("w", tokens(lower(col("text"))))
+      .select(
+        col("doc_id") +: col("lang").as("lang_actual") +:
+          markers.map { case (l, ms) =>
+            size(filter(col("w"), x => array_contains(array(ms.map(lit): _*), x)))
+              .as(s"s_$l")
+          }: _*)
+    val best = markers.map { case (l, _) => col(s"s_$l") }.reduce(greatest(_, _))
+    // alphabetical precedence on ties: first lang reaching the max wins
+    val pred = markers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized lowercased text
+    * (the OpenWebText-style exact-dedup key) + a 60-bit integer form for
+    * compact joins (engine-portable, see
+    * [[graft.functions.hashes.portableHash60]]).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val normalized = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      md5(normalized).as("fp_md5"),
+      portableHash60(normalized).as("fp60"))
+  }
+
+  // --- driver-checked query surface ---
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_token_stats" -> ((s, d) =>
+      tokenStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_quality" -> ((s, d) =>
+      qualityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_langid" -> ((s, d) =>
+      langId(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_fingerprint" -> ((s, d) =>
+      fingerprints(Tables.load(s, d, "documents")).orderBy("doc_id")),
+  )
+
+  private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
+
+  def oracle: Map[String, String] = Map(
+    "ta_token_stats" ->
+      s"""SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         | CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
+         | CAST(length(text) AS INTEGER) AS n_chars_obs
+         |FROM (SELECT doc_id, text, $W AS w FROM documents) ORDER BY doc_id""".stripMargin,
+    "ta_quality" ->
+      s"""SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         | CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w) AS mean_tok_len,
+         | CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) / len(w) AS stopword_ratio,
+         | CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+         | CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
+         |FROM (SELECT doc_id, text, $W AS w FROM documents)
+         |WHERE len(w) > 0 ORDER BY doc_id""".stripMargin,
+    "ta_langid" -> {
+      val w = "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '')"
+      val scores = markers.map { case (l, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(w, x -> list_contains($lst, x))) AS INTEGER) AS s_$l"
+      }.mkString(",\n ")
+      val best = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+      val pred = markers.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, lang_actual, s_de, s_en, s_es, s_fr, s_zh, $pred AS lang_pred
+         |FROM (SELECT doc_id, lang AS lang_actual, $scores
+         |      FROM (SELECT doc_id, lang, $w AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+    "ta_fingerprint" ->
+      """SELECT doc_id, md5(n) AS fp_md5,
+        | CAST(concat('0x', substr(md5(n), 1, 15)) AS BIGINT) AS fp60
+        |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level properties the DuckDB oracle can't express:
+  * LSH recall vs the exact baselines, and equivalence of the banded
+  * (scale-path) joins with their O(n²) definitions.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+  lazy val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+
+  test("exact dedup partitions the corpus: sum of copies == corpus size") {
+    val d = Dedup.exact(docs).agg(sum("n_copies")).head.getLong(0)
+    assert(d === docs.count())
+  }
+
+  test("minhash-LSH recall >= 0.9 on high-jaccard (>=0.8) pairs") {
+    val truth = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "corpus should contain planted near-duplicates")
+    val got = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("banded simhash join == direct pairwise hamming join") {
+    val sh = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 9
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === direct)
+  }
+
+  test("simhash near-dup pairs agree with high-jaccard truth") {
+    val truth = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = Dedup.simhashPairs(docs)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(simPairs.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"simhash recall $recall on ${truth.size} jaccard pairs")
+  }
+
+  test("LSH ANN returns a subset ranking consistent with brute force, recall measured") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // 8 tables x 4-bit SRP on near-uniform 64-dim data: expected recall
+    // ~0.5-0.8 while probing ~half the corpus; the floor guards against
+    // regressions to single-table behavior (measured 0.02).
+    assert(recall >= 0.3, s"ANN recall $recall")
+    info(f"lsh ann recall@5 = $recall%.2f")
+  }
+
+  test("fingerprints are stable keys: same normalized text -> same fp60") {
+    val fp = TextAnalysis.fingerprints(docs)
+    assert(fp.groupBy("fp_md5").count().filter(col("count") > 1).count() === 0)
+    assert(fp.filter(col("fp60") < 0).count() === 0) // 60-bit => always positive
+  }
+}
