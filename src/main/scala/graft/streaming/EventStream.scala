@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface: the streaming twins of the batch event
+  * queries (q17 tumbling window, q16 sessionization). The reference is
+  * strictly batch (SURVEY §2c — no watermarks/windows/state anywhere), so
+  * this is north-star capability: the same event schema processed as an
+  * unbounded stream.
+  *
+  * Scale notes: both operators are keyed by user/event_type, so state is
+  * hash-partitioned across executors; the watermark bounds state size for
+  * the window agg, and session state carries only (lastTs, counters) per
+  * live user — O(active users), not O(events).
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                              start_ns: Long, end_ns: Long)
+
+  // public: Spark's state-store encoder codegen must reach the constructor
+  final case class SessionState(sessionId: Long, lastTs: Long,
+                                count: Long, startTs: Long)
+
+  /** Read the events table as a file stream with the batch-identical
+    * schema (ts as exact nanosecond long, see graft.tables.Tables).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory; the test data is one file per
+    // table, so stage it into a temp dir (a production deployment streams
+    // from a directory of arriving files anyway).
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts per event_type with a 10-minute
+    * watermark — streaming twin of batch q17_time_window.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("v"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: sessions split on
+    * >30 min gaps (same rule as batch q16_sessionize). Emits a session as
+    * soon as the gap that closes it is observed; the final open session per
+    * user stays in state (would emit on timeout in a live stream).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapNs = 1800L * 1000000000L
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+      var st = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      for (e <- sorted) {
+        if (st == null) {
+          st = SessionState(0L, e.ts_ns, 1L, e.ts_ns)
+        } else if (e.ts_ns - st.lastTs > gapNs) {
+          out += SessionOut(userId, st.sessionId, st.count, st.startTs, st.lastTs)
+          st = SessionState(st.sessionId + 1, e.ts_ns, 1L, e.ts_ns)
+        } else {
+          st = st.copy(lastTs = e.ts_ns, count = st.count + 1)
+        }
+      }
+      if (st != null) state.update(st)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Run a streaming query on the finite file source into a memory sink and
+    * block until all available data is processed — the local test harness
+    * for the operators above.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}
