@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.Relational
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations the 100 TB design relies on
+  * must actually appear in `explain` output — predicate pushdown and column
+  * pruning at the parquet scan, broadcast joins for small dimensions,
+  * partial aggregation, and whole-stage codegen in the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.sf001
+
+  private def plan(name: String): String =
+    Relational.defs(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02 filter is pushed down to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_quantity)") || p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q02 scan reads only the projected columns") {
+    val p = plan("q02_filter_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"), readSchema)
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q03 dimension joins are broadcast, fact join is not nested-loop") {
+    val p = plan("q03_broadcast_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q01 aggregate is partial (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), s"no partial aggregation: $p")
+  }
+
+  test("q01 runs inside whole-stage codegen") {
+    // execute first: under AQE the final plan (with codegen stage markers
+    // "*(n)") only materializes at runtime
+    val df = Relational.defs("q01_pricing_summary")(spark, dir)
+    df.collect() // count() would build a different plan; collect finalizes this one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage codegen stages: $p")
+  }
+
+  test("per-document text analysis needs no shuffle at all") {
+    val p = graft.operators.TextAnalysis
+      .qualityScores(Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle in a scan-only operator: $p")
+  }
+
+  test("fnv1a64 custom expression participates in codegen") {
+    import graft.functions.hashes.fnv1a64
+    val df = Tables.load(spark, dir, "part")
+      .select(fnv1a64(col("p_name")).as("h"))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators; the custom
+    // expression must not have forced an interpreted fallback Project
+    assert(p.contains("*("), s"no whole-stage codegen stages: $p")
+    // spot value: matches the JVM implementation
+    val viaExpr = df.limit(1).collect()(0).getLong(0)
+    val name = Tables.load(spark, dir, "part").select(col("p_name")).limit(1)
+      .collect()(0).getString(0)
+    assert(viaExpr === graft.functions.FnvHash.hash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(name)))
+  }
+}
