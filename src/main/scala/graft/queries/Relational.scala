@@ -51,6 +51,8 @@ object Relational {
     "q17_time_window" -> q17,
     "q18_asof_join" -> q18,
     "q19_range_join" -> q19,
+    "q20_cube" -> q20,
+    "q21_approx_distinct" -> q21,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -326,7 +328,39 @@ object Relational {
       .orderBy("band")
   }
 
+  /** Full CUBE over two dimensions (all four grouping levels). */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), money(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+  }
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct next to the
+    * exact count. Approximate by construction -> no SQL oracle (DuckDB's
+    * HLL differs); AggregatesSpec bounds the relative error instead.
+    */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q20_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

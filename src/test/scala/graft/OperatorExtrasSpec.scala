@@ -1,0 +1,82 @@
+package graft
+
+import graft.apps.Apps
+import graft.core.KV
+import graft.functions.ReduceFAggregator
+import graft.operators.Skew
+import graft.queries.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage for the auxiliary operator surface: the SQL-registrable generic
+  * reducef Aggregator, the salted skew join, sketch-aggregate error bounds,
+  * and CSV/JSON source-sink roundtrips.
+  */
+class OperatorExtrasSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ReduceFAggregator: wc reducef via typed Dataset agg == sequential") {
+    val files = TestSpark.corpus(20)
+    val kvs: Seq[KV] = files.flatMap { case (f, c) => Apps.WordCount.map(f, c) }
+    val agg = ReduceFAggregator(Apps.WordCount).toColumn
+    val got = spark.createDataset(kvs)
+      .groupByKey(_.key)
+      .mapValues(_.value)
+      .agg(agg.name("reduced"))
+      .collect().map { case (k, v) => s"$k $v" }.sorted.toSeq
+    val expected = graft.core.MapReduceJob.sequential(Apps.WordCount, files).sorted
+    assert(got === expected)
+  }
+
+  test("ReduceFAggregator registered as SQL UDAF") {
+    val files = TestSpark.corpus(10)
+    val kvs = files.flatMap { case (f, c) => Apps.WordCount.map(f, c) }
+    spark.udf.register("wc_reduce", udaf(ReduceFAggregator(Apps.WordCount)))
+    spark.createDataset(kvs).createOrReplaceTempView("kvs")
+    val got = spark.sql(
+      "SELECT key, wc_reduce(value) AS v FROM kvs GROUP BY key ORDER BY key")
+      .collect().map(r => s"${r.getString(0)} ${r.getString(1)}").toSeq
+    val expected = graft.core.MapReduceJob.sequential(Apps.WordCount, files).sorted
+    assert(got === expected)
+  }
+
+  test("salted join == plain join on skewed data") {
+    // manufacture skew: 80% of rows share one key
+    val big = spark.range(0, 20000)
+      .select(when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 100)
+        .as("k"), col("id").as("payload"))
+    val dim = spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("dim-"), col("id")).as("label"))
+    val plain = big.join(dim, "k")
+      .agg(count(lit(1)), sum(col("payload"))).collect()(0)
+    val salted = Skew.saltedJoin(big, dim, "k", salts = 8)
+      .agg(count(lit(1)), sum(col("payload"))).collect()(0)
+    assert(salted === plain)
+    val profile = Skew.keySkewProfile(big, col("k")).collect()
+    assert(profile.head.getLong(1) > 15000) // the hot key dominates
+  }
+
+  test("approx_count_distinct within 10% of exact (q21)") {
+    val rows = Relational.defs("q21_approx_distinct")(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
+  test("csv and json sinks/sources roundtrip a query result") {
+    val df = Relational.defs("q01_pricing_summary")(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt")
+    df.write.option("header", "true").csv(s"$dir/csv")
+    df.write.json(s"$dir/json")
+    val fromCsv = spark.read.option("header", "true").schema(df.schema).csv(s"$dir/csv")
+    val fromJson = spark.read.schema(df.schema).json(s"$dir/json")
+    val want = df.collect().map(_.toString).sorted.toSeq
+    assert(fromCsv.collect().map(_.toString).sorted.toSeq === want)
+    assert(fromJson.collect().map(_.toString).sorted.toSeq === want)
+  }
+}
