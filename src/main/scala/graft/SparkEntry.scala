@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ MrQueries.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+      Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++
+      graft.streaming.EventStream.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ MrQueries.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      graft.streaming.EventStream.oracle
 }

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.hashes.portableHash60
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -18,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  import graft.functions.vector.vecDot
+
+  /** Left-to-right double dot product of two array columns — a native
+    * codegen'd Catalyst expression ([[graft.functions.DotProduct]]), not a
+    * higher-order function (those evaluate interpretively per row).
+    */
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -29,17 +32,21 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query vector among candidates
     * (self-matches excluded). Broadcast the (small) query side; candidates
-    * stream through — one pass, no shuffle of the candidate table.
+    * stream through — one pass, no shuffle of the candidate table. Norms
+    * are precomputed once per vector, not once per pair; sim values are
+    * bit-identical to the naive cosine (same sqrt, same product order).
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv")))
-    val c = candidates.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(vecDot(col("qv"), col("qv")))))
+    val c = candidates
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(vecDot(col("cv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -55,23 +62,31 @@ object Similarity {
     * (1-θ/π)^bits collision probability); the union over L small tables is
     * the standard fix, trading candidate volume for recall.
     */
+  /** Hyperplane sign for (table, bit, dim) — same md5-prefix parity as
+    * [[portableHash60]] would give on concat_ws(",", t, b, d), computed
+    * driver-side so the planes become constant vectors in the plan.
+    */
+  private def planeSign(t: Int, b: Int, d: Int): Double = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t,$b,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
+  }
+
   def srpBuckets(emb: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val planes = broadcast(
-      spark.range(0, tables.toLong).select(col("id").cast("int").as("t"))
-        .crossJoin(spark.range(0, bits.toLong).select(col("id").cast("int").as("b")))
-        .crossJoin(spark.range(0, dim.toLong).select(col("id").cast("int").as("d")))
-        .withColumn("sign",
-          when(portableHash60(concat_ws(",", col("t"), col("b"), col("d"))) % 2 === 1, 1.0)
-            .otherwise(-1.0)))
-    emb.select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("d", "x")))
-      .join(planes, "d")
-      .groupBy(col("vec_id"), col("t"), col("b"))
-      .agg(sum(col("x") * col("sign")).as("proj"))
-      .groupBy(col("vec_id"), col("t"))
-      .agg(sum(expr(
-        "CASE WHEN proj > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("bucket"))
+    // one codegen'd vecDot against a constant ±1 plane vector per (t, b):
+    // no explode, no join, and the projection sums in fixed dimension
+    // order (the earlier join+groupBy summed doubles in shuffle order —
+    // bucket bits near proj==0 could flip between runs)
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val tableCols = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val plane = typedLit((0 until dim).map(d => planeSign(t, b, d)))
+        when(vecDot(col("v"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
   /** Approximate top-k: exact cosine ranking over the union of candidates
@@ -88,14 +103,16 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val withVec = cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("qv"))), "query_id")
-      .join(candidates.select(col("vec_id").as("neighbor_id"),
-        asDouble(col("embedding")).as("cv")), "neighbor_id")
+      .join(broadcast(queries
+        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+        .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))), "query_id")
+      .join(candidates
+        .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+        .withColumn("cn", sqrt(vecDot(col("cv"), col("cv")))), "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     withVec
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface: the streaming twins of the batch event
   * queries (q17 tumbling window, q16 sessionization). The reference is
@@ -51,7 +52,8 @@ object EventStream {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("v"))
 
@@ -96,4 +98,18 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
   }
+
+  // --- driver-checked query surface: the streaming pipeline itself runs
+  // (file source -> watermark -> window agg -> memory sink) and its output
+  // is hash-checked against the SAME DuckDB oracle as the batch twin q17.
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_time_window" -> ((s, d) => {
+      runToMemory(windowedCounts(readEvents(s, d)), "st_time_window_sink",
+        OutputMode.Complete)
+      s.table("st_time_window_sink").orderBy("bucket", "event_type")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"))
 }
