@@ -37,6 +37,41 @@ object FnvHash {
     * (src/mr/worker.go:273-277); partition = ihash(key) % nReduce.
     */
   def ihash(s: UTF8String): Int = hash32(s) & 0x7fffffff
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 — numerically identical to
+    * `conv(substr(md5(s), 1, 15), 16, 10)` (15 hex digits = the top
+    * 7.5 digest bytes), without hex-string formatting and re-parsing.
+    */
+  def md5Prefix60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xff); i += 1 }
+    (v << 4) | ((d(7) & 0xff) >>> 4)
+  }
+}
+
+/** Codegen'd 60-bit md5-prefix hash — the engine-portable hash (identical
+  * to the DuckDB oracle's `CAST(concat('0x', substr(md5(s),1,15)) AS
+  * BIGINT)`) as a single native expression instead of the
+  * md5 -> hex string -> substring -> conv chain.
+  */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+  override protected def nullSafeEval(input: Any): Any =
+    FnvHash.md5Prefix60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FnvHash.md5Prefix60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
 }
 
 /** Native Catalyst expression (whole-stage-codegen'd, no UDF boundary) for
@@ -73,15 +108,17 @@ object hashes {
   /** The reference's bucket hash as a column: fnv1a32(key) & 0x7fffffff. */
   def fnv1aIHash(c: Column): Column = GraftShims.column(Fnv1aIHash(expression(c)))
 
-  /** Engine-portable 60-bit positive hash built ONLY from functions with
-    * bit-identical semantics in Spark and in the DuckDB correctness oracle:
-    * the first 15 hex digits of md5(s) as a bigint. In DuckDB:
+  /** Engine-portable 60-bit positive hash with bit-identical semantics in
+    * Spark and the DuckDB correctness oracle: the first 15 hex digits of
+    * md5(s) as a bigint. In DuckDB:
     * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. Used wherever a
     * hash participates in oracle-checked results (minhash, simhash,
     * fingerprints); fnv/murmur/xxhash all differ across engines.
+    * Implemented as the codegen'd [[Md5Prefix60]] expression (equivalence
+    * with the conv(substr(md5)) composition is property-tested).
     */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    GraftShims.column(Md5Prefix60(expression(c)))
 
   /** Column → catalyst Expression on Spark 4's column-node API. */
   private def expression(c: Column): Expression = GraftShims.expression(c)

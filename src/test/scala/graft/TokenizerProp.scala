@@ -43,6 +43,14 @@ object TokenizerProp extends Properties("tokenizer") {
       h >= 0 && h == FnvHash.ihash(UTF8String.fromString(s))
     }
 
+  property("md5Prefix60 == conv(substr(md5_hex, 1, 15), 16, 10)") =
+    forAll(interesting) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      FnvHash.md5Prefix60(UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(hex, 16)
+    }
+
   // Golden values computed with Go hash/fnv (fnv.New32a) to pin parity with
   // the reference's ihash (src/mr/worker.go:273-277).
   property("fnv1a32 matches Go hash/fnv golden vectors") = Prop {
