@@ -118,6 +118,50 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** IVF (inverted-file) approximate top-k — the second ANN scale path.
+    * Coarse quantizer: `nCentroids` deterministic seed vectors (lowest
+    * vec_ids); every candidate is assigned to its nearest centroid (one
+    * pass, broadcast centroids); a query probes its `nProbe` closest
+    * centroids and ranks exactly within those lists only. Per-query cost
+    * ~ N * nProbe / nCentroids; recall measured in DedupSpec.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(candidates.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("centv")))
+
+    def nearestCentroids(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("csim", vecDot(col("v"), col("centv")) /
+          (sqrt(vecDot(col("v"), col("v"))) * sqrt(vecDot(col("centv"), col("centv")))))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "csim", "crank")
+    }
+
+    val assigned = nearestCentroids(
+      candidates.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("v")), "neighbor_id", 1)
+      .withColumn("cn", sqrt(vecDot(col("v"), col("v"))))
+      .withColumnRenamed("v", "cv")
+    val probed = broadcast(nearestCentroids(
+      queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("v")), "query_id", nProbe)
+      .withColumn("qn", sqrt(vecDot(col("v"), col("v"))))
+      .withColumnRenamed("v", "qv"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -127,10 +171,15 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
     // Approximate by construction -> no SQL oracle; recall vs brute force
-    // is asserted in SimilaritySpec, the driver records rows>0.
+    // is asserted in DedupSpec, the driver records rows>0.
     "ann_lsh" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       lshTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivf" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
   )

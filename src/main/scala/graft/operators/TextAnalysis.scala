@@ -98,9 +98,25 @@ object TextAnalysis {
 
   // --- driver-checked query surface ---
 
+  /** BPE-ish pre-tokenizer count: the GPT-2 pretokenizer pattern minus its
+    * lookahead clauses (RE2, and therefore the oracle, has no lookahead) —
+    * letter runs, digit runs, punctuation runs, whitespace runs, each with
+    * an optional leading space. A real pipeline follows this with merges;
+    * the pretokenizer count is the standard cheap length estimate.
+    */
+  private val bpeIsh = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(bpeIsh)).cast("int").as("n_bpe_tokens"),
+      size(tokens(col("text"))).as("n_word_tokens"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_stats" -> ((s, d) =>
       tokenStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_bpe_tokens" -> ((s, d) =>
+      bpeTokenCounts(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       qualityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, d) =>
@@ -112,6 +128,11 @@ object TextAnalysis {
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
 
   def oracle: Map[String, String] = Map(
+    "ta_bpe_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,
+         | CAST(len($W) AS INTEGER) AS n_word_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_token_stats" ->
       s"""SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
          | CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,

@@ -63,6 +63,19 @@ class DedupSpec extends AnyFunSuite {
     info(f"lsh ann recall@5 = $recall%.2f")
   }
 
+  test("IVF ANN recall measured against brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // probing 4 of 16 coarse cells scans ~1/4 of the corpus
+    assert(recall >= 0.3, s"IVF recall $recall")
+    info(f"ivf ann recall@5 = $recall%.2f")
+  }
+
   test("fingerprints are stable keys: same normalized text -> same fp60") {
     val fp = TextAnalysis.fingerprints(docs)
     assert(fp.groupBy("fp_md5").count().filter(col("count") > 1).count() === 0)
