@@ -53,6 +53,7 @@ object Relational {
     "q19_range_join" -> q19,
     "q20_cube" -> q20,
     "q21_approx_distinct" -> q21,
+    "q22_correlated_subquery" -> q22,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -353,7 +354,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  private val q22Sql =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c1
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated scalar subquery through the SQL interface — Catalyst
+    * decorrelates it into an aggregate + join; the subquery average is
+    * exact-decimal so the threshold comparison is engine-deterministic.
+    */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(q22Sql)
+  }
+
   def oracle: Map[String, String] = Map(
+    "q22_correlated_subquery" -> q22Sql,
     "q20_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
