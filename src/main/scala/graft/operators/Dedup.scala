@@ -116,6 +116,29 @@ object Dedup {
       .distinct()
   }
 
+  /** The scale-path near-dedup: exact Jaccard verification restricted to
+    * MinHash-LSH candidate pairs (candidate-generate -> verify, the
+    * architecture used on real 100 TB corpora). The all-pairs
+    * [[ngramJaccardPairs]] join on shared shingles fans out with shingle
+    * document frequency; here the expensive exact computation touches only
+    * O(candidates) pairs, and shingle sets ride along as arrays only for
+    * those pairs. Recall vs the exact join is bounded by the LSH band
+    * parameters (measured 100% on jaccard >= 0.8 at the test corpus).
+    */
+  def ngramJaccardPairsViaLsh(docs: DataFrame, threshold: Double): DataFrame = {
+    val cand = minhashLshPairs(docs)
+    val sets = shingles(docs).groupBy("doc_id")
+      .agg(collect_set(col("s")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", size(array_union(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+  }
+
   /** 60-bit SimHash over distinct word-3-gram shingles (portable hash;
     * +1/-1 bit votes). Shingles, not unigrams: with a small vocabulary,
     * unigram simhashes collapse (most docs share most words — measured

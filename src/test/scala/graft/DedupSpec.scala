@@ -28,6 +28,16 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("LSH-prefiltered jaccard verify == exact all-pairs jaccard on planted dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Dedup.ngramJaccardPairsViaLsh(docs, 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLsh.subsetOf(exact), "verify stage must never admit a false positive")
+    val recall = exact.count(viaLsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH-prefiltered recall $recall over ${exact.size}")
+  }
+
   test("banded simhash join == direct pairwise hamming join") {
     val sh = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
     val direct = (for {
