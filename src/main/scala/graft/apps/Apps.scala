@@ -139,7 +139,12 @@ object Apps {
     }
   }
 
+  /** All 8 reference apps are runnable by name. The registered `crash`
+    * carries a no-op fault hook (no injected failures — behaves exactly
+    * like the reference's crash app when the dice never fire, i.e. output
+    * == nocrash); tests construct [[Crash]] with a real failing hook.
+    */
   val registry: Map[String, MrApp] =
-    Seq(WordCount, Indexer, NoCrash, JobCount, EarlyExit, MapTiming, ReduceTiming)
-      .map(a => a.name -> a).toMap
+    (Seq(WordCount, Indexer, NoCrash, JobCount, EarlyExit, MapTiming,
+      ReduceTiming) :+ new Crash(() => ())).map(a => a.name -> a).toMap
 }

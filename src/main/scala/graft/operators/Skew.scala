@@ -21,11 +21,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     require(salts > 0)
-    // salt from a row hash, not rand(): deterministic re-execution under
-    // task retry (a rand() salt would break join correctness on recompute
-    // only if rows moved; hashing all columns is simply always safe)
+    // salt from the per-partition row index, not a row hash or rand():
+    // fully identical rows (hot sentinel keys are often exact duplicates)
+    // still spread across salts, unhashable column types (MapType) work,
+    // and re-execution under task retry is deterministic as long as the
+    // upstream partition order is (same contract as any zipWithIndex)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("bigint"))
