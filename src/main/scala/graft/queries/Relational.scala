@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.hashes.portableHash60
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -54,6 +55,12 @@ object Relational {
     "q20_cube" -> q20,
     "q21_approx_distinct" -> q21,
     "q22_correlated_subquery" -> q22,
+    "q23_grouping_sets" -> q23,
+    "q24_pivot" -> q24,
+    "q25_percentiles" -> q25,
+    "q26_lateral_topk" -> q26,
+    "q27_hash_sample" -> q27,
+    "q28_window_frames" -> q28,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -371,7 +378,157 @@ object Relational {
     spark.sql(q22Sql)
   }
 
+  private val q23Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      | coalesce(l_linestatus, 'ALL') AS linestatus,
+      | CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      | CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** GROUPING SETS with grouping() indicators — the general form of
+    * rollup/cube (q12/q20): exactly the requested grouping levels, nothing
+    * else. Via the SQL interface (the DataFrame API exposes only
+    * rollup/cube); Catalyst expands it into one Expand + one aggregate.
+    */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q23Sql)
+  }
+
+  /** Pivot: order counts per priority spread over status columns. The
+    * explicit value list keeps the schema static (no extra pass to discover
+    * values, and a plan that scales: pivot is one partial-agg groupBy).
+    * Missing combinations surface as 0, matching the oracle's FILTER form.
+    */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Exact percentiles (sort-based percentile_cont semantics, linear
+    * interpolation) per group. Interpolated doubles are rounded to 6
+    * decimals on both sides: prices carry 2 decimals and interpolation
+    * fractions 2 more, so 6 decimals is exact — it only absorbs the
+    * engines' last-bit FP differences.
+    */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q26Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey < 500
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders per
+    * customer) — Catalyst decorrelates the limit into a partitioned
+    * window, so it executes as one shuffle, not a per-row probe.
+    */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q26Sql)
+  }
+
+  /** Deterministic stratified Bernoulli sample: bucket rows by the
+    * engine-portable hash of the key, keep a per-stratum share of buckets.
+    * Unlike rand()-based sampling this is reproducible across engines,
+    * retries and cluster sizes — the form a training pipeline uses to cut
+    * datasets — and it's a pure scan-stage filter (no shuffle at all).
+    */
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val bucket = pmod(portableHash60(col("o_orderkey").cast("string")), lit(100))
+    val rate = when(col("o_orderstatus") === "O", 10)
+      .when(col("o_orderstatus") === "F", 5)
+      .otherwise(50)
+    o.filter(bucket < rate)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Window frame varieties beyond q07/q08: a value-RANGE running sum
+    * (peers included, so no tiebreak needed), a 3-row sliding mean
+    * (decimal sum / count in double), lead and first_value over a
+    * tiebroken ROWS ordering.
+    */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val wRange = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice")).rangeBetween(-10000L, 0L)
+    val wRows = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wSlide = wRows.rowsBetween(-2, 0)
+    o.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        sum(d2(col("o_totalprice"))).over(wRange).cast("double").as("range_sum"),
+        (sum(d2(col("o_totalprice"))).over(wSlide).cast("double")
+          / count(lit(1)).over(wSlide)).as("mov_avg"),
+        lead(col("o_totalprice"), 1).over(wRows).as("next_price"),
+        first_value(col("o_orderkey")).over(wRows).as("first_key"))
+      .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q23_grouping_sets" -> q23Sql,
+    "q24_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+        | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_lateral_topk" -> q26Sql,
+    "q27_hash_sample" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < (CASE WHEN o_orderstatus = 'O' THEN 10
+        |              WHEN o_orderstatus = 'F' THEN 5 ELSE 50 END)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q28_window_frames" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+        |   / count(*) OVER w3 AS mov_avg,
+        | lead(o_totalprice, 1) OVER wr AS next_price,
+        | first_value(o_orderkey) OVER wr AS first_key
+        |FROM orders
+        |WINDOW wr AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+        |       w3 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q22_correlated_subquery" -> q22Sql,
     "q20_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
