@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{MrQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ MrQueries.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++
+      Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++ Embeddings.defs ++
       graft.streaming.EventStream.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ MrQueries.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Embeddings.oracle ++
       graft.streaming.EventStream.oracle
 }

@@ -112,7 +112,87 @@ object TextAnalysis {
       regexp_count(col("text"), lit(bpeIsh)).cast("int").as("n_bpe_tokens"),
       size(tokens(col("text"))).as("n_word_tokens"))
 
+  /** Gopher-style repetition detection: duplicate word-n-gram fraction per
+    * document (high values flag boilerplate-y, low-information text). Pure
+    * scan-stage column math — non-distinct n-gram lists never leave the row.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    def grams(n: Int): Column = transform(
+      sequence(lit(0), size(col("w")) - n),
+      i => concat_ws(" ", (1 to n).map(j => element_at(col("w"), i + j)): _*))
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        (size(col("w")) - 2).as("n_3grams"),
+        size(array_distinct(grams(3))).as("n_unique_3grams"),
+        (lit(1) - size(array_distinct(grams(3))).cast("double")
+          / (size(col("w")) - 2)).as("dup_3gram_ratio"),
+        (lit(1) - size(array_distinct(grams(2))).cast("double")
+          / (size(col("w")) - 1)).as("dup_2gram_ratio"))
+  }
+
+  // RE2-compatible (no lookahead — the oracle engine has none) and
+  // Java-compatible PII shapes; \b is the ASCII word boundary in both.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+\\d{7,15}"
+
+  /** PII scrubbing: replace emails / IPv4s / international phone numbers
+    * with typed placeholder tags, and count the redactions. Scan-stage
+    * regex work, no shuffle; the scrubbed text is carried forward as a
+    * hash here (the driver compare wants small deterministic cells —
+    * a pipeline would keep the scrubbed text column itself).
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      (regexp_count(col("text"), lit(emailRe))
+        + regexp_count(col("text"), lit(ipRe))
+        + regexp_count(col("text"), lit(phoneRe))).cast("int").as("n_pii"),
+      md5(scrubbed).as("scrub_hash"))
+  }
+
+  /** Corpus-level boilerplate detection (the C4-style repeated-phrase
+    * filter, at bigram granularity for this small-vocab corpus): an
+    * n-gram is boilerplate when it appears in >= minShare of documents;
+    * each doc reports what fraction of its distinct n-grams are
+    * boilerplate. Two key-partitioned shuffles (doc-frequency groupBy +
+    * join back on the n-gram), no driver state — the df side is
+    * vocabulary-sized, so at 100 TB it broadcasts.
+    */
+  def boilerplateScores(docs: DataFrame, minShare: Double = 0.2): DataFrame = {
+    val grams = docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("w")) - 2),
+          i => concat_ws(" ",
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("s"))
+    val nDocs = grams.select(countDistinct(col("doc_id")).as("n_docs"))
+    val df = grams.groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("s"), (col("df").cast("double") / col("n_docs") >= minShare).as("is_bp"))
+    grams.join(df, "s")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_boilerplate"))
+      .withColumn("bp_ratio", col("n_boilerplate").cast("double") / col("n_grams"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_repetition" -> ((s, d) =>
+      repetitionScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_pii_scrub" -> ((s, d) =>
+      piiScrub(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_boilerplate" -> ((s, d) =>
+      boilerplateScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_token_stats" -> ((s, d) =>
       tokenStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_bpe_tokens" -> ((s, d) =>
@@ -128,6 +208,41 @@ object TextAnalysis {
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
 
   def oracle: Map[String, String] = Map(
+    "ta_repetition" ->
+      s"""SELECT doc_id,
+         | CAST(len(w) - 2 AS INTEGER) AS n_3grams,
+         | CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                         FOR i IN range(1, len(w)-1)])) AS INTEGER) AS n_unique_3grams,
+         | 1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                             FOR i IN range(1, len(w)-1)])) AS DOUBLE) / (len(w) - 2) AS dup_3gram_ratio,
+         | 1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+         |                             FOR i IN range(1, len(w))])) AS DOUBLE) / (len(w) - 1) AS dup_2gram_ratio
+         |FROM (SELECT doc_id, $W AS w FROM documents)
+         |WHERE len(w) >= 3 ORDER BY doc_id""".stripMargin,
+    "ta_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\+\d{7,15}')) AS INTEGER) AS n_pii,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |       '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_boilerplate" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS s
+         |    FROM (SELECT doc_id, $W AS w FROM documents) WHERE len(w) >= 2)),
+         |df AS (
+         |  SELECT s, CAST(count(*) AS DOUBLE)
+         |            / (SELECT count(DISTINCT doc_id) FROM grams) >= 0.2 AS is_bp
+         |  FROM grams GROUP BY s)
+         |SELECT doc_id, count(*) AS n_grams,
+         | CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+         | CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS bp_ratio
+         |FROM grams JOIN df USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Embeddings, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the round-3 training-pipeline operators: PII
+  * scrubbing (on synthetic PII — the test corpus contains none), repetition
+  * scoring, boilerplate detection, and embedding normalization/centroids.
+  * The driver's DuckDB gate checks these on the real tables; here we check
+  * the semantics on inputs engineered to exercise them.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("piiScrub redacts emails, IPs and phone numbers, and counts them") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or +14155551234 now"),
+      (2L, "server at 10.0.0.1 and 192.168.254.3 up"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val scrubbedText = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\+\\d{7,15}", "<PHONE>")
+    val got = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+    assert(got.map(_.getInt(1)).toSeq === Seq(2, 2, 0))
+    // the hash is of the tagged text, not the original
+    val tagged = docs.select(col("doc_id"), md5(scrubbedText).as("h"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(got.map(_.getString(2)).toSeq === tagged)
+    assert(tagged.head !=
+      docs.select(md5(col("text"))).orderBy("doc_id").collect()(0).getString(0))
+  }
+
+  test("repetitionScores: a fully repeated doc scores high, unique doc zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScores(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_3gram_ratio") > 0.8)
+    assert(r(1).getAs[Double]("dup_3gram_ratio") === 0.0)
+    assert(r(1).getAs[Double]("dup_2gram_ratio") === 0.0)
+  }
+
+  test("boilerplateScores flags n-grams shared by most documents") {
+    // 10 docs all end with the same footer phrase; unique letter-only
+    // bodies (digits would be stripped by the letter tokenizer)
+    val docs = (0 until 10).map { i =>
+      val u = ('a' + i).toChar
+      (i.toLong, s"body$u word$u token$u all rights reserved")
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateScores(docs, minShare = 0.8)
+      .orderBy("doc_id").collect()
+    // "all rights" and "rights reserved" are in all 10 docs; the
+    // bodyN/wordN bigrams are unique per doc
+    assert(r.forall(_.getAs[Long]("n_boilerplate") === 2L))
+    assert(r.forall(_.getAs[Double]("bp_ratio") > 0.3))
+  }
+
+  test("normalized embeddings have unit norm; centroids average components") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(0.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val unit = Embeddings.normalized(emb).orderBy("vec_id").collect()
+    val v1 = unit(0).getSeq[Double](unit(0).fieldIndex("unit"))
+    assert(math.abs(v1(0) - 0.6) < 1e-12 && math.abs(v1(1) - 0.8) < 1e-12)
+    assert(unit(1).getSeq[Double](unit(1).fieldIndex("unit")).toSeq
+      === Seq(0.0, 0.0)) // zero passthrough
+    val cents = Embeddings.centroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(cents((0, 0)) === 1.5 && cents((0, 1)) === 2.0)
+    assert(cents((1, 0)) === 1.0 && cents((1, 1)) === 0.0)
+  }
+
+  test("embedding stats match hand-computed norms") {
+    val emb = Seq((1L, Array(3.0f, 4.0f), 0)).toDF("vec_id", "embedding", "label")
+    val s = Embeddings.stats(emb).collect()(0)
+    assert(s.getInt(1) === 2)
+    assert(s.getDouble(2) === 5.0)
+    assert(s.getDouble(3) === 4.0)
+  }
+}
