@@ -140,8 +140,44 @@ object EventStream {
       runToMemory(windowedCounts(readEvents(s, d)), "st_time_window_sink",
         OutputMode.Complete)
       s.table("st_time_window_sink").orderBy("bucket", "event_type")
+    }),
+    // Stateful sessionization through the real stream harness. Append mode
+    // emits a session only when the gap that CLOSES it is observed, so each
+    // user's final (still-open) session stays in state — the oracle below
+    // excludes exactly those. Session bounds leave as µs (ns div 1000):
+    // DuckDB reads the ns parquet timestamps µs-truncated.
+    "st_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = readEvents(s, d)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value").as[Event]
+      runToMemory(sessionize(ev).toDF(), "st_sessionize_sink", OutputMode.Append)
+      s.table("st_sessionize_sink")
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          expr("start_ns div 1000").as("start_us"),
+          expr("end_ns div 1000").as("end_us"))
+        .orderBy("user_id", "session_id")
     }))
 
   def oracle: Map[String, String] = Map(
-    "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"))
+    "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_sessionize" ->
+      """WITH gapped AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |         > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM gapped),
+        |agg AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events, start_us, end_us FROM agg
+        |WHERE session_id < (SELECT max(session_id) FROM agg a2
+        |                    WHERE a2.user_id = agg.user_id)
+        |ORDER BY user_id, session_id""".stripMargin)
 }
