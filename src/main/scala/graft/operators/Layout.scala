@@ -28,4 +28,14 @@ object Layout {
                    leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `cols`. The complementary lever to bucketing — equality/IN filters on
+    * the partition columns prune whole directories at PLANNING time (the
+    * scan never lists, opens or reads the other partitions; asserted on
+    * the plan in StorageSpec). Right for low-cardinality columns a 100 TB
+    * pipeline filters by constantly (date, language, source shard).
+    */
+  def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
 }
