@@ -61,6 +61,7 @@ object Relational {
     "q26_lateral_topk" -> q26,
     "q27_hash_sample" -> q27,
     "q28_window_frames" -> q28,
+    "q29_skew_salted_join" -> q29,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -493,7 +494,28 @@ object Relational {
       .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
   }
 
+  /** The salted skew join as an end-to-end checked query: salting only
+    * refines the shuffle partitioning (the hot key spreads over
+    * [[graft.operators.Skew.saltedJoin]]'s sub-keys), so the result must
+    * equal the plain join — which is exactly what the oracle runs.
+    */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    graft.operators.Skew.saltedJoin(o, c, "custkey", salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), money(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_nationkey")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q29_skew_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q23_grouping_sets" -> q23Sql,
     "q24_pivot" ->
       """SELECT o_orderpriority,
