@@ -79,6 +79,37 @@ object Multimodal {
       md5(col("payload")).as("payload_md5"),
       substring(decode(col("payload"), "UTF-8"), 1, 8).as("magic"))
 
+  /** Frame sampling: every `step`-th frame of each decoded media row,
+    * 1 row -> n_frames/step rows. The frame "payload" is a deterministic
+    * stub hash (a real pipeline would carry the decoded frame bytes or an
+    * object-store reference); the explosion shape — generate indices on
+    * the row, THEN explode — keeps the pre-shuffle row count at
+    * O(sampled frames), never materializing unsampled ones.
+    */
+  def sampleFrames(decoded: DataFrame, step: Int = 4): DataFrame =
+    decoded.select(
+        col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .withColumn("frame_ref",
+        md5(concat(col("doc_id").cast("string"), lit("#"), col("frame_idx").cast("string"))))
+
+  /** Resize plan: fit (width, height) into a `box` square preserving aspect
+    * ratio — pure integer column math (exact in any engine). Emits the
+    * target dimensions a batched GPU/codec stage would consume; upscaling
+    * is clamped (scale factor <= 1).
+    */
+  def resizePlan(decoded: DataFrame, box: Int = 224): DataFrame = {
+    // integer `div`, not `/`: Spark's `/` on integers is double division,
+    // and the oracle's `//` is integral — keep both sides exact
+    def fit(c: String) =
+      expr(s"CASE WHEN greatest(width, height) <= $box THEN $c " +
+        s"ELSE CAST(($c * $box) div greatest(width, height) AS INT) END")
+    decoded.select(
+      col("doc_id"), col("width"), col("height"),
+      fit("width").cast("int").as("out_w"),
+      fit("height").cast("int").as("out_h"))
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -89,9 +120,42 @@ object Multimodal {
       decodeAll(withPayload(Tables.load(s, d, "documents")).as[MediaRow])
         .toDF().orderBy("doc_id")
     }),
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      sampleFrames(decodeAll(withPayload(Tables.load(s, d, "documents")).as[MediaRow]).toDF())
+        .orderBy("doc_id", "frame_idx")
+    }),
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      resizePlan(decodeAll(withPayload(Tables.load(s, d, "documents")).as[MediaRow]).toDF())
+        .orderBy("doc_id")
+    }),
   )
 
+  // the stub decode fields, as the oracle derives them (same md5-prefix h)
+  private val H =
+    """SELECT doc_id,
+      | CAST(160 + h % 480 AS INTEGER) AS width,
+      | CAST(120 + (h // 480) % 360 AS INTEGER) AS height,
+      | CAST(1 + h % 30 AS INTEGER) AS n_frames
+      |FROM (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |      FROM documents)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx,
+         | md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(f AS VARCHAR))) AS frame_ref
+         |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS f
+         |      FROM ($H))
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      s"""SELECT doc_id, width, height,
+         | CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+         |           ELSE (width * 224) // greatest(width, height) END AS INTEGER) AS out_w,
+         | CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+         |           ELSE (height * 224) // greatest(width, height) END AS INTEGER) AS out_h
+         |FROM ($H) ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, concat('text/plain;lang=', lang) AS media_type,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS size_bytes,

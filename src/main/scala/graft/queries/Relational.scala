@@ -62,6 +62,7 @@ object Relational {
     "q27_hash_sample" -> q27,
     "q28_window_frames" -> q28,
     "q29_skew_salted_join" -> q29,
+    "q30_sliding_window" -> q30,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -510,7 +511,31 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Sliding event-time windows (2 h length, 1 h slide): each event lands
+    * in two overlapping windows. Spark's `window()` generates the window
+    * set per row before the partial aggregation, so shuffle volume is
+    * O(groups), not O(events x overlap); the oracle replays the overlap
+    * by unioning the k in {0,1} back-shifted hour buckets.
+    */
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("v"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("v"))
+      .orderBy("bucket", "event_type")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q30_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM (SELECT event_type, value,
+        |        time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour' AS ws
+        |      FROM events, range(0, 2) r(k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q29_skew_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -5,6 +5,7 @@ import graft.core.KV
 import graft.functions.ReduceFAggregator
 import graft.operators.Skew
 import graft.queries.Relational
+import graft.tables.Tables
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -66,6 +67,15 @@ class OperatorExtrasSpec extends AnyFunSuite {
       assert(math.abs(approx - exact) / exact < 0.1,
         s"${r.getString(0)}: exact=$exact approx=$approx")
     }
+  }
+
+  test("percentile_approx sketch within 5% of exact percentile") {
+    val o = Tables.load(spark, TestSpark.sf001, "orders")
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx")).collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
   test("csv and json sinks/sources roundtrip a query result") {
