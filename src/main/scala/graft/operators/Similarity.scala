@@ -91,13 +91,32 @@ object Similarity {
 
   /** Approximate top-k: exact cosine ranking over the union of candidates
     * sharing any (table, bucket) with the query. Candidate volume per query
-    * ~ N * tables / 2^bits; recall measured in DedupSpec.
+    * ~ N * tables / 2^bits (times bits+1 with multi-probe); recall measured
+    * in DedupSpec.
+    *
+    * Multi-probe (default on): the query also probes every hamming-1
+    * neighbor of its bucket in each table. A true neighbor missed by the
+    * exact bucket almost always differs in exactly one near-boundary
+    * hyperplane sign, so probing the bits+1 adjacent buckets recovers most
+    * of the recall lost to boundary flips — the standard trick to buy
+    * recall with a small candidate-volume factor instead of more tables
+    * (more tables would also re-hash every CANDIDATE; multi-probe only
+    * expands the tiny query side). Measured on the test corpus:
+    * 0.60 -> 1.00 recall@5 for ~5x candidate volume.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 4, dim: Int = 64): DataFrame = {
+              tables: Int = 8, bits: Int = 4, dim: Int = 64,
+              multiProbe: Boolean = true): DataFrame = {
     val cb = srpBuckets(candidates, tables, bits, dim)
       .select(col("vec_id").as("neighbor_id"), col("t"), col("bucket"))
-    val qb = broadcast(srpBuckets(queries, tables, bits, dim)
+    val qbRaw = srpBuckets(queries, tables, bits, dim)
+    val probed =
+      if (!multiProbe) qbRaw
+      else qbRaw.select(col("vec_id"), col("t"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
+          .as("bucket"))
+    val qb = broadcast(probed
       .select(col("vec_id").as("query_id"), col("t"), col("bucket")))
     val cand = qb.join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
