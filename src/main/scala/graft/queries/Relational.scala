@@ -63,6 +63,7 @@ object Relational {
     "q28_window_frames" -> q28,
     "q29_skew_salted_join" -> q29,
     "q30_sliding_window" -> q30,
+    "q31_setops_all" -> q31,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -527,7 +528,29 @@ object Relational {
       .orderBy("bucket", "event_type")
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    * multiplicity-preserving complement of q11's distinct set ops.
+    * Counts per key at the end make the multiset observable.
+    */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select("c_nationkey")
+    val negative = c.filter(col("c_acctbal") < 0).select("c_nationkey")
+    building.intersectAll(machinery).exceptAll(negative)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q31_setops_all" ->
+      """SELECT c_nationkey, count(*) AS n FROM (
+        |  (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   INTERSECT ALL
+        |   SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |  EXCEPT ALL
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q30_sliding_window" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
         | count(*) AS n,

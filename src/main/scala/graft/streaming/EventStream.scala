@@ -75,6 +75,24 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("v"))
 
+  /** Stream-static join: enrich the event stream with the customer
+    * dimension, then window-aggregate per market segment. The static side
+    * is planned as a broadcast per micro-batch (no stream-side shuffle for
+    * the join) — the standard enrichment shape for a dimension that fits
+    * in executor memory; at 100 TB fact scale the dimension is still
+    * dimension-sized.
+    */
+  def enrichedWindowedCounts(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        events("user_id") === col("c_custkey"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("v"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("c_mktsegment"), col("n"), col("v"))
+
   /** Stateful sessionization via flatMapGroupsWithState: sessions split on
     * >30 min gaps (same rule as batch q16_sessionize). Emits a session as
     * soon as the gap that closes it is observed; the final open session per
@@ -141,6 +159,13 @@ object EventStream {
         OutputMode.Complete)
       s.table("st_time_window_sink").orderBy("bucket", "event_type")
     }),
+    "st_enrich" -> ((s, d) => {
+      runToMemory(
+        enrichedWindowedCounts(readEvents(s, d),
+          graft.tables.Tables.load(s, d, "customer")),
+        "st_enrich_sink", OutputMode.Complete)
+      s.table("st_enrich_sink").orderBy("bucket", "c_mktsegment")
+    }),
     // Stateful sessionization through the real stream harness. Append mode
     // emits a session only when the gap that CLOSES it is observed, so each
     // user's final (still-open) session stays in state — the oracle below
@@ -160,6 +185,12 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_enrich" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st_sessionize" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, epoch_us(ts) AS ts_us,
