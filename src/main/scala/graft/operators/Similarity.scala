@@ -137,17 +137,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Coarse-quantizer centroids: `k` deterministic seeds (lowest vec_ids)
+    * refined by `iters` Lloyd iterations — assign every vector to its
+    * nearest centroid (broadcast), recompute each centroid as the
+    * per-component mean. Each iteration is one broadcast pass + one
+    * aggregation keyed by (centroid, component): no driver-side k-means,
+    * scales to any corpus the assignment pass scales to.
+    */
+  def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = candidates.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var cents = v.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    for (_ <- 0 until iters) {
+      val bc = broadcast(cents)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      val assigned = v.crossJoin(bc)
+        .withColumn("csim", vecDot(col("v"), col("centv")) /
+          (sqrt(vecDot(col("v"), col("v"))) * sqrt(vecDot(col("centv"), col("centv")))))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("cent_id"), col("v"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centv"))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the second ANN scale path.
-    * Coarse quantizer: `nCentroids` deterministic seed vectors (lowest
-    * vec_ids); every candidate is assigned to its nearest centroid (one
-    * pass, broadcast centroids); a query probes its `nProbe` closest
-    * centroids and ranks exactly within those lists only. Per-query cost
-    * ~ N * nProbe / nCentroids; recall measured in DedupSpec.
+    * Coarse quantizer: seed centroids refined by [[kmeansCentroids]];
+    * every candidate is assigned to its nearest centroid (one pass,
+    * broadcast centroids); a query probes its `nProbe` closest centroids
+    * and ranks exactly within those lists only. Per-query cost
+    * ~ N * nProbe / nCentroids; recall measured in DedupSpec (0.85 at
+    * nProbe 4/16 — unchanged by refinement on the near-uniform test
+    * corpus, where cell boundaries are irreducible; on clustered real
+    * embeddings the refined quantizer is what makes IVF work, and nProbe
+    * remains the direct recall/cost lever).
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(candidates.orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("centv")))
+              nCentroids: Int = 16, nProbe: Int = 4,
+              refineIters: Int = 1): DataFrame = {
+    val cents = broadcast(kmeansCentroids(candidates, nCentroids, refineIters))
 
     def nearestCentroids(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol))

@@ -178,7 +178,9 @@ object TextAnalysis {
     val df = grams.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("s"), (col("df").cast("double") / col("n_docs") >= minShare).as("is_bp"))
-    grams.join(df, "s")
+    // df is vocabulary-sized (distinct n-grams) — broadcast it so the big
+    // grams side never shuffles for this join, at any corpus size
+    grams.join(broadcast(df), "s")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

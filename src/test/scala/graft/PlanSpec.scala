@@ -59,6 +59,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in a scan-only operator: $p")
   }
 
+  test("q27 hash-sample filter runs in the scan stage (no pre-sort shuffle)") {
+    val df = Relational.defs("q27_hash_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the range partitioning for the final
+    // ORDER BY — the sampling filter itself must not induce a shuffle
+    val exchanges = "(?m)^[^\\n]*Exchange".r.findAllIn(p).size
+    assert(p.contains("md5"), p)
+    assert(exchanges <= 2, s"sampling should be scan-stage only:\n$p")
+  }
+
+  test("ta_boilerplate joins the vocabulary-sized df side by broadcast") {
+    val p = graft.operators.TextAnalysis
+      .boilerplateScores(Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("fnv1a64 custom expression participates in codegen") {
     import graft.functions.hashes.fnv1a64
     val df = Tables.load(spark, dir, "part")
