@@ -26,6 +26,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("watermark drops late data and finalizes windows exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("k"))
+      .count()
+      .select(date_format(col("w.start"), "HH:mm").as("start"), col("k"), col("count"))
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      // b1: on-time data up to 11:30 -> watermark becomes 11:20 afterwards
+      input.addData((ts("10:05"), "a"), (ts("10:20"), "a"), (ts("11:30"), "a"))
+      q.processAllAvailable()
+      // b2: watermark 11:20 closes [10:00,11:00) with exactly the 2 on-time rows
+      input.addData((ts("12:30"), "a"))
+      q.processAllAvailable()
+      // b3: 10:30 arrives BEHIND the watermark -> must be dropped, not
+      // re-open the already-finalized 10:00 window; 13:30 closes [11:00,12:00)
+      input.addData((ts("10:30"), "a"), (ts("13:30"), "a"))
+      q.processAllAvailable()
+      val out = spark.table("late_test").collect()
+        .map(r => (r.getString(0), r.getLong(2))).toList
+      assert(out.count(_._1 == "10:00") === 1, s"window finalized once: $out")
+      assert(out.find(_._1 == "10:00").get._2 === 2L,
+        s"late 10:30 row must not count: $out")
+      assert(out.find(_._1 == "11:00").get._2 === 1L, out.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionization: emitted + open sessions == batch sessions") {
     import spark.implicits._
     val stream = EventStream.readEvents(spark, dir)
