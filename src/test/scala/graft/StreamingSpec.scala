@@ -59,6 +59,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes exactly-once into a file sink") {
+    import java.nio.file.{Files, Path}
+    val work = Files.createTempDirectory("graft-ckpt")
+    val srcDir = work.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = work.resolve("ckpt").toString
+    val out = work.resolve("out").toString
+
+    def stage(from: Long, to: Long, name: String): Unit = {
+      val tmp = work.resolve(s"stage-$name")
+      spark.range(from, to).coalesce(1).write.parquet(tmp.toString)
+      Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .forEach((p: Path) => Files.copy(p, srcDir.resolve(s"$name.parquet")))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT").parquet(srcDir.toString)
+        .select(col("id"), (col("id") * 2).as("doubled"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    stage(0, 1000, "a")
+    runOnce() // processes file a, commits offsets + sink manifest, stops
+    stage(1000, 2000, "b")
+    runOnce() // must resume from the checkpoint: only file b, no replay of a
+    val result = spark.read.parquet(out)
+    assert(result.count() === 2000, "no loss and no duplicates across restart")
+    assert(result.select(countDistinct(col("id"))).head.getLong(0) === 2000)
+    assert(result.filter(col("doubled") =!= col("id") * 2).count() === 0)
+  }
+
   test("stateful sessionization: emitted + open sessions == batch sessions") {
     import spark.implicits._
     val stream = EventStream.readEvents(spark, dir)
