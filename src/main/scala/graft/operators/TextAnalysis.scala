@@ -188,7 +188,43 @@ object TextAnalysis {
       .withColumn("bp_ratio", col("n_boilerplate").cast("double") / col("n_grams"))
   }
 
+  /** The composed curation pass — what a training-data pipeline actually
+    * runs: every per-document signal (length, lexical diversity,
+    * repetition, PII) computed inline over ONE tokenization in ONE scan
+    * (no joins between the signal operators, no shuffle at all), each
+    * rule's verdict exposed, and the final keep decision their
+    * conjunction. Thresholds are C4/Gopher-shaped, tuned to split the
+    * synthetic corpus non-trivially.
+    */
+  def curation(docs: DataFrame, minTokens: Int = 30, minTtr: Double = 0.35,
+               maxDup3: Double = 0.05): DataFrame = {
+    def grams3: Column = transform(
+      sequence(lit(0), size(col("w")) - 3),
+      i => concat_ws(" ", element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
+    val nPii = regexp_count(col("text"), lit(emailRe)) +
+      regexp_count(col("text"), lit(ipRe)) + regexp_count(col("text"), lit(phoneRe))
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
+        (lit(1) - size(array_distinct(grams3)).cast("double")
+          / (size(col("w")) - 2)).as("dup3"),
+        nPii.cast("int").as("n_pii"))
+      .withColumn("pass_len", (col("n_tokens") >= minTokens).cast("int"))
+      .withColumn("pass_ttr", (col("ttr") >= minTtr).cast("int"))
+      .withColumn("pass_rep", (col("dup3") <= maxDup3).cast("int"))
+      .withColumn("pass_pii", (col("n_pii") === 0).cast("int"))
+      .withColumn("keep",
+        (col("pass_len") * col("pass_ttr") * col("pass_rep") * col("pass_pii"))
+          .cast("int"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_curation" -> ((s, d) =>
+      curation(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_repetition" -> ((s, d) =>
       repetitionScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_pii_scrub" -> ((s, d) =>
@@ -210,6 +246,26 @@ object TextAnalysis {
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
 
   def oracle: Map[String, String] = Map(
+    "ta_curation" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+         |    1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                FOR i IN range(1, len(w)-1)])) AS DOUBLE)
+         |        / (len(w) - 2) AS dup3,
+         |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |       + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |       + len(regexp_extract_all(text, '\\+\\d{7,15}')) AS INTEGER) AS n_pii
+         |  FROM (SELECT doc_id, text, $W AS w FROM documents)
+         |  WHERE len(w) >= 3)
+         |SELECT doc_id, n_tokens, ttr, dup3, n_pii,
+         |  CAST(n_tokens >= 30 AS INTEGER) AS pass_len,
+         |  CAST(ttr >= 0.35 AS INTEGER) AS pass_ttr,
+         |  CAST(dup3 <= 0.05 AS INTEGER) AS pass_rep,
+         |  CAST(n_pii = 0 AS INTEGER) AS pass_pii,
+         |  CAST(n_tokens >= 30 AS INTEGER) * CAST(ttr >= 0.35 AS INTEGER)
+         |    * CAST(dup3 <= 0.05 AS INTEGER) * CAST(n_pii = 0 AS INTEGER) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "ta_repetition" ->
       s"""SELECT doc_id,
          | CAST(len(w) - 2 AS INTEGER) AS n_3grams,
