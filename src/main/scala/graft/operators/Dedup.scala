@@ -182,6 +182,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** MinHash Jaccard estimation over the LSH candidate pairs: the fraction
+    * of agreeing signature components estimates the true Jaccard
+    * (E[agree_i] = J by the MinHash property), shown side by side with the
+    * exact value. This is what lets a 100 TB dedup SKIP the exact verify
+    * for pairs whose estimate clears the threshold with margin. Note the
+    * conditioning: candidates collided in >=1 band (4 agreeing components
+    * guaranteed), so estimates for LOW-similarity candidates are
+    * upper-biased (floor 4/K) — fine for the skip-verify use, where only
+    * the high end matters. Both columns are exact integer ratios, so the
+    * oracle matches bit-for-bit.
+    */
+  def minhashEstimates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    def side(p: String) =
+      sig.toDF(sig.columns.map(c => if (c == "doc_id") s"${p}_id" else s"${p}_$c"): _*)
+    val agree = (1 to K).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
+    val sets = shingles(docs).groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+    minhashLshPairs(docs)
+      .join(side("a"), "a_id").join(side("b"), "b_id")
+      .withColumn("est_jaccard", agree.cast("double") / K)
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double")
+          / size(array_union(col("sha"), col("shb"))))
+      .select("a_id", "b_id", "est_jaccard", "jaccard")
+  }
+
   /** Embedding-cosine top-1 neighbor for a query subset — the exact
     * (brute-force) form; [[Similarity]] holds top-k and the LSH-bucketed
     * scale path.
@@ -204,6 +233,8 @@ object Dedup {
       simhashPairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_cosine_nn" -> ((s, d) =>
       cosineTop1(Tables.load(s, d, "embeddings"), 100).orderBy("vec_id")),
+    "dd_minhash_est" -> ((s, d) =>
+      minhashEstimates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -262,6 +293,41 @@ object Dedup {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 9
          |ORDER BY 1, 2""".stripMargin,
+    "dd_minhash_est" ->
+      s"""WITH sh AS ($SH),
+         |h AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
+         |      FROM sh),
+         |perms AS (SELECT i, (i * 2654435761) % 2147483647 AS a,
+         |                 (i * 982451653) % 2147483647 AS b
+         |          FROM range(1, 33) t(i)),
+         |sig AS (SELECT doc_id, i, min((a * h0 + b) % 2147483647) AS m
+         |        FROM h CROSS JOIN perms GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, (i - 1) // 4 AS band,
+         |            md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |          FROM sig GROUP BY doc_id, (i - 1) // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.a_id, p.b_id,
+         |          CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 32
+         |            AS est_jaccard
+         |        FROM pairs p
+         |        JOIN sig sa ON sa.doc_id = p.a_id
+         |        JOIN sig sb ON sb.doc_id = p.b_id AND sb.i = sa.i
+         |        GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT e.a_id AS a_id, e.b_id AS b_id, e.est_jaccard,
+         |  CAST(coalesce(i.inter, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.inter, 0)) AS jaccard
+         |FROM est e
+         |LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+         |JOIN sizes sa ON sa.doc_id = e.a_id
+         |JOIN sizes sb ON sb.doc_id = e.b_id
+         |ORDER BY e.a_id, e.b_id""".stripMargin,
     "dd_cosine_nn" ->
       """SELECT vec_id, nn_id FROM (
         |  SELECT q.vec_id, c.vec_id AS nn_id,

@@ -86,6 +86,24 @@ class DedupSpec extends AnyFunSuite {
     info(f"ivf ann recall@5 = $recall%.2f")
   }
 
+  test("minhash estimate tracks exact jaccard on candidate pairs") {
+    val rows = Dedup.minhashEstimates(docs).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // candidates are conditioned on a band collision, so low-J pairs are
+    // upper-biased (floor 4/K) — the MAE bound reflects that, and the
+    // skip-verify property only needs the high end to estimate high
+    val mae = rows.map { case (est, ex) => math.abs(est - ex) }.sum / rows.length
+    assert(mae < 0.35, s"mean |est - exact| = $mae over ${rows.length} pairs")
+    rows.filter(_._2 >= 0.8).foreach { case (est, ex) =>
+      assert(est >= 0.5, s"exact $ex estimated only $est")
+    }
+    // and the estimator must order high-J pairs above low-J pairs on average
+    val (hi, lo) = rows.partition(_._2 >= 0.5)
+    if (hi.nonEmpty && lo.nonEmpty)
+      assert(hi.map(_._1).sum / hi.size > lo.map(_._1).sum / lo.size)
+  }
+
   test("fingerprints are stable keys: same normalized text -> same fp60") {
     val fp = TextAnalysis.fingerprints(docs)
     assert(fp.groupBy("fp_md5").count().filter(col("count") > 1).count() === 0)
