@@ -64,6 +64,7 @@ object Relational {
     "q29_skew_salted_join" -> q29,
     "q30_sliding_window" -> q30,
     "q31_setops_all" -> q31,
+    "q32_date_arith" -> q32,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -542,7 +543,33 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Date arithmetic beyond q14's field extraction: offsets, day spans,
+    * month boundaries — all exported as formatted strings (the only
+    * engine-portable date representation).
+    */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
+    o.select(
+        col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("d_str"),
+        date_format(date_add(col("d"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("2001-01-01").cast("date"), col("d")).as("days_to_2001"),
+        date_format(last_day(col("d")), "yyyy-MM-dd").as("month_end"),
+        date_format(trunc(col("d"), "month"), "yyyy-MM-dd").as("month_start"))
+      .orderBy("o_orderkey")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q32_date_arith" ->
+      """SELECT o_orderkey,
+        | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_str,
+        | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-01-01') AS INTEGER)
+        |   AS days_to_2001,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q31_setops_all" ->
       """SELECT c_nationkey, count(*) AS n FROM (
         |  (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
