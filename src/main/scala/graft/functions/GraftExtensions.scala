@@ -37,6 +37,7 @@ object GraftFunctions {
     one("fnv1a64")(Fnv1a64),
     one("fnv1a_ihash")(Fnv1aIHash),
     one("md5_prefix60")(Md5Prefix60),
+    one("poly31_hash")(Poly31Hash),
     two("vec_dot")(DotProduct),
   )
 

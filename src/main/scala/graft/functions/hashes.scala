@@ -43,6 +43,22 @@ object FnvHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Polynomial rolling hash (Rabin–Karp base 31, prime modulus): the
+    * fingerprint whose windowed form supports O(1) sliding updates. The
+    * mod keeps every intermediate < 2^36, so the byte-at-a-time fold is
+    * reproducible in any engine with 64-bit integers (the oracle replays
+    * it with list_reduce over code points — identical for ASCII text).
+    */
+  final val PolyMod = 1000000007L
+
+  def poly31(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % PolyMod; i += 1 }
+    h
+  }
+
   /** First 60 bits of md5 — numerically identical to
     * `conv(substr(md5(s), 1, 15), 16, 10)` (15 hex digits = the top
     * 7.5 digest bytes), without hex-string formatting and re-parsing.
@@ -88,6 +104,18 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd polynomial rolling hash (Rabin–Karp fold, base 31 mod 1e9+7). */
+case class Poly31Hash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly31_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    FnvHash.poly31(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FnvHash.poly31($c)")
+  override protected def withNewChildInternal(newChild: Expression): Poly31Hash =
+    copy(child = newChild)
+}
+
 /** 32-bit sign-masked variant — column form of the reference's ihash. */
 case class Fnv1aIHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -119,6 +147,9 @@ object hashes {
     */
   def portableHash60(c: Column): Column =
     GraftShims.column(Md5Prefix60(expression(c)))
+
+  /** Rabin–Karp polynomial rolling hash of a string column (codegen'd). */
+  def poly31Hash(c: Column): Column = GraftShims.column(Poly31Hash(expression(c)))
 
   /** Column → catalyst Expression on Spark 4's column-node API. */
   private def expression(c: Column): Expression = GraftShims.expression(c)

@@ -222,7 +222,23 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Rolling-hash fingerprints (Rabin–Karp, codegen'd native expression —
+    * [[graft.functions.Poly31Hash]]): the polynomial form whose windowed
+    * variant supports O(1) sliding updates in substring-dedup pipelines.
+    * Hashed raw and whitespace-normalized, like [[fingerprints]].
+    */
+  def rollingHashes(docs: DataFrame): DataFrame = {
+    import graft.functions.hashes.poly31Hash
+    val normalized = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      poly31Hash(col("text")).as("rh_raw"),
+      poly31Hash(normalized).as("rh_norm"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rolling_hash" -> ((s, d) =>
+      rollingHashes(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_curation" -> ((s, d) =>
       curation(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_repetition" -> ((s, d) =>
@@ -245,7 +261,19 @@ object TextAnalysis {
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
 
+  // the Rabin-Karp fold, replayed over code points (== UTF-8 bytes for
+  // this ASCII corpus) with the same base/modulus
+  private def polyFold(e: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($e, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "ta_rolling_hash" ->
+      s"""SELECT doc_id,
+         | ${polyFold("text")} AS rh_raw,
+         | ${polyFold("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")} AS rh_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_curation" ->
       s"""WITH r AS (
          |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,

@@ -74,6 +74,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cents((1, 0)) === 1.0 && cents((1, 1)) === 0.0)
   }
 
+  test("poly31 rolling hash column matches the JVM fold and stays in codegen") {
+    // over a real scan — a literal input would constant-fold away the plan
+    val df = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("text"), graft.functions.hashes.poly31Hash(col("text")).as("h"))
+    val row = df.limit(1).collect()(0)
+    assert(row.getLong(1) === graft.functions.FnvHash.poly31(
+      org.apache.spark.unsafe.types.UTF8String.fromString(row.getString(0))))
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "poly31 must not break whole-stage codegen")
+  }
+
   test("embedding stats match hand-computed norms") {
     val emb = Seq((1L, Array(3.0f, 4.0f), 0)).toDF("vec_id", "embedding", "label")
     val s = Embeddings.stats(emb).collect()(0)

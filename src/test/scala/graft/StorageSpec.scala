@@ -66,7 +66,7 @@ class StorageSpec extends AnyFunSuite {
     new graft.functions.GraftExtensions().apply(ext)
     val reg = org.apache.spark.sql.GraftShims.functionRegistry(spark).clone()
     org.apache.spark.sql.GraftShims.registerInjectedFunctions(ext, reg)
-    for (name <- Seq("fnv1a64", "fnv1a_ihash", "md5_prefix60", "vec_dot"))
+    for (name <- Seq("fnv1a64", "fnv1a_ihash", "md5_prefix60", "poly31_hash", "vec_dot"))
       assert(reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not injected")
   }
