@@ -37,7 +37,9 @@ object Bench {
     // a failed query is visibly failed: negative elapsed in `queries` AND
     // listed in `failed` — it can't masquerade as a fast success
     val qs = results.map { case (k, v, ok) =>
-      val signed = if (ok) v else -v
+      // floor failed times away from zero: an instantly-failing query
+      // would otherwise print -0.000, and JSON -0.0 == 0.0
+      val signed = if (ok) v else -math.max(v, 0.001)
       "\"" + k + f"""":$signed%.3f"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }

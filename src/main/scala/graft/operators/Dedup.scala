@@ -97,14 +97,22 @@ object Dedup {
     * Bands are derived from the wide signature row (tiny 8x explode of one
     * row per doc, after aggregation).
     */
-  def minhashLshPairs(docs: DataFrame): DataFrame = {
+  def minhashLshPairs(docs: DataFrame): DataFrame =
+    lshPairsFromSignatures(minhashSignatures(docs))
+
+  /** Band-pair generation over an already-built signature frame — shared
+    * so callers that also need the signatures (estimation) or shingles
+    * reuse ONE lineage instead of re-tokenizing per consumer (identical
+    * subtrees also let Spark's exchange reuse dedupe the shuffle).
+    */
+  private def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
     val bandCols = (0 until K / R).map { j =>
       struct(
         lit(j).as("band"),
         md5(concat_ws(",",
           (1 to R).map(r => col(s"m${j * R + r}").cast("string")): _*)).as("bkey"))
     }
-    val bands = minhashSignatures(docs)
+    val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val a = bands.as("a")
@@ -194,13 +202,14 @@ object Dedup {
     * oracle matches bit-for-bit.
     */
   def minhashEstimates(docs: DataFrame): DataFrame = {
+    // ONE signature lineage feeds the band pairs and both estimate sides
     val sig = minhashSignatures(docs)
     def side(p: String) =
       sig.toDF(sig.columns.map(c => if (c == "doc_id") s"${p}_id" else s"${p}_$c"): _*)
     val agree = (1 to K).map(i =>
       when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
     val sets = shingles(docs).groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
-    minhashLshPairs(docs)
+    lshPairsFromSignatures(sig)
       .join(side("a"), "a_id").join(side("b"), "b_id")
       .withColumn("est_jaccard", agree.cast("double") / K)
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")

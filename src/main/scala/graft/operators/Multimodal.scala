@@ -87,7 +87,12 @@ object Multimodal {
     * O(sampled frames), never materializing unsampled ones.
     */
   def sampleFrames(decoded: DataFrame, step: Int = 4): DataFrame =
-    decoded.select(
+    decoded
+      // sequence(0, -1, step) is a runtime error, not an empty array — a
+      // zero-frame row (possible with a real decoder) must yield no
+      // sampled frames, not kill the query
+      .filter(col("n_frames") > 0)
+      .select(
         col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
       .withColumn("frame_ref",

@@ -145,9 +145,11 @@ object Similarity {
     * scales to any corpus the assignment pass scales to.
     */
   def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val v = candidates.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    var cents = v.orderBy("vec_id").limit(k)
+    val seeds = v.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    var cents = seeds
     for (_ <- 0 until iters) {
       val bc = broadcast(cents)
       val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
@@ -157,12 +159,23 @@ object Similarity {
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select(col("cent_id"), col("v"))
-      cents = assigned
+      // order-independent component means (the Embeddings.centroids
+      // pattern): shuffle-order double summation would flip boundary
+      // assignments between runs — the exact nondeterminism srpBuckets
+      // was engineered to avoid
+      val recomputed = assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cent_id", "pos")
+        .agg((sum(round(col("x"), 6).cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("m"))
         .groupBy("cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centv"))
+      // a seed whose cluster came up empty keeps its seed vector — the
+      // quantizer always has exactly k cells
+      cents = seeds.select(col("cent_id"), col("centv").as("seedv"))
+        .join(recomputed, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("centv"), col("seedv")).as("centv"))
     }
     cents
   }

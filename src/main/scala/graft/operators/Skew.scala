@@ -17,17 +17,24 @@ object Skew {
     * Result is exactly the unsalted inner join (salt only refines the
     * partitioning). `small` is replicated `salts` times — keep it the
     * dimension side.
+    *
+    * Salt derivation: by default a content hash over to_json of the row
+    * (works for every type incl. MapType, and is deterministic under task
+    * retry even when `big` is shuffle output whose partition-internal row
+    * order is not). The one shape it can't spread is a hot key whose rows
+    * are fully IDENTICAL — for that, opt into `spreadIdenticalRows`, which
+    * salts by per-partition row index; that salt is only retry-safe when
+    * the input's row order is deterministic (e.g. a fresh file scan), so
+    * it is not the default.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int = 16): DataFrame = {
+                 salts: Int = 16, spreadIdenticalRows: Boolean = false): DataFrame = {
     require(salts > 0)
-    // salt from the per-partition row index, not a row hash or rand():
-    // fully identical rows (hot sentinel keys are often exact duplicates)
-    // still spread across salts, unhashable column types (MapType) work,
-    // and re-execution under task retry is deterministic as long as the
-    // upstream partition order is (same contract as any zipWithIndex)
-    val salted = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val saltExpr =
+      if (spreadIdenticalRows) pmod(monotonically_increasing_id(), lit(salts.toLong))
+      else pmod(xxhash64(to_json(struct(big.columns.map(col).toIndexedSeq: _*))),
+        lit(salts.toLong))
+    val salted = big.withColumn("__salt", saltExpr)
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("__salt", col("__salt").cast("bigint"))

@@ -139,22 +139,24 @@ object TextAnalysis {
   private val phoneRe = "\\+\\d{7,15}"
 
   /** PII scrubbing: replace emails / IPv4s / international phone numbers
-    * with typed placeholder tags, and count the redactions. Scan-stage
-    * regex work, no shuffle; the scrubbed text is carried forward as a
-    * hash here (the driver compare wants small deterministic cells —
-    * a pipeline would keep the scrubbed text column itself).
+    * with typed placeholder tags, and count the redactions. Counts are
+    * taken SEQUENTIALLY — each pattern counted on the text with the
+    * previous patterns already scrubbed — so n_pii equals the number of
+    * replacements actually performed (an IP embedded inside an email is
+    * one redaction, not two). Scan-stage regex work, no shuffle; the
+    * scrubbed text is carried forward as a hash here (the driver compare
+    * wants small deterministic cells — a pipeline would keep the scrubbed
+    * text column itself).
     */
   def piiScrub(docs: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(col("text"), emailRe, "<EMAIL>"),
-        ipRe, "<IP>"),
-      phoneRe, "<PHONE>")
+    val afterEmail = regexp_replace(col("text"), emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipRe, "<IP>")
+    val scrubbed = regexp_replace(afterIp, phoneRe, "<PHONE>")
     docs.select(
       col("doc_id"),
       (regexp_count(col("text"), lit(emailRe))
-        + regexp_count(col("text"), lit(ipRe))
-        + regexp_count(col("text"), lit(phoneRe))).cast("int").as("n_pii"),
+        + regexp_count(afterEmail, lit(ipRe))
+        + regexp_count(afterIp, lit(phoneRe))).cast("int").as("n_pii"),
       md5(scrubbed).as("scrub_hash"))
   }
 
@@ -163,10 +165,17 @@ object TextAnalysis {
     * n-gram is boilerplate when it appears in >= minShare of documents;
     * each doc reports what fraction of its distinct n-grams are
     * boilerplate. Two key-partitioned shuffles (doc-frequency groupBy +
-    * join back on the n-gram), no driver state — the df side is
-    * vocabulary-sized, so at 100 TB it broadcasts.
+    * join back on the n-gram), no driver state.
+    *
+    * `broadcastDf` (default true) broadcasts the doc-frequency side —
+    * right when the n-gram vocabulary is bounded (this corpus; any
+    * closed-vocabulary corpus). For open-vocabulary web text the distinct
+    * n-gram count grows with the corpus (Heaps' law) and can exceed
+    * executor memory — pass false there and the join shuffles both sides
+    * on the n-gram key instead.
     */
-  def boilerplateScores(docs: DataFrame, minShare: Double = 0.2): DataFrame = {
+  def boilerplateScores(docs: DataFrame, minShare: Double = 0.2,
+                        broadcastDf: Boolean = true): DataFrame = {
     val grams = docs.withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
@@ -178,9 +187,7 @@ object TextAnalysis {
     val df = grams.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("s"), (col("df").cast("double") / col("n_docs") >= minShare).as("is_bp"))
-    // df is vocabulary-sized (distinct n-grams) — broadcast it so the big
-    // grams side never shuffles for this join, at any corpus size
-    grams.join(broadcast(df), "s")
+    grams.join(if (broadcastDf) broadcast(df) else df, "s")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
@@ -306,15 +313,21 @@ object TextAnalysis {
          |FROM (SELECT doc_id, $W AS w FROM documents)
          |WHERE len(w) >= 3 ORDER BY doc_id""".stripMargin,
     "ta_pii_scrub" ->
-      """SELECT doc_id,
+      """WITH staged AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |staged2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM staged)
+        |SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-        |    + len(regexp_extract_all(text, '\+\d{7,15}')) AS INTEGER) AS n_pii,
-        | md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |       '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |    + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(t2, '\+\d{7,15}')) AS INTEGER) AS n_pii,
+        | md5(regexp_replace(t2, '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_hash
+        |FROM staged2 ORDER BY doc_id""".stripMargin,
     "ta_boilerplate" ->
       s"""WITH grams AS (
          |  SELECT DISTINCT doc_id, s FROM (

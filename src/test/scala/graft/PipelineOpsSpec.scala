@@ -18,13 +18,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or +14155551234 now"),
       (2L, "server at 10.0.0.1 and 192.168.254.3 up"),
-      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+      (3L, "nothing sensitive here at all"),
+      // the IP is inside the email: ONE redaction happens, so n_pii
+      // must be 1 (sequential counting), not 2 (independent counting)
+      (4L, "ping admin@10.0.0.1.example.com please")).toDF("doc_id", "text")
     val scrubbedText = regexp_replace(regexp_replace(regexp_replace(col("text"),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\+\\d{7,15}", "<PHONE>")
     val got = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
-    assert(got.map(_.getInt(1)).toSeq === Seq(2, 2, 0))
+    assert(got.map(_.getInt(1)).toSeq === Seq(2, 2, 0, 1))
     // the hash is of the tagged text, not the original
     val tagged = docs.select(col("doc_id"), md5(scrubbedText).as("h"))
       .orderBy("doc_id").collect().map(_.getString(1)).toSeq
