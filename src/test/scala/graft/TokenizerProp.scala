@@ -51,6 +51,15 @@ object TokenizerProp extends Properties("tokenizer") {
         java.lang.Long.parseLong(hex, 16)
     }
 
+  property("poly31 == reference fold over UTF-8 bytes, always in [0, mod)") =
+    forAll(interesting) { s =>
+      val ref = s.getBytes("UTF-8").foldLeft(0L) { (h, b) =>
+        (h * 31 + (b & 0xff)) % FnvHash.PolyMod
+      }
+      val got = FnvHash.poly31(UTF8String.fromString(s))
+      got == ref && got >= 0 && got < FnvHash.PolyMod
+    }
+
   // Golden values computed with Go hash/fnv (fnv.New32a) to pin parity with
   // the reference's ihash (src/mr/worker.go:273-277).
   property("fnv1a32 matches Go hash/fnv golden vectors") = Prop {
