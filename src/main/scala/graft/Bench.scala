@@ -35,16 +35,19 @@ object Bench {
       (name, secs, ok)
     }
     // a failed query is visibly failed: negative elapsed in `queries` AND
-    // listed in `failed` — it can't masquerade as a fast success
-    val qs = results.map { case (k, v, ok) =>
+    // listed in `failed` — it can't masquerade as a fast success.
+    // `value` is the sum of the SAME signed per-query values, so the two
+    // always reconcile (summing the queries map reproduces the total).
+    val signed = results.map { case (k, v, ok) =>
       // floor failed times away from zero: an instantly-failing query
       // would otherwise print -0.000, and JSON -0.0 == 0.0
-      val signed = if (ok) v else -math.max(v, 0.001)
-      "\"" + k + f"""":$signed%.3f"""
-    }.mkString("{", ",", "}")
+      (k, if (ok) v else -math.max(v, 0.001))
+    }
+    val qs = signed.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = signed.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -45,17 +45,23 @@ object FnvHash {
 
   /** Polynomial rolling hash (Rabin–Karp base 31, prime modulus): the
     * fingerprint whose windowed form supports O(1) sliding updates. The
-    * mod keeps every intermediate < 2^36, so the byte-at-a-time fold is
-    * reproducible in any engine with 64-bit integers (the oracle replays
-    * it with list_reduce over code points — identical for ASCII text).
+    * mod keeps every intermediate small, so the fold is reproducible in
+    * any engine with 64-bit integers. Folds Unicode CODE POINTS (== the
+    * UTF-8 bytes for ASCII), matching the oracle's per-character ascii()
+    * fold beyond ASCII too — a byte fold would silently diverge on the
+    * first non-ASCII document.
     */
   final val PolyMod = 1000000007L
 
   def poly31(s: UTF8String): Long = {
-    val bytes = s.getBytes
+    val str = s.toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % PolyMod; i += 1 }
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % PolyMod
+      i += Character.charCount(cp)
+    }
     h
   }
 

@@ -30,6 +30,16 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Cosine similarity that never yields NaN: a zero-norm vector (or
+    * centroid) scores -2.0, below every real cosine, instead of 0/0 = NaN —
+    * NaN sorts FIRST under desc ordering in Spark, so one zero vector would
+    * otherwise capture every rank-1 assignment in the quantizer paths.
+    */
+  private def safeCosine(a: Column, b: Column): Column = {
+    val normProd = sqrt(vecDot(a, a)) * sqrt(vecDot(b, b))
+    when(normProd === 0, lit(-2.0)).otherwise(vecDot(a, b) / normProd)
+  }
+
   /** Exact top-k cosine neighbors of each query vector among candidates
     * (self-matches excluded). Broadcast the (small) query side; candidates
     * stream through — one pass, no shuffle of the candidate table. Norms
@@ -154,8 +164,7 @@ object Similarity {
       val bc = broadcast(cents)
       val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
       val assigned = v.crossJoin(bc)
-        .withColumn("csim", vecDot(col("v"), col("centv")) /
-          (sqrt(vecDot(col("v"), col("v"))) * sqrt(vecDot(col("centv"), col("centv")))))
+        .withColumn("csim", safeCosine(col("v"), col("centv")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") === 1)
         .select(col("cent_id"), col("v"))
@@ -200,8 +209,7 @@ object Similarity {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cent_id"))
       df.crossJoin(cents)
-        .withColumn("csim", vecDot(col("v"), col("centv")) /
-          (sqrt(vecDot(col("v"), col("v"))) * sqrt(vecDot(col("centv"), col("centv")))))
+        .withColumn("csim", safeCosine(col("v"), col("centv")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
         .drop("centv", "csim", "crank")

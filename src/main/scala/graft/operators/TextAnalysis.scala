@@ -202,6 +202,10 @@ object TextAnalysis {
     * rule's verdict exposed, and the final keep decision their
     * conjunction. Thresholds are C4/Gopher-shaped, tuned to split the
     * synthetic corpus non-trivially.
+    *
+    * Too-short documents (< 3 tokens) are NOT dropped — a curation verdict
+    * frame must cover every input row, so they come through with guarded
+    * signals (ttr 0, dup3 1) and keep = 0 rather than silently vanishing.
     */
   def curation(docs: DataFrame, minTokens: Int = 30, minTtr: Double = 0.35,
                maxDup3: Double = 0.05): DataFrame = {
@@ -212,13 +216,16 @@ object TextAnalysis {
     val nPii = regexp_count(col("text"), lit(emailRe)) +
       regexp_count(col("text"), lit(ipRe)) + regexp_count(col("text"), lit(phoneRe))
     docs.withColumn("w", tokens(col("text")))
-      .filter(size(col("w")) >= 3)
       .select(
         col("doc_id"),
         size(col("w")).as("n_tokens"),
-        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
-        (lit(1) - size(array_distinct(grams3)).cast("double")
-          / (size(col("w")) - 2)).as("dup3"),
+        when(size(col("w")) > 0,
+          size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(size(col("w")) >= 3,
+          lit(1) - size(array_distinct(grams3)).cast("double")
+            / (size(col("w")) - 2))
+          .otherwise(lit(1.0)).as("dup3"),
         nPii.cast("int").as("n_pii"))
       .withColumn("pass_len", (col("n_tokens") >= minTokens).cast("int"))
       .withColumn("pass_ttr", (col("ttr") >= minTtr).cast("int"))
@@ -284,15 +291,18 @@ object TextAnalysis {
     "ta_curation" ->
       s"""WITH r AS (
          |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
-         |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
-         |    1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                                FOR i IN range(1, len(w)-1)])) AS DOUBLE)
-         |        / (len(w) - 2) AS dup3,
+         |    CASE WHEN len(w) > 0
+         |         THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+         |         ELSE 0.0 END AS ttr,
+         |    CASE WHEN len(w) >= 3
+         |         THEN 1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                          FOR i IN range(1, len(w)-1)])) AS DOUBLE)
+         |              / (len(w) - 2)
+         |         ELSE 1.0 END AS dup3,
          |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
          |       + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
          |       + len(regexp_extract_all(text, '\\+\\d{7,15}')) AS INTEGER) AS n_pii
-         |  FROM (SELECT doc_id, text, $W AS w FROM documents)
-         |  WHERE len(w) >= 3)
+         |  FROM (SELECT doc_id, text, $W AS w FROM documents))
          |SELECT doc_id, n_tokens, ttr, dup3, n_pii,
          |  CAST(n_tokens >= 30 AS INTEGER) AS pass_len,
          |  CAST(ttr >= 0.35 AS INTEGER) AS pass_ttr,

@@ -28,14 +28,18 @@ object EventStream {
   final case class SessionState(sessionId: Long, lastTs: Long,
                                 count: Long, startTs: Long)
 
-  // One staged directory per source table path, reused across calls in this
-  // JVM and deleted on exit — repeated stream runs (tests + bench + verify)
-  // don't accumulate temp copies.
+  // One staged directory per source file VERSION — keyed on
+  // (path, size, mtime), not path alone, so a file regenerated in place
+  // during this JVM's lifetime gets a fresh staged copy instead of the
+  // stream silently reading the stale one. Reused across calls (tests +
+  // bench + verify don't accumulate temp copies), deleted on exit.
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  private def stageDir(src: java.nio.file.Path): java.nio.file.Path =
-    stagedDirs.computeIfAbsent(src.toString, { _ =>
+  private def stageDir(src: java.nio.file.Path): java.nio.file.Path = {
+    val key = s"$src:${java.nio.file.Files.size(src)}:" +
+      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    stagedDirs.computeIfAbsent(key, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-stream-events")
       java.nio.file.Files.copy(src, d.resolve(src.getFileName))
       sys.addShutdownHook {
@@ -44,6 +48,7 @@ object EventStream {
       }
       d
     })
+  }
 
   /** Read the events table as a file stream with the batch-identical
     * schema (ts as exact nanosecond long, see graft.tables.Tables).

@@ -51,13 +51,23 @@ object TokenizerProp extends Properties("tokenizer") {
         java.lang.Long.parseLong(hex, 16)
     }
 
-  property("poly31 == reference fold over UTF-8 bytes, always in [0, mod)") =
+  property("poly31 == reference fold over code points, always in [0, mod)") =
     forAll(interesting) { s =>
-      val ref = s.getBytes("UTF-8").foldLeft(0L) { (h, b) =>
-        (h * 31 + (b & 0xff)) % FnvHash.PolyMod
+      val ref = s.codePoints().toArray.foldLeft(0L) { (h, cp) =>
+        (h * 31 + cp) % FnvHash.PolyMod
       }
       val got = FnvHash.poly31(UTF8String.fromString(s))
       got == ref && got >= 0 && got < FnvHash.PolyMod
+    }
+
+  // for ASCII the code-point fold IS the byte fold — pins that the oracle's
+  // ascii()-per-character replay stays valid on the ASCII corpus
+  property("poly31 code-point fold == byte fold on ASCII") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val byteRef = s.getBytes("UTF-8").foldLeft(0L) { (h, b) =>
+        (h * 31 + (b & 0xff)) % FnvHash.PolyMod
+      }
+      FnvHash.poly31(UTF8String.fromString(s)) == byteRef
     }
 
   // Golden values computed with Go hash/fnv (fnv.New32a) to pin parity with
