@@ -220,6 +220,69 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard", "jaccard")
   }
 
+  /** Duplicate-cluster resolution: connected components over the MinHash-LSH
+    * candidate pairs, by iterative min-label propagation — the step a real
+    * dedup pipeline runs AFTER pair generation, because near-duplication is
+    * transitive in practice (A~B, B~C ⇒ one cluster) and "keep one per
+    * PAIR" double-drops chained duplicates. Every document gets a
+    * cluster_id (the minimum doc_id reachable through dup edges; singletons
+    * are their own cluster) and is_rep marks the one kept representative.
+    *
+    * Scale shape: each iteration is one key-partitioned join + groupBy on
+    * the edge list (O(edges) shuffle, never materializing components), and
+    * labels are locally checkpointed per iteration so the plan doesn't grow
+    * with iteration count — the standard Spark formulation of
+    * label-propagation connected components. Converges in O(component
+    * diameter) iterations; dup clusters are shallow (diameter ≤ 3–4 even on
+    * web corpora), and the loop stops as soon as an iteration changes
+    * nothing.
+    */
+  def duplicateClusters(docs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(docs)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.drop("chg")
+      it += 1
+    }
+    labels.withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
+  /** Edit-distance verification over the LSH candidate pairs: exact
+    * Levenshtein distance and its length-normalized similarity for each
+    * candidate — the character-level complement to token-level Jaccard
+    * (catches small in-word edits that 3-gram shingles overweight).
+    * Levenshtein is O(len²) per pair, which is exactly why it only ever
+    * runs on the LSH-bounded candidate set, never all pairs.
+    */
+  def editDistancePairs(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    minhashLshPairs(docs)
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        (lit(1) - levenshtein(col("ta"), col("tb")).cast("double")
+          / greatest(length(col("ta")), length(col("tb")))).as("edit_sim"))
+  }
+
   /** Embedding-cosine top-1 neighbor for a query subset — the exact
     * (brute-force) form; [[Similarity]] holds top-k and the LSH-bucketed
     * scale path.
@@ -244,6 +307,10 @@ object Dedup {
       cosineTop1(Tables.load(s, d, "embeddings"), 100).orderBy("vec_id")),
     "dd_minhash_est" -> ((s, d) =>
       minhashEstimates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
+    "dd_cluster" -> ((s, d) =>
+      duplicateClusters(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "dd_editdist" -> ((s, d) =>
+      editDistancePairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -253,7 +320,48 @@ object Dedup {
        |                         FOR i IN range(1, len(w)-1)]) AS s
        |  FROM (SELECT doc_id, $W AS w FROM documents))""".stripMargin
 
+  /** The MinHash-LSH candidate-pair pipeline as reusable CTEs (`pairs` is
+    * the final one) — shared by the LSH, cluster and edit-distance oracles
+    * exactly as the Spark side shares [[lshPairsFromSignatures]].
+    */
+  private val PAIR_CTES =
+    s"""sh AS ($SH),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
+       |      FROM sh),
+       |perms AS (SELECT i, (i * 2654435761) % 2147483647 AS a,
+       |                 (i * 982451653) % 2147483647 AS b
+       |          FROM range(1, 33) t(i)),
+       |sig AS (SELECT doc_id, i, min((a * h0 + b) % 2147483647) AS m
+       |        FROM h CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, (i - 1) // 4 AS band,
+       |            md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkey
+       |          FROM sig GROUP BY doc_id, (i - 1) // 4),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "dd_cluster" ->
+      s"""WITH RECURSIVE $PAIR_CTES,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT node AS doc_id, min(reach) AS cluster_id,
+         |  CAST(node = min(reach) AS INTEGER) AS is_rep
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dd_editdist" ->
+      s"""WITH $PAIR_CTES
+         |SELECT a_id, b_id, levenshtein(da.text, db.text) AS edit_dist,
+         |  1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |      / greatest(length(da.text), length(db.text)) AS edit_sim
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -270,22 +378,8 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
     "dd_minhash_lsh" ->
-      s"""WITH sh AS ($SH),
-         |h AS (SELECT doc_id,
-         |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
-         |      FROM sh),
-         |perms AS (SELECT i, (i * 2654435761) % 2147483647 AS a,
-         |                 (i * 982451653) % 2147483647 AS b
-         |          FROM range(1, 33) t(i)),
-         |sig AS (SELECT doc_id, i, min((a * h0 + b) % 2147483647) AS m
-         |        FROM h CROSS JOIN perms GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, (i - 1) // 4 AS band,
-         |            md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkey
-         |          FROM sig GROUP BY doc_id, (i - 1) // 4)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |ORDER BY 1, 2""".stripMargin,
+      s"""WITH $PAIR_CTES
+         |SELECT a_id, b_id FROM pairs ORDER BY 1, 2""".stripMargin,
     "dd_simhash" ->
       s"""WITH sh AS ($SH),
          |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h

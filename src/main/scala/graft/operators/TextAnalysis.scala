@@ -236,6 +236,38 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** TF-IDF top-k salient terms per document — the linear-idf variant
+    * (score = tf · n_docs/df, no logarithm). The choice is deliberate:
+    * log() is libm-dependent, and last-ulp differences across engines
+    * would flip ranks at near-ties, breaking the bit-exact oracle. Here
+    * every score is an exact integer product (< 2^53, exact in double)
+    * and ONE IEEE division, which every engine rounds identically; the
+    * rank ordering is therefore engine-portable. (Log-idf compresses the
+    * rare-term end and can rank differently; a pipeline wanting classic
+    * ln(N/df) weights applies ln to the exported df/n_docs columns.)
+    *
+    * Scale shape: tf is one groupBy(doc, term) with map-side combine; the
+    * document-frequency side is vocabulary-sized and broadcast (same
+    * open-vocabulary caveat as [[boilerplateScores]] — shuffle-join it
+    * instead for web-scale vocabularies); ranking is one window over the
+    * doc partition.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Rolling-hash fingerprints (Rabin–Karp, codegen'd native expression —
     * [[graft.functions.Poly31Hash]]): the polynomial form whose windowed
     * variant supports O(1) sliding updates in substring-dedup pipelines.
@@ -271,6 +303,8 @@ object TextAnalysis {
       langId(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_fingerprint" -> ((s, d) =>
       fingerprints(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_tfidf" -> ((s, d) =>
+      tfidfTopTerms(Tables.load(s, d, "documents")).orderBy("doc_id", "rank")),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -384,6 +418,21 @@ object TextAnalysis {
          |      FROM (SELECT doc_id, lang, $w AS w FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
+    "ta_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($W) AS term FROM documents) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
+         |FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC, tf.term)
+         |      AS rank
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(n) AS fp_md5,
         | CAST(concat('0x', substr(md5(n), 1, 15)) AS BIGINT) AS fp60

@@ -65,6 +65,8 @@ object Relational {
     "q30_sliding_window" -> q30,
     "q31_setops_all" -> q31,
     "q32_date_arith" -> q32,
+    "q33_full_outer_join" -> q33,
+    "q34_zorder" -> q34,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -560,7 +562,69 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Full outer join — the one join shape q03-q19 don't cover: both
+    * unmatched sides survive with nulls (normalized to 0 counts so the
+    * outer-ness is observable in the checked output). The high-balance
+    * filters make the two grouped sides genuinely asymmetric.
+    */
+  private def q33(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+    val s = Tables.load(spark, dir, "supplier").filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Z-order (Morton) clustering key: interleave the low 10 bits of two
+    * dimension keys so that sorting by the single zval co-locates rows
+    * close in BOTH dimensions — the standard multi-dimensional layout for
+    * min/max-stat file skipping (`repartitionByRange($"zval")` +
+    * `sortWithinPartitions` before the write; [[graft.operators.Layout]]
+    * holds the single-dimension variants). Pure bit arithmetic, engine
+    * portable; checked output is per-bucket occupancy so the curve itself
+    * is what's verified.
+    */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val x = (col("l_partkey") % 1024).cast("bigint")
+    val y = (col("l_suppkey") % 1024).cast("bigint")
+    val zv = (0 until 10).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    li.select(zv.as("zval"))
+      .groupBy(shiftright(col("zval"), 14).as("zbucket"))
+      .agg(count(lit(1)).as("n"), min(col("zval")).as("zmin"),
+        max(col("zval")).as("zmax"))
+      .orderBy("zbucket")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q33_full_outer_join" ->
+      """SELECT coalesce(c.nk, s.nk) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 9900 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 5000 GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin,
+    "q34_zorder" -> {
+      val z = (0 until 10).map { i =>
+        s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i})" +
+          s" + ((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""SELECT CAST(zval >> 14 AS BIGINT) AS zbucket, count(*) AS n,
+         | CAST(min(zval) AS BIGINT) AS zmin, CAST(max(zval) AS BIGINT) AS zmax
+         |FROM (SELECT $z AS zval FROM lineitem)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q32_date_arith" ->
       """SELECT o_orderkey,
         | strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d_str,

@@ -171,6 +171,20 @@ object EventStream {
         "st_enrich_sink", OutputMode.Complete)
       s.table("st_enrich_sink").orderBy("bucket", "c_mktsegment")
     }),
+    // Streaming exact dedup: state-store-backed dropDuplicates over the
+    // projected key columns — the streaming twin of batch DISTINCT. The
+    // projection to the key columns BEFORE dropDuplicates is what makes
+    // the output deterministic (which physical row survives per key is
+    // arrival-order-dependent; its key columns are not). Finite source, so
+    // no watermark; an unbounded deployment would use
+    // dropDuplicatesWithinWatermark to bound the key state.
+    "st_dedup" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d).select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"),
+        "st_dedup_sink", OutputMode.Append)
+      s.table("st_dedup_sink").orderBy("user_id", "event_type")
+    }),
     // Stateful sessionization through the real stream harness. Append mode
     // emits a session only when the gap that CLOSES it is observed, so each
     // user's final (still-open) session stays in state — the oracle below
@@ -190,6 +204,9 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "st_enrich" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | c_mktsegment, count(*) AS n,

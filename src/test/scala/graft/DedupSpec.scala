@@ -58,6 +58,48 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"simhash recall $recall on ${truth.size} jaccard pairs")
   }
 
+  test("duplicate clusters: pairs co-clustered, labels are component minima, transitive") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.duplicateClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every candidate pair landed in one cluster
+    for ((a, b) <- pairs) assert(label(a) === label(b), s"pair ($a,$b) split")
+    // label of each cluster == min member; is_rep marks exactly that member
+    val byCluster = clusters.groupBy(_._2)
+    for ((cl, ms) <- byCluster) {
+      assert(ms.map(_._1).min === cl, s"cluster $cl label is not the min member")
+      assert(ms.count(_._3 == 1) === 1 && ms.find(_._3 == 1).get._1 === cl)
+    }
+    // full transitivity: clusters == connected components of the pair graph
+    // (driver-side union-find over the same edges)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val byRoot = clusters.map(c => find(c._1) -> c._1).groupBy(_._1)
+    for ((_, g) <- byRoot; want = g.map(_._2).min; (_, doc) <- g)
+      assert(label(doc) === want, s"doc $doc component")
+    // every document got a verdict
+    assert(clusters.length === docs.count())
+  }
+
+  test("edit-distance verify: zero distance iff exact duplicate text") {
+    val texts = docs.collect().map(r =>
+      r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("text"))).toMap
+    val ed = Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(ed.nonEmpty)
+    for ((a, b, d, sim) <- ed) {
+      assert((d == 0) === (texts(a) == texts(b)), s"pair ($a,$b) dist $d")
+      assert(sim >= 0.0 && sim <= 1.0)
+      if (d == 0) assert(sim === 1.0)
+    }
+  }
+
   test("LSH ANN returns a subset ranking consistent with brute force, recall measured") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, 5)

@@ -36,6 +36,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       docs.select(md5(col("text"))).orderBy("doc_id").collect()(0).getString(0))
   }
 
+  test("tfidf top terms rank document-distinctive terms first, scores exact") {
+    val d = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "banana common common common"),
+      (3L, "cherry cherry common common")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val rank1 = top.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(rank1 === Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    // doc1 "apple": tf=3, df=1, n_docs=3 -> 3*3/1 = 9.0 exactly
+    assert(top.find(t => t._1 == 1L && t._3 == "apple").get._6 === 9.0)
+    // "common" appears in all docs: idf factor 1 -> doc2 score = tf = 3.0
+    assert(top.find(t => t._1 == 2L && t._3 == "common").get._6 === 3.0)
+  }
+
+  test("curation covers every document: short docs emit keep=0, not vanish") {
+    val d = Seq(
+      (1L, "one two"), // < 3 tokens
+      (2L, ""), // no tokens at all
+      // 40 distinct letter-only words (digits would tokenize away)
+      (3L, Seq.tabulate(40)(i =>
+        s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.curation(d).orderBy("doc_id").collect()
+    assert(got.length === 3)
+    assert(got(0).getInt(got(0).fieldIndex("keep")) === 0)
+    assert(got(1).getInt(got(1).fieldIndex("keep")) === 0)
+    assert(got(1).getDouble(got(1).fieldIndex("ttr")) === 0.0)
+    assert(got(0).getDouble(got(0).fieldIndex("dup3")) === 1.0)
+    assert(got(2).getInt(got(2).fieldIndex("keep")) === 1)
+  }
+
   test("repetitionScores: a fully repeated doc scores high, unique doc zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),

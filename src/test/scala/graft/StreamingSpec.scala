@@ -26,6 +26,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dropDuplicates == batch DISTINCT on the key projection") {
+    EventStream.runToMemory(
+      EventStream.readEvents(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      "dedup_stream", OutputMode.Append)
+    val streamed = spark.table("dedup_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = EventStream.readEvents(spark, dir).sparkSession
+      .read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(streamed.toSet === batch.toSet)
+    assert(streamed.length === streamed.toSet.size, "no duplicate emissions")
+  }
+
   test("watermark drops late data and finalizes windows exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
