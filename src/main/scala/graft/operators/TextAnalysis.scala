@@ -164,30 +164,35 @@ object TextAnalysis {
     * filter, at bigram granularity for this small-vocab corpus): an
     * n-gram is boilerplate when it appears in >= minShare of documents;
     * each doc reports what fraction of its distinct n-grams are
-    * boilerplate. Two key-partitioned shuffles (doc-frequency groupBy +
-    * join back on the n-gram), no driver state.
+    * boilerplate.
     *
-    * `broadcastDf` (default true) broadcasts the doc-frequency side —
-    * right when the n-gram vocabulary is bounded (this corpus; any
-    * closed-vocabulary corpus). For open-vocabulary web text the distinct
-    * n-gram count grows with the corpus (Heaps' law) and can exceed
-    * executor memory — pass false there and the join shuffles both sides
-    * on the n-gram key instead.
+    * Shape: the expensive gram expansion (tokenize → build bigrams →
+    * array_distinct → explode) happens ONCE; each gram row picks up its
+    * document frequency from a window count over the gram key instead of
+    * a groupBy + join-back (which would recompute the whole expansion for
+    * the second consumer — the first cut did exactly that, 3 full
+    * tokenization passes, 6× slower at sf0.1). n_docs comes from a cheap
+    * tokenize-and-count pass with no gram work. Two key-partitioned
+    * shuffles total (window on gram, final groupBy on doc); no broadcast
+    * of anything vocabulary-sized, so the same plan holds for
+    * open-vocabulary web text where distinct n-grams outgrow executor
+    * memory (Heaps' law).
     */
-  def boilerplateScores(docs: DataFrame, minShare: Double = 0.2,
-                        broadcastDf: Boolean = true): DataFrame = {
-    val grams = docs.withColumn("w", tokens(col("text")))
+  def boilerplateScores(docs: DataFrame, minShare: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokenized = docs.withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 2)
+    val nDocs = tokenized.select(count(lit(1)).as("n_docs"))
+    val grams = tokenized
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(0), size(col("w")) - 2),
           i => concat_ws(" ",
             element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("s"))
-    val nDocs = grams.select(countDistinct(col("doc_id")).as("n_docs"))
-    val df = grams.groupBy("s").agg(count(lit(1)).as("df"))
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .crossJoin(broadcast(nDocs))
-      .select(col("s"), (col("df").cast("double") / col("n_docs") >= minShare).as("is_bp"))
-    grams.join(if (broadcastDf) broadcast(df) else df, "s")
+      .withColumn("is_bp", col("df").cast("double") / col("n_docs") >= minShare)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

@@ -70,11 +70,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"sampling should be scan-stage only:\n$p")
   }
 
-  test("ta_boilerplate joins the vocabulary-sized df side by broadcast") {
+  test("ta_boilerplate expands grams once: window df, no vocabulary join") {
     val p = graft.operators.TextAnalysis
       .boilerplateScores(Tables.load(spark, dir, "documents"))
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
+    // document frequency comes from a window over the gram key...
+    assert(p.contains("Window"), p)
+    // ...not from a join back to a re-expanded gram table: exactly ONE
+    // Generate (explode) in the whole plan means the expensive
+    // tokenize+bigram+explode pipeline runs a single time
+    val generates = "Generate".r.findAllIn(p).size
+    assert(generates === 1, s"gram expansion must not be recomputed:\n$p")
+    // no vocabulary-sized hash join anywhere (the only broadcast is the
+    // 1-row n_docs scalar)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
   }
 
   test("fnv1a64 custom expression participates in codegen") {
