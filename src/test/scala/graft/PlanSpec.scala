@@ -86,6 +86,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("runtime bloom filter prunes the big probe side of a shuffle join") {
+    // the Catalyst runtime-filter rule: when one side of a shuffle join has
+    // a selective filter, inject a bloom filter built from it into the scan
+    // of the OTHER (big) side — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the matching slice
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, dir, "lineitem")
+      val o = Tables.load(spark, dir, "orders")
+        .filter(col("o_totalprice") > 500000) // selective creation side
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("fnv1a64 custom expression participates in codegen") {
     import graft.functions.hashes.fnv1a64
     val df = Tables.load(spark, dir, "part")
