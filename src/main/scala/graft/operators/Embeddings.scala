@@ -66,6 +66,29 @@ object Embeddings {
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Int8 scalar quantization — the standard 4× embedding compression for
+    * ANN serving: per-vector scale = max|x|/127, code_i = round-half-up of
+    * x_i/scale. floor(x·127/m + 0.5) is used instead of round() because
+    * half-up is engine-portable while round() is banker's in some engines.
+    * Zero vectors quantize to all-zero codes with scale 0. The checked
+    * output carries order-independent integer summaries of the codes
+    * (sum/min/max — exact in any engine); the codes themselves stay
+    * distributed, scan-stage only.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("bigint"))))
+      .select(
+        col("vec_id"),
+        round(col("m") / 127.0, 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -73,6 +96,8 @@ object Embeddings {
       stats(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "emb_centroids" -> ((s, d) =>
       centroids(Tables.load(s, d, "embeddings"))),
+    "emb_quantize" -> ((s, d) =>
+      quantizeInt8(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -83,6 +108,21 @@ object Embeddings {
         |                                          x -> x * x), 'sum')), 6) AS l2_norm,
         | round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "emb_quantize" ->
+      """SELECT vec_id,
+        | round(m / 127.0, 6) AS scale,
+        | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        | CAST(list_min(q) AS BIGINT) AS q_min,
+        | CAST(list_max(q) AS BIGINT) AS q_max
+        |FROM (
+        |  SELECT vec_id, m,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        |        FROM embeddings))
+        |ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """SELECT label, pos,
         | CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid,

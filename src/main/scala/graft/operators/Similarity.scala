@@ -154,7 +154,8 @@ object Similarity {
     * aggregation keyed by (centroid, component): no driver-side k-means,
     * scales to any corpus the assignment pass scales to.
     */
-  def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int,
+                      dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val v = candidates.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val seeds = v.orderBy("vec_id").limit(k)
@@ -169,17 +170,19 @@ object Similarity {
         .filter(col("crank") === 1)
         .select(col("cent_id"), col("v"))
       // order-independent component means (the Embeddings.centroids
-      // pattern): shuffle-order double summation would flip boundary
-      // assignments between runs — the exact nondeterminism srpBuckets
-      // was engineered to avoid
-      val recomputed = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos")
-        .agg((sum(round(col("x"), 6).cast(DecimalType(18, 6))).cast("double")
-          / count(lit(1))).as("m"))
-        .groupBy("cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centv"))
+      // decimal pattern — shuffle-order double summation would flip
+      // boundary assignments between runs), as ONE wide aggregate: dim
+      // sum-columns in a single groupBy instead of posexplode + a
+      // (cent, pos)-keyed shuffle + reassembly (the same wide-agg shape
+      // that made minhash/simhash fast)
+      val means = (0 until dim).map { i =>
+        (sum(round(element_at(col("v"), i + 1), 6).cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as(s"m$i")
+      }
+      val recomputed = assigned.groupBy("cent_id")
+        .agg(means.head, means.tail: _*)
+        .select(col("cent_id"),
+          array((0 until dim).map(i => col(s"m$i")): _*).as("centv"))
       // a seed whose cluster came up empty keeps its seed vector — the
       // quantizer always has exactly k cells
       cents = seeds.select(col("cent_id"), col("centv").as("seedv"))

@@ -67,6 +67,7 @@ object Relational {
     "q32_date_arith" -> q32,
     "q33_full_outer_join" -> q33,
     "q34_zorder" -> q34,
+    "q35_array_hof" -> q35,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -604,7 +605,43 @@ object Relational {
       .orderBy("zbucket")
   }
 
+  /** Higher-order array functions as a query surface: per-order sorted
+    * price array (exact integer cents) processed with aggregate / filter /
+    * exists / forall / element_at — the array side of the scalar-function
+    * library. Every derived value is integer-exact, and because the array
+    * is sorted the oracle can reproduce each one with plain SQL aggregates
+    * (first = min, last = max) — checking that the HOF pipeline computes
+    * exactly what the relational algebra says it should.
+    */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val cents = (d2(col("l_extendedprice")) * 100).cast("bigint")
+    li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(cents)).as("cs"))
+      .select(
+        col("l_orderkey"),
+        size(col("cs")).as("n_items"),
+        aggregate(col("cs"), lit(0L), (a, x) => a + x).as("total_cents"),
+        size(filter(col("cs"), x => x > 10000000L)).as("n_over_100k"),
+        exists(col("cs"), x => x % 2 === 0).cast("int").as("has_even"),
+        forall(col("cs"), x => x > 0).cast("int").as("all_positive"),
+        (element_at(col("cs"), 1) + element_at(col("cs"), size(col("cs"))))
+          .as("min_plus_max"))
+      .orderBy("l_orderkey")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q35_array_hof" ->
+      """SELECT l_orderkey, CAST(count(*) AS INTEGER) AS n_items,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | CAST(count(*) FILTER (WHERE cents > 10000000) AS INTEGER) AS n_over_100k,
+        | CAST(count(*) FILTER (WHERE cents % 2 = 0) > 0 AS INTEGER) AS has_even,
+        | CAST(count(*) FILTER (WHERE cents <= 0) = 0 AS INTEGER) AS all_positive,
+        | min(cents) + max(cents) AS min_plus_max
+        |FROM (SELECT l_orderkey,
+        |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM lineitem)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q33_full_outer_join" ->
       """SELECT coalesce(c.nk, s.nk) AS nationkey,
         | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
