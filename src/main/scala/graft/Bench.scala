@@ -36,19 +36,21 @@ object Bench {
     }
     // a failed query is visibly failed: negative elapsed in `queries` AND
     // listed in `failed` — it can't masquerade as a fast success.
-    // `value` is the sum of the SAME signed per-query values, so the two
-    // always reconcile (summing the queries map reproduces the total).
+    // `value` is the exact sum of the PRINTED per-query values: rounding
+    // happens before summation (as BigDecimal, so no float residue),
+    // making "sum the queries map == value" hold to the last digit.
     val signed = results.map { case (k, v, ok) =>
       // floor failed times away from zero: an instantly-failing query
       // would otherwise print -0.000, and JSON -0.0 == 0.0
-      (k, if (ok) v else -math.max(v, 0.001))
+      val s = if (ok) v else -math.max(v, 0.001)
+      (k, BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP))
     }
-    val qs = signed.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = signed.map { case (k, r) => "\"" + k + "\":" + r.toString }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = signed.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

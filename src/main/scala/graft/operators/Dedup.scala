@@ -237,13 +237,23 @@ object Dedup {
     * web corpora), and the loop stops as soon as an iteration changes
     * nothing.
     */
+  /** Release the block storage behind an eager localCheckpoint snapshot —
+    * the loop below supersedes one snapshot per iteration, and waiting for
+    * the ContextCleaner would pin every generation simultaneously.
+    */
+  private def unpersistSnapshot(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    }
+
   def duplicateClusters(docs: DataFrame, maxIters: Int = 20): DataFrame = {
     val pairs = minhashLshPairs(docs)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var snapshot = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
+    var labels = snapshot
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -259,9 +269,20 @@ object Dedup {
             .as("chg"))
         .localCheckpoint(true)
       changed = updated.filter(col("chg")).count()
+      // the new snapshot is materialized; the previous generation is dead
+      unpersistSnapshot(snapshot)
+      snapshot = updated
       labels = updated.drop("chg")
       it += 1
     }
+    // never hand back partially-propagated labels: a component with
+    // diameter > maxIters would silently split into several clusters
+    // (multiple is_rep rows for one true duplicate group)
+    require(changed == 0,
+      s"duplicate-cluster label propagation did not converge in $maxIters " +
+        "iterations — raise maxIters (components as deep as the iteration " +
+        "count exist in the pair graph)")
+    unpersistSnapshot(edges)
     labels.withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 

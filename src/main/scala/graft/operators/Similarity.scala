@@ -155,9 +155,14 @@ object Similarity {
     * scales to any corpus the assignment pass scales to.
     */
   def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = -1): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val v = candidates.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // the wide mean-aggregate below needs the dimension as a plan-time
+    // constant; infer it from the data (one first-row job) unless the
+    // caller passes it — a wrong hardcoded dim would either throw
+    // (ANSI array index) or silently truncate centroids
+    val d = if (dim > 0) dim else v.select(size(col("v"))).limit(1).head.getInt(0)
     val seeds = v.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("centv"))
     var cents = seeds
@@ -175,14 +180,14 @@ object Similarity {
       // sum-columns in a single groupBy instead of posexplode + a
       // (cent, pos)-keyed shuffle + reassembly (the same wide-agg shape
       // that made minhash/simhash fast)
-      val means = (0 until dim).map { i =>
+      val means = (0 until d).map { i =>
         (sum(round(element_at(col("v"), i + 1), 6).cast(DecimalType(18, 6)))
           .cast("double") / count(lit(1))).as(s"m$i")
       }
       val recomputed = assigned.groupBy("cent_id")
         .agg(means.head, means.tail: _*)
         .select(col("cent_id"),
-          array((0 until dim).map(i => col(s"m$i")): _*).as("centv"))
+          array((0 until d).map(i => col(s"m$i")): _*).as("centv"))
       // a seed whose cluster came up empty keeps its seed vector — the
       // quantizer always has exactly k cells
       cents = seeds.select(col("cent_id"), col("centv").as("seedv"))

@@ -37,8 +37,14 @@ object EventStream {
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   private def stageDir(src: java.nio.file.Path): java.nio.file.Path = {
-    val key = s"$src:${java.nio.file.Files.size(src)}:" +
-      java.nio.file.Files.getLastModifiedTime(src).toMillis
+    // ONE stat call (size and mtime from the same attributes read — two
+    // separate stats could straddle an in-place regeneration and mix old
+    // size with new mtime), at nanosecond mtime granularity where the
+    // filesystem provides it
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = s"$src:${attrs.size}:" +
+      attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)
     stagedDirs.computeIfAbsent(key, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft-stream-events")
       java.nio.file.Files.copy(src, d.resolve(src.getFileName))
