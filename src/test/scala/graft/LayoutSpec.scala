@@ -38,4 +38,39 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("z-ordered layout shrinks per-file ranges on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    // interleave width matched to the data domain (suppkey spans ~100
+    // values at this sf): z-ordering bits that are always zero wastes the
+    // curve's high positions on one dimension
+    val li = Tables.load(spark, TestSpark.sf001, "lineitem")
+      .select((col("l_partkey") % 128).cast("bigint").as("x"),
+        (col("l_suppkey") % 128).cast("bigint").as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val n = 16
+
+    // mean per-file (max-min) span of a dimension, file identity from the scan
+    def meanSpan(path: String, dim: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(dim)) - min(col(dim))).as("span"))
+        .agg(avg("span")).head.getDouble(0)
+
+    try {
+      Layout.writeZOrdered(li, s"$dir/z", "x", "y", n, bits = 7)
+      // baseline: same file count, no clustering (round-robin repartition)
+      li.repartition(n).write.mode("overwrite").parquet(s"$dir/plain")
+      val (zx, zy) = (meanSpan(s"$dir/z", "x"), meanSpan(s"$dir/z", "y"))
+      val (px, py) = (meanSpan(s"$dir/plain", "x"), meanSpan(s"$dir/plain", "y"))
+      // unclustered files span ~the full 0..127 domain on both dims; the
+      // z-curve trades that for compact squares — require a 2x improvement
+      // on each dimension (ideal for 16 files over a 128^2 domain is ~4x)
+      assert(zx * 2 < px, s"x: z-ordered span $zx vs unclustered $px")
+      assert(zy * 2 < py, s"y: z-ordered span $zy vs unclustered $py")
+      // and the data itself survives the layout unchanged
+      assert(spark.read.parquet(s"$dir/z").count() === li.count())
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
