@@ -49,7 +49,10 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = signed.map(_._2).sum
+    // total elapsed = sum of |per-query values| (failures are printed
+    // negative as a marker but still cost their elapsed time; a signed sum
+    // would report less than actual wall time on a run with failures)
+    val total = signed.map(_._2.abs).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

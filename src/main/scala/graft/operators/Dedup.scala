@@ -105,22 +105,58 @@ object Dedup {
     * reuse ONE lineage instead of re-tokenizing per consumer (identical
     * subtrees also let Spark's exchange reuse dedupe the shuffle).
     */
-  private def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
+  /** (doc_id, band, bkey) band buckets of a wide signature frame. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until K / R).map { j =>
       struct(
         lit(j).as("band"),
         md5(concat_ws(",",
           (1 to R).map(r => col(s"m${j * R + r}").cast("string")): _*)).as("bkey"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  private def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
+    val bands = bandsOf(sig)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Persist MinHash signatures as a parquet "signature store" — the state
+    * a cross-snapshot dedup pipeline carries between corpus versions, so a
+    * new batch is deduped against the whole history WITHOUT re-reading or
+    * re-hashing the historical corpus.
+    */
+  def writeSignatureStore(docs: DataFrame, path: String): Unit =
+    minhashSignatures(docs).write.mode("overwrite").parquet(path)
+
+  /** Incremental (cross-snapshot) LSH dedup: candidate pairs that TOUCH
+    * the new batch — batch-vs-store and batch-vs-batch, never
+    * store-vs-store (those were found when the store was built). The band
+    * join is batch-sided: cost scales with the BATCH's collisions, not the
+    * corpus (at 100 TB the store is read-only parquet, only its band keys
+    * stream through the join). With batch doc_ids disjoint from the store,
+    * the result equals the full-corpus [[minhashLshPairs]] restricted to
+    * pairs with at least one batch member (proven in DedupSpec).
+    */
+  def incrementalLshPairs(spark: SparkSession, storePath: String,
+                          batch: DataFrame): DataFrame = {
+    val stored = spark.read.parquet(storePath)
+    val batchSig = minhashSignatures(batch)
+    val all = bandsOf(stored.unionByName(batchSig)).as("a")
+    val nb = bandsOf(batchSig).as("b")
+    all.join(nb,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
   }
 
@@ -168,17 +204,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs, hamming <= maxHamming (default 9), found via
-    * the pigeonhole banded join: 10 disjoint 6-bit chunks — any pair within
-    * hamming 9 must agree on >=1 chunk — then exact hamming verification.
+    * the pigeonhole banded join: the 60 bits are split into maxHamming + 1
+    * disjoint chunks (widths as even as 60 allows — 10×6 for the default
+    * h=9) — a pair within hamming h differs in at most h chunks, so it
+    * must agree on >=1 of the h+1 — then exact hamming verification.
+    * Larger h → more, narrower chunks → more candidates (the usual
+    * recall/cost dial); h=0 degenerates to one 60-bit chunk, i.e. exact
+    * simhash equality.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 9): DataFrame = {
-    require(maxHamming == 9, "banding fixed at 10x6 bits for hamming <= 9")
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
+    val nChunks = maxHamming + 1
+    val base = 60 / nChunks
+    val extra = 60 % nChunks
+    val widths = Seq.tabulate(nChunks)(c => if (c < extra) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).init
     val spark = docs.sparkSession
+    import spark.implicits._
     val sh = simhash(docs)
-    val chunks = spark.range(0, 10).select(col("id").cast("int").as("c"))
-    val banded = sh.crossJoin(broadcast(chunks))
+    val chunks = broadcast(shifts.zip(widths).zipWithIndex
+      .map { case ((s, wd), c) => (c, s, (1L << wd) - 1) }
+      .toDF("c", "shift", "mask"))
+    val banded = sh.crossJoin(chunks)
       .select(col("doc_id"), col("simhash"), col("c"),
-        expr("shiftright(simhash, c * 6) & 63").as("cv"))
+        expr("shiftright(simhash, shift) & mask").as("cv"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -256,33 +306,41 @@ object Dedup {
     var labels = snapshot
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
-            .as("chg"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("chg")).count()
-      // the new snapshot is materialized; the previous generation is dead
-      unpersistSnapshot(snapshot)
-      snapshot = updated
-      labels = updated.drop("chg")
-      it += 1
+    // every exit — convergence or the non-convergence throw — releases the
+    // edge checkpoint and, on failure, the last label snapshot too; on
+    // success the RETURNED frame reads that final snapshot, so its blocks
+    // stay pinned until the caller drops the frame (ContextCleaner)
+    try {
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+              .as("chg"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("chg")).count()
+        // the new snapshot is materialized; the previous generation is dead
+        unpersistSnapshot(snapshot)
+        snapshot = updated
+        labels = updated.drop("chg")
+        it += 1
+      }
+      // never hand back partially-propagated labels: a component with
+      // diameter > maxIters would silently split into several clusters
+      // (multiple is_rep rows for one true duplicate group)
+      require(changed == 0,
+        s"duplicate-cluster label propagation did not converge in $maxIters " +
+          "iterations — raise maxIters (components as deep as the iteration " +
+          "count exist in the pair graph)")
+    } finally {
+      unpersistSnapshot(edges)
+      if (changed != 0) unpersistSnapshot(snapshot)
     }
-    // never hand back partially-propagated labels: a component with
-    // diameter > maxIters would silently split into several clusters
-    // (multiple is_rep rows for one true duplicate group)
-    require(changed == 0,
-      s"duplicate-cluster label propagation did not converge in $maxIters " +
-        "iterations — raise maxIters (components as deep as the iteration " +
-        "count exist in the pair graph)")
-    unpersistSnapshot(edges)
     labels.withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
@@ -295,13 +353,53 @@ object Dedup {
     */
   def editDistancePairs(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"))
+    // the O(len²) levenshtein is computed ONCE per pair in its own
+    // projection and edit_sim derived from the column — a single select
+    // would evaluate it twice wherever subexpression elimination is
+    // unavailable (interpreted fallback on long texts)
     minhashLshPairs(docs)
       .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
       .select(col("a_id"), col("b_id"),
         levenshtein(col("ta"), col("tb")).as("edit_dist"),
-        (lit(1) - levenshtein(col("ta"), col("tb")).cast("double")
-          / greatest(length(col("ta")), length(col("tb")))).as("edit_sim"))
+        greatest(length(col("ta")), length(col("tb"))).as("max_len"))
+      .select(col("a_id"), col("b_id"), col("edit_dist"),
+        (lit(1) - col("edit_dist").cast("double") / col("max_len"))
+          .as("edit_sim"))
+  }
+
+  /** Exact substring-level dedup — the Lee-et-al ("Deduplicating Training
+    * Data Makes Language Models Better") family that doc-level exact/near
+    * dedup misses: REPEATED SPANS inside otherwise-distinct documents.
+    * Every `width`-token span (stride 1) is a candidate unit; spans whose
+    * text occurs more than once — within one document or across documents
+    * — are reported with occurrence/document counts and the minimum doc_id
+    * holder, i.e. the occurrence a dedup pass keeps while excising the
+    * rest.
+    *
+    * Grouping is BY THE SPAN TEXT, so the result is exact (a hash
+    * collision cannot fabricate a repeat); the 64-bit Rabin–Karp rolling
+    * hash [[graft.functions.hashes.poly31Hash]] of each span rides along
+    * as the compact key a 100 TB deployment shuffles INSTEAD of the text
+    * (hash-group then verify survivors — the same candidate/verify split
+    * as MinHash-LSH; the windowed form of the same polynomial gives each
+    * span hash in O(1) from its predecessor). Shuffle is O(corpus tokens)
+    * rows with map-side partial aggregation — never an all-pairs join.
+    */
+  def substringDedup(docs: DataFrame, width: Int = 6): DataFrame = {
+    import graft.functions.hashes.poly31Hash
+    val spans = toks(docs).filter(size(col("w")) >= width)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - (width - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(width))))).as("span"))
+    spans.groupBy("span")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= 2)
+      .select(poly31Hash(col("span")).as("span_hash"), col("span"),
+        col("n_docs"), col("n_occ"), col("first_doc"))
   }
 
   /** Embedding-cosine top-1 neighbor for a query subset — the exact
@@ -332,6 +430,21 @@ object Dedup {
       duplicateClusters(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "dd_editdist" -> ((s, d) =>
       editDistancePairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
+    "dd_substring" -> ((s, d) =>
+      substringDedup(Tables.load(s, d, "documents")).orderBy("span")),
+    // cross-snapshot dedup: build a signature store from the lower half of
+    // the corpus, then dedup the upper half against it as the "new batch".
+    // The split point is data-derived ((max+1)/2) so the same rule is
+    // expressible in the oracle SQL.
+    "dd_incremental" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head.getLong(0)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-sigstore").toString
+      writeSignatureStore(docs.filter(col("doc_id") < split), store)
+      incrementalLshPairs(s, store, docs.filter(col("doc_id") >= split))
+        .orderBy("a_id", "b_id")
+    }),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -362,7 +475,30 @@ object Dedup {
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  // the Rabin-Karp fold over code points (== ascii for this corpus), same
+  // base/modulus as graft.functions.FnvHash.poly31
+  private def polyFold(e: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($e, ''), x -> CAST(ascii(x) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "dd_substring" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[i : i + 5], ' ')
+         |            FOR i IN range(1, len(w) - 4)]) AS span
+         |  FROM (SELECT doc_id, $W AS w FROM documents)
+         |  WHERE len(w) >= 6)
+         |SELECT ${polyFold("span")} AS span_hash, span,
+         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         |  min(doc_id) AS first_doc
+         |FROM spans GROUP BY span HAVING count(*) >= 2 ORDER BY span""".stripMargin,
+    "dd_incremental" ->
+      s"""WITH $PAIR_CTES,
+         |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents)
+         |SELECT a_id, b_id FROM pairs, s
+         |WHERE a_id >= split OR b_id >= split ORDER BY 1, 2""".stripMargin,
     "dd_cluster" ->
       s"""WITH RECURSIVE $PAIR_CTES,
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs

@@ -30,16 +30,6 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Cosine similarity that never yields NaN: a zero-norm vector (or
-    * centroid) scores -2.0, below every real cosine, instead of 0/0 = NaN —
-    * NaN sorts FIRST under desc ordering in Spark, so one zero vector would
-    * otherwise capture every rank-1 assignment in the quantizer paths.
-    */
-  private def safeCosine(a: Column, b: Column): Column = {
-    val normProd = sqrt(vecDot(a, a)) * sqrt(vecDot(b, b))
-    when(normProd === 0, lit(-2.0)).otherwise(vecDot(a, b) / normProd)
-  }
-
   /** Exact top-k cosine neighbors of each query vector among candidates
     * (self-matches excluded). Broadcast the (small) query side; candidates
     * stream through — one pass, no shuffle of the candidate table. Norms
@@ -147,54 +137,84 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** Coarse-quantizer centroids: `k` deterministic seeds (lowest vec_ids)
-    * refined by `iters` Lloyd iterations — assign every vector to its
-    * nearest centroid (broadcast), recompute each centroid as the
-    * per-component mean. Each iteration is one broadcast pass + one
-    * aggregation keyed by (centroid, component): no driver-side k-means,
-    * scales to any corpus the assignment pass scales to.
+  /** Nearest-centroid entries for a row with vector `v` and precomputed
+    * norm `vn`: one struct per centroid, (csim, -cent_id), so max /
+    * descending sort ranks by similarity with ties broken to the LOWEST
+    * cent_id (same ordering the round-4 window used). Centroid vectors and
+    * norms are plan-time constants (k × dim literals), so assignment is
+    * pure in-row column math — no crossJoin, no window shuffle (round 4
+    * shuffled N×k rows through a per-vector window, and recomputed both
+    * norms per (vector × centroid) pair; per-vector norms are
+    * loop-invariant and live in the input frame now). Zero-norm vectors or
+    * centroids score -2.0 — below every real cosine — instead of 0/0 =
+    * NaN, which sorts FIRST under desc and would capture every rank-1
+    * assignment.
     */
-  def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int,
-                      dim: Int = -1): DataFrame = {
+  private def centEntries(v: Column, vn: Column,
+                          cents: Seq[(Long, Seq[Double])]): Seq[Column] =
+    cents.map { case (cid, cv) =>
+      // same left-to-right fold as VectorOps.dot, so the constant norm is
+      // bit-identical to what sqrt(vecDot(cv, cv)) would compute
+      val cn = { var s = 0.0; cv.foreach(x => s += x * x); math.sqrt(s) }
+      val csim =
+        if (cn == 0.0) lit(-2.0)
+        else when(vn === 0, lit(-2.0))
+          .otherwise(vecDot(v, typedLit(cv)) / (vn * lit(cn)))
+      struct(csim.as("csim"), lit(-cid).as("nid"))
+    }
+
+  /** Coarse-quantizer centroids: `k` deterministic seeds (lowest vec_ids)
+    * refined by `iters` Lloyd iterations, with the centroids themselves
+    * driver-resident between passes — k × dim doubles, bounded by the
+    * PARAMETERS, never by the data (the same shape Spark MLlib's KMeans
+    * uses; the per-iteration collect is k rows). Each iteration is ONE
+    * distributed pass: in-row nearest-centroid assignment against constant
+    * centroid vectors followed by a partial-agg groupBy("cent_id") wide
+    * decimal mean (order-independent — shuffle-order double summation
+    * would flip boundary assignments between runs). The vector dimension
+    * comes from the collected seed rows — no dedicated inference job.
+    *
+    * Precondition: all vectors share one dimension (ANSI element_at throws
+    * on shorter vectors rather than silently truncating).
+    */
+  private def centroidsLocal(candidates: DataFrame, k: Int,
+                             iters: Int): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.sql.types.DecimalType
-    val v = candidates.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // the wide mean-aggregate below needs the dimension as a plan-time
-    // constant; infer it from the data (one first-row job) unless the
-    // caller passes it — a wrong hardcoded dim would either throw
-    // (ANSI array index) or silently truncate centroids
-    val d = if (dim > 0) dim else v.select(size(col("v"))).limit(1).head.getInt(0)
-    val seeds = v.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cent_id"), col("v").as("centv"))
+    val v = candidates
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vn", sqrt(vecDot(col("v"), col("v"))))
+    val seeds: Seq[(Long, Seq[Double])] = v.orderBy("vec_id").limit(k)
+      .select("vec_id", "v").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    if (seeds.isEmpty) return Nil // empty candidate frame -> no cells
+    val d = seeds.head._2.length
     var cents = seeds
     for (_ <- 0 until iters) {
-      val bc = broadcast(cents)
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
-      val assigned = v.crossJoin(bc)
-        .withColumn("csim", safeCosine(col("v"), col("centv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select(col("cent_id"), col("v"))
-      // order-independent component means (the Embeddings.centroids
-      // decimal pattern — shuffle-order double summation would flip
-      // boundary assignments between runs), as ONE wide aggregate: dim
-      // sum-columns in a single groupBy instead of posexplode + a
-      // (cent, pos)-keyed shuffle + reassembly (the same wide-agg shape
-      // that made minhash/simhash fast)
+      val best = array_max(array(centEntries(col("v"), col("vn"), cents): _*))
+      val assigned = v.select((-best.getField("nid")).as("cent_id"), col("v"))
       val means = (0 until d).map { i =>
         (sum(round(element_at(col("v"), i + 1), 6).cast(DecimalType(18, 6)))
           .cast("double") / count(lit(1))).as(s"m$i")
       }
       val recomputed = assigned.groupBy("cent_id")
         .agg(means.head, means.tail: _*)
-        .select(col("cent_id"),
-          array((0 until d).map(i => col(s"m$i")): _*).as("centv"))
+        .collect()
+        .map(r => r.getLong(0) -> (1 to d).map(r.getDouble).toVector)
+        .toMap
       // a seed whose cluster came up empty keeps its seed vector — the
       // quantizer always has exactly k cells
-      cents = seeds.select(col("cent_id"), col("centv").as("seedv"))
-        .join(recomputed, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("centv"), col("seedv")).as("centv"))
+      cents = seeds.map { case (cid, sv) => (cid, recomputed.getOrElse(cid, sv)) }
     }
     cents
+  }
+
+  /** [[centroidsLocal]] as a DataFrame (cent_id, centv) for callers that
+    * want the quantizer itself.
+    */
+  def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    centroidsLocal(candidates, k, iters).toDF("cent_id", "centv")
   }
 
   /** IVF (inverted-file) approximate top-k — the second ANN scale path.
@@ -211,28 +231,32 @@ object Similarity {
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               refineIters: Int = 1): DataFrame = {
-    val cents = broadcast(kmeansCentroids(candidates, nCentroids, refineIters))
+    val cents = centroidsLocal(candidates, nCentroids, refineIters)
+    require(cents.nonEmpty,
+      "ivfTopK: candidate frame is empty — no quantizer cells to probe")
 
-    def nearestCentroids(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("csim", safeCosine(col("v"), col("centv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centv", "csim", "crank")
-    }
+    // both assignment passes are in-row column math against the constant
+    // centroids (see centEntries): the candidate side takes its single
+    // nearest cell with array_max, the query side its nProbe nearest with
+    // an in-row descending sort of the k entries — no crossJoin against a
+    // centroid table, no per-vector window shuffle, and each side's norm
+    // is computed exactly once
+    val cand = candidates
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(vecDot(col("cv"), col("cv"))))
+    val assigned = cand.withColumn("cent_id",
+      -array_max(array(centEntries(col("cv"), col("cn"), cents): _*))
+        .getField("nid"))
 
-    val assigned = nearestCentroids(
-      candidates.select(col("vec_id").as("neighbor_id"),
-        asDouble(col("embedding")).as("v")), "neighbor_id", 1)
-      .withColumn("cn", sqrt(vecDot(col("v"), col("v"))))
-      .withColumnRenamed("v", "cv")
-    val probed = broadcast(nearestCentroids(
-      queries.select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("v")), "query_id", nProbe)
-      .withColumn("qn", sqrt(vecDot(col("v"), col("v"))))
-      .withColumnRenamed("v", "qv"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
+    val probes = slice(
+      sort_array(array(centEntries(col("qv"), col("qn"), cents): _*), asc = false),
+      1, nProbe)
+    val probed = broadcast(q
+      .select(col("query_id"), col("qv"), col("qn"), explode(probes).as("e"))
+      .select(col("query_id"), col("qv"), col("qn"), (-col("e.nid")).as("cent_id")))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

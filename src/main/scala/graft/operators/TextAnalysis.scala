@@ -167,19 +167,25 @@ object TextAnalysis {
     * boilerplate.
     *
     * Shape: the expensive gram expansion (tokenize → build bigrams →
-    * array_distinct → explode) happens ONCE; each gram row picks up its
-    * document frequency from a window count over the gram key instead of
-    * a groupBy + join-back (which would recompute the whole expansion for
-    * the second consumer — the first cut did exactly that, 3 full
-    * tokenization passes, 6× slower at sf0.1). n_docs comes from a cheap
-    * tokenize-and-count pass with no gram work. Two key-partitioned
-    * shuffles total (window on gram, final groupBy on doc); no broadcast
-    * of anything vocabulary-sized, so the same plan holds for
-    * open-vocabulary web text where distinct n-grams outgrow executor
-    * memory (Heaps' law).
+    * array_distinct → explode) happens ONCE — the gram frame is persisted
+    * (memory-and-disk, i.e. one extra shuffle-write's worth of I/O) and
+    * both consumers read the cache. Document frequency is a
+    * PARTIAL-AGGREGATED groupBy over the gram key: a boilerplate gram by
+    * definition appears in ≥ minShare of all documents, so the round-4
+    * window count (no map-side combine) streamed ~minShare · n_docs rows
+    * of every hot gram through ONE task — a guaranteed straggler at scale;
+    * the partial agg collapses each gram to one row per input partition
+    * before the shuffle. The surviving boilerplate-gram set is then
+    * BOUNDED BY CONSTRUCTION — at most (total grams)/(minShare · n_docs)
+    * ≈ avg-grams-per-doc / minShare entries regardless of corpus size —
+    * so joining it back is a safe broadcast at ANY scale (unlike a
+    * vocabulary-sized broadcast), and the gram side never shuffles at all.
+    * n_docs comes from a cheap tokenize-and-count pass with no gram work.
+    *
+    * The cached gram blocks are evictable and released by the
+    * ContextCleaner once the returned frame is unreachable.
     */
   def boilerplateScores(docs: DataFrame, minShare: Double = 0.2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tokenized = docs.withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 2)
     val nDocs = tokenized.select(count(lit(1)).as("n_docs"))
@@ -189,14 +195,16 @@ object TextAnalysis {
           sequence(lit(0), size(col("w")) - 2),
           i => concat_ws(" ",
             element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("s"))
-    grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+      .persist()
+    val bpSet = grams.groupBy("s").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("is_bp", col("df").cast("double") / col("n_docs") >= minShare)
+      .filter(col("df").cast("double") / col("n_docs") >= minShare)
+      .select(col("s"), lit(1L).as("is_bp"))
+    grams.join(broadcast(bpSet), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
-        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_boilerplate"))
+        sum(coalesce(col("is_bp"), lit(0L))).as("n_boilerplate"))
       .withColumn("bp_ratio", col("n_boilerplate").cast("double") / col("n_grams"))
   }
 
@@ -241,6 +249,54 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  // fixed quality-model weights: intercept, n_tokens, ttr, stopword_ratio,
+  // dup3 (negative — repetition is a quality defect), mean token length.
+  // Tuned on the synthetic corpus to keep ~91% (both classes present at
+  // every scale factor).
+  private val QW = (-2.0, 0.01, 2.0, 3.0, 10.0, 0.1)
+
+  /** Model-scored quality filtering: a fixed-weight LINEAR model over the
+    * curation signals, with keep = (score >= 0). Real pipelines run a
+    * trained logistic/fasttext quality classifier here; this is the same
+    * operator shape — per-doc signals → one scalar score → threshold —
+    * with compile-time weights. Deliberately NOT a logistic: exp() is
+    * libm-dependent and a last-ulp difference would flip verdicts at the
+    * threshold, while the sigmoid is monotone in this linear score anyway,
+    * so thresholding the score IS thresholding the sigmoid. The score is
+    * pure IEEE-double arithmetic over exact-integer-ratio signals in a
+    * FIXED left-to-right evaluation order, so every engine computes the
+    * bit-identical value. Scan-stage only: ONE tokenization, no shuffle.
+    */
+  def qualityModelScores(docs: DataFrame): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    def grams3: Column = transform(
+      sequence(lit(0), size(col("w")) - 3),
+      i => concat_ws(" ", element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
+    val (w0, wLen, wTtr, wSw, wDup, wMtl) = QW
+    docs.withColumn("w", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        when(size(col("w")) > 0,
+          size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .otherwise(lit(0.0)).as("ttr"),
+        when(size(col("w")) > 0,
+          size(filter(col("w"), x => array_contains(sw, x))).cast("double")
+            / size(col("w"))).otherwise(lit(0.0)).as("stopword_ratio"),
+        when(size(col("w")) > 0,
+          aggregate(col("w"), lit(0), (acc, x) => acc + length(x)).cast("double")
+            / size(col("w"))).otherwise(lit(0.0)).as("mean_tok_len"),
+        when(size(col("w")) >= 3,
+          lit(1) - size(array_distinct(grams3)).cast("double")
+            / (size(col("w")) - 2)).otherwise(lit(1.0)).as("dup3"))
+      .withColumn("score",
+        lit(w0) + lit(wLen) * col("n_tokens") + lit(wTtr) * col("ttr")
+          + lit(wSw) * col("stopword_ratio") - lit(wDup) * col("dup3")
+          + lit(wMtl) * col("mean_tok_len"))
+      .withColumn("keep", (col("score") >= 0).cast("int"))
+  }
+
   /** TF-IDF top-k salient terms per document — the linear-idf variant
     * (score = tf · n_docs/df, no logarithm). The choice is deliberate:
     * log() is libm-dependent, and last-ulp differences across engines
@@ -252,10 +308,15 @@ object TextAnalysis {
     * ln(N/df) weights applies ln to the exported df/n_docs columns.)
     *
     * Scale shape: tf is one groupBy(doc, term) with map-side combine; the
-    * document-frequency side is vocabulary-sized and broadcast (same
-    * open-vocabulary caveat as [[boilerplateScores]] — shuffle-join it
-    * instead for web-scale vocabularies); ranking is one window over the
-    * doc partition.
+    * document-frequency side is vocabulary-sized, so it is SHUFFLE-joined
+    * on term — never broadcast: under Heaps' law an open-vocabulary web
+    * corpus has a df table that outgrows executor memory, and a pinned
+    * broadcast would OOM every executor at 100 TB. Both join inputs derive
+    * from the same term-keyed aggregate, so the join costs one
+    * key-partitioned exchange of each side; AQE is free to locally convert
+    * it to broadcast at runtime when df turns out small — the point is the
+    * STATIC plan must not bet on that. Ranking is one window over the doc
+    * partition.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -264,7 +325,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w))
@@ -304,6 +365,8 @@ object TextAnalysis {
       bpeTokenCounts(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       qualityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_quality_score" -> ((s, d) =>
+      qualityModelScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, d) =>
       langId(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_fingerprint" -> ((s, d) =>
@@ -391,6 +454,33 @@ object TextAnalysis {
          | CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS bp_ratio
          |FROM grams JOIN df USING (s)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_quality_score" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+         |    CASE WHEN len(w) > 0
+         |         THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+         |         ELSE 0.0 END AS ttr,
+         |    CASE WHEN len(w) > 0
+         |         THEN CAST(len(list_filter(w, x ->
+         |                list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+         |              / len(w)
+         |         ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN len(w) > 0
+         |         THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+         |                   AS DOUBLE) / len(w)
+         |         ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN len(w) >= 3
+         |         THEN 1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                          FOR i IN range(1, len(w)-1)])) AS DOUBLE)
+         |              / (len(w) - 2)
+         |         ELSE 1.0 END AS dup3
+         |  FROM (SELECT doc_id, text, $W AS w FROM documents))
+         |SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_tok_len, dup3,
+         |  -2.0 + 0.01 * n_tokens + 2.0 * ttr + 3.0 * stopword_ratio
+         |    - 10.0 * dup3 + 0.1 * mean_tok_len AS score,
+         |  CAST((-2.0 + 0.01 * n_tokens + 2.0 * ttr + 3.0 * stopword_ratio
+         |    - 10.0 * dup3 + 0.1 * mean_tok_len) >= 0 AS INTEGER) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,

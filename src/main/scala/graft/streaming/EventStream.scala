@@ -28,13 +28,20 @@ object EventStream {
   final case class SessionState(sessionId: Long, lastTs: Long,
                                 count: Long, startTs: Long)
 
-  // One staged directory per source file VERSION — keyed on
-  // (path, size, mtime), not path alone, so a file regenerated in place
-  // during this JVM's lifetime gets a fresh staged copy instead of the
-  // stream silently reading the stale one. Reused across calls (tests +
-  // bench + verify don't accumulate temp copies), deleted on exit.
-  private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  // One staged directory per source PATH, pinned to the file VERSION
+  // (size, mtime): a file regenerated in place during this JVM's lifetime
+  // gets a fresh staged copy instead of the stream silently reading the
+  // stale one, and the SUPERSEDED version's copy is deleted right then —
+  // not at JVM exit — so repeated regeneration can't accumulate one temp
+  // copy per version. Unsuperseded dirs are deleted on exit.
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, java.nio.file.Path)]()
+
+  private def deleteStaged(d: java.nio.file.Path,
+                           src: java.nio.file.Path): Unit = {
+    java.nio.file.Files.deleteIfExists(d.resolve(src.getFileName))
+    java.nio.file.Files.deleteIfExists(d)
+  }
 
   private def stageDir(src: java.nio.file.Path): java.nio.file.Path = {
     // ONE stat call (size and mtime from the same attributes read — two
@@ -43,17 +50,18 @@ object EventStream {
     // filesystem provides it
     val attrs = java.nio.file.Files.readAttributes(
       src, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val key = s"$src:${attrs.size}:" +
+    val ver = s"${attrs.size}:" +
       attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)
-    stagedDirs.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-stream-events")
-      java.nio.file.Files.copy(src, d.resolve(src.getFileName))
-      sys.addShutdownHook {
-        java.nio.file.Files.deleteIfExists(d.resolve(src.getFileName))
-        java.nio.file.Files.deleteIfExists(d)
+    stagedDirs.compute(src.toString, { (_, old) =>
+      if (old != null && old._1 == ver) old
+      else {
+        if (old != null) deleteStaged(old._2, src) // superseded version
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-events")
+        java.nio.file.Files.copy(src, d.resolve(src.getFileName))
+        sys.addShutdownHook(deleteStaged(d, src)) // no-op if superseded
+        (ver, d)
       }
-      d
-    })
+    })._2
   }
 
   /** Read the events table as a file stream with the batch-identical
