@@ -439,13 +439,31 @@ object Dedup {
     "dd_incremental" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
       val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head.getLong(0)
-      val store = java.nio.file.Files
-        .createTempDirectory("graft-sigstore").toString
+      val store = tempSigStore()
       writeSignatureStore(docs.filter(col("doc_id") < split), store)
       incrementalLshPairs(s, store, docs.filter(col("doc_id") >= split))
         .orderBy("a_id", "b_id")
     }),
   )
+
+  /** Temp signature-store dir for the demo query, deleted recursively on
+    * JVM exit (mirroring [[graft.streaming.EventStream]]'s staged-copy
+    * cleanup) — a Bench+Verify run must not leave `graft-sigstore*` dirs
+    * behind. A real pipeline passes a durable path instead.
+    */
+  private def tempSigStore(): String = {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory("graft-sigstore")
+    sys.addShutdownHook {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+    dir.toString
+  }
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
   private val SH =

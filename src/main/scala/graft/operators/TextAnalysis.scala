@@ -249,11 +249,11 @@ object TextAnalysis {
           .cast("int"))
   }
 
-  // fixed quality-model weights: intercept, n_tokens, ttr, stopword_ratio,
-  // dup3 (negative — repetition is a quality defect), mean token length.
-  // Tuned on the synthetic corpus to keep ~91% (both classes present at
-  // every scale factor).
-  private val QW = (-2.0, 0.01, 2.0, 3.0, 10.0, 0.1)
+  // fixed quality-model weights (intercept, n_tokens, ttr, stopword_ratio,
+  // dup3 — negative, repetition is a defect — mean token length) =
+  // (−2.0, 0.01, 2.0, 3.0, 10.0, 0.1), tuned on the synthetic corpus to
+  // keep ~91%. They appear ×100 as exact integers inside the score
+  // numerator below.
 
   /** Model-scored quality filtering: a fixed-weight LINEAR model over the
     * curation signals, with keep = (score >= 0). Real pipelines run a
@@ -262,10 +262,18 @@ object TextAnalysis {
     * with compile-time weights. Deliberately NOT a logistic: exp() is
     * libm-dependent and a last-ulp difference would flip verdicts at the
     * threshold, while the sigmoid is monotone in this linear score anyway,
-    * so thresholding the score IS thresholding the sigmoid. The score is
-    * pure IEEE-double arithmetic over exact-integer-ratio signals in a
-    * FIXED left-to-right evaluation order, so every engine computes the
-    * bit-identical value. Scan-stage only: ONE tokenization, no shuffle.
+    * so thresholding the score IS thresholding the sigmoid.
+    *
+    * Engine portability: a CHAINED double multiply-add (w0 + w1·a + w2·b +
+    * …) is NOT portable even with a fixed evaluation order — a compiled
+    * oracle engine may contract `a*b + c` into an FMA (one rounding) where
+    * the JVM performs two (round-5 shipped that form and was off by ~2
+    * ulps). The portable pattern is the ta_tfidf one: every signal is a
+    * ratio of small exact integers with denominators n and n−2, so the
+    * whole linear form times `100·A·B` (A = max(n,1), B = n≥3 ? n−2 : 1)
+    * is ONE exact int64 numerator; score = numerator / (100·A·B) is a
+    * single correctly-rounded IEEE division that every engine computes
+    * bit-identically. Scan-stage only: ONE tokenization, no shuffle.
     */
   def qualityModelScores(docs: DataFrame): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
@@ -273,28 +281,45 @@ object TextAnalysis {
       sequence(lit(0), size(col("w")) - 3),
       i => concat_ws(" ", element_at(col("w"), i + 1),
         element_at(col("w"), i + 2), element_at(col("w"), i + 3)))
-    val (w0, wLen, wTtr, wSw, wDup, wMtl) = QW
+    val n = col("n_tokens")
     docs.withColumn("w", tokens(col("text")))
       .select(
         col("doc_id"),
         size(col("w")).as("n_tokens"),
-        when(size(col("w")) > 0,
-          size(array_distinct(col("w"))).cast("double") / size(col("w")))
-          .otherwise(lit(0.0)).as("ttr"),
-        when(size(col("w")) > 0,
-          size(filter(col("w"), x => array_contains(sw, x))).cast("double")
-            / size(col("w"))).otherwise(lit(0.0)).as("stopword_ratio"),
-        when(size(col("w")) > 0,
-          aggregate(col("w"), lit(0), (acc, x) => acc + length(x)).cast("double")
-            / size(col("w"))).otherwise(lit(0.0)).as("mean_tok_len"),
-        when(size(col("w")) >= 3,
-          lit(1) - size(array_distinct(grams3)).cast("double")
-            / (size(col("w")) - 2)).otherwise(lit(1.0)).as("dup3"))
+        size(array_distinct(col("w"))).as("n_uniq"),
+        size(filter(col("w"), x => array_contains(sw, x))).as("n_sw"),
+        aggregate(col("w"), lit(0), (acc, x) => acc + length(x)).as("n_chars"),
+        when(size(col("w")) >= 3, size(array_distinct(grams3)))
+          .otherwise(lit(0)).as("n_uniq3"))
+      // exact-integer scaffolding: the common denominator factors and the
+      // dup3 numerator (dup3 = dup3n / B covers the n<3 guard, where
+      // dup3 := 1 exactly)
+      .withColumn("A", greatest(n, lit(1)).cast("long"))
+      .withColumn("B", when(n >= 3, n - 2).otherwise(lit(1)).cast("long"))
+      .withColumn("dup3n",
+        when(n >= 3, n - 2 - col("n_uniq3")).otherwise(lit(1)).cast("long"))
+      // signal columns keep their round-5 single-division forms (already
+      // hash-green): a ratio or 1 − ratio of exact ints
+      .withColumn("ttr",
+        when(n > 0, col("n_uniq").cast("double") / n).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(n > 0, col("n_sw").cast("double") / n).otherwise(lit(0.0)))
+      .withColumn("mean_tok_len",
+        when(n > 0, col("n_chars").cast("double") / n).otherwise(lit(0.0)))
+      .withColumn("dup3",
+        when(n >= 3, lit(1) - col("n_uniq3").cast("double") / (n - 2))
+          .otherwise(lit(1.0)))
+      // score · 100·A·B = B·(n·A − 200·A + 200·uniq + 300·sw + 10·chars)
+      //                   − 1000·A·dup3n   (weights QW × 100, exact int64)
       .withColumn("score",
-        lit(w0) + lit(wLen) * col("n_tokens") + lit(wTtr) * col("ttr")
-          + lit(wSw) * col("stopword_ratio") - lit(wDup) * col("dup3")
-          + lit(wMtl) * col("mean_tok_len"))
+        (col("B") * (n.cast("long") * col("A") - lit(200L) * col("A")
+            + lit(200L) * col("n_uniq") + lit(300L) * col("n_sw")
+            + lit(10L) * col("n_chars"))
+          - lit(1000L) * col("A") * col("dup3n")).cast("double")
+          / (lit(100L) * col("A") * col("B")).cast("double"))
       .withColumn("keep", (col("score") >= 0).cast("int"))
+      .select("doc_id", "n_tokens", "ttr", "stopword_ratio", "mean_tok_len",
+        "dup3", "score", "keep")
   }
 
   /** TF-IDF top-k salient terms per document — the linear-idf variant
@@ -455,32 +480,37 @@ object TextAnalysis {
          |FROM grams JOIN df USING (s)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_quality_score" ->
-      s"""WITH r AS (
-         |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
-         |    CASE WHEN len(w) > 0
-         |         THEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
-         |         ELSE 0.0 END AS ttr,
-         |    CASE WHEN len(w) > 0
-         |         THEN CAST(len(list_filter(w, x ->
-         |                list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
-         |              / len(w)
-         |         ELSE 0.0 END AS stopword_ratio,
-         |    CASE WHEN len(w) > 0
-         |         THEN CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
-         |                   AS DOUBLE) / len(w)
-         |         ELSE 0.0 END AS mean_tok_len,
+      s"""WITH ints AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+         |    CAST(len(list_filter(w, x ->
+         |           list_contains(['the','a','of','and','to','in'], x))) AS BIGINT) AS n_sw,
+         |    CAST(coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0)
+         |         AS BIGINT) AS n_chars,
          |    CASE WHEN len(w) >= 3
-         |         THEN 1 - CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                                          FOR i IN range(1, len(w)-1)])) AS DOUBLE)
-         |              / (len(w) - 2)
-         |         ELSE 1.0 END AS dup3
-         |  FROM (SELECT doc_id, text, $W AS w FROM documents))
-         |SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_tok_len, dup3,
-         |  -2.0 + 0.01 * n_tokens + 2.0 * ttr + 3.0 * stopword_ratio
-         |    - 10.0 * dup3 + 0.1 * mean_tok_len AS score,
-         |  CAST((-2.0 + 0.01 * n_tokens + 2.0 * ttr + 3.0 * stopword_ratio
-         |    - 10.0 * dup3 + 0.1 * mean_tok_len) >= 0 AS INTEGER) AS keep
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |         THEN CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                      FOR i IN range(1, len(w)-1)])) AS BIGINT)
+         |         ELSE 0 END AS n_uniq3
+         |  FROM (SELECT doc_id, text, $W AS w FROM documents)),
+         |scaff AS (
+         |  SELECT *, greatest(n, 1) AS a,
+         |    CASE WHEN n >= 3 THEN n - 2 ELSE 1 END AS b,
+         |    CASE WHEN n >= 3 THEN n - 2 - n_uniq3 ELSE 1 END AS dup3n
+         |  FROM ints),
+         |scored AS (
+         |  SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |    CASE WHEN n > 0 THEN CAST(n_uniq AS DOUBLE) / n ELSE 0.0 END AS ttr,
+         |    CASE WHEN n > 0 THEN CAST(n_sw AS DOUBLE) / n ELSE 0.0 END AS stopword_ratio,
+         |    CASE WHEN n > 0 THEN CAST(n_chars AS DOUBLE) / n ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN n >= 3 THEN 1 - CAST(n_uniq3 AS DOUBLE) / (n - 2)
+         |         ELSE 1.0 END AS dup3,
+         |    CAST(CAST(b * (n * a - 200 * a + 200 * n_uniq + 300 * n_sw + 10 * n_chars)
+         |              - 1000 * a * dup3n AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(100 * a * b AS BIGINT) AS DOUBLE) AS score
+         |  FROM scaff)
+         |SELECT doc_id, n_tokens, ttr, stopword_ratio, mean_tok_len, dup3, score,
+         |  CAST(score >= 0 AS INTEGER) AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin,
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,

@@ -49,6 +49,44 @@ class DedupSpec extends AnyFunSuite {
     assert(banded === direct)
   }
 
+  test("simhash pigeonhole banding is exact at h = 3, 9, 15 (uneven chunk widths)") {
+    // h+1 ∈ {4, 10, 16} chunks over 60 bits: 4×15 (even), 10×6 (even),
+    // and 16 chunks of 12×4 + 4×3 bits — the uneven-width split path
+    val sh = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (h <- Seq(3, 9, 15)) {
+      val direct = (for {
+        (a, ha) <- sh; (b, hb) <- sh if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= h
+      } yield (a, b, d)).toSet
+      val banded = Dedup.simhashPairs(docs, h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === direct, s"maxHamming=$h")
+    }
+  }
+
+  test("incremental LSH == full-corpus LSH restricted to pairs touching the batch") {
+    val split = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+    val store = java.nio.file.Files.createTempDirectory("graft-test-sigstore")
+    try {
+      Dedup.writeSignatureStore(docs.filter(col("doc_id") < split), store.toString)
+      val inc = Dedup
+        .incrementalLshPairs(spark, store.toString, docs.filter(col("doc_id") >= split))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Dedup.minhashLshPairs(docs)
+        .filter(col("a_id") >= split || col("b_id") >= split)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inc === full)
+      assert(inc.nonEmpty, "the split should leave planted dup pairs touching the batch")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(store)
+    }
+  }
+
   test("simhash near-dup pairs agree with high-jaccard truth") {
     val truth = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
