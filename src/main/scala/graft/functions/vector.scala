@@ -1,10 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Static vector kernels callable from generated code. */
 object VectorOps {
@@ -18,6 +21,55 @@ object VectorOps {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** The `n` nearest centroids of `v` by cosine, as cent_ids ordered by
+    * (cosine desc, cent_id asc) — the kernel behind [[TopCentroids]].
+    * Zero-norm vectors or centroids score -2.0 (below every real cosine)
+    * instead of 0/0 = NaN; ties break to the LOWEST cent_id (ids arrive
+    * sorted ascending and the strict `>` keeps the first seen) — both
+    * exactly the semantics of the sort_array(struct(csim, -cid))
+    * formulation this replaces.
+    */
+  def topCentroids(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]],
+                   norms: Array[Double], n: Int): ArrayData = {
+    val d = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < d) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val vn = math.sqrt(s)
+    val k = cents.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cn = norms(c)
+      sims(c) =
+        if (cn == 0.0 || vn == 0.0) -2.0
+        else {
+          val cv = cents(c)
+          val m = math.min(d, cv.length)
+          var t = 0.0
+          var j = 0
+          while (j < m) { t += v.getDouble(j) * cv(j); j += 1 }
+          t / (vn * cn)
+        }
+      c += 1
+    }
+    val out = new Array[Long](math.min(n, k))
+    val taken = new Array[Boolean](k)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && (best < 0 || sims(c2) > sims(best))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(o) = ids(best)
+      o += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -39,8 +91,150 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Native top-n-nearest-centroid assignment over an array<double> column.
+  * The k×dim centroid matrix (with ids and precomputed norms) travels as a
+  * plain constructor parameter — a single reference object in generated
+  * code — NOT as k×dim literal children: the round-5 formulation built k
+  * structs of dim-element `typedLit`s and paid ~3 s of one-time
+  * Catalyst-analysis + codegen cost per session for k=16, dim=64
+  * (measured; the dominant share of the ann_ivf fixed-cost floor). The
+  * expression stays inside whole-stage codegen, needs no join and no
+  * shuffle, and its driver-side state is bounded by the PARAMETERS (k×dim
+  * doubles), never the data.
+  */
+case class TopCentroids(child: Expression, ids: Array[Long],
+                        cents: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  require(ids.length == cents.length && cents.nonEmpty && n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  // same fold as VectorOps.dot(c, c), so norms are bit-identical to what
+  // sqrt(vecDot(cv, cv)) computed in the expression formulation
+  @transient private lazy val norms: Array[Double] =
+    cents.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.topCentroids(v.asInstanceOf[ArrayData], ids, cents, norms, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorOps.topCentroids($v, $idsRef, $centsRef, $normsRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
+/** Elementwise mean of an array<double> column, computed over exact
+  * micro-fixed-point longs: each element is rounded HALF_UP to 6 decimals
+  * (the same `round(x, 6)` the decimal formulation used), scaled to an
+  * integer micro count, and summed in ONE Array[Long] buffer — long
+  * addition is commutative/associative, so the result is independent of
+  * shuffle arrival order, exactly like the decimal(18,6) sum it replaces.
+  * The replaced form was `dim` separate round→cast→sum(decimal) aggregate
+  * columns, whose generated aggregate class cost ~1.7 s of one-time Janino
+  * compilation for dim=64 (the largest slice of the ann_ivf fixed-cost
+  * floor). Partial aggregation (map-side combine) works as usual; the
+  * shuffle carries one (dim+1)-long buffer per (partition, group).
+  *
+  * Bounds: |element| ≤ ~9.2e12 per row and rows·|element| ≤ ~9.2e12
+  * micro-units per group before int64 overflow — ample for unit-scale
+  * embeddings (the decimal(18,6) form overflowed at the same magnitude).
+  */
+case class VecMicroMean(child: Expression, dim: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(dim >= 1)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_micro_mean"
+
+  // buffer layout: [0, dim) element micro sums, [dim] row count
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dim + 1)
+
+  private def micros(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val m = math.min(dim, a.numElements())
+      var i = 0
+      while (i < m) { b(i) += micros(a.getDouble(i)); i += 1 }
+      b(dim) += 1
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i <= dim) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any =
+    if (b(dim) == 0) null
+    else {
+      val n = b(dim)
+      val out = new Array[Double](dim)
+      var i = 0
+      // same boundary as sum(decimal(18,6)).cast(double) / count: one
+      // exact-decimal-to-double conversion, then one IEEE division
+      while (i < dim) {
+        out(i) = java.math.BigDecimal.valueOf(b(i), 6).doubleValue() / n
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.length)
+    bb.asLongBuffer().put(b)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): VecMicroMean =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): VecMicroMean =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): VecMicroMean =
+    copy(child = newChild)
+}
+
 object vector {
   /** Dot product of two array<double> columns (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Order-independent elementwise mean of an array<double> column
+    * (6-decimal fixed point; see [[VecMicroMean]]).
+    */
+  def vecMicroMean(v: Column, dim: Int): Column =
+    GraftShims.column(VecMicroMean(GraftShims.expression(v), dim)
+      .toAggregateExpression())
+
+  /** cent_ids of the `n` nearest centroids of `v`, cosine-descending with
+    * ties to the lowest id (codegen'd; see [[TopCentroids]]).
+    */
+  def topCentroids(v: Column, cents: Seq[(Long, Seq[Double])], n: Int): Column =
+    GraftShims.column(TopCentroids(GraftShims.expression(v),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, n))
 }

@@ -137,52 +137,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
-  /** Nearest-centroid entries for a row with vector `v` and precomputed
-    * norm `vn`: one struct per centroid, (csim, -cent_id), so max /
-    * descending sort ranks by similarity with ties broken to the LOWEST
-    * cent_id (same ordering the round-4 window used). Centroid vectors and
-    * norms are plan-time constants (k × dim literals), so assignment is
-    * pure in-row column math — no crossJoin, no window shuffle (round 4
-    * shuffled N×k rows through a per-vector window, and recomputed both
-    * norms per (vector × centroid) pair; per-vector norms are
-    * loop-invariant and live in the input frame now). Zero-norm vectors or
-    * centroids score -2.0 — below every real cosine — instead of 0/0 =
-    * NaN, which sorts FIRST under desc and would capture every rank-1
-    * assignment.
+  /** In-row nearest-centroid assignment: [[graft.functions.TopCentroids]],
+    * a native codegen'd expression holding the k × dim centroid matrix as
+    * ONE reference object. Round 5 expressed the same semantics as k
+    * structs of dim-element `typedLit` columns — Catalyst analysis +
+    * codegen of those trees cost ~3 s of fixed overhead per session
+    * (measured: the kmeans collect job went 4.4 s cold / 1.3 s warm, and
+    * ann_ivf sat at 5.3 s through two rewrites). Semantics are unchanged:
+    * cosine ranking, ties to the lowest cent_id, zero-norm rows score
+    * -2.0 (below every real cosine) instead of 0/0 = NaN. Still no
+    * crossJoin, no window shuffle, and the driver holds k×dim parameters
+    * only.
     */
-  private def centEntries(v: Column, vn: Column,
-                          cents: Seq[(Long, Seq[Double])]): Seq[Column] =
-    cents.map { case (cid, cv) =>
-      // same left-to-right fold as VectorOps.dot, so the constant norm is
-      // bit-identical to what sqrt(vecDot(cv, cv)) would compute
-      val cn = { var s = 0.0; cv.foreach(x => s += x * x); math.sqrt(s) }
-      val csim =
-        if (cn == 0.0) lit(-2.0)
-        else when(vn === 0, lit(-2.0))
-          .otherwise(vecDot(v, typedLit(cv)) / (vn * lit(cn)))
-      struct(csim.as("csim"), lit(-cid).as("nid"))
-    }
+  private def topCentroidIds(v: Column, cents: Seq[(Long, Seq[Double])],
+                             n: Int): Column =
+    graft.functions.vector.topCentroids(v, cents, n)
 
   /** Coarse-quantizer centroids: `k` deterministic seeds (lowest vec_ids)
     * refined by `iters` Lloyd iterations, with the centroids themselves
     * driver-resident between passes — k × dim doubles, bounded by the
     * PARAMETERS, never by the data (the same shape Spark MLlib's KMeans
     * uses; the per-iteration collect is k rows). Each iteration is ONE
-    * distributed pass: in-row nearest-centroid assignment against constant
-    * centroid vectors followed by a partial-agg groupBy("cent_id") wide
-    * decimal mean (order-independent — shuffle-order double summation
-    * would flip boundary assignments between runs). The vector dimension
-    * comes from the collected seed rows — no dedicated inference job.
+    * distributed pass: in-row nearest-centroid assignment (native
+    * [[graft.functions.TopCentroids]]) followed by a partial-agg
+    * groupBy("cent_id") elementwise mean in ONE fixed-point buffer
+    * ([[graft.functions.VecMicroMean]] — order-independent like the dim
+    * separate decimal sums it replaces, without their ~1.7 s of one-time
+    * aggregate-codegen cost at dim=64). The vector dimension comes from
+    * the collected seed rows — no dedicated inference job.
     *
     * Precondition: all vectors share one dimension (ANSI element_at throws
     * on shorter vectors rather than silently truncating).
     */
   private def centroidsLocal(candidates: DataFrame, k: Int,
                              iters: Int): Seq[(Long, Seq[Double])] = {
-    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.vector.vecMicroMean
     val v = candidates
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("vn", sqrt(vecDot(col("v"), col("v"))))
     val seeds: Seq[(Long, Seq[Double])] = v.orderBy("vec_id").limit(k)
       .select("vec_id", "v").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
@@ -190,16 +181,12 @@ object Similarity {
     val d = seeds.head._2.length
     var cents = seeds
     for (_ <- 0 until iters) {
-      val best = array_max(array(centEntries(col("v"), col("vn"), cents): _*))
-      val assigned = v.select((-best.getField("nid")).as("cent_id"), col("v"))
-      val means = (0 until d).map { i =>
-        (sum(round(element_at(col("v"), i + 1), 6).cast(DecimalType(18, 6)))
-          .cast("double") / count(lit(1))).as(s"m$i")
-      }
+      val assigned = v.select(
+        element_at(topCentroidIds(col("v"), cents, 1), 1).as("cent_id"), col("v"))
       val recomputed = assigned.groupBy("cent_id")
-        .agg(means.head, means.tail: _*)
+        .agg(vecMicroMean(col("v"), d).as("m"))
         .collect()
-        .map(r => r.getLong(0) -> (1 to d).map(r.getDouble).toVector)
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
         .toMap
       // a seed whose cluster came up empty keeps its seed vector — the
       // quantizer always has exactly k cells
@@ -235,28 +222,22 @@ object Similarity {
     require(cents.nonEmpty,
       "ivfTopK: candidate frame is empty — no quantizer cells to probe")
 
-    // both assignment passes are in-row column math against the constant
-    // centroids (see centEntries): the candidate side takes its single
-    // nearest cell with array_max, the query side its nProbe nearest with
-    // an in-row descending sort of the k entries — no crossJoin against a
-    // centroid table, no per-vector window shuffle, and each side's norm
-    // is computed exactly once
+    // both assignment passes are in-row column math against the reference
+    // centroid matrix (see topCentroidIds): the candidate side takes its
+    // single nearest cell, the query side its nProbe nearest — no
+    // crossJoin against a centroid table, no per-vector window shuffle
     val cand = candidates
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cn", sqrt(vecDot(col("cv"), col("cv"))))
     val assigned = cand.withColumn("cent_id",
-      -array_max(array(centEntries(col("cv"), col("cn"), cents): _*))
-        .getField("nid"))
+      element_at(topCentroidIds(col("cv"), cents, 1), 1))
 
     val q = queries
       .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
-    val probes = slice(
-      sort_array(array(centEntries(col("qv"), col("qn"), cents): _*), asc = false),
-      1, nProbe)
     val probed = broadcast(q
-      .select(col("query_id"), col("qv"), col("qn"), explode(probes).as("e"))
-      .select(col("query_id"), col("qv"), col("qn"), (-col("e.nid")).as("cent_id")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(topCentroidIds(col("qv"), cents, nProbe)).as("cent_id")))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
