@@ -255,7 +255,8 @@ object Dedup {
     // ONE signature lineage feeds the band pairs and both estimate sides
     val sig = minhashSignatures(docs)
     def side(p: String) =
-      sig.toDF(sig.columns.map(c => if (c == "doc_id") s"${p}_id" else s"${p}_$c"): _*)
+      sig.toDF(sig.columns.toIndexedSeq
+        .map(c => if (c == "doc_id") s"${p}_id" else s"${p}_$c"): _*)
     val agree = (1 to K).map(i =>
       when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0)).reduce(_ + _)
     val sets = shingles(docs).groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
@@ -402,6 +403,37 @@ object Dedup {
         col("n_docs"), col("n_occ"), col("first_doc"))
   }
 
+  /** Benchmark-contamination detection — the check every serious training
+    * pipeline runs before training: flag corpus documents whose word-3-gram
+    * shingles overlap a held-out evaluation set (a contaminated doc would
+    * leak benchmark answers into the model). For each corpus document:
+    * its distinct-shingle count, how many of those shingles appear
+    * ANYWHERE in the eval set, the overlap fraction, and the verdict at
+    * `minFrac`.
+    *
+    * Scale shape (the asymmetric variant of the shingle join): the eval
+    * set is SMALL by definition (benchmarks are thousands of documents,
+    * the corpus is billions), so its distinct shingles are an explicit
+    * BROADCAST — the corpus side streams through the scan stage, never
+    * shuffles for the join, and the only exchange is the per-doc groupBy
+    * (map-side combined to O(corpus docs) rows, since each document's
+    * shingles are colocated by construction). Documents with < 3 tokens
+    * have no shingles and no verdict (consistent with [[shingles]]).
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+                    minFrac: Double = 0.5): DataFrame = {
+    val ev = broadcast(shingles(evalSet).select(col("s")).distinct()
+      .withColumn("hit", lit(1L)))
+    shingles(corpus).join(ev, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlapping_ngrams"))
+      .withColumn("contam_frac",
+        col("n_overlapping_ngrams").cast("double") / col("n_grams"))
+      .withColumn("contaminated", (col("contam_frac") >= minFrac).cast("int"))
+  }
+
   /** Embedding-cosine top-1 neighbor for a query subset — the exact
     * (brute-force) form; [[Similarity]] holds top-k and the LSH-bucketed
     * scale path.
@@ -432,13 +464,26 @@ object Dedup {
       editDistancePairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_substring" -> ((s, d) =>
       substringDedup(Tables.load(s, d, "documents")).orderBy("span")),
+    // contamination check: every 20th document (doc_id % 20 == 7, ~5%)
+    // plays the held-out eval set, the rest the training corpus — a
+    // deterministic split expressible in the oracle SQL. Thresholds
+    // measured on the corpus: background overlap tops out ≈ 0.25, planted
+    // near-dups of eval docs sit ≥ 0.9, so 0.5 splits cleanly with both
+    // classes present at every scale factor.
+    "dd_contam" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      contamination(
+        docs.filter(col("doc_id") % 20 =!= 7),
+        docs.filter(col("doc_id") % 20 === 7))
+        .orderBy("doc_id")
+    }),
     // cross-snapshot dedup: build a signature store from the lower half of
     // the corpus, then dedup the upper half against it as the "new batch".
     // The split point is data-derived ((max+1)/2) so the same rule is
     // expressible in the oracle SQL.
     "dd_incremental" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
-      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head.getLong(0)
+      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head().getLong(0)
       val store = tempSigStore()
       writeSignatureStore(docs.filter(col("doc_id") < split), store)
       incrementalLshPairs(s, store, docs.filter(col("doc_id") >= split))
@@ -501,6 +546,19 @@ object Dedup {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dd_contam" ->
+      s"""WITH sh AS ($SH),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 7),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 7)
+         |SELECT c.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overlapping_ngrams,
+         |  CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS contam_frac,
+         |  CAST(CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) >= 0.5 AS INTEGER) AS contaminated
+         |FROM corpus c LEFT JOIN ev e ON c.s = e.s
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "dd_substring" ->
       s"""WITH spans AS (
          |  SELECT doc_id,

@@ -23,8 +23,17 @@ object Tables {
   // never reuses a stopped session's plans. (The driver test dirs are
   // write-once; a pipeline re-reading a directory whose FILES change would
   // bypass this cache.)
+  //
+  // Eviction: a stopped session's entries are dropped by an
+  // application-end listener registered on the session's first load — the
+  // map must not strongly reference dead sessions forever in a driver
+  // that cycles sessions (test suites do). Sessions sharing one
+  // SparkContext via newSession() are evicted together at context end,
+  // which is when their plans die anyway.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(names.contains(name), s"unknown table: $name (have: ${names.mkString(", ")})")
@@ -35,6 +44,14 @@ object Tables {
       // bit-for-bit (no µs truncation).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
+    if (hooked.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cache.keySet.removeIf(k => k._1 eq spark)
+          hooked.remove(spark)
+        }
+      })
     cache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
