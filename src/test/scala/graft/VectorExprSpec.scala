@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions.vector.{vecDot, vecMicroMean, topCentroids}
+import graft.operators.{Dedup, TextAnalysis}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct coverage for the round-6 native expressions (TopCentroids,
+  * VecMicroMean) and the new operator surface (BPE merge loop,
+  * contamination check) — each checked against an independent driver-side
+  * or column-formulation reference, not just end-to-end recall.
+  */
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+  lazy val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+  private def vecs: Seq[(Long, Vector[Double])] =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq
+
+  test("TopCentroids == driver-side cosine argmax with (sim desc, id asc) ties") {
+    val cents = vecs.take(7).map { case (id, v) => (id, v: Seq[Double]) }
+    val got = emb
+      .select(col("vec_id"),
+        topCentroids(col("embedding").cast("array<double>"), cents, 3).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      val (na, nb) = (math.sqrt(dot(a, a)), math.sqrt(dot(b, b)))
+      if (na == 0.0 || nb == 0.0) -2.0 else dot(a, b) / (na * nb)
+    }
+    for ((id, v) <- vecs) {
+      val want = cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(3).map(_._2).toList
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
+  test("TopCentroids stays inside whole-stage codegen") {
+    val cents = vecs.take(4).map { case (id, v) => (id, v: Seq[Double]) }
+    val df = emb.select(
+      topCentroids(col("embedding").cast("array<double>"), cents, 1).as("t"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage codegen stages: $p")
+  }
+
+  test("VecMicroMean == the dim-column round/decimal aggregate it replaced") {
+    val d = vecs.head._2.length
+    val grouped = emb.select((col("vec_id") % 5).as("g"),
+      col("embedding").cast("array<double>").as("v"))
+    val got = grouped.groupBy("g").agg(vecMicroMean(col("v"), d).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val decimalCols = (0 until d).map { i =>
+      (sum(round(element_at(col("v"), i + 1), 6).cast(DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as(s"m$i")
+    }
+    val want = grouped.groupBy("g").agg(decimalCols.head, decimalCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to d).map(r.getDouble).toVector).toMap
+    assert(got.keySet === want.keySet)
+    // bit-identical, not approximately equal: same micro-exact sum, same
+    // decimal->double boundary, same final division
+    for ((g, w) <- want) assert(got(g) === w, s"group $g")
+  }
+
+  test("VecMicroMean is shuffle-order independent") {
+    val d = vecs.head._2.length
+    val base = emb.select((col("vec_id") % 3).as("g"),
+      col("embedding").cast("array<double>").as("v"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(vecMicroMean(col("v"), d).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val a = run(base.repartition(1))
+    val b = run(base.repartition(13, col("v")))
+    assert(a === b)
+  }
+
+  test("bpeVocab == driver-side greedy reference merges") {
+    // independent reference: greedy left-to-right non-overlapping merge on
+    // symbol ARRAYS (no string-sentinel encoding shared with the impl)
+    val words0: Map[Vector[String], Long] = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, g) =>
+        (w.toVector.map(_.toString), g.length.toLong)
+      }
+    var words = words0
+    val expect = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (rank <- 1 to 8) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      expect += ((rank, l, r, l + r, c))
+      words = words.toSeq.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    }
+    val got = TextAnalysis.bpeVocab(docs, 8).orderBy("rank")
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === expect.result())
+  }
+
+  test("contamination flags exactly the corpus docs near-duplicating eval docs") {
+    val eval = docs.filter(col("doc_id") % 20 === 7)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 7)
+    val flagged = Dedup.contamination(corpus, eval)
+      .filter(col("contaminated") === 1)
+      .collect().map(_.getLong(0)).toSet
+    // ground truth: planted near-dup pairs (jaccard >= 0.8) that straddle
+    // the split — their corpus member must be flagged
+    val evalIds = eval.select("doc_id").collect().map(_.getLong(0)).toSet
+    val straddling = Dedup.ngramJaccardPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if evalIds(a) && !evalIds(b) => b
+        case (a, b) if evalIds(b) && !evalIds(a) => a
+      }.toSet
+    assert(straddling.subsetOf(flagged),
+      s"missed planted contamination: ${straddling -- flagged}")
+    // and an identical corpus (eval == corpus docs by text) is 100% contaminated
+    val self = Dedup.contamination(eval, eval)
+    assert(self.filter(col("contaminated") === 0).count() === 0)
+    assert(self.filter(col("contam_frac") =!= 1.0).count() === 0)
+  }
+}
