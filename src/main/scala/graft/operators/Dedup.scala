@@ -279,13 +279,16 @@ object Dedup {
     * cluster_id (the minimum doc_id reachable through dup edges; singletons
     * are their own cluster) and is_rep marks the one kept representative.
     *
-    * Scale shape: each iteration is one key-partitioned join + groupBy on
-    * the edge list (O(edges) shuffle, never materializing components), and
-    * labels are locally checkpointed per iteration so the plan doesn't grow
-    * with iteration count — the standard Spark formulation of
+    * Scale shape: the loop carries labels for edge-incident nodes ONLY
+    * (O(2·edges) rows, a small fraction of a real corpus — singletons
+    * can't change label and rejoin via one left join at the end), each
+    * iteration is one key-partitioned join + groupBy on the edge list
+    * (O(edges) shuffle, never materializing components), and labels are
+    * locally checkpointed per iteration so the plan doesn't grow with
+    * iteration count — the standard Spark formulation of
     * label-propagation connected components. Converges in O(component
-    * diameter) iterations; dup clusters are shallow (diameter ≤ 3–4 even on
-    * web corpora), and the loop stops as soon as an iteration changes
+    * diameter) iterations; dup clusters are shallow (diameter ≤ 3–4 even
+    * on web corpora), and the loop stops as soon as an iteration changes
     * nothing.
     */
   /** Release the block storage behind an eager localCheckpoint snapshot —
@@ -302,7 +305,14 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
-    var snapshot = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // the loop iterates ONLY over nodes incident to a dup edge — a
+    // singleton's label can never change, so carrying the whole corpus
+    // through every iteration (as round 4-5 did) multiplies each
+    // iteration's join/checkpoint by corpus size for no information; on a
+    // real corpus the duplicate-involved subset is a small fraction.
+    // Singletons rejoin (left join, label := own id) once, at the end.
+    var snapshot = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var labels = snapshot
     var changed = 1L
@@ -342,7 +352,11 @@ object Dedup {
       unpersistSnapshot(edges)
       if (changed != 0) unpersistSnapshot(snapshot)
     }
-    labels.withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("int"))
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
   /** Edit-distance verification over the LSH candidate pairs: exact
