@@ -1,11 +1,12 @@
-package graft
+package graft.examples
 
 import graft.operators.Similarity
 import graft.tables.Tables
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler for the ann_ivf fixed-cost floor (round-6 task) —
-  * not part of the library surface.
+/** Example profiler for the ann_ivf fixed-cost floor (the round-6
+  * measurement recorded in SURVEY.md) — an entry point, not part of the
+  * library surface. Run: `sbt "runMain graft.examples.ProfileIvf <sfDir>"`.
   */
 object ProfileIvf {
   def main(args: Array[String]): Unit = {

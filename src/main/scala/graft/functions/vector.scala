@@ -26,10 +26,12 @@ object VectorOps {
   /** The `n` nearest centroids of `v` by cosine, as cent_ids ordered by
     * (cosine desc, cent_id asc) — the kernel behind [[TopCentroids]].
     * Zero-norm vectors or centroids score -2.0 (below every real cosine)
-    * instead of 0/0 = NaN; ties break to the LOWEST cent_id (ids arrive
-    * sorted ascending and the strict `>` keeps the first seen) — both
-    * exactly the semantics of the sort_array(struct(csim, -cid))
-    * formulation this replaces.
+    * instead of 0/0 = NaN; ties break to the LOWEST cent_id ([[TopCentroids]]
+    * guarantees ids arrive sorted ascending, so the strict `>` keeping the
+    * first seen IS lowest-id) — both exactly the semantics of the
+    * sort_array(struct(csim, -cid)) formulation this replaces. A vector
+    * whose dimension differs from a centroid's throws (never a silent
+    * truncation).
     */
   def topCentroids(v: ArrayData, ids: Array[Long], cents: Array[Array[Double]],
                    norms: Array[Double], n: Int): ArrayData = {
@@ -43,14 +45,15 @@ object VectorOps {
     var c = 0
     while (c < k) {
       val cn = norms(c)
+      val cv = cents(c)
+      require(cv.length == d,
+        s"top_centroids: ${d}-element vector vs ${cv.length}-element centroid")
       sims(c) =
         if (cn == 0.0 || vn == 0.0) -2.0
         else {
-          val cv = cents(c)
-          val m = math.min(d, cv.length)
           var t = 0.0
           var j = 0
-          while (j < m) { t += v.getDouble(j) * cv(j); j += 1 }
+          while (j < d) { t += v.getDouble(j) * cv(j); j += 1 }
           t / (vn * cn)
         }
       c += 1
@@ -106,6 +109,11 @@ case class TopCentroids(child: Expression, ids: Array[Long],
                         cents: Array[Array[Double]], n: Int)
     extends UnaryExpression {
   require(ids.length == cents.length && cents.nonEmpty && n >= 1)
+  // the kernel's tie-break (strict > keeps first seen) equals the
+  // documented lowest-id rule only when ids ascend — an exact k-way tie
+  // is REAL (a zero-norm input scores every centroid -2.0)
+  require(ids.zip(ids.tail).forall { case (a, b) => a < b },
+    "TopCentroids ids must be strictly ascending (vector.topCentroids sorts)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "top_centroids"
 
@@ -145,9 +153,16 @@ case class TopCentroids(child: Expression, ids: Array[Long],
   * floor). Partial aggregation (map-side combine) works as usual; the
   * shuffle carries one (dim+1)-long buffer per (partition, group).
   *
-  * Bounds: |element| ≤ ~9.2e12 per row and rows·|element| ≤ ~9.2e12
-  * micro-units per group before int64 overflow — ample for unit-scale
-  * embeddings (the decimal(18,6) form overflowed at the same magnitude).
+  * Bounds: the int64 buffer holds ~9.2e12 micro-units per group; the
+  * decimal(18,6) sum it replaced widens to decimal(28,6) (~1e22), so the
+  * integer form DOES overflow earlier — which is why both update and
+  * merge add with Math.addExact: an overflowing group throws loudly
+  * instead of wrapping into a silently wrong mean. Ample for unit-scale
+  * embedding corpora (1e12 rows of |x| ≤ 1 per cell before the throw).
+  *
+  * Inputs must all have exactly `dim` elements — a shorter or longer
+  * vector throws (the element_at formulation this replaces failed the
+  * same way under ANSI), never silently truncates or zero-fills.
   */
 case class VecMicroMean(child: Expression, dim: Int,
                         mutableAggBufferOffset: Int = 0,
@@ -170,9 +185,10 @@ case class VecMicroMean(child: Expression, dim: Int,
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      val m = math.min(dim, a.numElements())
+      require(a.numElements() == dim,
+        s"vec_micro_mean(dim=$dim) got a ${a.numElements()}-element vector")
       var i = 0
-      while (i < m) { b(i) += micros(a.getDouble(i)); i += 1 }
+      while (i < dim) { b(i) = Math.addExact(b(i), micros(a.getDouble(i))); i += 1 }
       b(dim) += 1
     }
     b
@@ -180,7 +196,7 @@ case class VecMicroMean(child: Expression, dim: Int,
 
   override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
     var i = 0
-    while (i <= dim) { b(i) += o(i); i += 1 }
+    while (i <= dim) { b(i) = Math.addExact(b(i), o(i)); i += 1 }
     b
   }
 
@@ -232,9 +248,12 @@ object vector {
       .toAggregateExpression())
 
   /** cent_ids of the `n` nearest centroids of `v`, cosine-descending with
-    * ties to the lowest id (codegen'd; see [[TopCentroids]]).
+    * ties to the lowest id (codegen'd; see [[TopCentroids]]). Accepts
+    * centroids in any order — sorted by id here so the tie-break holds.
     */
-  def topCentroids(v: Column, cents: Seq[(Long, Seq[Double])], n: Int): Column =
+  def topCentroids(v: Column, cents: Seq[(Long, Seq[Double])], n: Int): Column = {
+    val sorted = cents.sortBy(_._1)
     GraftShims.column(TopCentroids(GraftShims.expression(v),
-      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, n))
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray, n))
+  }
 }

@@ -515,8 +515,12 @@ object Dedup {
     val dir = Files.createTempDirectory("graft-sigstore")
     sys.addShutdownHook {
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).forEach(rm(_))
+        if (Files.isDirectory(p)) {
+          // close the listing stream BEFORE deleting the parent — an open
+          // directory handle blocks the delete on non-POSIX filesystems
+          val children = Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
         Files.deleteIfExists(p)
       }
       rm(dir)

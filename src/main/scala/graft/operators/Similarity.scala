@@ -166,8 +166,10 @@ object Similarity {
     * aggregate-codegen cost at dim=64). The vector dimension comes from
     * the collected seed rows — no dedicated inference job.
     *
-    * Precondition: all vectors share one dimension (ANSI element_at throws
-    * on shorter vectors rather than silently truncating).
+    * Precondition: all vectors share one dimension — both native
+    * expressions throw on a mismatched vector (TopCentroids on any
+    * centroid/vector length difference, VecMicroMean on any input not
+    * exactly `dim` wide) rather than silently truncating or zero-filling.
     */
   private def centroidsLocal(candidates: DataFrame, k: Int,
                              iters: Int): Seq[(Long, Seq[Double])] = {

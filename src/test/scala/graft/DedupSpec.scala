@@ -79,8 +79,10 @@ class DedupSpec extends AnyFunSuite {
       assert(inc.nonEmpty, "the split should leave planted dup pairs touching the batch")
     } finally {
       def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
         java.nio.file.Files.deleteIfExists(p)
       }
       rm(store)

@@ -71,9 +71,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ta_boilerplate: grams cached once, partial-agg df, only bounded broadcasts") {
-    val p = graft.operators.TextAnalysis
-      .boilerplateScores(Tables.load(spark, dir, "documents"))
-      .queryExecution.executedPlan.toString
+    // managed form: release the gram cache entry after the plan assert —
+    // the convenience overload would pin one in the shared test session
+    val (scored, grams) = graft.operators.TextAnalysis
+      .boilerplateScoresManaged(Tables.load(spark, dir, "documents"))
+    val p =
+      try scored.queryExecution.executedPlan.toString
+      finally grams.unpersist(false)
     // the expensive tokenize+bigram+explode pipeline is persisted: BOTH
     // consumers (document frequency and the join-back) read the cache
     // instead of re-expanding the corpus
