@@ -406,6 +406,37 @@ object TextAnalysis {
         "dup3", "score", "keep")
   }
 
+  /** Tokenize the corpus WITH the learned BPE vocabulary — the apply half
+    * of [[bpeVocab]] (a pipeline learns merges once, then encodes every
+    * document): per document, the token count after applying the merge
+    * table in rank order, next to the raw symbol (character) count the
+    * merges started from. The merge table is parameter-bounded (`nMerges`
+    * rows), so collecting it to drive the constant `replace` chain is the
+    * same driver-holds-parameters-only shape as the k-means centroids;
+    * the per-document encode is pure scan-stage column work. Documents
+    * with zero letter tokens have nothing to encode and no row (matching
+    * the oracle's unnest of an empty list).
+    */
+  def bpeApply(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val merges = bpeVocab(docs, nMerges)
+      .select("lhs", "rhs").collect().map(r => (r.getString(0), r.getString(1)))
+    val base = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .select(col("doc_id"),
+        concat(lit(SEP), array_join(split(col("word"), ""), SEP + SEP),
+          lit(SEP)).as("state"))
+    val encoded = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.withColumn("state", replace(col("state"),
+        lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP)))
+    }
+    encoded
+      .select(col("doc_id"),
+        size(split(trim(col("state"), SEP), SEP + SEP)).as("n_syms"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_symbols"))
+  }
+
   /** TF-IDF top-k salient terms per document — the linear-idf variant
     * (score = tf · n_docs/df, no logarithm). The choice is deliberate:
     * log() is libm-dependent, and last-ulp differences across engines
@@ -482,6 +513,8 @@ object TextAnalysis {
       bpeTokenCounts(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_bpe_vocab" -> ((s, d) =>
       bpeVocab(Tables.load(s, d, "documents")).orderBy("rank")),
+    "ta_bpe_apply" -> ((s, d) =>
+      bpeApply(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       qualityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_quality_score" -> ((s, d) =>
@@ -506,10 +539,13 @@ object TextAnalysis {
     * empty, and the union simply has fewer rows — exactly matching the
     * Spark loop's early exit.
     */
-  private def bpeVocabOracle(nMerges: Int): String = {
+  /** The shared merge-learning CTE chain (w0..wN states, b1..bN argmax
+    * merges) used by both the vocab and apply oracles.
+    */
+  private def bpeMergeCtes(nMerges: Int): String = {
     val S = SEP
     val sb = new StringBuilder
-    sb ++= s"""WITH w0 AS (
+    sb ++= s"""w0 AS (
               |  SELECT '$S' || array_to_string(string_split(word, ''), '$S$S') || '$S'
               |           AS state,
               |         CAST(count(*) AS BIGINT) AS freq
@@ -532,11 +568,45 @@ object TextAnalysis {
                 |                       '$S' || l || r || '$S') AS state, freq
                 |        FROM w${i - 1}, b$i)""".stripMargin
     }
-    sb ++= (1 to nMerges).map { i =>
-      s"""SELECT CAST($i AS INTEGER) AS rank, l AS lhs, r AS rhs,
-         |  l || r AS merged, cnt AS pair_count FROM b$i""".stripMargin
-    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
     sb.result()
+  }
+
+  private def bpeVocabOracle(nMerges: Int): String =
+    "WITH " + bpeMergeCtes(nMerges) +
+      (1 to nMerges).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS rank, l AS lhs, r AS rhs,
+           |  l || r AS merged, cnt AS pair_count FROM b$i""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** DuckDB replay of [[bpeApply]]: the same learned merges (b1..bN)
+    * applied in rank order to every document's wrapped word states, then
+    * symbols counted per document. `LEFT JOIN bI ON TRUE` keeps documents
+    * intact if a merge stage ran dry (mirroring the Spark fold over the
+    * collected — possibly shorter — merge table).
+    */
+  private def bpeApplyOracle(nMerges: Int): String = {
+    val S = SEP
+    val d = new StringBuilder
+    d ++= s""",
+             |d0 AS (
+             |  SELECT doc_id,
+             |    '$S' || array_to_string(string_split(word, ''), '$S$S') || '$S' AS state
+             |  FROM (SELECT doc_id, unnest($W) AS word FROM documents))""".stripMargin
+    for (i <- 1 to nMerges) {
+      d ++= s""",
+               |d$i AS (
+               |  SELECT doc_id,
+               |    CASE WHEN l IS NULL THEN state
+               |         ELSE replace(state, '$S' || l || '$S$S' || r || '$S',
+               |                      '$S' || l || r || '$S') END AS state
+               |  FROM d${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
+    }
+    "WITH " + bpeMergeCtes(nMerges) + d.result() +
+      s"""
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(trim(state, '$S'), '$S$S'))) AS BIGINT)
+         |    AS n_bpe_symbols
+         |FROM d$nMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // the Rabin-Karp fold, replayed over code points (== UTF-8 bytes for
@@ -649,6 +719,7 @@ object TextAnalysis {
          |  CAST(score >= 0 AS INTEGER) AS keep
          |FROM scored ORDER BY doc_id""".stripMargin,
     "ta_bpe_vocab" -> bpeVocabOracle(8),
+    "ta_bpe_apply" -> bpeApplyOracle(8),
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,
