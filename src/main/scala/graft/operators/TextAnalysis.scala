@@ -474,6 +474,41 @@ object TextAnalysis {
         col("score"))
   }
 
+  // mixture weights for the corpus languages as INTEGER thresholds out of
+  // 1e6 (en 50%, de 25%, fr 10%); unknown/other strata get the default.
+  // Integer thresholds, not fractions: `0.05 * 1e6` is 50000.0000…07 in
+  // IEEE double but exactly 50000 in the oracle's decimal arithmetic, so
+  // a coin landing exactly on the boundary would flip between engines.
+  private val mixQuotas = Map("en" -> 500000L, "de" -> 250000L, "fr" -> 100000L)
+
+  /** Data mixing: deterministic stratified (per-language) sampling — the
+    * step that turns curated sources into a training mixture with chosen
+    * proportions. A document is kept when the portable hash of its id,
+    * reduced mod 1e6, falls under its stratum's quota — i.e. per-stratum
+    * Bernoulli sampling with a DETERMINISTIC coin, so the sample is
+    * reproducible and any two runs (or engines) agree document-by-document.
+    *
+    * Scale shape: the quota table is parameters (a broadcast of a few
+    * rows), the coin is scan-stage column math — NO shuffle at all, unlike
+    * the exact-quota formulation (row_number window per stratum), which
+    * shuffles the corpus by stratum and stragglers on the hot one. At
+    * 100 TB, expected-fraction quotas are what mixing actually uses;
+    * exact-count quotas exist only at the cost of that skewed shuffle.
+    */
+  def stratifiedSample(docs: DataFrame,
+                       quotas: Map[String, Long] = mixQuotas,
+                       defaultThreshold: Long = 50000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = broadcast(quotas.toSeq.toDF("lang", "thr"))
+    docs.join(q, Seq("lang"), "left")
+      .withColumn("thr", coalesce(col("thr"), lit(defaultThreshold)))
+      .withColumn("coin",
+        portableHash60(concat_ws(":", lit("mix"), col("doc_id"))) % 1000000)
+      .filter(col("coin") < col("thr"))
+      .select("doc_id", "lang", "coin")
+  }
+
   /** Rolling-hash fingerprints (Rabin–Karp, codegen'd native expression —
     * [[graft.functions.Poly31Hash]]): the polynomial form whose windowed
     * variant supports O(1) sliding updates in substring-dedup pipelines.
@@ -515,6 +550,8 @@ object TextAnalysis {
       bpeVocab(Tables.load(s, d, "documents")).orderBy("rank")),
     "ta_bpe_apply" -> ((s, d) =>
       bpeApply(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_mixture" -> ((s, d) =>
+      stratifiedSample(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_quality" -> ((s, d) =>
       qualityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_quality_score" -> ((s, d) =>
@@ -720,6 +757,15 @@ object TextAnalysis {
          |FROM scored ORDER BY doc_id""".stripMargin,
     "ta_bpe_vocab" -> bpeVocabOracle(8),
     "ta_bpe_apply" -> bpeApplyOracle(8),
+    "ta_mixture" ->
+      """SELECT doc_id, lang, coin FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT)
+        |      % 1000000 AS coin,
+        |    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |         WHEN 'fr' THEN 100000 ELSE 50000 END AS thr
+        |  FROM documents)
+        |WHERE coin < thr ORDER BY doc_id""".stripMargin,
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,
