@@ -40,6 +40,47 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("TopCentroids: zero-norm rows score -2.0 and tie to the LOWEST cent_id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    // deliberately UNSORTED centroid order — the wrapper must sort by id
+    // or the exact k-way tie of the zero vector would come out in input
+    // order instead of id order
+    val cents: Seq[(Long, Seq[Double])] =
+      Seq((12L, Seq(0.0, 1.0)), (10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 0.0)))
+    val got = df
+      .select(col("vec_id"), topCentroids(col("v"), cents, 3).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got(1L) === List(11L, 12L, 10L)) // cos 1 > 0 > -2 (zero centroid last)
+    assert(got(2L) === List(10L, 11L, 12L)) // zero vector: all -2.0, id order
+    assert(got(3L) === List(12L, 11L, 10L))
+  }
+
+  test("native expressions fail loudly on bad input, never silently") {
+    import spark.implicits._
+    // VecMicroMean: two rows of 9e12 sum past the int64 micro-unit range —
+    // Math.addExact must throw, not wrap into a garbage mean
+    val big = Seq((1L, Seq(9.0e12)), (1L, Seq(9.0e12))).toDF("g", "v")
+    val overflow = intercept[Throwable] {
+      big.groupBy("g").agg(vecMicroMean(col("v"), 1)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(overflow).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException in: ${chain(overflow).map(_.toString)}")
+    // dimension mismatch: a 1-element vector against dim=2 throws
+    val short = Seq((1L, Seq(1.0))).toDF("g", "v")
+    intercept[Throwable] {
+      short.groupBy("g").agg(vecMicroMean(col("v"), 2)).collect()
+    }
+    // and against a 2-dim centroid matrix
+    intercept[Throwable] {
+      short.select(topCentroids(col("v"), Seq((1L, Seq(1.0, 0.0))), 1)).collect()
+    }
+  }
+
   test("TopCentroids stays inside whole-stage codegen") {
     val cents = vecs.take(4).map { case (id, v) => (id, v: Seq[Double]) }
     val df = emb.select(
