@@ -112,6 +112,37 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("c_mktsegment"), col("n"), col("v"))
 
+  /** Stream-stream interval join — the attribution query (purchases within
+    * 30 minutes of a click by the same user) over TWO live streams, the
+    * join family [[enrichedWindowedCounts]]'s stream-static join cannot
+    * express. Both sides carry a watermark and the join condition bounds
+    * b's event time to a window over a's, so Structured Streaming can
+    * evict a buffered row once the other side's watermark passes its
+    * window — state is O(events inside the watermark horizon) per side,
+    * never the whole stream. The join itself hash-partitions both sides
+    * by user_id (the standard shuffled stream-stream join).
+    *
+    * Timestamps compare at µs precision (`ts` is the µs truncation of the
+    * exact ns column), inclusive on both endpoints — mirrored exactly by
+    * the oracle's BETWEEN over epoch_us.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val a = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"), col("ts_ns").as("a_ns"))
+      .withWatermark("a_ts", "1 hour")
+    val b = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+        col("ts").as("b_ts"), col("ts_ns").as("b_ns"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        expr("a_ns div 1000").as("a_us"), expr("b_ns div 1000").as("b_us"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: sessions split on
     * >30 min gaps (same rule as batch q16_sessionize). Emits a session as
     * soon as the gap that closes it is observed; the final open session per
@@ -199,6 +230,17 @@ object EventStream {
         "st_dedup_sink", OutputMode.Append)
       s.table("st_dedup_sink").orderBy("user_id", "event_type")
     }),
+    // Stream-stream interval join through the real harness: two
+    // independent file-stream sources over the same staged events dir
+    // (cache-hit on the staging), joined on user + 30-minute window. The
+    // finite source completes within the watermark horizon, so the inner
+    // join emits every match — the oracle is the plain batch interval
+    // join.
+    "st_join" -> ((s, d) => {
+      runToMemory(clickToPurchase(readEvents(s, d), readEvents(s, d)),
+        "st_join_sink", OutputMode.Append)
+      s.table("st_join_sink").orderBy("user_id", "a_id", "b_id")
+    }),
     // Stateful sessionization through the real stream harness. Append mode
     // emits a session only when the gap that CLOSES it is observed, so each
     // user's final (still-open) session stays in state — the oracle below
@@ -218,6 +260,15 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_join" ->
+      """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id AS b_user, event_id AS b_id, epoch_us(ts) AS b_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, a_id, b_id, a_us, b_us
+        |FROM a JOIN b ON user_id = b_user
+        |  AND b_us BETWEEN a_us AND a_us + 1800000000
+        |ORDER BY user_id, a_id, b_id""".stripMargin,
     "st_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
