@@ -359,6 +359,31 @@ object Dedup {
       .withColumn("is_rep", (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
+  /** Duplicate-cluster resolution POLICY — the decision step after
+    * [[duplicateClusters]]: which member of each near-duplicate cluster
+    * survives into the training set. `is_rep` in the cluster output is the
+    * graph-canonical label (minimum doc_id); a real pipeline keeps the
+    * highest-QUALITY member instead — here the longest document
+    * (`n_chars`), ties broken toward the smallest doc_id so the choice is
+    * total and deterministic.
+    *
+    * Scale shape: one join of the cluster labels with the doc metadata
+    * (key-partitioned on doc_id) and one window PARTITIONED BY cluster_id
+    * — dup clusters are small (bounded by the near-dup neighborhood, not
+    * the corpus), so every partition of the window is tiny; there is no
+    * global-order window anywhere.
+    */
+  def resolveClusters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy("cluster_id")
+    val pref = byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)
+    duplicateClusters(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        count(lit(1)).over(byCluster).as("n_members"),
+        (row_number().over(pref) === 1).cast("int").as("keep"))
+  }
+
   /** Edit-distance verification over the LSH candidate pairs: exact
     * Levenshtein distance and its length-normalized similarity for each
     * candidate — the character-level complement to token-level Jaccard
@@ -474,6 +499,8 @@ object Dedup {
       minhashEstimates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_cluster" -> ((s, d) =>
       duplicateClusters(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "dd_resolve" -> ((s, d) =>
+      resolveClusters(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "dd_editdist" -> ((s, d) =>
       editDistancePairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_substring" -> ((s, d) =>
@@ -604,6 +631,22 @@ object Dedup {
          |SELECT node AS doc_id, min(reach) AS cluster_id,
          |  CAST(node = min(reach) AS INTEGER) AS is_rep
          |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dd_resolve" ->
+      s"""WITH RECURSIVE $PAIR_CTES,
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |walk(node, reach) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |cl AS (SELECT node AS doc_id, min(reach) AS cluster_id
+         |       FROM walk GROUP BY node)
+         |SELECT d.doc_id, cl.cluster_id, d.n_chars,
+         |  count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+         |  CAST(row_number() OVER (PARTITION BY cl.cluster_id
+         |         ORDER BY d.n_chars DESC, d.doc_id) = 1 AS INTEGER) AS keep
+         |FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dd_editdist" ->
       s"""WITH $PAIR_CTES
          |SELECT a_id, b_id, levenshtein(da.text, db.text) AS edit_dist,

@@ -474,6 +474,91 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Corpus-LM scoring — the perplexity-proxy quality filter (the
+    * KenLM-filter shape from CCNet/RedPajama): fit a bigram frequency
+    * model ON the corpus itself, then score each document by how typical
+    * its bigrams are. Exported signals per document: bigram count, mean
+    * corpus frequency of its bigrams (fluent, on-distribution text scores
+    * high), and the fraction of its bigrams occurring nowhere else in the
+    * corpus (`rare_frac` — high values flag garbled or out-of-distribution
+    * text, the docs a perplexity filter drops). Both are ONE division of
+    * exact integers (engine-portable); the keep threshold 0.5 is exactly
+    * representable in binary, so the verdict can't flip between engines.
+    *
+    * Scale shape (same discipline as [[tfidfTopTerms]]): the model is a
+    * vocabulary²-sized groupBy with map-side combine — NEVER broadcast
+    * (open-vocabulary bigram tables outgrow executor memory under Heaps'
+    * law); scoring is one shuffle join on the bigram key plus a per-doc
+    * groupBy. Ultra-common bigrams are the usual skew hazard, bounded
+    * here because each occurrence row joins to ONE model row (no fan-out,
+    * unlike the shingle-pair join).
+    */
+  def lmScores(docs: DataFrame, rareMax: Double = 0.5): DataFrame = {
+    val bi = docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("bg"))
+    val model = bi.groupBy("bg").agg(count(lit(1)).as("c"))
+    bi.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c")).as("freq_sum"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("freq_sum").cast("double") / col("n_bigrams")).as("avg_bigram_freq"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"),
+        (col("n_rare").cast("double") / col("n_bigrams") <= rareMax)
+          .cast("int").as("keep"))
+  }
+
+  /** Sequence packing (concat-and-chunk) — how pretraining actually
+    * consumes documents: the corpus is one long token stream, cut into
+    * fixed-size context windows. For each document: its start offset in
+    * the stream (documents concatenated in doc_id order), and the first /
+    * last / count of `chunkTokens`-sized windows it lands in — the
+    * doc→window index a packed-dataset writer needs (and its inverse, the
+    * provenance map from a training window back to source documents).
+    *
+    * Scale shape — the naive form is a GLOBAL-ORDER running sum, i.e. one
+    * window over the whole corpus in a SINGLE partition (the classic
+    * accidental scale-killer). This is the two-level distributed prefix
+    * sum instead: per-bucket running sums are computed in a window
+    * PARTITIONED by bucket (key-parallel), bucket totals aggregate with
+    * map-side combine, and only the bucket-total table (corpus/`bucketDocs`
+    * rows — itself re-bucketable for another 256× if ever needed) passes
+    * through the one single-partition window; offsets then join back on
+    * the bucket key. Document order within and across buckets is doc_id
+    * order, so the result is bit-identical to the naive global cumsum the
+    * oracle runs.
+    */
+  def packSequences(docs: DataFrame, chunkTokens: Int = 512,
+                    bucketDocs: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", expr(s"doc_id DIV $bucketDocs"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+    val before = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("bucket").agg(sum(col("n_tokens")).as("tot"))
+      .select(col("bucket"),
+        coalesce(sum(col("tot")).over(before), lit(0L)).as("bucket_offset"))
+    t.withColumn("cum_incl", sum(col("n_tokens")).over(inBucket))
+      .join(offsets, "bucket")
+      .withColumn("start_pos",
+        col("bucket_offset") + col("cum_incl") - col("n_tokens"))
+      .withColumn("first_chunk", expr(s"start_pos DIV $chunkTokens"))
+      .withColumn("last_chunk",
+        expr(s"(start_pos + n_tokens - 1) DIV $chunkTokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+        col("first_chunk"), col("last_chunk"),
+        (col("last_chunk") - col("first_chunk") + 1).as("n_chunks"))
+  }
+
   // mixture weights for the corpus languages as INTEGER thresholds out of
   // 1e6 (en 50%, de 25%, fr 10%); unknown/other strata get the default.
   // Integer thresholds, not fractions: `0.05 * 1e6` is 50000.0000…07 in
@@ -562,6 +647,10 @@ object TextAnalysis {
       fingerprints(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_tfidf" -> ((s, d) =>
       tfidfTopTerms(Tables.load(s, d, "documents")).orderBy("doc_id", "rank")),
+    "ta_lm_score" -> ((s, d) =>
+      lmScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_pack" -> ((s, d) =>
+      packSequences(Tables.load(s, d, "documents")).orderBy("doc_id")),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -818,5 +907,32 @@ object TextAnalysis {
         | CAST(concat('0x', substr(md5(n), 1, 15)) AS BIGINT) AS fp60
         |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "ta_lm_score" ->
+      s"""WITH bi AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+         |  FROM (SELECT doc_id, $W AS w FROM documents) WHERE len(w) >= 2),
+         |model AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(c) AS DOUBLE) / count(*) AS avg_bigram_freq,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS rare_frac,
+         |  CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |       <= 0.5 AS INTEGER) AS keep
+         |FROM bi JOIN model USING (bg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS start_pos
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, start_pos,
+         |  start_pos // 512 AS first_chunk,
+         |  (start_pos + n_tokens - 1) // 512 AS last_chunk,
+         |  (start_pos + n_tokens - 1) // 512 - start_pos // 512 + 1 AS n_chunks
+         |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

@@ -191,4 +191,25 @@ class DedupSpec extends AnyFunSuite {
     assert(fp.groupBy("fp_md5").count().filter(col("count") > 1).count() === 0)
     assert(fp.filter(col("fp60") < 0).count() === 0) // 60-bit => always positive
   }
+
+  test("cluster resolution keeps exactly the longest member of every cluster") {
+    val res = Dedup.resolveClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))) // (doc_id, cluster_id, n_chars, n_members, keep)
+    assert(res.length === docs.count(), "a verdict for every document")
+    val byCluster = res.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._5 == 1) === 1, s"cluster $c keeps exactly one member")
+      // the keep policy: longest n_chars, ties toward the smallest doc_id
+      val winner = ms.minBy(m => (-m._3, m._1))
+      assert(ms.find(_._5 == 1).get._1 === winner._1, s"cluster $c winner")
+      assert(ms.forall(_._4 == ms.length), s"cluster $c n_members")
+    }
+    // the planted near-dups must produce at least one real multi-doc cluster
+    assert(byCluster.exists(_._2.length >= 2))
+    // and resolution never invents clusters: same partition as duplicateClusters
+    val fromClusters = Dedup.duplicateClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.forall { case (id, c, _, _, _) => fromClusters(id) == c })
+  }
 }

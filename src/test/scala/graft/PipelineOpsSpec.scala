@@ -128,4 +128,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.getDouble(2) === 5.0)
     assert(s.getDouble(3) === 4.0)
   }
+
+  test("packSequences == the naive global running sum, with tiny buckets") {
+    // irregular ids and lengths; bucketDocs=4 forces many buckets so the
+    // two-level prefix sum actually composes bucket offsets
+    val lens = (0 until 23).map(i => i % 5 + 1)
+    val ids = (0 until 23).map(i => i * 7L + i % 3)
+    val d = ids.zip(lens).map { case (id, n) =>
+      (id, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(d, chunkTokens = 7, bucketDocs = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // driver-side reference: plain sequential prefix sum in doc_id order
+    var cum = 0L
+    val want = ids.zip(lens).sortBy(_._1).map { case (id, n) =>
+      val start = cum; cum += n
+      (id, n.toLong, start, start / 7, (start + n - 1) / 7,
+        (start + n - 1) / 7 - start / 7 + 1)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("lmScores: exact bigram corpus frequencies and rare fractions") {
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    // model: "a b"->2, "b c"->1, "b d"->1, "x y"->1; doc4 has no bigram
+    val got = TextAnalysis.lmScores(d).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val r1 = got(0)
+    assert(r1.getLong(1) === 2L)
+    assert(r1.getDouble(2) === 1.5) // (2 + 1) / 2
+    assert(r1.getDouble(3) === 0.5) // "b c" unique
+    assert(r1.getInt(4) === 1) // 0.5 <= 0.5 keeps
+    val r3 = got(2)
+    assert(r3.getDouble(2) === 1.0 && r3.getDouble(3) === 1.0)
+    assert(r3.getInt(4) === 0) // every bigram rare -> dropped
+  }
 }
