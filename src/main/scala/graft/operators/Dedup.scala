@@ -473,6 +473,100 @@ object Dedup {
       .withColumn("contaminated", (col("contam_frac") >= minFrac).cast("int"))
   }
 
+  /** Hyperplane sign for (plane, dim) — md5-prefix parity of "sd:p,d"
+    * (the [[portableHash60]] construction), computed driver-side so the
+    * planes are constant vectors; the oracle derives the same ±1 matrix
+    * from the same md5 parity in SQL.
+    */
+  private def semPlaneSign(p: Int, d: Int): Double = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"sd:$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
+  }
+
+  /** SemDeDup-style semantic dedup over the embedding column — cluster
+    * vectors into buckets, then compare pairs WITHIN a bucket only (the
+    * "cluster then prune within cluster" architecture; the clusters here
+    * are sign-random-projection half-space cells rather than k-means
+    * cells, which makes the whole operator EXACTLY reproducible). Every
+    * vector reports its bucket, the bucket population, its most-similar
+    * bucket peer, the signed squared cosine of that pair, and the
+    * near-duplicate verdict at cos ≥ 0.9 (scos2 ≥ 0.81).
+    *
+    * Unlike [[Similarity.lshTopK]] (double-precision projections, ranking
+    * by a floating cosine — honest but only rows-checkable), every number
+    * here is EXACT integer arithmetic, so the full operator hash-matches
+    * a DuckDB replay:
+    *  - vectors are int8-quantized first ([[Embeddings.quantizeInt8]]'s
+    *    half-up formula) — scale factors cancel in cosine, so quantized
+    *    cosine needs no dequantization;
+    *  - the projection planes are ±1 entries (md5-parity), so bucket bits
+    *    are signs of exact integer dot products — NO floating boundary
+    *    flip can move a vector between buckets (the hazard documented on
+    *    [[Similarity.srpBuckets]]);
+    *  - ranking uses sign(dot)·dot² / (‖a‖²·‖b‖²): numerator and
+    *    denominator are exact int64 (dot² ≤ 2^40·dim², norms ≤ 2^20·dim),
+    *    so the score is ONE IEEE division — monotone in cosine (sign·cos²)
+    *    and bit-identical in every engine.
+    *
+    * Scale shape: quantization + bucketing are scan-stage (codegen'd
+    * [[graft.functions.DotProduct]] against constant planes); the only
+    * shuffle is the bucket-keyed self-join, quadratic in BUCKET population
+    * — `planes` is the dial that keeps cells bounded (each plane halves
+    * the expected cell; a 100 TB deployment sizes 2^planes to the corpus
+    * the same way SemDeDup sizes its k-means k). Zero vectors have no
+    * cosine and are excluded up front, mirrored in the oracle.
+    */
+  def semanticDedup(emb: DataFrame, planes: Int = 6,
+                    dupScos2: Double = 0.81): DataFrame = {
+    import graft.functions.vector.vecDot
+    import org.apache.spark.sql.expressions.Window
+    // dimension inferred from the data (1-value agg), never hardcoded
+    val dim = emb.agg(max(size(col("embedding"))).as("d")).head().getInt(0)
+    val qv = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0.0)
+      // codes are double-typed (Spark's floor yields BIGINT — cast back):
+      // every value is an exact small integer, so the codegen'd double dot
+      // products below are EXACT integer math
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("double"))
+          .as("q"))
+    val bucket = (0 until planes).map { p =>
+      val plane = typedLit((0 until dim).map(d => semPlaneSign(p, d)))
+      when(vecDot(col("q"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bq = qv.select(col("vec_id"), col("q"), bucket.as("bucket"))
+    val sizes = bq.groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+    val dot = vecDot(col("q"), col("qb")).cast("long")
+    val pairs = bq.join(
+        bq.select(col("vec_id").as("nn_id"), col("q").as("qb"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("dot", dot)
+      .withColumn("na", vecDot(col("q"), col("q")).cast("long"))
+      .withColumn("nb", vecDot(col("qb"), col("qb")).cast("long"))
+      .withColumn("scos2",
+        when(col("dot") < 0, -(col("dot") * col("dot")))
+          .otherwise(col("dot") * col("dot")).cast("double")
+          / (col("na") * col("nb")).cast("double"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("scos2").desc, col("nn_id").asc)
+    val top1 = pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn_id"), col("scos2"))
+    bq.select(col("vec_id"), col("bucket"))
+      .join(sizes, "bucket")
+      .join(top1, Seq("vec_id"), "left") // singleton buckets: no peer
+      .select(col("vec_id"), col("bucket"), col("n_bucket"),
+        col("nn_id"), col("scos2"),
+        coalesce((col("scos2") >= dupScos2).cast("int"), lit(0))
+          .as("is_semdup"))
+  }
+
   /** Embedding-cosine top-1 neighbor for a query subset — the exact
     * (brute-force) form; [[Similarity]] holds top-k and the LSH-bucketed
     * scale path.
@@ -495,6 +589,8 @@ object Dedup {
       simhashPairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_cosine_nn" -> ((s, d) =>
       cosineTop1(Tables.load(s, d, "embeddings"), 100).orderBy("vec_id")),
+    "dd_semdedup" -> ((s, d) =>
+      semanticDedup(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "dd_minhash_est" -> ((s, d) =>
       minhashEstimates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_cluster" -> ((s, d) =>
@@ -725,6 +821,50 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = e.a_id
          |JOIN sizes sb ON sb.doc_id = e.b_id
          |ORDER BY e.a_id, e.b_id""".stripMargin,
+    "dd_semdedup" ->
+      """WITH qq AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE)) AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings) WHERE m > 0),
+        |dims AS (SELECT DISTINCT generate_subscripts(embedding, 1) AS d
+        |         FROM embeddings),
+        |planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN CAST(concat('0x',
+        |           substr(md5('sd:' || p || ',' || (d - 1)), 1, 15)) AS BIGINT)
+        |         % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0, 6) r(p), dims),
+        |proj AS (SELECT vec_id, p, sum(s * q[d]) AS dotp
+        |         FROM qq, planes GROUP BY 1, 2),
+        |bq AS (SELECT vec_id,
+        |         CAST(sum(CASE WHEN dotp >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+        |           AS bucket
+        |       FROM proj GROUP BY 1),
+        |sizes AS (SELECT bucket, count(*) AS n_bucket FROM bq GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |    CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot,
+        |    CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS na,
+        |    CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS nb
+        |  FROM bq a JOIN bq b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  JOIN qq qa ON qa.vec_id = a.vec_id
+        |  JOIN qq qb ON qb.vec_id = b.vec_id),
+        |scored AS (
+        |  SELECT vec_id, nn_id,
+        |    CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
+        |      / CAST(na * nb AS DOUBLE) AS scos2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
+        |        / CAST(na * nb AS DOUBLE) DESC, nn_id) AS rn
+        |  FROM pairs)
+        |SELECT q.vec_id, q.bucket, s.n_bucket, t.nn_id, t.scos2,
+        |  CAST(coalesce(t.scos2 >= 0.81, false) AS INTEGER) AS is_semdup
+        |FROM bq q JOIN sizes s USING (bucket)
+        |LEFT JOIN (SELECT * FROM scored WHERE rn = 1) t ON t.vec_id = q.vec_id
+        |ORDER BY q.vec_id""".stripMargin,
     "dd_cosine_nn" ->
       """SELECT vec_id, nn_id FROM (
         |  SELECT q.vec_id, c.vec_id AS nn_id,

@@ -212,4 +212,61 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(res.forall { case (id, c, _, _, _) => fromClusters(id) == c })
   }
+
+  test("semanticDedup == driver-side brute force (buckets, top-1, verdicts)") {
+    // independent reference: recompute int8 quantization, md5-parity plane
+    // signs, SRP bucket codes and within-bucket top-1 from the raw vectors
+    val planes = 6
+    def sign(p: Int, d: Int): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sd:$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(md5.take(15), 16) % 2 == 1) 1.0 else -1.0
+    }
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val q = raw.flatMap { case (id, v) =>
+      val m = v.map(math.abs).max
+      if (m <= 0) None
+      else Some(id -> v.map(x => math.floor(x * 127.0 / m + 0.5)))
+    }
+    val dim = raw.head._2.length
+    val planeVec = Array.tabulate(planes, dim)(sign)
+    val bucketOf = q.map { case (id, qv) =>
+      id -> (0 until planes).map { p =>
+        val d = (0 until dim).map(i => planeVec(p)(i) * qv(i)).sum
+        if (d >= 0) 1L << p else 0L
+      }.sum
+    }.toMap
+    val expected = q.map { case (id, qa) =>
+      val na = qa.map(x => x * x).sum.toLong
+      val peers = q.filter { case (b, _) => b != id && bucketOf(b) == bucketOf(id) }
+      val scored = peers.map { case (bid, qb) =>
+        val dot = (0 until dim).map(i => qa(i) * qb(i)).sum.toLong
+        val nb = qb.map(x => x * x).sum.toLong
+        val s = (if (dot < 0) -(dot * dot) else dot * dot).toDouble / (na * nb).toDouble
+        (bid, s)
+      }
+      val top: Option[(Long, Double)] =
+        if (scored.isEmpty) None
+        else Some(scored.minBy { case (bid, s) => (-s, bid) })
+      id -> ((bucketOf(id), peers.length + 1, top))
+    }.toMap
+    val got = Dedup.semanticDedup(emb, planes).collect()
+    assert(got.length === q.length, "one row per non-zero vector")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (bkt, nb, top) = expected(id)
+      assert(r.getLong(1) === bkt, s"bucket of $id")
+      assert(r.getLong(2) === nb.toLong, s"bucket population of $id")
+      top match {
+        case Some((nnId, s)) =>
+          assert(r.getLong(3) === nnId, s"top-1 peer of $id")
+          assert(r.getDouble(4) === s, s"scos2 of $id (must be bit-identical)")
+          assert(r.getInt(5) === (if (s >= 0.81) 1 else 0), s"verdict of $id")
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4) && r.getInt(5) === 0,
+            s"singleton-bucket row of $id")
+      }
+    }
+  }
 }
