@@ -442,6 +442,48 @@ object Dedup {
         col("n_docs"), col("n_occ"), col("first_doc"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm) — the document-fingerprinting step overlap-detection
+    * pipelines run instead of keeping EVERY span hash: slide a window of
+    * `window` consecutive `width`-token span hashes and keep each window's
+    * minimum (rightmost on ties). The guarantee: any shared run of
+    * width+window-1 tokens between two documents shares at least one
+    * SELECTED fingerprint, while storage drops ~window-fold vs
+    * [[substringDedup]]'s every-span set.
+    *
+    * Determinism: span hashes are the [[graft.functions.hashes.poly31Hash]]
+    * polynomial (engine-portable by construction) and the rightmost-min
+    * tie rule is total, so the selected set is bit-identical in any
+    * engine. Documents shorter than width+window-1 tokens have no full
+    * window and drop out (mirrored in the oracle).
+    *
+    * Scale shape: pure scan stage — per-document array math inside one
+    * codegen pass, zero shuffle, output O(corpus tokens / window). The
+    * selected (doc_id, fp) set is what a deployment groupBys or joins for
+    * cross-doc overlap, at 1/window the volume of the all-spans shuffle.
+    */
+  def winnowFingerprints(docs: DataFrame, width: Int = 4,
+                         window: Int = 4): DataFrame = {
+    import graft.functions.hashes.poly31Hash
+    val spanHashes = toks(docs)
+      .filter(size(col("w")) >= width + window - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("w")) - (width - 1)),
+          i => poly31Hash(concat_ws(" ", slice(col("w"), i, lit(width)))))
+          .as("hs"))
+    spanHashes
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("hs")) - (window - 1)),
+          i => {
+            val mn = array_min(slice(col("hs"), i, lit(window)))
+            val pos = array_max(filter(sequence(i, i + lit(window - 1)),
+              j => element_at(col("hs"), j) === mn))
+            struct(pos.as("pos"), mn.as("fp"))
+          }))).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
+
   /** Benchmark-contamination detection — the check every serious training
     * pipeline runs before training: flag corpus documents whose word-3-gram
     * shingles overlap a held-out evaluation set (a contaminated doc would
@@ -591,6 +633,9 @@ object Dedup {
       cosineTop1(Tables.load(s, d, "embeddings"), 100).orderBy("vec_id")),
     "dd_semdedup" -> ((s, d) =>
       semanticDedup(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
+    "dd_winnow" -> ((s, d) =>
+      winnowFingerprints(Tables.load(s, d, "documents"))
+        .orderBy("doc_id", "pos")),
     "dd_minhash_est" -> ((s, d) =>
       minhashEstimates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_cluster" -> ((s, d) =>
@@ -711,6 +756,22 @@ object Dedup {
          |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
          |  min(doc_id) AS first_doc
          |FROM spans GROUP BY span HAVING count(*) >= 2 ORDER BY span""".stripMargin,
+    "dd_winnow" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id,
+         |    [${polyFold("array_to_string(w[i : i + 3], ' ')")}
+         |     FOR i IN range(1, len(w) - 2)] AS hs
+         |  FROM (SELECT doc_id, $W AS w FROM documents)
+         |  WHERE len(w) >= 7),
+         |sel AS (
+         |  SELECT doc_id, i, hs, list_min(hs[i : i + 3]) AS fp
+         |  FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 2)) AS i
+         |        FROM hs))
+         |SELECT DISTINCT doc_id,
+         |  CAST(list_max([j FOR j IN range(i, i + 4) IF hs[j] = fp])
+         |       AS INTEGER) AS pos,
+         |  fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin,
     "dd_incremental" ->
       s"""WITH $PAIR_CTES,
          |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents)

@@ -89,6 +89,112 @@ object Embeddings {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
 
+  /** Hyperplane sign for (plane, dim): md5-prefix parity of "rp:p,d" —
+    * the [[graft.functions.hashes.portableHash60]] construction evaluated
+    * driver-side, so the planes are CONSTANT vectors the executors never
+    * rebuild; the oracle derives the identical ±1 matrix from the same
+    * md5 parity in SQL.
+    */
+  private def rpSign(p: Int, d: Int): Double = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
+    * ±1 (Achlioptas) planes — the standard cheap dimensionality reduction
+    * before ANN indexing or clustering: pairwise distances are preserved
+    * within (1 ± ε) while per-vector cost drops outDim/dim-fold downstream.
+    *
+    * Determinism: vectors are int8-quantized first (the
+    * [[quantizeInt8]] half-up formula — exact small integers in double),
+    * and the planes are ±1, so every projected component is a SIGN-SUM of
+    * exact integers: bit-identical in any engine, no FP accumulation
+    * order anywhere. Zero vectors project to the zero vector.
+    *
+    * Scale shape: scan-stage only — the plane matrix is a codegen
+    * constant, each row's projection is outDim dot products inside the
+    * same whole-stage-codegen pass, zero shuffle, zero driver state
+    * beyond the outDim×dim parameter matrix.
+    */
+  def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
+    import graft.functions.vector.vecDot
+    val dim = emb.agg(max(size(col("embedding"))).as("d")).head().getInt(0)
+    val planes = (0 until outDim).map { p =>
+      typedLit((0 until dim).map(d => rpSign(p, d)))
+    }
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        // Spark's floor yields BIGINT — cast back so the codegen'd dot
+        // products below read doubles (exact small integers)
+        when(col("m") === 0.0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"),
+            x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("double"))))
+      .select(col("vec_id"),
+        array(planes.map(pl => vecDot(col("q"), pl).cast("bigint")): _*)
+          .as("proj"))
+  }
+
+  /** k-NN majority-label classification over the embedding column — the
+    * label-propagation / weak-supervision primitive: each query vector is
+    * assigned the majority label of its k nearest neighbors (ties toward
+    * the smaller label id so the vote is total and deterministic).
+    *
+    * Neighbor ranking uses the exact-integer quantized cosine of
+    * [[Dedup.semanticDedup]]: sign(dot)·dot² / (‖a‖²·‖b‖²) over
+    * int8-quantized vectors — one IEEE division of exact int64s, monotone
+    * in cosine, bit-identical in every engine (a raw double-cosine ranking
+    * can flip under FMA contraction). Zero vectors have no cosine and are
+    * excluded from both sides, like the oracle.
+    *
+    * Scale shape: the query side is bounded (`nQueries`) and explicitly
+    * broadcast — the corpus side streams through the scan, never shuffles
+    * for the join; the per-query top-k is a window over that query's
+    * candidate rows. This is the exact brute-force baseline by
+    * construction (like [[Similarity.bruteForceTopK]]); the LSH/IVF paths
+    * in [[Similarity]] are the sub-linear variants at corpus scale.
+    */
+  def knnLabel(emb: DataFrame, k: Int = 5, nQueries: Int = 100): DataFrame = {
+    import graft.functions.vector.vecDot
+    import org.apache.spark.sql.expressions.Window
+    val qv = emb
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0.0)
+      .select(col("vec_id"), col("label"),
+        // floor yields BIGINT — cast back to double for the dot products
+        transform(col("v"),
+          x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("double"))
+          .as("q"))
+    val queries = broadcast(qv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq")))
+    val dot = vecDot(col("qq"), col("q")).cast("long")
+    val scored = qv.join(queries, col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot)
+      .withColumn("na", vecDot(col("qq"), col("qq")).cast("long"))
+      .withColumn("nb", vecDot(col("q"), col("q")).cast("long"))
+      .withColumn("scos2",
+        when(col("dot") < 0, -(col("dot") * col("dot")))
+          .otherwise(col("dot") * col("dot")).cast("double")
+          / (col("na") * col("nb")).cast("double"))
+    val byQ = Window.partitionBy("qid")
+    val topk = scored
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(col("scos2").desc, col("vec_id").asc)))
+      .filter(col("rn") <= k)
+    val votes = topk.groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .withColumn("vr", row_number().over(
+        byQ.orderBy(col("n_votes").desc, col("label").asc)))
+      .filter(col("vr") === 1)
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("label").as("pred_label"), col("n_votes"))
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -98,6 +204,15 @@ object Embeddings {
       centroids(Tables.load(s, d, "embeddings"))),
     "emb_quantize" -> ((s, d) =>
       quantizeInt8(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
+    // checked output is the exploded (vec_id, p, x) long form: the
+    // driver's hash compare (like this repo's check.py) can't factorize
+    // array cells; the library API keeps the per-row projected vector
+    "emb_rp" -> ((s, d) =>
+      randomProject(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "x")))
+        .orderBy("vec_id", "p")),
+    "emb_knn_label" -> ((s, d) =>
+      knnLabel(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -132,5 +247,57 @@ object Embeddings {
         |        CAST(unnest(embedding) AS DOUBLE) AS x
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "emb_rp" ->
+      """WITH qq AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE))
+        |    END AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |dims AS (SELECT DISTINCT generate_subscripts(embedding, 1) AS d
+        |         FROM embeddings),
+        |planes AS (
+        |  SELECT p, d,
+        |    CASE WHEN CAST(concat('0x',
+        |           substr(md5('rp:' || p || ',' || (d - 1)), 1, 15)) AS BIGINT)
+        |         % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0, 16) r(p), dims),
+        |proj AS (SELECT vec_id, p, CAST(sum(s * q[d]) AS BIGINT) AS x
+        |         FROM qq, planes GROUP BY 1, 2)
+        |SELECT vec_id, CAST(p AS INTEGER) AS p, x
+        |FROM proj ORDER BY vec_id, p""".stripMargin,
+    "emb_knn_label" ->
+      """WITH qq AS (
+        |  SELECT vec_id, label,
+        |    list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE)) AS q
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings) WHERE m > 0),
+        |scored AS (
+        |  SELECT qid, qlabel, cid, clabel,
+        |    CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
+        |      / CAST(na * nb AS DOUBLE) AS scos2
+        |  FROM (SELECT q.vec_id AS qid, q.label AS qlabel,
+        |          c.vec_id AS cid, c.label AS clabel,
+        |          CAST(list_dot_product(q.q, c.q) AS BIGINT) AS dot,
+        |          CAST(list_dot_product(q.q, q.q) AS BIGINT) AS na,
+        |          CAST(list_dot_product(c.q, c.q) AS BIGINT) AS nb
+        |        FROM qq q JOIN qq c ON q.vec_id < 100 AND c.vec_id <> q.vec_id)),
+        |topk AS (
+        |  SELECT * FROM (
+        |    SELECT qid, qlabel, clabel,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY scos2 DESC, cid) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |votes AS (SELECT qid, qlabel, clabel, count(*) AS n_votes
+        |          FROM topk GROUP BY 1, 2, 3)
+        |SELECT qid AS vec_id, qlabel AS label, clabel AS pred_label, n_votes
+        |FROM (SELECT votes.*, row_number() OVER (PARTITION BY qid
+        |        ORDER BY n_votes DESC, clabel) AS vr FROM votes)
+        |WHERE vr = 1 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -594,6 +594,44 @@ object TextAnalysis {
       .select("doc_id", "lang", "coin")
   }
 
+  /** Per-(source, lang) document cap — the "domain cap" every web-corpus
+    * pipeline applies (C4 / RefinedWeb style) so no single site dominates
+    * the training mixture: each group keeps at most `cap` documents,
+    * chosen by a DETERMINISTIC lottery (portable hash of the doc id, ties
+    * impossible since ids are unique), so reruns and engines agree
+    * document-by-document.
+    *
+    * Scale shape: group sizes come from one map-side-combined groupBy
+    * (output is O(groups) — a broadcast-sized parameter table, since
+    * groups are domains, not documents). Groups already under the cap
+    * BYPASS the ranking entirely (rnk NULL, kept) — only over-cap groups
+    * pay the per-group window shuffle. The residual hazard is one
+    * pathological mega-domain straggling its window partition; the fix at
+    * that scale is threshold selection on the uniform lottery hash (a
+    * per-group histogram of hash prefixes locates the cap-th smallest
+    * without a total sort) — same output, documented here as the 100 TB
+    * refinement.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("prio",
+        portableHash60(concat_ws(":", lit("cap"), col("doc_id"))))
+    val counts = sized.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_group"))
+    val withN = sized.join(broadcast(counts), Seq("source", "lang"))
+    val under = withN.filter(col("n_group") <= cap)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_group"),
+        lit(null).cast("int").as("rnk"), lit(1).as("kept"))
+    val w = Window.partitionBy("source", "lang")
+      .orderBy(col("prio").asc, col("doc_id").asc)
+    val ranked = withN.filter(col("n_group") > cap)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_group"),
+        col("rnk"), (col("rnk") <= cap).cast("int").as("kept"))
+    under.unionByName(ranked)
+  }
+
   /** Rolling-hash fingerprints (Rabin–Karp, codegen'd native expression —
     * [[graft.functions.Poly31Hash]]): the polynomial form whose windowed
     * variant supports O(1) sliding updates in substring-dedup pipelines.
@@ -651,6 +689,8 @@ object TextAnalysis {
       lmScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_pack" -> ((s, d) =>
       packSequences(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_source_cap" -> ((s, d) =>
+      sourceCap(Tables.load(s, d, "documents")).orderBy("doc_id")),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -855,6 +895,24 @@ object TextAnalysis {
         |         WHEN 'fr' THEN 100000 ELSE 50000 END AS thr
         |  FROM documents)
         |WHERE coin < thr ORDER BY doc_id""".stripMargin,
+    "ta_source_cap" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(concat('0x', substr(md5('cap:' || doc_id), 1, 15)) AS BIGINT)
+        |      AS prio
+        |  FROM documents),
+        |c AS (SELECT source, lang, count(*) AS n_group
+        |      FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g.doc_id, g.source, g.lang, c.n_group,
+        |    row_number() OVER (PARTITION BY g.source, g.lang
+        |                       ORDER BY g.prio, g.doc_id) AS rawrnk
+        |  FROM g JOIN c USING (source, lang))
+        |SELECT doc_id, source, lang, n_group,
+        |  CAST(CASE WHEN n_group > 8 THEN rawrnk END AS INTEGER) AS rnk,
+        |  CAST(CASE WHEN n_group <= 8 OR rawrnk <= 8 THEN 1 ELSE 0 END
+        |       AS INTEGER) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,

@@ -213,6 +213,45 @@ class DedupSpec extends AnyFunSuite {
     assert(res.forall { case (id, c, _, _, _) => fromClusters(id) == c })
   }
 
+  test("winnowFingerprints == driver-side replay; every window covered") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val width = 4; val win = 4
+    val got = Dedup.winnowFingerprints(docs, width, win).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, xs) =>
+        id -> xs.map(x => (x._2, x._3)).toSet
+      }
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = raw.flatMap { case (id, text) =>
+      val w = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (w.length < width + win - 1) None
+      else {
+        val hs = (0 to w.length - width).map(i =>
+          graft.functions.FnvHash.poly31(
+            UTF8String.fromString(w.slice(i, i + width).mkString(" "))))
+        val sel = (0 to hs.length - win).flatMap { i =>
+          val mn = hs.slice(i, i + win).min
+          val pos = (i until i + win).filter(j => hs(j) == mn).max
+          // 1-based positions in the operator output
+          Some((pos + 1, mn))
+        }.toSet
+        Some(id -> sel)
+      }
+    }.toMap
+    assert(got.keySet === expected.keySet, "same documents fingerprinted")
+    got.foreach { case (id, sel) => assert(sel === expected(id), s"doc $id") }
+    // the winnowing density guarantee: every window holds >= 1 selection
+    expected.foreach { case (id, sel) =>
+      val poss = sel.map(_._1)
+      val n = raw.toMap.apply(id).split("[^\\p{L}]+").count(_.nonEmpty) - width + 1
+      (1 to n - win + 1).foreach { i =>
+        assert(poss.exists(p => p >= i && p < i + win),
+          s"doc $id window at $i has no fingerprint")
+      }
+    }
+  }
+
   test("semanticDedup == driver-side brute force (buckets, top-1, verdicts)") {
     // independent reference: recompute int8 quantization, md5-parity plane
     // signs, SRP bucket codes and within-bucket top-1 from the raw vectors

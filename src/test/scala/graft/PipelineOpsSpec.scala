@@ -151,6 +151,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("sourceCap keeps min(cap, group size); under-cap groups skip the lottery") {
+    val docs = (0 until 9).map { i =>
+      (i.toLong, "text", "en", if (i < 3) "small" else "big", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.sourceCap(docs, cap = 4).collect()
+      .map(row => (row.getLong(0), row.getString(1),
+        row.getLong(3), // n_group
+        if (row.isNullAt(4)) None else Some(row.getInt(4)), // rnk
+        row.getInt(5))) // kept
+    assert(r.length === 9)
+    val small = r.filter(_._2 == "small")
+    assert(small.forall(x => x._3 == 3L && x._4.isEmpty && x._5 == 1),
+      "under-cap group: all kept, no rank assigned")
+    val big = r.filter(_._2 == "big")
+    assert(big.forall(_._3 == 6L))
+    assert(big.flatMap(_._4).sorted.toSeq === (1 to 6), "over-cap ranks are 1..n")
+    assert(big.count(_._5 == 1) === 4 && big.count(_._5 == 0) === 2)
+    assert(big.forall(x => (x._5 == 1) == x._4.exists(_ <= 4)))
+  }
+
+  test("randomProject == driver-side exact replay on real vectors") {
+    def sign(p: Int, d: Int): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(md5.take(15), 16) % 2 == 1) 1.0 else -1.0
+    }
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val got = Embeddings.randomProject(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    assert(got.size === raw.length)
+    raw.take(20).foreach { case (id, v) =>
+      val m = v.map(math.abs).max
+      val q = if (m == 0) v.map(_ => 0.0)
+              else v.map(x => math.floor(x * 127.0 / m + 0.5))
+      val want = (0 until 16).map { p =>
+        q.indices.map(d => sign(p, d) * q(d)).sum.toLong
+      }
+      assert(got(id) === want, s"projection of $id")
+    }
+  }
+
+  test("knnLabel classifies well-separated clusters; vote ties go to the smaller label") {
+    // two orthogonal clusters: queries 0-3 sit in cluster A (label 7),
+    // candidates 100+ split between A (7) and B (2)
+    val a = Array(1.0f, 0.0f); val b = Array(0.0f, 1.0f)
+    def jitter(v: Array[Float], eps: Float) = Array(v(0) + eps, v(1) + eps)
+    val rows =
+      (0 until 4).map(i => (i.toLong, jitter(a, 0.01f * i), 7)) ++
+        (0 until 5).map(i => (100L + i, jitter(a, 0.02f * i), 7)) ++
+        (0 until 5).map(i => (200L + i, jitter(b, 0.02f * i), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = Embeddings.knnLabel(emb, k = 3).collect()
+      .map(row => (row.getLong(0), row.getInt(1), row.getInt(2), row.getLong(3)))
+    assert(r.length === 4)
+    assert(r.forall { case (_, lab, pred, votes) =>
+      lab == 7 && pred == 7 && votes == 3L
+    }, "every query's 3-NN are in its own cluster")
+    // tie: 4 candidates at identical cosine, labels {1,1,5,5}, k=4
+    val tie = (Seq((0L, a, 9)) ++
+      Seq((110L, a, 1), (111L, a, 1), (112L, a, 5), (113L, a, 5)))
+      .toDF("vec_id", "embedding", "label")
+    val t = Embeddings.knnLabel(tie, k = 4).collect()
+    assert(t.length === 1)
+    assert(t(0).getInt(2) === 1, "2-2 vote tie resolves to the smaller label")
+    assert(t(0).getLong(3) === 2L)
+  }
+
   test("lmScores: exact bigram corpus frequencies and rare fractions") {
     val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "z"))
       .toDF("doc_id", "text")
