@@ -559,6 +559,34 @@ object TextAnalysis {
         (col("last_chunk") - col("first_chunk") + 1).as("n_chunks"))
   }
 
+  /** Deterministic global shuffle + sharding — the last step before
+    * training: break any correlation between corpus order (crawl order,
+    * source grouping) and training order, and split the result into
+    * `nShards` balanced output files. The permutation key is the portable
+    * hash of the doc id, so the "random" order is reproducible run-to-run
+    * and engine-to-engine; the shard is the key mod nShards and the
+    * position is the rank of the key within its shard.
+    *
+    * Scale shape: exactly what a distributed shuffle-write does anyway —
+    * one hash-partitioned exchange (shards are hash-balanced by
+    * construction, no skew possible) and a per-shard sort; rank within a
+    * shard is a window over that shard's rows, the same local sort the
+    * shuffle's writer performs. No global ordering structure exists
+    * anywhere — the global permutation is only ever materialized as
+    * (shard, position) coordinates.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("skey",
+        portableHash60(concat_ws(":", lit("shuf"), col("doc_id"))))
+      .withColumn("shard", (col("skey") % nShards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("skey").asc, col("doc_id").asc)
+    keyed
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   // mixture weights for the corpus languages as INTEGER thresholds out of
   // 1e6 (en 50%, de 25%, fr 10%); unknown/other strata get the default.
   // Integer thresholds, not fractions: `0.05 * 1e6` is 50000.0000…07 in
@@ -691,6 +719,8 @@ object TextAnalysis {
       packSequences(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_source_cap" -> ((s, d) =>
       sourceCap(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_shard" -> ((s, d) =>
+      shuffleShards(Tables.load(s, d, "documents")).orderBy("doc_id")),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -913,6 +943,16 @@ object TextAnalysis {
         |  CAST(CASE WHEN n_group <= 8 OR rawrnk <= 8 THEN 1 ELSE 0 END
         |       AS INTEGER) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
+    "ta_shard" ->
+      """SELECT doc_id,
+        |  CAST(skey % 32 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY skey % 32
+        |         ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |        CAST(concat('0x', substr(md5('shuf:' || doc_id), 1, 15))
+        |             AS BIGINT) AS skey
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "ta_bpe_tokens" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INTEGER) AS n_bpe_tokens,

@@ -82,6 +82,19 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
+  /** Read the documents table as a file stream (same staging discipline
+    * as [[readEvents]]) — the ingest side of a STREAMING curation
+    * pipeline, where documents arrive continuously from a crawler and
+    * every scan-stage operator in [[graft.operators.TextAnalysis]]
+    * applies unchanged (stateless projections stream row-by-row with no
+    * state store at all).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = stageDir(java.nio.file.Paths.get(dir, "documents.parquet"))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Tumbling 1-hour windowed counts per event_type with a 10-minute
     * watermark — streaming twin of batch q17_time_window.
     */
@@ -256,10 +269,23 @@ object EventStream {
           expr("start_ns div 1000").as("start_us"),
           expr("end_ns div 1000").as("end_us"))
         .orderBy("user_id", "session_id")
+    }),
+    // Streaming curation: the batch quality-signal operator applied
+    // UNCHANGED to a document stream — stateless projections only, so the
+    // stream needs no watermark and no state store, and the output is
+    // row-for-row the batch result (same oracle as ta_curation). This is
+    // the ingest-time shape of a crawler pipeline: score-and-filter as
+    // documents arrive, not in a nightly batch.
+    "st_curation" -> ((s, d) => {
+      runToMemory(
+        graft.operators.TextAnalysis.curation(readDocuments(s, d)),
+        "st_curation_sink", OutputMode.Append)
+      s.table("st_curation_sink").orderBy("doc_id")
     }))
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
     "st_join" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
         |           FROM events WHERE event_type = 'click'),

@@ -220,6 +220,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(t(0).getLong(3) === 2L)
   }
 
+  test("shuffleShards == driver replay; positions contiguous per shard") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val got = TextAnalysis.shuffleShards(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.length === ids.length)
+    def skey(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuf:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16)
+    }
+    val want = ids.toSeq.map(id => (id, skey(id)))
+      .groupBy { case (_, k) => (k % 32).toInt }
+      .flatMap { case (shard, members) =>
+        members.sortBy { case (id, k) => (k, id) }.zipWithIndex.map {
+          case ((id, _), pos) => (id, shard, pos.toLong)
+        }
+      }.toSet
+    assert(got.toSet === want)
+    // positions are a contiguous 0..n-1 range inside every shard
+    got.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $s positions")
+    }
+  }
+
   test("lmScores: exact bigram corpus frequencies and rare fractions") {
     val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "z"))
       .toDF("doc_id", "text")
