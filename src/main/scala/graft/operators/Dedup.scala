@@ -124,9 +124,21 @@ object Dedup {
           storeHooked.remove(spark)
         }
       })
-    corpusStore.computeIfAbsent(
-      (spark, stage, input.queryExecution.analyzed.canonicalized),
-      _ => build.localCheckpoint(true))
+    // get/putIfAbsent, NOT computeIfAbsent: the "pairs" builder calls
+    // minhashSignatures, which memoizes on this same map — a nested
+    // computeIfAbsent is a recursive update of the map from inside a
+    // mapping function (ConcurrentHashMap may throw IllegalStateException
+    // or live-lock depending on bin collisions). The non-atomic form can
+    // at worst double-build on a concurrent first call — idempotent, and
+    // the loser's checkpoint blocks are ContextCleaner-reclaimed.
+    val key = (spark, stage, input.queryExecution.analyzed.canonicalized)
+    val hit = corpusStore.get(key)
+    if (hit != null) hit
+    else {
+      val built = build.localCheckpoint(true)
+      val prev = corpusStore.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** LSH candidate pairs: band the K-wide signature (R rows/band), bucket

@@ -59,6 +59,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in a scan-only operator: $p")
   }
 
+  test("winnowing and random projection are scan-stage: zero Exchange") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pw = graft.operators.Dedup.winnowFingerprints(docs)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Exchange"), s"winnow must not shuffle: $pw")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val pr = graft.operators.Embeddings.randomProject(emb)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("Exchange"), s"random projection must not shuffle: $pr")
+  }
+
+  test("sourceCap: group sizes come back via a broadcast, not a corpus shuffle") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.operators.TextAnalysis.sourceCap(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") ||
+      p.contains("broadcast"), s"n_group join must be broadcast: $p")
+    // the only sort-shuffle allowed is the over-cap window partitioning
+    val windows = "(?m)Window".r.findAllIn(p).size
+    assert(windows >= 1, s"over-cap ranking window missing: $p")
+  }
+
   test("q27 hash-sample filter runs in the scan stage (no pre-sort shuffle)") {
     val df = Relational.defs("q27_hash_sample")(spark, dir)
     df.collect()
