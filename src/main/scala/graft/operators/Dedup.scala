@@ -365,8 +365,14 @@ object Dedup {
     // iteration's join/checkpoint by corpus size for no information; on a
     // real corpus the duplicate-involved subset is a small fraction.
     // Singletons rejoin (left join, label := own id) once, at the end.
-    var snapshot = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // seed labels at min(self, direct neighbors) — the first propagation
+    // step fused into initialization: pair-shaped clusters (the common
+    // case) start CONVERGED, so the loop below runs once to verify and
+    // stops, instead of one iteration to propagate + one to verify
+    var snapshot = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint(true)
     var labels = snapshot
     var changed = 1L
