@@ -157,6 +157,19 @@ object hashes {
   /** Rabin–Karp polynomial rolling hash of a string column (codegen'd). */
   def poly31Hash(c: Column): Column = GraftShims.column(Poly31Hash(expression(c)))
 
+  /** Driver-side ±1 from the md5-prefix parity of `key` — the SAME 15-hex
+    * construction as [[portableHash60]], so an oracle can rebuild the
+    * identical sign from `md5(key)` in SQL. One definition for every
+    * random-projection plane in the library (SRP buckets, SemDeDup cells,
+    * JL projection): the oracle hash parity breaks silently if the copies
+    * ever drift, so there are no copies.
+    */
+  def md5ParitySign(key: String): Double = {
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
+  }
+
   /** Column → catalyst Expression on Spark 4's column-node API. */
   private def expression(c: Column): Expression = GraftShims.expression(c)
 }

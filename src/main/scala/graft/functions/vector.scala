@@ -12,14 +12,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 /** Static vector kernels callable from generated code. */
 object VectorOps {
   /** Left-to-right dot product over two array<double> columns — the same
-    * summation order as `aggregate(zip_with(...))`, so results are
-    * bit-identical to the higher-order-function formulation it replaces.
+    * summation order as `aggregate(zip_with(...))` on equal-length
+    * null-free arrays, so results are bit-identical to the
+    * higher-order-function formulation it replaces. Mismatched lengths
+    * and null elements throw (the unsafe row format would otherwise read
+    * a null slot as raw 0.0 — silently wrong, never an error; the
+    * analysis-time type check on [[DotProduct]] can't see VALUES).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_dot: $n-element vector vs ${b.numElements()}-element vector")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_dot: null element at index $i — a dot product over null " +
+            "components is undefined; filter or impute first")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 

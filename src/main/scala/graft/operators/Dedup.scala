@@ -102,12 +102,22 @@ object Dedup {
   // analog of [[writeSignatureStore]]); recomputing the MinHash pass per
   // consumer multiplies the corpus scan count for no information. Keyed
   // by (session, stage, canonicalized input plan): bit-identical input
-  // lineage → the one materialized result (localCheckpoint blocks, freed
-  // with the session's context; volume O(docs × K) cells — the signature
-  // property — never corpus-text-sized). Entries are evicted by the same
-  // application-end listener discipline as [[graft.tables.Tables.load]]
-  // so cycled sessions don't pin dead plans.
-  private val corpusStore = new java.util.concurrent.ConcurrentHashMap[
+  // lineage → the one materialized result. Volume per entry is
+  // O(docs × K) signature cells — never corpus-text-sized.
+  //
+  // Lifecycle: the store is BOUNDED (insertion-order eviction past
+  // MaxStoreEntries — a driver cycling many corpus snapshots can't grow
+  // block storage monotonically; an evicted entry's checkpoint blocks are
+  // ContextCleaner-reclaimed once the last consumer drops its frame,
+  // because raw localCheckpoint RDDs — unlike CacheManager pins — are
+  // cleaner-eligible) plus the application-end listener discipline of
+  // [[graft.tables.Tables.load]]. Same caveat as that cache: the key is
+  // the PLAN, so a parquet source regenerated IN PLACE during one
+  // session would be served the prior file's stored signatures — the
+  // driver test dirs are write-once; a live-ingest deployment keys its
+  // store on snapshot ids instead.
+  private val MaxStoreEntries = 16
+  private val corpusStore = new java.util.LinkedHashMap[
     (SparkSession, String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     DataFrame]()
   private val storeHooked =
@@ -119,25 +129,34 @@ object Dedup {
     if (storeHooked.add(spark))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          corpusStore.keySet.removeIf(k => k._1 eq spark)
-          storeHooked.remove(spark)
-        }
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          corpusStore.synchronized {
+            corpusStore.keySet.removeIf(k => k._1 eq spark)
+            storeHooked.remove(spark)
+          }
       })
-    // get/putIfAbsent, NOT computeIfAbsent: the "pairs" builder calls
-    // minhashSignatures, which memoizes on this same map — a nested
-    // computeIfAbsent is a recursive update of the map from inside a
-    // mapping function (ConcurrentHashMap may throw IllegalStateException
-    // or live-lock depending on bin collisions). The non-atomic form can
-    // at worst double-build on a concurrent first call — idempotent, and
-    // the loser's checkpoint blocks are ContextCleaner-reclaimed.
     val key = (spark, stage, input.queryExecution.analyzed.canonicalized)
-    val hit = corpusStore.get(key)
-    if (hit != null) hit
-    else {
-      val built = build.localCheckpoint(true)
-      val prev = corpusStore.putIfAbsent(key, built)
-      if (prev != null) prev else built
+    // the build (a Spark job) runs OUTSIDE the lock; a concurrent first
+    // call can double-build — idempotent, and the loser's checkpoint
+    // blocks are ContextCleaner-reclaimed. (A computeIfAbsent would also
+    // be a recursive map update: the "pairs" builder calls
+    // minhashSignatures, which memoizes on this same map.)
+    corpusStore.synchronized {
+      val hit = corpusStore.get(key)
+      if (hit != null) return hit
+    }
+    val built = build.localCheckpoint(true)
+    corpusStore.synchronized {
+      val prev = corpusStore.get(key)
+      if (prev != null) prev
+      else {
+        corpusStore.put(key, built)
+        if (corpusStore.size > MaxStoreEntries) {
+          val it = corpusStore.entrySet.iterator
+          it.next(); it.remove() // eldest inserted; blocks freed by cleaner
+        }
+        built
+      }
     }
   }
 
@@ -580,11 +599,8 @@ object Dedup {
     * planes are constant vectors; the oracle derives the same ±1 matrix
     * from the same md5 parity in SQL.
     */
-  private def semPlaneSign(p: Int, d: Int): Double = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"sd:$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
-  }
+  private def semPlaneSign(p: Int, d: Int): Double =
+    graft.functions.hashes.md5ParitySign(s"sd:$p,$d")
 
   /** SemDeDup-style semantic dedup over the embedding column — cluster
     * vectors into buckets, then compare pairs WITHIN a bucket only (the
@@ -623,24 +639,27 @@ object Dedup {
                     dupScos2: Double = 0.81): DataFrame = {
     import graft.functions.vector.vecDot
     import org.apache.spark.sql.expressions.Window
-    // dimension inferred from the data (1-value agg), never hardcoded
-    val dim = emb.agg(max(size(col("embedding"))).as("d")).head().getInt(0)
+    // dimension inferred from the data (1-value agg), never hardcoded;
+    // an empty table degrades to dim=1 planes and an empty result
+    val dim = Embeddings.dimOf(emb)
     val qv = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("m", array_max(transform(col("v"), x => abs(x))))
       .filter(col("m") > 0.0)
-      // codes are double-typed (Spark's floor yields BIGINT — cast back):
-      // every value is an exact small integer, so the codegen'd double dot
-      // products below are EXACT integer math
+      // int8 codes as exact small integers in double (shared half-up
+      // formula), so the codegen'd dot products are EXACT integer math
       .select(col("vec_id"),
-        transform(col("v"),
-          x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("double"))
-          .as("q"))
+        transform(col("v"), x => Embeddings.int8Code(x, col("m"))).as("q"))
     val bucket = (0 until planes).map { p =>
       val plane = typedLit((0 until dim).map(d => semPlaneSign(p, d)))
       when(vecDot(col("q"), plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // quantization + 6-plane bucketing feed FOUR consumers (sizes, both
+    // self-join sides, the final projection): materialize once — the
+    // checkpoint blocks are ContextCleaner-reclaimed when the returned
+    // frame is dropped (raw localCheckpoint RDDs, not CacheManager pins)
     val bq = qv.select(col("vec_id"), col("q"), bucket.as("bucket"))
+      .localCheckpoint(true)
     val sizes = bq.groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
     val dot = vecDot(col("q"), col("qb")).cast("long")
     val pairs = bq.join(
@@ -650,10 +669,7 @@ object Dedup {
       .withColumn("dot", dot)
       .withColumn("na", vecDot(col("q"), col("q")).cast("long"))
       .withColumn("nb", vecDot(col("qb"), col("qb")).cast("long"))
-      .withColumn("scos2",
-        when(col("dot") < 0, -(col("dot") * col("dot")))
-          .otherwise(col("dot") * col("dot")).cast("double")
-          / (col("na") * col("nb")).cast("double"))
+      .withColumn("scos2", Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("scos2").desc, col("nn_id").asc)
     val top1 = pairs

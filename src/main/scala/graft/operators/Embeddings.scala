@@ -75,13 +75,43 @@ object Embeddings {
     * (sum/min/max — exact in any engine); the codes themselves stay
     * distributed, scan-stage only.
     */
+  /** Embedding dimension inferred from the data (1-value aggregate, never
+    * hardcoded). An EMPTY table has no dimension: return 1 so plane
+    * construction stays well-formed and the caller's pipeline runs to an
+    * empty result with the correct schema (a bare `.getInt(0)` would NPE
+    * on the null aggregate).
+    */
+  private[operators] def dimOf(emb: DataFrame): Int = {
+    val r = emb.agg(max(size(col("embedding"))).as("d")).head()
+    if (r.isNullAt(0)) 1 else r.getInt(0)
+  }
+
+  /** Half-up int8 code of component `x` at scale max-abs `m` — the
+    * [[quantizeInt8]] formula as a reusable column (floor yields BIGINT,
+    * cast back so downstream dot products read exact small integers in
+    * double). ONE definition for every exact-integer-cosine consumer
+    * (quantization drift between two copies would silently break the
+    * cross-operator agreement AND the DuckDB oracle parity).
+    */
+  def int8Code(x: Column, m: Column): Column =
+    floor(x * lit(127.0) / m + lit(0.5)).cast("double")
+
+  /** Signed squared cosine from EXACT integer dot and squared norms:
+    * sign(dot)·dot² / (na·nb) — numerator and denominator exact int64,
+    * one IEEE division, monotone in cosine, bit-identical in any engine
+    * (a raw float cosine chain is not: FMA contraction differs).
+    */
+  def exactScos2(dot: Column, na: Column, nb: Column): Column =
+    when(dot < 0, -(dot * dot)).otherwise(dot * dot).cast("double") /
+      (na * nb).cast("double")
+
   def quantizeInt8(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("m", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q",
         when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
-            x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("bigint"))))
+            x => int8Code(x, col("m")).cast("bigint"))))
       .select(
         col("vec_id"),
         round(col("m") / 127.0, 6).as("scale"),
@@ -95,11 +125,8 @@ object Embeddings {
     * rebuild; the oracle derives the identical ±1 matrix from the same
     * md5 parity in SQL.
     */
-  private def rpSign(p: Int, d: Int): Double = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"rp:$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
-  }
+  private def rpSign(p: Int, d: Int): Double =
+    graft.functions.hashes.md5ParitySign(s"rp:$p,$d")
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
     * ±1 (Achlioptas) planes — the standard cheap dimensionality reduction
@@ -119,18 +146,15 @@ object Embeddings {
     */
   def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
     import graft.functions.vector.vecDot
-    val dim = emb.agg(max(size(col("embedding"))).as("d")).head().getInt(0)
+    val dim = dimOf(emb)
     val planes = (0 until outDim).map { p =>
       typedLit((0 until dim).map(d => rpSign(p, d)))
     }
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("m", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q",
-        // Spark's floor yields BIGINT — cast back so the codegen'd dot
-        // products below read doubles (exact small integers)
         when(col("m") === 0.0, transform(col("v"), _ => lit(0.0)))
-          .otherwise(transform(col("v"),
-            x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("double"))))
+          .otherwise(transform(col("v"), x => int8Code(x, col("m")))))
       .select(col("vec_id"),
         array(planes.map(pl => vecDot(col("q"), pl).cast("bigint")): _*)
           .as("proj"))
@@ -164,10 +188,7 @@ object Embeddings {
       .withColumn("m", array_max(transform(col("v"), x => abs(x))))
       .filter(col("m") > 0.0)
       .select(col("vec_id"), col("label"),
-        // floor yields BIGINT — cast back to double for the dot products
-        transform(col("v"),
-          x => floor(x * lit(127.0) / col("m") + lit(0.5)).cast("double"))
-          .as("q"))
+        transform(col("v"), x => int8Code(x, col("m"))).as("q"))
     val queries = broadcast(qv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("q").as("qq")))
@@ -176,10 +197,7 @@ object Embeddings {
       .withColumn("dot", dot)
       .withColumn("na", vecDot(col("qq"), col("qq")).cast("long"))
       .withColumn("nb", vecDot(col("q"), col("q")).cast("long"))
-      .withColumn("scos2",
-        when(col("dot") < 0, -(col("dot") * col("dot")))
-          .otherwise(col("dot") * col("dot")).cast("double")
-          / (col("na") * col("nb")).cast("double"))
+      .withColumn("scos2", exactScos2(col("dot"), col("na"), col("nb")))
     val byQ = Window.partitionBy("qid")
     val topk = scored
       .withColumn("rn", row_number().over(

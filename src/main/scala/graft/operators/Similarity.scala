@@ -66,11 +66,8 @@ object Similarity {
     * [[portableHash60]] would give on concat_ws(",", t, b, d), computed
     * driver-side so the planes become constant vectors in the plan.
     */
-  private def planeSign(t: Int, b: Int, d: Int): Double = {
-    val md5hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$t,$b,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(md5hex.take(15), 16) % 2 == 1) 1.0 else -1.0
-  }
+  private def planeSign(t: Int, b: Int, d: Int): Double =
+    graft.functions.hashes.md5ParitySign(s"$t,$b,$d")
 
   def srpBuckets(emb: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
     // one codegen'd vecDot against a constant ±1 plane vector per (t, b):

@@ -252,6 +252,12 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup and randomProject degrade to empty results on an empty table") {
+    val empty = emb.filter(col("vec_id") < 0)
+    assert(Dedup.semanticDedup(empty).count() === 0)
+    assert(graft.operators.Embeddings.randomProject(empty).count() === 0)
+  }
+
   test("semanticDedup == driver-side brute force (buckets, top-1, verdicts)") {
     // independent reference: recompute int8 quantization, md5-parity plane
     // signs, SRP bucket codes and within-bucket top-1 from the raw vectors

@@ -79,6 +79,24 @@ class VectorExprSpec extends AnyFunSuite {
     intercept[Throwable] {
       short.select(topCentroids(col("v"), Seq((1L, Seq(1.0, 0.0))), 1)).collect()
     }
+    // vec_dot: non-double arrays rejected at ANALYSIS (getDouble on an
+    // array<bigint> would reinterpret raw bits as NaN garbage)
+    intercept[Throwable] {
+      Seq((1L, Seq(1L, 2L))).toDF("g", "v")
+        .select(vecDot(col("v"), col("v"))).collect()
+    }
+    // vec_dot: mismatched lengths throw, never a silent min-truncation
+    intercept[Throwable] {
+      Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+        .select(vecDot(col("a"), col("b"))).collect()
+    }
+    // vec_dot: a null ELEMENT throws (the unsafe format reads a null slot
+    // as raw 0.0 — a value-level hole the analysis-time type check misses)
+    intercept[Throwable] {
+      Seq((1L, Seq[java.lang.Double](1.0, null))).toDF("g", "v")
+        .select(vecDot(col("v").cast("array<double>"),
+          col("v").cast("array<double>"))).collect()
+    }
   }
 
   test("TopCentroids stays inside whole-stage codegen") {
