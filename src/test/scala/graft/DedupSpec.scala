@@ -66,7 +66,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("incremental LSH == full-corpus LSH restricted to pairs touching the batch") {
     val split = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
-    val store = java.nio.file.Files.createTempDirectory("graft-test-sigstore")
+    val store = TestSpark.tempDir("graft-test-sigstore")
     try {
       Dedup.writeSignatureStore(docs.filter(col("doc_id") < split), store.toString)
       val inc = Dedup

@@ -47,7 +47,7 @@ class LayoutSpec extends AnyFunSuite {
     val li = Tables.load(spark, TestSpark.sf001, "lineitem")
       .select((col("l_partkey") % 128).cast("bigint").as("x"),
         (col("l_suppkey") % 128).cast("bigint").as("y"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val dir = TestSpark.tempDir("graft-zorder").toString
     val n = 16
 
     // mean per-file (max-min) span of a dimension, file identity from the scan

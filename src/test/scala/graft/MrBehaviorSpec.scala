@@ -96,7 +96,7 @@ class MrBehaviorSpec extends AnyFunSuite {
   }
 
   test("output finalized when action returns (early_exit analog)") {
-    val out = java.nio.file.Files.createTempDirectory("graft-ee").resolve("out")
+    val out = TestSpark.tempDir("graft-ee").resolve("out")
     val job = MapReduceJob(Apps.EarlyExit)
     job.writeOutput(job.runOn(spark, files.take(8)), out.toString)
     // action has returned -> _SUCCESS marker present and content complete

@@ -32,8 +32,8 @@ class MrEngineSpec extends AnyFunSuite {
   test("rtiming matches sequential oracle")(check(Apps.ReduceTiming))
 
   test("wc end-to-end through real files and text sink") {
-    val dir = Files.createTempDirectory("graft-mr-in")
-    val out = Files.createTempDirectory("graft-mr-out").resolve("wc")
+    val dir = TestSpark.tempDir("graft-mr-in")
+    val out = TestSpark.tempDir("graft-mr-out").resolve("wc")
     files.take(8).foreach { case (name, contents) =>
       Files.write(dir.resolve(name), contents.getBytes(StandardCharsets.UTF_8))
     }

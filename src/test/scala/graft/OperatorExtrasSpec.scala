@@ -80,7 +80,7 @@ class OperatorExtrasSpec extends AnyFunSuite {
 
   test("csv and json sinks/sources roundtrip a query result") {
     val df = Relational.defs("q01_pricing_summary")(spark, TestSpark.sf0001)
-    val dir = java.nio.file.Files.createTempDirectory("graft-fmt")
+    val dir = TestSpark.tempDir("graft-fmt")
     df.write.option("header", "true").csv(s"$dir/csv")
     df.write.json(s"$dir/json")
     val fromCsv = spark.read.option("header", "true").schema(df.schema).csv(s"$dir/csv")

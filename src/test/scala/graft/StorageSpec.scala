@@ -14,7 +14,7 @@ class StorageSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("partitioned write prunes non-matching partitions at planning time") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val dir = TestSpark.tempDir("graft-part").toString
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
     Layout.writePartitioned(docs, dir, "lang")
     val q = spark.read.parquet(dir).filter(col("lang") === "en")
@@ -32,7 +32,7 @@ class StorageSpec extends AnyFunSuite {
 
   test("orc sink/source roundtrips a query result") {
     val df = Relational.defs("q01_pricing_summary")(spark, TestSpark.sf0001)
-    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+    val dir = TestSpark.tempDir("graft-orc")
     df.write.orc(s"$dir/orc")
     val back = spark.read.schema(df.schema).orc(s"$dir/orc")
     assert(back.collect().map(_.toString).sorted.toSeq ===

@@ -77,7 +77,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("restart from checkpoint resumes exactly-once into a file sink") {
     import java.nio.file.{Files, Path}
-    val work = Files.createTempDirectory("graft-ckpt")
+    val work = TestSpark.tempDir("graft-ckpt")
     val srcDir = work.resolve("src"); Files.createDirectories(srcDir)
     val ckpt = work.resolve("ckpt").toString
     val out = work.resolve("out").toString

@@ -14,8 +14,7 @@ object TestSpark {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", tempDir("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -24,6 +23,28 @@ object TestSpark {
 
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+
+  /** Temp directory that removes itself (recursively) on JVM exit — the
+    * suites were each leaking one directory per run into /tmp (warehouse,
+    * MR in/out, sink roundtrips, stream checkpoints: ~7 dirs per `sbt
+    * test`). Exit-time cleanup, not eager, because Spark may hold files
+    * open until the session stops.
+    */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(d)
+    }
+    d
+  }
 
   /** A Gutenberg-style corpus for MR parity tests: each documents-table row
     * becomes one (fileName, contents) whole file.
