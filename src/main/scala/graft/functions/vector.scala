@@ -36,6 +36,37 @@ object VectorOps {
     s
   }
 
+  /** SRP bucket codes for [[SrpCodes]]: code_t has bit b set when the
+    * left-to-right dot of v against plane (t*bits + b) is strictly
+    * positive — identical fold and identical strict `> 0` rule as the
+    * `vecDot(v, plane) > 0` column form, so codes match bit-for-bit.
+    * Dimension mismatches throw (never silent truncation).
+    */
+  def srpCodes(v: ArrayData, planes: Array[Array[Double]],
+               bits: Int): ArrayData = {
+    val d = v.numElements()
+    val tables = planes.length / bits
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0L
+      var b = 0
+      while (b < bits) {
+        val p = planes(t * bits + b)
+        require(p.length == d,
+          s"srp_codes: ${d}-element vector vs ${p.length}-element plane")
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += v.getDouble(i) * p(i); i += 1 }
+        if (s > 0) code |= 1L << b
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The `n` nearest centroids of `v` by cosine, as cent_ids ordered by
     * (cosine desc, cent_id asc) — the kernel behind [[TopCentroids]].
     * Zero-norm vectors or centroids score -2.0 (below every real cosine)
@@ -169,6 +200,47 @@ case class TopCentroids(child: Expression, ids: Array[Long],
     copy(child = newChild)
 }
 
+/** Native sign-random-projection bucket codes: one long code per table,
+  * bit b of table t = (dot(v, plane[t*bits+b]) > 0). The planes matrix
+  * travels as ONE codegen reference object — the column formulation built
+  * tables×bits dim-element `typedLit` planes (2048 literals at 8×4×64,
+  * TWICE per lshTopK call for query and candidate sides) and paid the
+  * same per-session Catalyst-analysis + codegen cost class that
+  * [[TopCentroids]] removed from ann_ivf. Dots fold left-to-right exactly
+  * like [[VectorOps.dot]], so codes are bit-identical to the
+  * `vecDot(v, plane) > 0` column form this replaces.
+  */
+case class SrpCodes(child: Expression, planes: Array[Array[Double]], bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits < 63 && planes.nonEmpty &&
+    planes.length % bits == 0,
+    s"SrpCodes: ${planes.length} planes not a multiple of $bits bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_codes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_codes requires array<double>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.srpCodes(v.asInstanceOf[ArrayData], planes, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorOps.srpCodes($v, $planesRef, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpCodes =
+    copy(child = newChild)
+}
+
 /** Elementwise mean of an array<double> column, computed over exact
   * micro-fixed-point longs: each element is rounded HALF_UP to 6 decimals
   * (the same `round(x, 6)` the decimal formulation used), scaled to an
@@ -274,6 +346,13 @@ object vector {
   def vecMicroMean(v: Column, dim: Int): Column =
     GraftShims.column(VecMicroMean(GraftShims.expression(v), dim)
       .toAggregateExpression())
+
+  /** Per-table SRP bucket codes of an array<double> column (codegen'd;
+    * planes indexed [t*bits + b] — see [[SrpCodes]]).
+    */
+  def srpCodes(v: Column, planes: Seq[Seq[Double]], bits: Int): Column =
+    GraftShims.column(SrpCodes(GraftShims.expression(v),
+      planes.map(_.toArray).toArray, bits))
 
   /** cent_ids of the `n` nearest centroids of `v`, cosine-descending with
     * ties to the lowest id (codegen'd; see [[TopCentroids]]). Accepts

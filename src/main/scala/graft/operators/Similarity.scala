@@ -70,20 +70,22 @@ object Similarity {
     graft.functions.hashes.md5ParitySign(s"$t,$b,$d")
 
   def srpBuckets(emb: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
-    // one codegen'd vecDot against a constant ±1 plane vector per (t, b):
-    // no explode, no join, and the projection sums in fixed dimension
-    // order (the earlier join+groupBy summed doubles in shuffle order —
-    // bucket bits near proj==0 could flip between runs)
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val tableCols = (0 until tables).map { t =>
-      val bucket = (0 until bits).map { b =>
-        val plane = typedLit((0 until dim).map(d => planeSign(t, b, d)))
-        when(vecDot(col("v"), plane) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // ONE native srp_codes expression holding the tables×bits×dim plane
+    // matrix as a codegen reference object. The column formulation built
+    // the same planes as tables×bits dim-element typedLits (2048 literals
+    // at the defaults) and paid per-session Catalyst-analysis + codegen
+    // for them — the ann_ivf fixed-cost class. The kernel's left-to-right
+    // dot and strict `> 0` rule are bit-identical to the old
+    // `vecDot(v, plane) > 0` columns, and projections still sum in fixed
+    // dimension order (the pre-round-3 join+groupBy formulation summed in
+    // shuffle order — bucket bits near proj==0 could flip between runs).
+    import graft.functions.vector.srpCodes
+    val planes = for (t <- 0 until tables; b <- 0 until bits)
+      yield (0 until dim).map(d => planeSign(t, b, d))
+    emb.select(col("vec_id"),
+        posexplode(srpCodes(asDouble(col("embedding")), planes, bits))
+          .as(Seq("t", "bucket")))
+      .select(col("vec_id"), col("t"), col("bucket"))
   }
 
   /** Approximate top-k: exact cosine ranking over the union of candidates

@@ -99,6 +99,32 @@ class VectorExprSpec extends AnyFunSuite {
     }
   }
 
+  test("SrpCodes == driver-side left-to-right dot signs; stays in codegen") {
+    val tables = 3; val bits = 4; val dim = 64
+    val planes = for (t <- 0 until tables; b <- 0 until bits)
+      yield (0 until dim).map(d =>
+        graft.functions.hashes.md5ParitySign(s"$t,$b,$d"))
+    val df = emb.select(col("vec_id"),
+      graft.functions.vector.srpCodes(
+        col("embedding").cast("array<double>"), planes, bits).as("codes"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    raw.take(25).foreach { case (id, v) =>
+      val want = (0 until tables).map { t =>
+        (0 until bits).map { b =>
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i) * planes(t * bits + b)(i); i += 1 }
+          if (s > 0) 1L << b else 0L
+        }.sum
+      }
+      assert(got(id) === want, s"codes of $id")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"srp_codes must stay in whole-stage codegen: $p")
+  }
+
   test("TopCentroids stays inside whole-stage codegen") {
     val cents = vecs.take(4).map { case (id, v) => (id, v: Seq[Double]) }
     val df = emb.select(
