@@ -14,6 +14,11 @@ run / fork := true
 // pass the forked process's stdout through verbatim — the Bench/Verify
 // JSON contract lines must arrive without sbt's "[info] " logger prefix
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// suppress the trailing "[success] Total time: …" line: the bench driver
+// keeps only the last 2,000 bytes of stdout, and that line would push the
+// head of the Bench contract JSON line out of the window (BENCH_r07 lost
+// its official number exactly this way)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,18 +34,45 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       (name, secs, ok)
     }
-    // a failed query is visibly failed: negative elapsed in `queries` AND
-    // listed in `failed` — it can't masquerade as a fast success.
-    // `value` is the exact sum of the PRINTED per-query values: rounding
-    // happens before summation (as BigDecimal, so no float residue),
-    // making "sum the queries map == value" hold to the last digit.
+    println(renderLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The driver keeps only the LAST `WindowBytes` of bench stdout; the whole
+    * contract line must fit inside it (plus its trailing newline). Render at
+    * 2 decimals, and if the query map has grown enough to threaten the
+    * window, degrade to 1 decimal — per-query resolution is worth less than
+    * the official total parsing at all.
+    */
+  val WindowBytes = 2000
+  val SafeLineBytes = 1950 // headroom for the newline + value-width variance
+
+  def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
+    val two = renderAt(results, sfDir, 2)
+    if (two.length <= SafeLineBytes) two else renderAt(results, sfDir, 1)
+  }
+
+  /** a failed query is visibly failed: negative elapsed in `queries` AND
+    * listed in `failed` — it can't masquerade as a fast success.
+    * `value` is the exact sum of the PRINTED per-query values: rounding
+    * happens before summation (as BigDecimal, so no float residue),
+    * making "sum the queries map == value" hold to the last digit.
+    */
+  private def renderAt(results: Seq[(String, Double, Boolean)], sfDir: String,
+                       scale: Int): String = {
     val signed = results.map { case (k, v, ok) =>
       // floor failed times away from zero: an instantly-failing query
-      // would otherwise print -0.000, and JSON -0.0 == 0.0
-      val s = if (ok) v else -math.max(v, 0.001)
-      (k, BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      // would otherwise print -0.00, and JSON -0.0 == 0.0
+      val s = if (ok) v else -math.max(v, math.pow(10, -scale))
+      (k, BigDecimal(s).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
     }
-    val qs = signed.map { case (k, r) => "\"" + k + "\":" + r.toString }
+    // render trailing-zero-stripped ("0.30"→"0.3", "10.00"→"10"): identical
+    // values, fewer bytes — every byte counts against the driver's window
+    def render(r: BigDecimal): String = {
+      val s = r.underlying.stripTrailingZeros
+      if (s.scale < 0) s.setScale(0).toPlainString else s.toPlainString
+    }
+    val qs = signed.map { case (k, r) => "\"" + k + "\":" + render(r) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -53,7 +80,6 @@ object Bench {
     // negative as a marker but still cost their elapsed time; a signed sum
     // would report less than actual wall time on a run with failures)
     val total = signed.map(_._2.abs).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${render(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 }

@@ -490,23 +490,36 @@ object TextAnalysis {
     * (open-vocabulary bigram tables outgrow executor memory under Heaps'
     * law); scoring is one shuffle join on the bigram key plus a per-doc
     * groupBy. Ultra-common bigrams are the usual skew hazard, bounded
-    * here because each occurrence row joins to ONE model row (no fan-out,
-    * unlike the shingle-pair join).
+    * here because each (doc, bigram) row joins to ONE model row (no
+    * fan-out, unlike the shingle-pair join).
+    *
+    * The corpus is tokenized and exploded ONCE: both the model and the
+    * probe side derive from the same per-(doc_id, bg) count aggregate, so
+    * their plans share an identical exchange subtree and ReuseExchange
+    * materializes the expensive explode a single time. (The round-7 form
+    * fed the raw occurrence frame to both consumers; the model side
+    * partial-aggregated before its shuffle and the probe side didn't, the
+    * exchanges didn't canonicalize equal, and the whole corpus tokenized
+    * twice — at 100 TB the double scan IS the cost of the operator.)
+    * Occurrence counts fold through exactly: a (doc, bg) pair seen k
+    * times contributes k rows, k·c to the frequency sum, and k rare hits
+    * — and c = 1 forces k = 1, so rare accounting is unchanged.
     */
   def lmScores(docs: DataFrame, rareMax: Double = 0.5): DataFrame = {
-    val bi = docs.withColumn("w", tokens(col("text")))
+    val dbg = docs.withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("w")) - 1),
         i => concat_ws(" ", element_at(col("w"), i),
           element_at(col("w"), i + 1)))).as("bg"))
-    val model = bi.groupBy("bg").agg(count(lit(1)).as("c"))
-    bi.join(model, "bg")
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val model = dbg.groupBy("bg").agg(sum(col("k")).as("c"))
+    dbg.join(model, "bg")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("c")).as("freq_sum"),
-        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_rare"))
+        sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("c")).as("freq_sum"),
+        sum(when(col("c") === 1, col("k")).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("freq_sum").cast("double") / col("n_bigrams")).as("avg_bigram_freq"),
         (col("n_rare").cast("double") / col("n_bigrams")).as("rare_frac"),

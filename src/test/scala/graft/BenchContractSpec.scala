@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench driver keeps only the LAST 2,000 bytes of stdout and parses the
+  * contract JSON line out of that window. BENCH_r07 lost its official number
+  * because the 89-query map at 3 decimals plus sbt's trailing "[success]"
+  * line overflowed the window. These tests pin the two repo-side defenses:
+  * the rendered line (with the REAL query-name set and pessimistic value
+  * widths) must fit with headroom, and the printed total must reconcile to
+  * the last digit with the printed per-query values.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+  private val sfDir = "/root/testdata/sf0.1"
+
+  // pessimistic widths: every query at 9.99 s (4 chars at 2 decimals) and a
+  // couple of failures at -9.99 (5 chars, also lengthens the failed array)
+  private def pessimistic: Seq[(String, Double, Boolean)] =
+    names.zipWithIndex.map { case (n, i) => (n, 9.99, i % 30 != 0) }
+
+  test("contract line fits the driver's 2000-byte tail window with headroom") {
+    val line = Bench.renderLine(pessimistic, sfDir)
+    assert(line.length <= Bench.WindowBytes - 10,
+      s"rendered contract line is ${line.length} bytes — the driver window " +
+        s"is ${Bench.WindowBytes}; shorten values or query names")
+    assert(!line.contains("\n"))
+  }
+
+  test("adaptive renderer degrades precision rather than overflow the window") {
+    // simulate a round of query growth: the 2-decimal render of ~8 extra
+    // queries would overflow; renderLine must fall back and still fit.
+    // NOTE the roster has a hard ceiling near ~100 queries — past that even
+    // the 1-decimal render outgrows the driver's window, and this test is
+    // the tripwire that says so before the driver loses a round's number.
+    val grown = pessimistic ++ (1 to 8).map(i => (f"zz_future_q$i%02d", 9.99, true))
+    val line = Bench.renderLine(grown, sfDir)
+    assert(line.length <= Bench.WindowBytes - 10,
+      s"grown line is ${line.length} bytes; adaptive fallback failed")
+  }
+
+  test("printed total equals the sum of the printed per-query magnitudes") {
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, 0.0049 + i * 0.137, i % 7 != 0) // exercises rounding + failures
+    }
+    val line = Bench.renderLine(results, sfDir)
+    val value = BigDecimal("""\"value\":(-?[0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1))
+    val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    val parts = qmap.split(",").map(_.split(":")(1)).map(BigDecimal(_))
+    assert(parts.length == names.length)
+    assert(parts.map(_.abs).sum == value,
+      "per-query values must sum exactly to the printed total")
+  }
+
+  test("failed queries print negative and are listed in failed[]") {
+    val results = Seq(("a_ok", 1.234, true), ("b_bad", 0.0, false))
+    val line = Bench.renderLine(results, sfDir)
+    assert(line.contains("\"b_bad\":-0.01"), line)
+    assert(line.contains("\"failed\":[\"b_bad\"]"), line)
+  }
+}

@@ -119,6 +119,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"bp-set join should broadcast:\n$p")
   }
 
+  test("ta_lm_score tokenizes the corpus once (exchange reuse, single explode)") {
+    // model and probe both derive from the per-(doc_id, bg) count table;
+    // its exchange subtrees canonicalize equal, so the tokenize+explode
+    // pipeline must materialize ONCE and be re-read via ReusedExchange /
+    // a reused shuffle stage — the round-7 shape ran the corpus explode
+    // twice, and at 100 TB that double scan is the whole operator cost
+    val df = graft.operators.TextAnalysis
+      .lmScores(Tables.load(spark, dir, "documents"))
+    df.collect() // finalize the AQE plan: stage reuse only shows at runtime
+    // the AQE string appends "== Initial Plan ==" (pre-reuse); judge the
+    // final plan only — that's what actually ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates == 1,
+      s"corpus explode must appear exactly once, saw $generates:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"model side must re-read the probe side's (doc_id, bg) exchange:\n$p")
+  }
+
   test("ta_tfidf never REQUIRES a broadcast of the vocabulary-sized df side") {
     // the df table is vocabulary-sized (Heaps' law: unbounded on an open
     // web corpus), so the plan must not pin a broadcast of it in code the
