@@ -7,13 +7,21 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]):
   *  - brute-force cosine top-k — the exact baseline (oracle-checked);
-  *  - sign-random-projection LSH bucketing — the approximate scale path:
-  *    candidates only within a query's bucket, so the per-query cost drops
-  *    from O(N) to O(N / 2^bits) expected, at a recall cost measured in
-  *    SimilaritySpec.
+  *  - sign-random-projection LSH bucketing and IVF cell probing — the
+  *    approximate scale paths: candidates only within a query's bucket /
+  *    probed cells, so the per-query cost drops from O(N) to
+  *    O(N / 2^bits) resp. O(N · nProbe / nCentroids) expected, at a
+  *    recall cost measured in DedupSpec.
   *
-  * All vector math is `zip_with`/`aggregate` column expressions in double
-  * precision — no UDFs, stays inside codegen.
+  * The approximate paths run entirely in int8-QUANTIZED space (the
+  * [[Embeddings.quantizeInt8]] half-up formula): bucket bits are signs of
+  * exact integer dot products and ranking is the exact-integer signed
+  * squared cosine ([[Embeddings.exactScos2]]) — so, like [[Dedup
+  * .semanticDedup]], the full operators are deterministic and hash-match
+  * a DuckDB replay, not merely rows-checkable. (Production ANN quantizes
+  * for the same reason FAISS does — 4× less candidate memory traffic —
+  * the determinism is a free extra here.) All vector math is codegen'd
+  * native expressions — no UDFs, no interpreted higher-order functions.
   */
 object Similarity {
 
@@ -69,23 +77,38 @@ object Similarity {
   private def planeSign(t: Int, b: Int, d: Int): Double =
     graft.functions.hashes.md5ParitySign(s"$t,$b,$d")
 
-  def srpBuckets(emb: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame = {
+  /** int8 codes of the embedding column as exact small integers in
+    * double (shared half-up formula — [[Embeddings.int8Code]]), zero
+    * vectors excluded (no direction, no cosine; mirrored in the oracle).
+    */
+  private def quantized(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0.0)
+      .select(col(idAs),
+        transform(col("v"), x => Embeddings.int8Code(x, col("m"))).as("q"))
+
+  def srpBuckets(emb: DataFrame, tables: Int, bits: Int, dim: Int): DataFrame =
+    srpBucketsOfCodes(quantized(emb, "vec_id"), tables, bits, dim)
+
+  private def srpBucketsOfCodes(codes: DataFrame, tables: Int, bits: Int,
+                                dim: Int): DataFrame = {
     // ONE native srp_codes expression holding the tables×bits×dim plane
     // matrix as a codegen reference object. The column formulation built
     // the same planes as tables×bits dim-element typedLits (2048 literals
     // at the defaults) and paid per-session Catalyst-analysis + codegen
     // for them — the ann_ivf fixed-cost class. The kernel's left-to-right
-    // dot and strict `> 0` rule are bit-identical to the old
-    // `vecDot(v, plane) > 0` columns, and projections still sum in fixed
-    // dimension order (the pre-round-3 join+groupBy formulation summed in
-    // shuffle order — bucket bits near proj==0 could flip between runs).
+    // dot and strict `> 0` rule are mirrored in the oracle SQL; because
+    // the input vectors are exact INTEGER codes, every projection is an
+    // exact integer and no floating boundary flip can move a vector
+    // between buckets — in any engine, in any summation order (the
+    // double-precision form documented exactly that hazard instead).
     import graft.functions.vector.srpCodes
     val planes = for (t <- 0 until tables; b <- 0 until bits)
       yield (0 until dim).map(d => planeSign(t, b, d))
-    emb.select(col("vec_id"),
-        posexplode(srpCodes(asDouble(col("embedding")), planes, bits))
-          .as(Seq("t", "bucket")))
-      .select(col("vec_id"), col("t"), col("bucket"))
+    codes.select(col(codes.columns.head),
+        posexplode(srpCodes(col("q"), planes, bits)).as(Seq("t", "bucket")))
+      .select(col(codes.columns.head), col("t"), col("bucket"))
   }
 
   /** Approximate top-k: exact cosine ranking over the union of candidates
@@ -106,31 +129,32 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 4, dim: Int = 64,
               multiProbe: Boolean = true): DataFrame = {
-    val cb = srpBuckets(candidates, tables, bits, dim)
-      .select(col("vec_id").as("neighbor_id"), col("t"), col("bucket"))
-    val qbRaw = srpBuckets(queries, tables, bits, dim)
+    val qc = quantized(candidates, "neighbor_id")
+    val qq = quantized(queries, "query_id")
+    val cb = srpBucketsOfCodes(qc, tables, bits, dim)
+    val qbRaw = srpBucketsOfCodes(qq, tables, bits, dim)
     val probed =
       if (!multiProbe) qbRaw
-      else qbRaw.select(col("vec_id"), col("t"),
+      else qbRaw.select(col("query_id"), col("t"),
         explode(array(col("bucket") +:
           (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*))
           .as("bucket"))
-    val qb = broadcast(probed
-      .select(col("vec_id").as("query_id"), col("t"), col("bucket")))
-    val cand = qb.join(cb, Seq("t", "bucket"))
+    val cand = broadcast(probed).join(cb, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    // exact re-rank over the candidate set only: integer dot and squared
+    // norms, ONE IEEE division (exactScos2) — monotone in cosine and
+    // bit-identical in every engine, so rank never flips vs the oracle
     val withVec = cand
-      .join(broadcast(queries
-        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-        .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))), "query_id")
-      .join(candidates
-        .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-        .withColumn("cn", sqrt(vecDot(col("cv"), col("cv")))), "neighbor_id")
+      .join(broadcast(qq.select(col("query_id"), col("q").as("qa"))), "query_id")
+      .join(qc.select(col("neighbor_id"), col("q").as("qb")), "neighbor_id")
+      .withColumn("dot", vecDot(col("qa"), col("qb")).cast("long"))
+      .withColumn("na", vecDot(col("qa"), col("qa")).cast("long"))
+      .withColumn("nb", vecDot(col("qb"), col("qb")).cast("long"))
+      .withColumn("scos2", Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+      .orderBy(col("scos2").desc, col("neighbor_id"))
     withVec
-      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -206,20 +230,35 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k — the second ANN scale path.
-    * Coarse quantizer: seed centroids refined by [[kmeansCentroids]];
-    * every candidate is assigned to its nearest centroid (one pass,
-    * broadcast centroids); a query probes its `nProbe` closest centroids
-    * and ranks exactly within those lists only. Per-query cost
-    * ~ N * nProbe / nCentroids; recall measured in DedupSpec (0.85 at
-    * nProbe 4/16 — unchanged by refinement on the near-uniform test
-    * corpus, where cell boundaries are irreducible; on clustered real
-    * embeddings the refined quantizer is what makes IVF work, and nProbe
-    * remains the direct recall/cost lever).
+    * Coarse quantizer: the `nCentroids` lowest-vec_id candidates' int8
+    * codes (deterministic seeds, the same seeding [[kmeansCentroids]]
+    * uses); every candidate is assigned to its nearest cell (one in-row
+    * pass); a query probes its `nProbe` closest cells and ranks exactly
+    * within those lists only. Per-query cost ~ N * nProbe / nCentroids;
+    * recall measured in DedupSpec (0.85 at nProbe 4/16).
+    *
+    * The whole operator is engine-exact and hash-checks in DuckDB:
+    * centroids are integer code vectors, so cell assignment compares
+    * cos = dot/(√na·√nb) where dot/na/nb are EXACT int64 — three
+    * correctly-rounded IEEE ops on exact inputs, bit-identical in every
+    * engine (no FMA can contract a lone multiply or divide) — and final
+    * ranking is [[Embeddings.exactScos2]]. Lloyd-refined FLOAT centroids
+    * ([[kmeansCentroids]]) remain available for production tuning, but
+    * their dot products sum arbitrary doubles in engine-dependent order,
+    * which is exactly what an oracle-checkable operator must not do; on
+    * the near-uniform test corpus refinement measured no recall change
+    * (cell boundaries are irreducible there), so the gated path gives up
+    * nothing. nProbe remains the direct recall/cost lever.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              refineIters: Int = 1): DataFrame = {
-    val cents = centroidsLocal(candidates, nCentroids, refineIters)
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val qc = quantized(candidates, "neighbor_id")
+    val qq = quantized(queries, "query_id")
+    // bounded collect: nCentroids × dim — the quantizer's parameters,
+    // never the data (the same bound centroidsLocal's seed collect has)
+    val cents: Seq[(Long, Seq[Double])] = qc
+      .orderBy("neighbor_id").limit(nCentroids).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
     require(cents.nonEmpty,
       "ivfTopK: candidate frame is empty — no quantizer cells to probe")
 
@@ -227,24 +266,20 @@ object Similarity {
     // centroid matrix (see topCentroidIds): the candidate side takes its
     // single nearest cell, the query side its nProbe nearest — no
     // crossJoin against a centroid table, no per-vector window shuffle
-    val cand = candidates
-      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-      .withColumn("cn", sqrt(vecDot(col("cv"), col("cv"))))
-    val assigned = cand.withColumn("cent_id",
-      element_at(topCentroidIds(col("cv"), cents, 1), 1))
-
-    val q = queries
-      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qn", sqrt(vecDot(col("qv"), col("qv"))))
-    val probed = broadcast(q
-      .select(col("query_id"), col("qv"), col("qn"),
-        explode(topCentroidIds(col("qv"), cents, nProbe)).as("cent_id")))
+    val assigned = qc.withColumn("cent_id",
+      element_at(topCentroidIds(col("q"), cents, 1), 1))
+    val probed = broadcast(qq
+      .select(col("query_id"), col("q").as("qa"),
+        explode(topCentroidIds(col("q"), cents, nProbe)).as("cent_id")))
 
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+      .orderBy(col("scos2").desc, col("neighbor_id"))
     probed.join(assigned, Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("dot", vecDot(col("qa"), col("q")).cast("long"))
+      .withColumn("na", vecDot(col("qa"), col("qa")).cast("long"))
+      .withColumn("nb", vecDot(col("q"), col("q")).cast("long"))
+      .withColumn("scos2", Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -258,8 +293,10 @@ object Similarity {
       bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
-    // Approximate by construction -> no SQL oracle; recall vs brute force
-    // is asserted in DedupSpec, the driver records rows>0.
+    // Approximate vs brute force (recall asserted in DedupSpec) but fully
+    // DETERMINISTIC: integer-code bucketing + exact-integer re-ranking,
+    // so both are hash-checked against a DuckDB replay of the same
+    // bucket/cell assignment, not merely rows-checked.
     "ann_lsh" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       lshTopK(e.filter(col("vec_id") < 20), e, k = 5)
@@ -272,6 +309,34 @@ object Similarity {
     }),
   )
 
+  /** Shared oracle prelude: int8 quantization (the [[Embeddings
+    * .int8Code]] half-up formula, zero vectors dropped) — identical to
+    * the dd_semdedup oracle's `qq` stage.
+    */
+  private val QQ =
+    """qq AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE)) AS q
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+      |                                  x -> abs(x))) AS m
+      |        FROM embeddings) WHERE m > 0)""".stripMargin
+
+  /** Exact-integer signed squared cosine — the SQL twin of
+    * [[Embeddings.exactScos2]].
+    */
+  private val SCOS2 =
+    """CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
+      |      / CAST(na * nb AS DOUBLE)""".stripMargin
+
+  /** Portable cosine for integer code vectors: dot/na/nb are exact int64,
+    * so sqrt/multiply/divide are three correctly-rounded IEEE ops on exact
+    * inputs — bit-identical to the [[graft.functions.VectorOps
+    * .topCentroids]] kernel's `t / (vn * cn)`.
+    */
+  private def intCos(dot: String, na: String, nb: String): String =
+    s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
   def oracle: Map[String, String] = Map(
     "ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (
@@ -283,5 +348,85 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // replays lshTopK exactly: same md5-parity planes over the same int8
+    // codes (strict > 0 bucket bits), hamming-1 multi-probe on the query
+    // side, exact-scos2 re-rank with ties to the lowest neighbor_id
+    "ann_lsh" ->
+      s"""WITH $QQ,
+         |dims AS (SELECT DISTINCT generate_subscripts(embedding, 1) AS d
+         |         FROM embeddings),
+         |planes AS (
+         |  SELECT t, b, d,
+         |    CASE WHEN CAST(concat('0x',
+         |           substr(md5(t || ',' || b || ',' || (d - 1)), 1, 15)) AS BIGINT)
+         |         % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+         |  FROM range(0, 8) rt(t), range(0, 4) rb(b), dims),
+         |proj AS (SELECT vec_id, t, b, sum(s * q[d]) AS dotp
+         |         FROM qq, planes GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, t,
+         |            CAST(sum(CASE WHEN dotp > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+         |              AS bucket
+         |          FROM proj GROUP BY 1, 2),
+         |qprobe AS (
+         |  SELECT vec_id, t, bucket FROM codes WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT c.vec_id, c.t, xor(c.bucket, CAST(1 << rb.b AS BIGINT)) AS bucket
+         |  FROM codes c, range(0, 4) rb(b) WHERE c.vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM qprobe p JOIN codes c ON c.t = p.t AND c.bucket = p.bucket
+         |  WHERE c.vec_id <> p.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $SCOS2 AS scos2
+         |  FROM (SELECT cand.query_id, cand.neighbor_id,
+         |          CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS na,
+         |          CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS nb
+         |        FROM cand
+         |        JOIN qq qa ON qa.vec_id = cand.query_id
+         |        JOIN qq qb ON qb.vec_id = cand.neighbor_id))
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY scos2 DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // replays ivfTopK exactly: seed cells = 16 lowest surviving vec_ids'
+    // codes, assignment/probing by the portable integer-code cosine with
+    // ties to the lowest cent_id, exact-scos2 re-rank within probed cells
+    "ann_ivf" ->
+      s"""WITH $QQ,
+         |cents AS (SELECT vec_id AS cent_id, q FROM qq ORDER BY vec_id LIMIT 16),
+         |sim AS (
+         |  SELECT v.vec_id, c.cent_id,
+         |    ${intCos("list_dot_product(v.q, c.q)",
+                       "list_dot_product(v.q, v.q)",
+                       "list_dot_product(c.q, c.q)")} AS cos
+         |  FROM qq v, cents c),
+         |ranked AS (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cent_id) AS rn
+         |  FROM sim),
+         |assigned AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked
+         |             WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS query_id, cent_id FROM ranked
+         |           WHERE vec_id < 20 AND rn <= 4),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $SCOS2 AS scos2
+         |  FROM (SELECT p.query_id, a.neighbor_id,
+         |          CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS na,
+         |          CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS nb
+         |        FROM qprobe p JOIN assigned a USING (cent_id)
+         |        JOIN qq qa ON qa.vec_id = p.query_id
+         |        JOIN qq qb ON qb.vec_id = a.neighbor_id
+         |        WHERE p.query_id <> a.neighbor_id))
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY scos2 DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }
