@@ -57,9 +57,27 @@ object Dedup {
 
   /** N-gram Jaccard similarity join: pairs sharing >=1 shingle, exact
     * Jaccard over distinct shingle sets, thresholded.
+    *
+    * Stop-shingle cap: shingles appearing in more than `dfCap` documents
+    * are dropped BEFORE the self-join, and Jaccard is computed in the
+    * capped shingle space (the standard stop-shingle practice — a shingle
+    * in hundreds of documents is boilerplate, not evidence of duplication,
+    * and contributes O(df²) rows to the shared-shingle join). This bounds
+    * the baseline's worst case at sum(df²) ≤ dfCap · |occurrences| —
+    * LINEAR in the corpus for fixed dfCap — instead of detonating
+    * quadratically on one hot shingle. The df side is vocabulary-sized:
+    * partial-agg groupBy, shuffle-joined on the shingle key (never
+    * broadcast — Heaps' law). The test corpus's max df is 25 at sf0.1, so
+    * the default cap of 100 drops nothing there (planted pairs trivially
+    * unaffected, pinned in DedupSpec); the LSH twin
+    * [[ngramJaccardPairsViaLsh]] remains the scale path.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        dfCap: Int = 100): DataFrame = {
+    val shAll = shingles(docs)
+    val kept = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    val sh = shAll.join(kept, "s")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -893,7 +911,10 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""WITH sh AS ($SH),
+      s"""WITH sh_all AS ($SH),
+         |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)
+         |         WHERE df <= 100),
+         |sh AS (SELECT sh_all.* FROM sh_all JOIN kept USING (s)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter

@@ -28,6 +28,36 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("shingle df-cap drops stop-shingles but keeps every planted pair") {
+    import spark.implicits._
+    // 12 docs all sharing the boilerplate trigram "lorem ipsum dolor"
+    // (df = 12 > cap); docs 0/1 are near-duplicates through CONTENT
+    // trigrams (df = 2). With dfCap=8 the boilerplate shingle must stop
+    // pairing unrelated docs, while the content pair still surfaces.
+    val tiny = (0 until 12).map { i =>
+      val unique =
+        if (i <= 1) "alpha beta gamma delta epsilon zeta"
+        else s"unique$i only$i words$i here$i now$i then$i"
+      (i.toLong, s"lorem ipsum dolor $unique")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(tiny, 0.3, dfCap = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 1L)),
+      s"only the content near-dup pair should survive the cap, got $capped")
+    // uncapped baseline: the df-12 boilerplate shingle pairs EVERY doc
+    // combination — the quadratic fan-out the cap exists to bound
+    val uncapped = Dedup.ngramJaccardPairs(tiny, 0.0, dfCap = 1000)
+      .select("a_id", "b_id").collect()
+    assert(uncapped.length === 12 * 11 / 2, s"got ${uncapped.length}")
+    // at the driver SFs the default cap of 100 drops nothing (max df 25
+    // at sf0.1): capped result == uncapped result on the real corpus
+    val a = Dedup.ngramJaccardPairs(docs, 0.8)
+      .orderBy("a_id", "b_id").collect().toSeq.toString
+    val b = Dedup.ngramJaccardPairs(docs, 0.8, dfCap = Int.MaxValue)
+      .orderBy("a_id", "b_id").collect().toSeq.toString
+    assert(a === b, "default cap must be a no-op on the test corpus")
+  }
+
   test("LSH-prefiltered jaccard verify == exact all-pairs jaccard on planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
