@@ -3,7 +3,7 @@ package graft.operators
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.charset.StandardCharsets
+import java.io.ByteArrayOutputStream
 import java.security.MessageDigest
 
 /** Multimodal-column plumbing: media payloads ride through the pipeline as
@@ -12,63 +12,292 @@ import java.security.MessageDigest
   * Scala analog of a Pandas-batch UDF — one decoder instance per partition,
   * vectorized batches, no per-row interpreter round-trips.
   *
-  * The container has no image/audio codecs, so [[DecodeStub]] is a
-  * clearly-marked STUB: it derives deterministic fake (width, height,
-  * frames) from the payload hash. The Spark-side plumbing — binary schema,
-  * partition-batched decode, typed Dataset boundary, metadata extraction —
-  * is real and oracle-checked (the stub formula is reproducible in SQL).
+  * The container has no image/audio codec libraries, but container *header*
+  * parsing needs none: [[HeaderDecoder]] is a REAL pure-JVM parser for the
+  * four classic container formats —
   *
-  * Scale notes: payload bytes never reach the driver; metadata extraction
-  * is scan-stage-only (no shuffle); a real decoder slots into
-  * [[DecodeStub.decode]] without touching the plan shape. For very large
-  * media, store payloads out-of-line (object store) and keep only
-  * references + metadata in the column — the same schema works.
+  *   - PNG: signature + IHDR chunk (width/height 4-byte big-endian, bit
+  *     depth, color type → channel count), per the PNG spec §11.2.2;
+  *   - JPEG: marker-segment scan to the SOF frame header (precision,
+  *     height/width 2-byte big-endian, component count), per ITU T.81 §B.2;
+  *   - GIF: logical screen descriptor (width/height 2-byte little-endian,
+  *     colour-resolution bits from the packed flags byte), per GIF89a §18;
+  *   - WAV: RIFF chunk walk to `fmt ` (channels, sample rate, block align)
+  *     and the `data` chunk size → sample count, per RIFF/WAVE.
+  *
+  * Payloads are synthesized from the documents table as genuine files of
+  * those formats ([[synthesizeMedia]]): a spec-conformant header whose
+  * field values derive deterministically from the doc's content hash,
+  * followed by the doc's text bytes as body. The decoder then re-derives
+  * every field by parsing bytes — the DuckDB oracle recomputes the same
+  * fields from the generating formula, so a parser that mis-reads any
+  * offset, endianness, or chunk boundary hash-mismatches.
+  *
+  * Scale notes: payload bytes never reach the driver; header decode is
+  * scan-stage-only (no shuffle — PlanSpec-style assert in MultimodalSpec);
+  * a full-frame codec slots into [[HeaderDecoder.decode]] without touching
+  * the plan shape. For very large media, store payloads out-of-line
+  * (object store) and keep only references + metadata in the column — the
+  * same schema works.
   */
 object Multimodal {
 
-  /** A media row as carried through the pipeline. */
-  final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+  /** A media file as carried through the pipeline: opaque bytes. */
+  final case class MediaFile(doc_id: Long, payload: Array[Byte])
 
-  /** Typed decode result (the fake decoder's output schema). */
-  final case class MediaMeta(doc_id: Long, media_type: String, size_bytes: Int,
-                             payload_md5: String, width: Int, height: Int, n_frames: Int)
-
-  /** STUB decoder: a real implementation would decode image/audio bytes
-    * here (one codec instance per partition). This one derives fields from
-    * the payload md5 so results are deterministic and SQL-checkable.
+  /** Unified container-header metadata. Image formats leave the audio
+    * fields None and vice versa (nullable ints in the DataFrame).
     */
-  object DecodeStub {
-    def decode(r: MediaRow): MediaMeta = {
-      val md5hex = MessageDigest.getInstance("MD5").digest(r.payload)
-        .map("%02x".format(_)).mkString
-      val h = java.lang.Long.parseLong(md5hex.take(15), 16)
-      MediaMeta(
-        doc_id = r.doc_id,
-        media_type = r.media_type,
-        size_bytes = r.payload.length,
-        payload_md5 = md5hex,
-        width = (160 + h % 480).toInt,
-        height = (120 + (h / 480) % 360).toInt,
-        n_frames = (1 + h % 30).toInt)
+  final case class HeaderMeta(doc_id: Long, format: String,
+                              width: Option[Int], height: Option[Int],
+                              bit_depth: Int, channels: Int,
+                              sample_rate: Option[Int], n_samples: Option[Int])
+
+  // ---------------------------------------------------------------- codecs
+
+  /** Real container-header parsers. Each reads only the header region and
+    * fails loudly on malformed bytes (a curation pipeline wants corrupt
+    * media surfaced, not silently zeroed).
+    */
+  object HeaderDecoder {
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    /** PNG channel count by color type (PNG spec, table 11.1). */
+    private val pngChannels = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+
+    def parsePng(id: Long, b: Array[Byte]): HeaderMeta = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      require(b.length >= 33 && b.take(8).sameElements(sig), s"doc $id: bad PNG signature")
+      // first chunk must be IHDR, 13 data bytes
+      require(be32(b, 8) == 13 && new String(b, 12, 4, "US-ASCII") == "IHDR",
+        s"doc $id: PNG first chunk is not IHDR")
+      val colorType = b(25) & 0xff
+      HeaderMeta(id, "png", Some(be32(b, 16)), Some(be32(b, 20)),
+        bit_depth = b(24) & 0xff,
+        channels = pngChannels.getOrElse(colorType,
+          sys.error(s"doc $id: bad PNG color type $colorType")),
+        sample_rate = None, n_samples = None)
+    }
+
+    /** SOF markers: C0–CF minus C4 (DHT), C8 (JPG extension), CC (DAC). */
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    def parseJpeg(id: Long, b: Array[Byte]): HeaderMeta = {
+      require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+        s"doc $id: bad JPEG SOI")
+      var i = 2
+      while (i + 3 < b.length) {
+        require((b(i) & 0xff) == 0xff, s"doc $id: JPEG marker desync at $i")
+        var j = i + 1
+        while ((b(j) & 0xff) == 0xff) j += 1 // fill bytes before a marker are legal
+        val marker = b(j) & 0xff
+        if (isSof(marker)) {
+          // len(2) precision(1) height(2) width(2) ncomponents(1)
+          return HeaderMeta(id, "jpeg",
+            Some(be16(b, j + 6)), Some(be16(b, j + 4)),
+            bit_depth = b(j + 3) & 0xff, channels = b(j + 8) & 0xff,
+            sample_rate = None, n_samples = None)
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone marker, no length field
+        } else {
+          i = j + 1 + be16(b, j + 1) // skip segment (length includes itself)
+        }
+      }
+      sys.error(s"doc $id: JPEG has no SOF frame header")
+    }
+
+    def parseGif(id: Long, b: Array[Byte]): HeaderMeta = {
+      require(b.length >= 13, s"doc $id: GIF too short")
+      val hdr = new String(b, 0, 6, "US-ASCII")
+      require(hdr == "GIF89a" || hdr == "GIF87a", s"doc $id: bad GIF header $hdr")
+      val flags = b(10) & 0xff
+      HeaderMeta(id, "gif", Some(le16(b, 6)), Some(le16(b, 8)),
+        bit_depth = ((flags >> 4) & 7) + 1, // colour-resolution bits
+        channels = 1, // palette-indexed
+        sample_rate = None, n_samples = None)
+    }
+
+    def parseWav(id: Long, b: Array[Byte]): HeaderMeta = {
+      require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE", s"doc $id: bad RIFF/WAVE header")
+      var i = 12
+      var channels, sampleRate, bits, blockAlign = -1
+      var dataSize = -1L
+      // chunk walk; the data chunk's declared size is trusted (bytes may be
+      // stored out-of-line), so it is never skipped over
+      while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+        val cid = new String(b, i, 4, "US-ASCII")
+        val sz = le32(b, i + 4).toLong & 0xffffffffL
+        if (cid == "fmt ") {
+          channels = le16(b, i + 10)
+          sampleRate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
+          bits = le16(b, i + 22)
+          i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+        } else if (cid == "data") {
+          dataSize = sz
+          i = b.length // stop: anything after data is out of header scope
+        } else {
+          i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+      }
+      require(channels > 0 && dataSize >= 0, s"doc $id: WAV missing fmt/data chunk")
+      HeaderMeta(id, "wav", None, None, bit_depth = bits, channels = channels,
+        sample_rate = Some(sampleRate), n_samples = Some((dataSize / blockAlign).toInt))
+    }
+
+    /** Magic-sniff dispatch — the format column is *derived from bytes*,
+      * never trusted from upstream metadata.
+      */
+    def decode(f: MediaFile): HeaderMeta = {
+      val b = f.payload
+      require(b.length >= 4, s"doc ${f.doc_id}: payload too short to sniff")
+      (b(0) & 0xff, b(1) & 0xff, b(2) & 0xff, b(3) & 0xff) match {
+        case (0x89, 0x50, 0x4e, 0x47) => parsePng(f.doc_id, b)  // \x89PNG
+        case (0xff, 0xd8, _, _)       => parseJpeg(f.doc_id, b) // SOI
+        case (0x47, 0x49, 0x46, 0x38) => parseGif(f.doc_id, b)  // GIF8
+        case (0x52, 0x49, 0x46, 0x46) => parseWav(f.doc_id, b)  // RIFF
+        case (a, c, d, e) => sys.error(
+          f"doc ${f.doc_id}: unknown magic $a%02x$c%02x$d%02x$e%02x")
+      }
     }
   }
 
-  /** Synthesize a binary payload column from the documents table (stand-in
-    * for real media bytes; the pipeline downstream is payload-agnostic).
+  // ------------------------------------------------------------- synthesis
+
+  /** Field recipe shared by [[synthesizeMedia]] and the DuckDB oracle:
+    * format rotates by doc_id % 4, every other field derives from the
+    * md5-prefix content hash `h` (the repo's standard portable 60-bit
+    * integer). The encoder writes these values into a spec-conformant
+    * header; [[HeaderDecoder]] must parse them back bit-for-bit.
+    */
+  final case class Recipe(fmt: Int, h: Long) {
+    def width: Int = (160 + h % 480).toInt
+    def height: Int = (120 + (h / 480) % 360).toInt
+    def pngBitDepth: Int = (8 * (1 + h % 2)).toInt
+    def pngColorType: Int = (h % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+    def jpegComponents: Int = (1 + 2 * (h % 2)).toInt
+    def gifDepth: Int = (1 + h % 8).toInt
+    def wavChannels: Int = (1 + h % 2).toInt
+    def wavSampleRate: Int = Array(8000, 16000, 22050, 44100)((h % 4).toInt)
+    def wavSamples: Int = (1000 + h % 9000).toInt
+  }
+
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def pngBytes(r: Recipe, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val data = "IHDR".getBytes("US-ASCII") ++ be32(r.width) ++ be32(r.height) ++
+      Array(r.pngBitDepth.toByte, r.pngColorType.toByte, 0, 0, 0).map(_.toByte)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    out.write(be32(13)); out.write(data); out.write(be32(crc.getValue.toInt))
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def jpegBytes(r: Recipe, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // APP0/JFIF: version 1.1, no density, no thumbnail
+    out.write(Array(0xff, 0xe0).map(_.toByte)); out.write(be16(16))
+    out.write("JFIF".getBytes("US-ASCII")); out.write(Array[Byte](0, 1, 1, 0))
+    out.write(be16(1)); out.write(be16(1)); out.write(Array[Byte](0, 0))
+    // SOF0 baseline frame header
+    val n = r.jpegComponents
+    out.write(Array(0xff, 0xc0).map(_.toByte)); out.write(be16(8 + 3 * n))
+    out.write(8) // precision
+    out.write(be16(r.height)); out.write(be16(r.width)); out.write(n)
+    for (c <- 1 to n) out.write(Array(c.toByte, 0x11.toByte, 0.toByte))
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def gifBytes(r: Recipe, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(r.width)); out.write(le16(r.height))
+    val d = r.gifDepth - 1
+    out.write(0x80 | (d << 4) | d) // GCT present, colour res d+1, GCT size d+1
+    out.write(0); out.write(0)     // background index, aspect ratio
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def wavBytes(r: Recipe, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val blockAlign = r.wavChannels * 2 // 16-bit PCM
+    val dataSize = r.wavSamples * blockAlign
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)) // PCM
+    out.write(le16(r.wavChannels)); out.write(le32(r.wavSampleRate))
+    out.write(le32(r.wavSampleRate * blockAlign)); out.write(le16(blockAlign))
+    out.write(le16(16))
+    // sample bytes are declared here but stored out-of-line (the pipeline
+    // carries headers + references; decode trusts the declared size)
+    out.write("data".getBytes("US-ASCII")); out.write(le32(dataSize))
+    out.write(body)
+    out.toByteArray
+  }
+
+  def synthesize(docId: Long, text: String): MediaFile = {
+    val body = text.getBytes("UTF-8")
+    val md5hex = MessageDigest.getInstance("MD5").digest(body)
+      .map("%02x".format(_)).mkString
+    val r = Recipe((docId % 4).toInt, java.lang.Long.parseLong(md5hex.take(15), 16))
+    val bytes = r.fmt match {
+      case 0 => pngBytes(r, body)
+      case 1 => jpegBytes(r, body)
+      case 2 => gifBytes(r, body)
+      case 3 => wavBytes(r, body)
+    }
+    MediaFile(docId, bytes)
+  }
+
+  /** documents -> genuine media files (binary column), one format per
+    * doc_id % 4. mapPartitions: one digest + encoder instance per batch.
+    */
+  def synthesizeMedia(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => synthesize(id, text) })
+  }
+
+  /** Partition-batched header decode: Dataset[MediaFile] -> Dataset[HeaderMeta].
+    * mapPartitions so a full-frame codec would amortize init per partition;
+    * scan-stage only (no shuffle).
+    */
+  def decodeHeaders(media: Dataset[MediaFile]): Dataset[HeaderMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(HeaderDecoder.decode))
+  }
+
+  /** Synthesize a text/plain payload column from the documents table (the
+    * payload-agnostic metadata path — [[extractMeta]] reads size/hash/magic
+    * without decoding).
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       concat(lit("text/plain;lang="), col("lang")).as("media_type"))
-
-  /** Partition-batched decode: Dataset[MediaRow] -> Dataset[MediaMeta].
-    * mapPartitions so a real decoder amortizes init per partition.
-    */
-  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it => it.map(DecodeStub.decode) }
-  }
 
   /** Column-only metadata (no decode): size, content hash, magic sniff. */
   def extractMeta(media: DataFrame): DataFrame =
@@ -80,23 +309,32 @@ object Multimodal {
       substring(decode(col("payload"), "UTF-8"), 1, 8).as("magic"))
 
   /** Frame sampling: every `step`-th frame of each decoded media row,
-    * 1 row -> n_frames/step rows. The frame "payload" is a deterministic
-    * stub hash (a real pipeline would carry the decoded frame bytes or an
-    * object-store reference); the explosion shape — generate indices on
-    * the row, THEN explode — keeps the pre-shuffle row count at
+    * 1 row -> ceil(n_frames/step) rows. The frame "payload" is a
+    * deterministic reference (a real pipeline would carry decoded frame
+    * bytes or an object-store pointer); the explosion shape — generate
+    * indices on the row, THEN explode — keeps the pre-shuffle row count at
     * O(sampled frames), never materializing unsampled ones.
     */
-  def sampleFrames(decoded: DataFrame, step: Int = 4): DataFrame =
-    decoded
+  def sampleFrames(framed: DataFrame, step: Int = 4): DataFrame =
+    framed
       // sequence(0, -1, step) is a runtime error, not an empty array — a
-      // zero-frame row (possible with a real decoder) must yield no
-      // sampled frames, not kill the query
+      // zero-frame row must yield no sampled frames, not kill the query
       .filter(col("n_frames") > 0)
       .select(
         col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
       .withColumn("frame_ref",
         md5(concat(col("doc_id").cast("string"), lit("#"), col("frame_idx").cast("string"))))
+
+  /** Decoded audio rows chunked into fixed 1000-sample frames (the batch
+    * unit a feature extractor consumes); integer ceil-division keeps both
+    * engines exact.
+    */
+  def audioFrames(decoded: DataFrame, samplesPerFrame: Int = 1000): DataFrame =
+    decoded.filter(col("format") === "wav")
+      .select(col("doc_id"),
+        expr(s"CAST((n_samples + ${samplesPerFrame - 1}) div $samplesPerFrame AS INT)")
+          .as("n_frames"))
 
   /** Resize plan: fit (width, height) into a `box` square preserving aspect
     * ratio — pure integer column math (exact in any engine). Emits the
@@ -117,42 +355,53 @@ object Multimodal {
 
   // --- driver-checked query surface ---
 
+  private def decoded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeHeaders(synthesizeMedia(Tables.load(s, d, "documents"))).toDF()
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) =>
       extractMeta(withPayload(Tables.load(s, d, "documents"))).orderBy("doc_id")),
-    "mm_decode_stub" -> ((s, d) => {
-      import s.implicits._
-      decodeAll(withPayload(Tables.load(s, d, "documents")).as[MediaRow])
-        .toDF().orderBy("doc_id")
-    }),
-    "mm_frame_sample" -> ((s, d) => {
-      import s.implicits._
-      sampleFrames(decodeAll(withPayload(Tables.load(s, d, "documents")).as[MediaRow]).toDF())
-        .orderBy("doc_id", "frame_idx")
-    }),
-    "mm_resize" -> ((s, d) => {
-      import s.implicits._
-      resizePlan(decodeAll(withPayload(Tables.load(s, d, "documents")).as[MediaRow]).toDF())
-        .orderBy("doc_id")
-    }),
+    "mm_decode" -> ((s, d) => decoded(s, d).orderBy("doc_id")),
+    "mm_frame_sample" -> ((s, d) =>
+      sampleFrames(audioFrames(decoded(s, d))).orderBy("doc_id", "frame_idx")),
+    "mm_resize" -> ((s, d) =>
+      resizePlan(decoded(s, d).filter(col("width").isNotNull)).orderBy("doc_id")),
   )
 
-  // the stub decode fields, as the oracle derives them (same md5-prefix h)
-  private val H =
-    """SELECT doc_id,
-      | CAST(160 + h % 480 AS INTEGER) AS width,
-      | CAST(120 + (h // 480) % 360 AS INTEGER) AS height,
-      | CAST(1 + h % 30 AS INTEGER) AS n_frames
-      |FROM (SELECT doc_id,
-      |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-      |      FROM documents)""".stripMargin
+  // the Recipe fields, as the oracle re-derives them (same md5-prefix h)
+  private val R =
+    """SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS fmt,
+      |       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+      |FROM documents""".stripMargin
+
+  private val DECODED =
+    s"""SELECT doc_id,
+       | CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+       | CASE WHEN fmt < 3 THEN CAST(160 + h % 480 AS INTEGER) END AS width,
+       | CASE WHEN fmt < 3 THEN CAST(120 + (h // 480) % 360 AS INTEGER) END AS height,
+       | CASE fmt WHEN 0 THEN CAST(8 * (1 + h % 2) AS INTEGER)
+       |          WHEN 1 THEN 8
+       |          WHEN 2 THEN CAST(1 + h % 8 AS INTEGER)
+       |          ELSE 16 END AS bit_depth,
+       | CASE fmt WHEN 0 THEN (CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+       |          WHEN 1 THEN CAST(1 + 2 * (h % 2) AS INTEGER)
+       |          WHEN 2 THEN 1
+       |          ELSE CAST(1 + h % 2 AS INTEGER) END AS channels,
+       | CASE WHEN fmt = 3 THEN (CASE CAST(h % 4 AS INTEGER)
+       |        WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) END AS sample_rate,
+       | CASE WHEN fmt = 3 THEN CAST(1000 + h % 9000 AS INTEGER) END AS n_samples
+       |FROM ($R)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "mm_decode" -> s"$DECODED ORDER BY doc_id",
     "mm_frame_sample" ->
       s"""SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx,
          | md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(f AS VARCHAR))) AS frame_ref
          |FROM (SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS f
-         |      FROM ($H))
+         |      FROM (SELECT doc_id, CAST((n_samples + 999) // 1000 AS INTEGER) AS n_frames
+         |            FROM ($DECODED) WHERE format = 'wav'))
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_resize" ->
       s"""SELECT doc_id, width, height,
@@ -160,23 +409,12 @@ object Multimodal {
          |           ELSE (width * 224) // greatest(width, height) END AS INTEGER) AS out_w,
          | CAST(CASE WHEN greatest(width, height) <= 224 THEN height
          |           ELSE (height * 224) // greatest(width, height) END AS INTEGER) AS out_h
-         |FROM ($H) ORDER BY doc_id""".stripMargin,
+         |FROM ($DECODED) WHERE width IS NOT NULL ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, concat('text/plain;lang=', lang) AS media_type,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS size_bytes,
         | md5(text) AS payload_md5,
         | substr(text, 1, 8) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_decode_stub" ->
-      """SELECT doc_id, concat('text/plain;lang=', lang) AS media_type,
-        | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS size_bytes,
-        | md5(text) AS payload_md5,
-        | CAST(160 + h % 480 AS INTEGER) AS width,
-        | CAST(120 + (h // 480) % 360 AS INTEGER) AS height,
-        | CAST(1 + h % 30 AS INTEGER) AS n_frames
-        |FROM (SELECT doc_id, lang, text,
-        |        CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
-        |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{HeaderDecoder, HeaderMeta, MediaFile}
+import graft.tables.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Header-decoder spec. The fixtures below are REAL container bytes
+  * (a canonical 1x1 PNG, a hand-assembled baseline JPEG with the segment
+  * layout a camera would emit, a GIF89a screen descriptor, a WAV with an
+  * interleaved LIST chunk) — they pin the parsers to the published specs
+  * independently of [[Multimodal.synthesize]], so a synthesis/parse bug
+  * pair that cancels out in the oracle round-trip still fails here.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // -- real-file fixtures ---------------------------------------------------
+
+  test("PNG: canonical 1x1 RGBA file parses per spec") {
+    // a genuine minimal PNG (signature + IHDR + IDAT + IEND)
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val m = HeaderDecoder.decode(MediaFile(7L, png))
+    assert(m === HeaderMeta(7L, "png", Some(1), Some(1),
+      bit_depth = 8, channels = 4, sample_rate = None, n_samples = None))
+  }
+
+  test("JPEG: marker scan skips APP/DQT/COM segments and fill bytes to SOF") {
+    def be16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    val b = Array.concat(
+      Array(0xff, 0xd8).map(_.toByte),                       // SOI
+      Array(0xff, 0xe1).map(_.toByte), be16(8),              // APP1 (Exif-ish)
+      Array[Byte]('E', 'x', 'i', 'f', 0, 0),
+      Array(0xff, 0xfe).map(_.toByte), be16(4), "hi".getBytes, // COM
+      Array(0xff, 0xdb).map(_.toByte), be16(5), Array[Byte](0, 1, 2), // DQT
+      Array(0xff, 0xff).map(_.toByte),                       // fill byte run
+      Array(0xc2).map(_.toByte), be16(11),                   // SOF2 progressive
+      Array[Byte](8), be16(480), be16(640), Array[Byte](1),
+      Array[Byte](1, 0x11, 0))
+    val m = HeaderDecoder.decode(MediaFile(8L, b))
+    assert(m === HeaderMeta(8L, "jpeg", Some(640), Some(480),
+      bit_depth = 8, channels = 1, sample_rate = None, n_samples = None))
+  }
+
+  test("GIF: little-endian screen descriptor + colour-resolution bits") {
+    val b = Array.concat(
+      "GIF89a".getBytes("US-ASCII"),
+      Array[Byte](0x03, 0x01),  // width 259 LE
+      Array[Byte](0x02, 0x00),  // height 2 LE
+      Array(0xb1).map(_.toByte), // flags: GCT + colour res (3+1) bits
+      Array[Byte](0, 0))
+    val m = HeaderDecoder.decode(MediaFile(9L, b))
+    assert(m === HeaderMeta(9L, "gif", Some(259), Some(2),
+      bit_depth = 4, channels = 1, sample_rate = None, n_samples = None))
+  }
+
+  test("WAV: RIFF chunk walk crosses a LIST chunk to fmt/data") {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val b = Array.concat(
+      "RIFF".getBytes, le32(1000), "WAVE".getBytes,
+      "LIST".getBytes, le32(5), Array[Byte]('I', 'N', 'F', 'O', 'x'), Array[Byte](0), // odd size -> pad
+      "fmt ".getBytes, le32(16), le16(1), le16(2), le32(44100),
+      le32(44100 * 4), le16(4), le16(16),
+      "data".getBytes, le32(44100 * 4 * 2)) // 2 s stereo declared, stored out-of-line
+    val m = HeaderDecoder.decode(MediaFile(10L, b))
+    assert(m === HeaderMeta(10L, "wav", None, None,
+      bit_depth = 16, channels = 2, sample_rate = Some(44100), n_samples = Some(88200)))
+  }
+
+  test("corrupt payloads fail loudly, never decode to garbage") {
+    intercept[Exception] { // unknown magic
+      HeaderDecoder.decode(MediaFile(1L, Array[Byte](1, 2, 3, 4, 5)))
+    }
+    intercept[Exception] { // PNG signature but first chunk is not IHDR
+      val b = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        Array.fill[Byte](25)(0)
+      HeaderDecoder.decode(MediaFile(2L, b))
+    }
+    intercept[Exception] { // JPEG with no SOF before EOF
+      HeaderDecoder.decode(MediaFile(3L, Array(0xff, 0xd8, 0xff, 0xfe, 0, 4, 65, 66).map(_.toByte)))
+    }
+  }
+
+  // -- synthesis round-trip -------------------------------------------------
+
+  test("synthesize -> decode round-trips the recipe on real documents") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val got = Multimodal.decodeHeaders(Multimodal.synthesizeMedia(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(want.nonEmpty)
+    for ((id, text) <- want) {
+      val body = text.getBytes("UTF-8")
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(body)
+          .map("%02x".format(_)).mkString.take(15), 16)
+      val r = Multimodal.Recipe((id % 4).toInt, h)
+      val expect = r.fmt match {
+        case 0 => HeaderMeta(id, "png", Some(r.width), Some(r.height),
+          r.pngBitDepth, Map(0 -> 1, 2 -> 3, 6 -> 4)(r.pngColorType), None, None)
+        case 1 => HeaderMeta(id, "jpeg", Some(r.width), Some(r.height),
+          8, r.jpegComponents, None, None)
+        case 2 => HeaderMeta(id, "gif", Some(r.width), Some(r.height),
+          r.gifDepth, 1, None, None)
+        case _ => HeaderMeta(id, "wav", None, None, 16, r.wavChannels,
+          Some(r.wavSampleRate), Some(r.wavSamples))
+      }
+      assert(got(id) === expect, s"doc $id")
+    }
+  }
+
+  test("header decode is scan-stage only: no shuffle in the plan") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val plan = Multimodal.decodeHeaders(Multimodal.synthesizeMedia(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
