@@ -47,10 +47,15 @@ object Bench {
   val WindowBytes = 2000
   val SafeLineBytes = 1950 // headroom for the newline + value-width variance
 
-  def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String = {
-    val two = renderAt(results, sfDir, 2)
-    if (two.length <= SafeLineBytes) two else renderAt(results, sfDir, 1)
-  }
+  /** Degradation ladder: 2 -> 1 -> 0 decimals, then drop the per-query map
+    * entirely (names alone outgrow the window near ~100 queries). The
+    * official total must parse in EVERY case — a round without per-query
+    * resolution is poorer, a round without a bench number is lost.
+    */
+  def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String =
+    Iterator(2, 1, 0).map(renderAt(results, sfDir, _))
+      .find(_.length <= SafeLineBytes)
+      .getOrElse(renderAt(results, sfDir, 2, withQueries = false))
 
   /** a failed query is visibly failed: negative elapsed in `queries` AND
     * listed in `failed` — it can't masquerade as a fast success.
@@ -59,7 +64,7 @@ object Bench {
     * making "sum the queries map == value" hold to the last digit.
     */
   private def renderAt(results: Seq[(String, Double, Boolean)], sfDir: String,
-                       scale: Int): String = {
+                       scale: Int, withQueries: Boolean = true): String = {
     val signed = results.map { case (k, v, ok) =>
       // floor failed times away from zero: an instantly-failing query
       // would otherwise print -0.00, and JSON -0.0 == 0.0
@@ -72,8 +77,11 @@ object Bench {
       val s = r.underlying.stripTrailingZeros
       if (s.scale < 0) s.setScale(0).toPlainString else s.toPlainString
     }
-    val qs = signed.map { case (k, r) => "\"" + k + "\":" + render(r) }
-      .mkString("{", ",", "}")
+    val qs =
+      if (withQueries)
+        signed.map { case (k, r) => "\"" + k + "\":" + render(r) }
+          .mkString("{", ",", "}")
+      else "{}" // schema-stable: the key stays, the map is sacrificed
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // total elapsed = sum of |per-query values| (failures are printed
