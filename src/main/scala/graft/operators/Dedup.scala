@@ -101,15 +101,66 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
     memoized("sig", docs) {
-      val h = shingles(docs)
-        .select(col("doc_id"), (portableHash60(col("s")) % P).as("h0"))
-      val aggs = (1 to K).map { i =>
-        val a = (i * 2654435761L) % P
-        val b = (i * 982451653L) % P
-        min((col("h0") * a + b) % P).as(s"m$i")
-      }
-      h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      rowLocalSignatures(docs) // scan-stage build: no exchange, see below
     }
+
+  /** The original explode + groupBy signature build, kept as the
+    * differential reference for [[rowLocalSignatures]] (DedupSpec pins
+    * value equality). The row-local form replaced it in the batch path:
+    * identical values, one less exchange (a doc's shingles are colocated
+    * by construction, so the groupBy's shuffle moved O(docs × K)
+    * signature cells for nothing).
+    */
+  private[graft] def groupBySignatures(docs: DataFrame): DataFrame = {
+    val h = shingles(docs)
+      .select(col("doc_id"), (portableHash60(col("s")) % P).as("h0"))
+    val aggs = (1 to K).map { i =>
+      val a = (i * 2654435761L) % P
+      val b = (i * 982451653L) % P
+      min((col("h0") * a + b) % P).as(s"m$i")
+    }
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Row-local MinHash signatures — value-identical to
+    * [[minhashSignatures]] (same shingles, same permutations, same
+    * modulus) but computed entirely inside the scan stage: the per-doc
+    * min runs as an array HOF over the row's own shingle array instead of
+    * explode + groupBy. Two uses: (a) an unbounded STREAM can sign
+    * documents at ingest with no state store (a streaming groupBy would
+    * need one); (b) zero shuffle — the signature of a row never leaves
+    * its partition until a consumer joins on it. The batch stack keeps
+    * the groupBy form for its memoized-store integration; both forms
+    * hash-agree (pinned in DedupSpec).
+    */
+  def rowLocalSignatures(docs: DataFrame): DataFrame = {
+    val sh = when(size(col("w")) >= 3, // total expression: see gramSets
+      array_distinct(transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ",
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2),
+          element_at(col("w"), i + 3)))))
+      .otherwise(lit(Array.empty[String]))
+    val sigCols = (1 to K).map { i =>
+      val a = (i * 2654435761L) % P
+      val b = (i * 982451653L) % P
+      array_min(transform(col("h0s"), h => (h * a + b) % P)).as(s"m$i")
+    }
+    // h0s in its OWN projection: the md5-based shingle hash runs once per
+    // shingle, and the K=32 permutation scans reference the hashed array.
+    // CollapseProject's cost guard keeps a non-cheap alias referenced 32×
+    // materialized instead of inlining the md5 32-fold.
+    toks(docs).filter(size(col("w")) >= 3).withColumn("sh", sh)
+      .withColumn("h0s", transform(col("sh"), s => portableHash60(s) % P))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** (doc_id, band, bkey) rows from [[rowLocalSignatures]] — the
+    * stream-safe band projection (stateless: HOFs + one explode).
+    */
+  def rowLocalBands(docs: DataFrame): DataFrame =
+    bandsOf(rowLocalSignatures(docs))
 
   // Signature/candidate-pair STORE: the MinHash signature table and the
   // LSH pair table are THE shared intermediates of the near-dedup stack —
@@ -196,7 +247,7 @@ object Dedup {
     * subtrees also let Spark's exchange reuse dedupe the shuffle).
     */
   /** (doc_id, band, bkey) band buckets of a wide signature frame. */
-  private def bandsOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandsOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until K / R).map { j =>
       struct(
         lit(j).as("band"),
@@ -612,6 +663,109 @@ object Dedup {
       .withColumn("contaminated", (col("contam_frac") >= minFrac).cast("int"))
   }
 
+  /** Distinct word-n-grams per document as an ARRAY column (no explode):
+    * the gram set stays a scan-stage value, so consumers can take its
+    * cardinality for free and explode only when they must join.
+    */
+  private def gramSets(docs: DataFrame, n: Int): DataFrame =
+    toks(docs).filter(size(col("w")) >= n)
+      // the when() guard repeats the filter condition INSIDE the expression:
+      // InferFiltersFromGenerate copies a `size(grams) > 0` predicate from a
+      // downstream explode into the scan's DataFilters, where it runs on
+      // UNFILTERED rows — an unguarded sequence(0, size-n) is descending for
+      // short docs and feeds slice a zero start (runtime error). A total
+      // expression is speculation-safe; the optimizer prunes nothing here.
+      .select(col("doc_id"),
+        when(size(col("w")) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(col("w")) - n),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))))
+          .otherwise(lit(Array.empty[String])).as("g"))
+
+  /** Bloom-prefiltered contamination — the 100 TB shape of
+    * [[contamination]] when the eval set outgrows an exact broadcast hash
+    * set. GPT-3-style long n-grams (default 13) are checked in three
+    * stages:
+    *
+    *  1. a driver-built Bloom filter over the distinct eval grams (bits
+    *     scale with eval-gram count × ~10 at fpp=0.01 — megabytes where
+    *     the exact string set would be gigabytes) is broadcast and applied
+    *     at the SCAN STAGE: all but (true hits + fpp) of the corpus grams
+    *     die before any exchange;
+    *  2. the few survivors exact-verify against the eval gram table with a
+    *     semi join (candidate-sized, not corpus-sized), killing the false
+    *     positives — the operator's OUTPUT is exact, the Bloom is only a
+    *     traffic valve;
+    *  3. per-doc totals come from the un-exploded gram-set cardinality
+    *     (scan-only), so the left join onto totals is the lone full-corpus
+    *     exchange, at one row per document.
+    *
+    * The might-contain probe is a broadcast-closure UDF by necessity:
+    * Spark exposes no public might-contain function over sketches (the
+    * Catalyst BloomFilterMightContain expression is reserved for its
+    * internal runtime row-filter rewrite).
+    */
+  def contaminationBloom(corpus: DataFrame, evalSet: DataFrame,
+                         n: Int = 13, minFrac: Double = 0.3,
+                         fpp: Double = 0.01): DataFrame = {
+    val ev = gramSets(evalSet, n).select(explode(col("g")).as("s")).distinct()
+    val bloom = ev.stat.bloomFilter("s", math.max(ev.count(), 1000L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    val corpusGrams = gramSets(corpus, n)
+    val hits = corpusGrams.select(col("doc_id"), explode(col("g")).as("s"))
+      .filter(mightContain(col("s")))
+      .join(ev, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlapping_ngrams"))
+    corpusGrams.select(col("doc_id"), size(col("g")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_overlapping_ngrams", coalesce(col("n_overlapping_ngrams"), lit(0L)))
+      .withColumn("contam_frac",
+        col("n_overlapping_ngrams").cast("double") / col("n_grams"))
+      .withColumn("contaminated", (col("contam_frac") >= minFrac).cast("int"))
+  }
+
+  /** Cross-corpus paragraph dedup (the C4 preprocessing rule): documents
+    * chunk into fixed-size non-overlapping token "paragraphs" (this
+    * corpus has no layout separators, so a fixed token window stands in
+    * for the paragraph boundary); one occurrence of each distinct chunk
+    * survives corpus-wide — the lexicographically smallest
+    * (doc_id, chunk_idx) — and every other copy is removed, including
+    * copies within the same document. Emits per document the chunk count,
+    * surviving-chunk count, and the md5 of the text rebuilt from the
+    * survivors in order (the cleaned document a writer stage would emit).
+    *
+    * Shape: chunking is scan-stage; the dedup decision is ONE exchange
+    * hash-partitioned by chunk content (row_number within chunk), then
+    * ONE per-doc exchange for the rebuild — both map-side-combinable
+    * volumes of O(chunks) = O(tokens / chunkTokens). An ultra-common
+    * chunk (boilerplate) hot-spots its partition exactly like any
+    * groupBy on content; the df-cap/salting remedies of the shingle
+    * stack apply unchanged if a corpus needs them.
+    */
+  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    // when() guard for the same speculative-evaluation reason as gramSets
+    val chunks = toks(docs).filter(size(col("w")) >= chunkTokens)
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= chunkTokens, transform(
+          sequence(lit(0), expr(s"size(w) div $chunkTokens").cast("int") - 1),
+          i => concat_ws(" ", slice(col("w"), i * chunkTokens + 1, lit(chunkTokens)))))
+          .otherwise(lit(Array.empty[String]))))
+      .toDF("doc_id", "chunk_idx", "chunk")
+    val keeper = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("kept", (row_number().over(keeper) === 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(when(col("kept") === 1,
+            struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk")))).as("cleaned_md5"))
+  }
+
   /** Hyperplane sign for (plane, dim) — md5-prefix parity of "sd:p,d"
     * (the [[portableHash60]] construction), computed driver-side so the
     * planes are constant vectors; the oracle derives the same ±1 matrix
@@ -753,6 +907,19 @@ object Dedup {
         docs.filter(col("doc_id") % 20 === 7))
         .orderBy("doc_id")
     }),
+    // Bloom-prefiltered 13-gram contamination over the same eval split —
+    // the long-n-gram (GPT-3-style) check whose eval side goes through a
+    // Bloom valve instead of an exact broadcast; output is exact either
+    // way (semi-join verify), so the oracle is the plain join.
+    "dd_contam_bloom" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      contaminationBloom(
+        docs.filter(col("doc_id") % 20 =!= 7),
+        docs.filter(col("doc_id") % 20 === 7))
+        .orderBy("doc_id")
+    }),
+    "dd_paragraph" -> ((s, d) =>
+      paragraphDedup(Tables.load(s, d, "documents")).orderBy("doc_id")),
     // cross-snapshot dedup: build a signature store from the lower half of
     // the corpus, then dedup the upper half against it as the "new batch".
     // The split point is data-derived ((max+1)/2) so the same rule is
@@ -772,7 +939,7 @@ object Dedup {
     * cleanup) — a Bench+Verify run must not leave `graft-sigstore*` dirs
     * behind. A real pipeline passes a durable path instead.
     */
-  private def tempSigStore(): String = {
+  private[graft] def tempSigStore(): String = {
     import java.nio.file.{Files, Path}
     val dir = Files.createTempDirectory("graft-sigstore")
     sys.addShutdownHook {
@@ -801,7 +968,7 @@ object Dedup {
     * the final one) — shared by the LSH, cluster and edit-distance oracles
     * exactly as the Spark side shares [[lshPairsFromSignatures]].
     */
-  private val PAIR_CTES =
+  private[graft] val PAIR_CTES =
     s"""sh AS ($SH),
        |h AS (SELECT doc_id,
        |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
@@ -826,6 +993,38 @@ object Dedup {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "dd_contam_bloom" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, list_distinct([array_to_string(w[i : i + 12], ' ')
+         |        FOR i IN range(1, len(w) - 11)]) AS g
+         |      FROM t WHERE len(w) >= 13),
+         |ev AS (SELECT DISTINCT unnest(g) AS s FROM g WHERE doc_id % 20 = 7),
+         |corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 20 <> 7),
+         |hits AS (SELECT c.doc_id, count(*) AS nh
+         |         FROM (SELECT doc_id, unnest(g) AS s FROM corpus) c
+         |         JOIN ev USING (s) GROUP BY c.doc_id)
+         |SELECT c.doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(nh, 0) AS BIGINT) AS n_overlapping_ngrams,
+         |  CAST(coalesce(nh, 0) AS DOUBLE) / len(g) AS contam_frac,
+         |  CAST(CAST(coalesce(nh, 0) AS DOUBLE) / len(g) >= 0.3 AS INTEGER)
+         |    AS contaminated
+         |FROM corpus c LEFT JOIN hits USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+    "dd_paragraph" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id,
+         |        unnest([struct_pack(ci := CAST((i - 1) // 10 AS INTEGER),
+         |                            ch := array_to_string(w[i : i + 9], ' '))
+         |                FOR i IN range(1, len(w) - 8, 10)]) AS s
+         |      FROM t WHERE len(w) >= 10),
+         |f AS (SELECT doc_id, s.ci AS chunk_idx, s.ch AS chunk FROM c),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY chunk
+         |        ORDER BY doc_id, chunk_idx) AS rn FROM f)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+         |        ORDER BY chunk_idx), '')) AS cleaned_md5
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_contam" ->
       s"""WITH sh AS ($SH),
          |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 7),

@@ -72,7 +72,10 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // schema from the cached batch scan plan (graft.tables.Tables): saves a
+    // file listing + parquet footer read per stream start — the st_* family
+    // starts 8 streams per round over the same two tables
+    val schema = graft.tables.Tables.load(spark, dir, "events").schema
     // FileStreamSource requires a directory; the test data is one file per
     // table, so stage it into a (reused) temp dir — a production deployment
     // streams from a directory of arriving files anyway.
@@ -90,7 +93,7 @@ object EventStream {
     * state store at all).
     */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val schema = graft.tables.Tables.load(spark, dir, "documents").schema
     val streamDir = stageDir(java.nio.file.Paths.get(dir, "documents.parquet"))
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
@@ -270,6 +273,32 @@ object EventStream {
           expr("end_ns div 1000").as("end_us"))
         .orderBy("user_id", "session_id")
     }),
+    // Streaming near-dedup at ingest: new documents stream in, each is
+    // MinHash-signed ROW-LOCALLY (Dedup.rowLocalBands — scan-stage HOFs,
+    // no state store), and its LSH band keys probe the HISTORICAL
+    // signature store (static side, built once per snapshot) in a
+    // stream-static join. A collision flags (historical_id, new_id) at
+    // ingest time — the crawler-side twin of dd_incremental, restricted
+    // by design to history×batch pairs (within-batch dups are the nightly
+    // batch job's business). Only dropDuplicates keeps state, bounded by
+    // O(flagged pairs).
+    "st_incremental" -> ((s, d) => {
+      import graft.operators.Dedup
+      val docs = graft.tables.Tables.load(s, d, "documents")
+      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head().getLong(0)
+      val store = Dedup.tempSigStore()
+      Dedup.writeSignatureStore(docs.filter(col("doc_id") < split), store)
+      val hist = Dedup.bandsOf(s.read.parquet(store))
+        .select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+      val incoming = Dedup.rowLocalBands(
+        readDocuments(s, d).filter(col("doc_id") >= split))
+      runToMemory(
+        incoming.join(hist, Seq("band", "bkey"))
+          .select(col("a_id"), col("doc_id").as("b_id"))
+          .dropDuplicates("a_id", "b_id"),
+        "st_incremental_sink", OutputMode.Append)
+      s.table("st_incremental_sink").orderBy("a_id", "b_id")
+    }),
     // Streaming curation: the batch quality-signal operator applied
     // UNCHANGED to a document stream — stateless projections only, so the
     // stream needs no watermark and no state store, and the output is
@@ -285,6 +314,13 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_incremental" ->
+      s"""WITH ${graft.operators.Dedup.PAIR_CTES},
+         |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey, s
+         |WHERE a.doc_id < split AND b.doc_id >= split
+         |ORDER BY 1, 2""".stripMargin,
     "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
     "st_join" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us

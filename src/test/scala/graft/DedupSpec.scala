@@ -344,4 +344,56 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rowLocalSignatures == groupBySignatures on the real corpus") {
+    val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
+    val a = Dedup.rowLocalSignatures(docs).orderBy("doc_id").collect()
+    val b = Dedup.groupBySignatures(docs).orderBy("doc_id").collect()
+    assert(a.length === b.length && a.length > 0)
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(ra.toSeq === rb.toSeq, s"signature mismatch at doc ${ra.getLong(0)}")
+    }
+    // and the row-local form must plan with no exchange before a consumer
+    val plan = Dedup.rowLocalSignatures(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("paragraphDedup: globally-first occurrence survives, cleaned text rebuilds") {
+    import spark.implicits._
+    // chunkTokens=3; doc 1 owns chunk "a b c"; doc 2 repeats it twice (one
+    // cross-doc dup, one within-doc dup of its own second chunk position);
+    // doc 3 is all-unique; doc 4 is too short to chunk at all
+    val docs = Seq(
+      (1L, "a b c x y z"),          // chunks: "a b c", "x y z"
+      (2L, "a b c a b c q r s"),    // chunks: "a b c"(dup), "a b c"(dup), "q r s"
+      (3L, "m n o"),                // chunk:  "m n o"
+      (4L, "t u")                   // no full chunk
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, chunkTokens = 3)
+      .orderBy("doc_id").collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ===
+      Seq(
+        (1L, 2L, 2L, md5("a b c x y z")),
+        (2L, 3L, 1L, md5("q r s")),
+        (3L, 1L, 1L, md5("m n o"))))
+  }
+
+  test("contaminationBloom: exact output, speculation-safe on short docs") {
+    import spark.implicits._
+    // n=3 grams; corpus doc 10 contains the eval doc verbatim (contaminated),
+    // doc 11 shares nothing, doc 12 is SHORTER than n (must neither error —
+    // the InferFiltersFromGenerate speculative-evaluation hazard — nor appear)
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),
+      (11L, "entirely different words here now"),
+      (12L, "too short")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val got = Dedup.contaminationBloom(corpus, evalSet, n = 3, minFrac = 0.3)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSeq ===
+      Seq((10L, 3L, 2L, 1), (11L, 3L, 0L, 0)))
+  }
 }
