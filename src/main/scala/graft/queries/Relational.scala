@@ -68,6 +68,7 @@ object Relational {
     "q33_full_outer_join" -> q33,
     "q34_zorder" -> q34,
     "q35_array_hof" -> q35,
+    "q36_hll_portable" -> q36,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -368,6 +369,60 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Portable HyperLogLog: approximate-distinct with DETERMINISTIC
+    * registers — the md5-prefix hash assigns (bucket, rank), so the
+    * sketch and its raw estimator are bit-reproducible in any engine,
+    * unlike [[q21]]'s engine-private HLL++ (which stays as the native
+    * formulation; this is its hash-gated twin). b=8 bits -> m=256
+    * registers; rank = leading-zero count of the 52 post-bucket hash bits
+    * plus one.
+    *
+    * The raw estimator E = alpha_m * m^2 / sum_j 2^(-r_j) is computed in
+    * exact integer arithmetic scaled by 2^rmax (sum of long powers —
+    * order-independent), with ONE long->double conversion, one constant
+    * multiply by an exact power of two, and one IEEE division — both
+    * engines produce the identical double. The small/large-range
+    * correction branches need ln(), whose libm rounding is
+    * engine-specific; the raw estimator is the portable core, and its
+    * small-cardinality bias is the documented HLL one (the exact count
+    * rides along for reference).
+    */
+  // alpha_256 * 256^2, rendered ONCE via Double.toString (shortest
+  // round-trip form) and parsed back to the identical double by both
+  // engines — the constant never multiplies cross-engine
+  private val q36AlphaM2: String =
+    ((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0).toString
+
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val alphaM2 = q36AlphaM2
+    val regs = li
+      .select(col("l_returnflag").as("flag"),
+        portableHash60(col("l_partkey").cast("string")).as("h"))
+      .withColumn("rest", expr("h div 256"))
+      .withColumn("rank", when(col("rest") === 0, lit(53))
+        .otherwise(lit(53) - length(bin(col("rest")))))
+      .groupBy(col("flag"), expr("h % 256").as("bucket"))
+      .agg(max("rank").as("r"))
+    val sketch = regs.groupBy("flag")
+      .agg(max("r").as("rmax"), count(lit(1)).as("nhit"),
+        collect_list(col("r")).as("rs"))
+      // empty registers contribute 2^0 each: scaled by 2^rmax that is
+      // (m - nhit) * 2^rmax, folded into the same exact-integer sum
+      .withColumn("s", expr(
+        "aggregate(rs, CAST(0 AS BIGINT), (acc, r) -> " +
+          "acc + shiftleft(CAST(1 AS BIGINT), CAST(rmax - r AS INT))) + " +
+          "(256 - nhit) * shiftleft(CAST(1 AS BIGINT), CAST(rmax AS INT))"))
+      .withColumn("hll_estimate",
+        expr(s"($alphaM2 * power(2.0, CAST(rmax AS DOUBLE))) / CAST(s AS DOUBLE)"))
+    val exact = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sketch.join(exact, "flag")
+      .select(col("flag").as("l_returnflag"), col("nhit").as("n_buckets_hit"),
+        col("hll_estimate"), col("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -631,6 +686,30 @@ object Relational {
   }
 
   def oracle: Map[String, String] = Map(
+    "q36_hll_portable" ->
+      s"""WITH h AS (SELECT l_returnflag AS flag,
+         |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+         |      AS BIGINT) AS h
+         |  FROM lineitem),
+         |regs AS (SELECT flag, h % 256 AS bucket,
+         |    max(CASE WHEN h // 256 = 0 THEN 53
+         |             ELSE 53 - length(bin(h // 256)) END) AS r
+         |  FROM h GROUP BY 1, 2),
+         |rx AS (SELECT flag, max(r) AS rmax, count(*) AS nhit
+         |  FROM regs GROUP BY 1),
+         |sums AS (SELECT regs.flag,
+         |    sum(1::BIGINT << CAST(rmax - r AS INTEGER)) +
+         |      (256 - max(nhit)) * (1::BIGINT << CAST(max(rmax) AS INTEGER)) AS s,
+         |    max(rmax) AS rmax, max(nhit) AS nhit
+         |  FROM regs JOIN rx USING (flag) GROUP BY 1),
+         |ex AS (SELECT l_returnflag AS flag, count(DISTINCT l_partkey) AS exact_parts
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s.flag AS l_returnflag, s.nhit AS n_buckets_hit,
+         |  ($q36AlphaM2 * power(2.0, CAST(s.rmax AS DOUBLE))) / CAST(s.s AS DOUBLE)
+         |    AS hll_estimate,
+         |  exact_parts
+         |FROM sums s JOIN ex USING (flag)
+         |ORDER BY l_returnflag""".stripMargin,
     "q35_array_hof" ->
       """SELECT l_orderkey, CAST(count(*) AS INTEGER) AS n_items,
         | CAST(sum(cents) AS BIGINT) AS total_cents,

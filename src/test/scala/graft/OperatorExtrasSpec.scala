@@ -69,6 +69,19 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("portable HLL estimate within 3 sigma of exact (q36)") {
+    // m=256 -> relative standard error ~1.04/sqrt(256) = 6.5%; the raw
+    // estimator also carries small-cardinality bias, so gate at 3 sigma
+    val rows = Relational.defs("q36_hll_portable")(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(2)
+      val exact = r.getLong(3).toDouble
+      assert(math.abs(est - exact) / exact < 0.195,
+        s"${r.getString(0)}: exact=$exact hll=$est")
+    }
+  }
+
   test("percentile_approx sketch within 5% of exact percentile") {
     val o = Tables.load(spark, TestSpark.sf001, "orders")
     val r = o.agg(
