@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ MrQueries.defs ++ TextAnalysis.defs ++
       Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++ Embeddings.defs ++
-      graft.streaming.EventStream.defs
+      graft.streaming.EventStream.defs ++ graft.sources.Sources.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ MrQueries.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Embeddings.oracle ++
-      graft.streaming.EventStream.oracle
+      graft.streaming.EventStream.oracle ++ graft.sources.Sources.oracle
 }

@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.functions.hashes.portableHash60
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-format source/sink round-trips — the raw-ingest edge of a training
+  * data pipeline. Real corpora arrive as JSONL (Common Crawl derivatives,
+  * chat dumps) or CSV (metadata sheets); the parquet tables everything else
+  * reads are produced by exactly this hop, so its fidelity — embedded
+  * newlines, quotes, commas, non-ASCII — is worth a first-class gate.
+  *
+  * The checked queries decorate the documents table with adversarial
+  * characters (newlines / commas / quotes / non-ASCII, derived
+  * deterministically from doc_id so the oracle can rebuild them in SQL),
+  * write the decorated frame through the format under test, read it back
+  * with an EXPLICIT schema, and reduce to per-source counts + order-
+  * independent row checksums. The oracle computes the same summary from
+  * the parquet directly: equal answers ⇔ the format hop was lossless.
+  *
+  * Scale notes (100 TB):
+  *  - Schema is always explicit on read. Schema inference is a second full
+  *    pass over the data before the real one — never acceptable at scale.
+  *  - JSONL is the preferred interchange: line-splittable, so a 1000-
+  *    executor cluster scans one 100 TB directory with normal parallelism
+  *    and embedded '\n' inside JSON strings is escaped, not literal.
+  *  - CSV with embedded newlines requires multiLine=true, and a multiLine
+  *    CSV file is NOT splittable (quote state can't be resumed
+  *    mid-file) — parallelism degrades to one task per FILE. The writer
+  *    side of this round-trip emits one file per partition, which is the
+  *    mitigation: many medium files, not one giant one. JSONL is still the
+  *    right answer when the producer can be chosen.
+  *  - The checksum is bit_xor + a modular sum of the 60-bit portable row
+  *    hash: both are order-independent (no sort before aggregate) and
+  *    map-side combinable, so the verification itself is one partial-agg
+  *    shuffle of O(sources) rows. (The modular sum bounds the magnitude:
+  *    1e9 × row-count stays far under int64 even at 10^12 rows — a raw
+  *    60-bit sum would overflow at 9 rows.)
+  */
+object Sources {
+
+  /** documents.parquet's schema, stated explicitly for the read side. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Deterministic adversarial decoration: spaces become newlines (doc_id
+    * ≡ 0 mod 3) or commas (≡ 1 mod 3), every text is wrapped in literal
+    * double quotes and suffixed with a non-ASCII 'π'. Expressed with the
+    * same replace/CASE the oracle uses, so both engines build identical
+    * strings from the identical parquet bytes.
+    */
+  def decorate(docs: DataFrame): DataFrame = {
+    val sep = when(col("doc_id") % 3 === 0, lit("\n"))
+      .when(col("doc_id") % 3 === 1, lit(","))
+      .otherwise(lit(" "))
+    // regexp_replace on a literal-space pattern ≡ the oracle's plain
+    // replace (no metacharacters on either side)
+    docs.select(
+      col("doc_id"),
+      concat(lit("\""), regexp_replace(col("text"), lit(" "), sep), lit("\"π"))
+        .as("text"),
+      col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Per-source fidelity summary: counts plus two order-independent
+    * checksums of the full row (every column participates, chr(1)-joined
+    * — a column-boundary shift can't alias).
+    */
+  def fidelitySummary(docs: DataFrame): DataFrame = {
+    val rowKey = concat_ws("\u0001",
+      col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    docs
+      .withColumn("h", portableHash60(rowKey))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        sum(col("h") % 1000000007L).cast("long").as("checksum_sum"))
+      .orderBy("source")
+  }
+
+  /** Staged output dir, recursively deleted on JVM exit (the
+    * [[graft.operators.Dedup.tempSigStore]] contract — a Bench+Verify run
+    * must not leave graft-src-* dirs behind).
+    */
+  private[graft] def staged(prefix: String): String = {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val children = Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+    dir.toString
+  }
+
+  /** documents → JSONL → documents, summarized. */
+  def jsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-jsonl")
+    decorate(Tables.load(spark, sfDir, "documents"))
+      .write.mode("overwrite").json(out)
+    fidelitySummary(spark.read.schema(docSchema).json(out))
+  }
+
+  /** documents → CSV (RFC-4180 doubled-quote escaping, multiLine read) →
+    * documents, summarized.
+    */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-csv")
+    decorate(Tables.load(spark, sfDir, "documents"))
+      .write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(out)
+    fidelitySummary(
+      spark.read.schema(docSchema)
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(out))
+  }
+
+  // --- driver-checked query surface ---
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jsonl" -> ((s, d) => jsonlRoundTrip(s, d)),
+    "src_csv" -> ((s, d) => csvRoundTrip(s, d)),
+  )
+
+  /** Both oracles ignore the format hop entirely: they decorate + summarize
+    * the parquet table directly. The Spark side only matches if the
+    * write→read through the text format changed NOTHING.
+    */
+  private val oracleSummary: String =
+    """WITH dec AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    '"' || replace(text, ' ',
+      |      CASE WHEN doc_id % 3 = 0 THEN chr(10)
+      |           WHEN doc_id % 3 = 1 THEN ','
+      |           ELSE ' ' END) || '"π' AS text
+      |  FROM documents),
+      |h AS (
+      |  SELECT source, n_chars,
+      |    CAST(concat('0x', substr(md5(
+      |      concat_ws(chr(1), doc_id, lang, n_chars, text)), 1, 15)) AS BIGINT) AS h
+      |  FROM dec)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  bit_xor(h) AS checksum_xor,
+      |  CAST(sum(h % 1000000007) AS BIGINT) AS checksum_sum
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "src_jsonl" -> oracleSummary,
+    "src_csv" -> oracleSummary,
+  )
+}
