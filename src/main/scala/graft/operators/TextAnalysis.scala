@@ -687,7 +687,75 @@ object TextAnalysis {
       poly31Hash(normalized).as("rh_norm"))
   }
 
+  /** Weighted Bernoulli sampling — keep each document with probability
+    * proportional to its weight (here n_chars, the usual proxy for token
+    * count when sampling a corpus by volume rather than by document).
+    * The coin is the portable 60-bit hash of the doc id reduced mod 1e6,
+    * and the comparison is cross-multiplied so it stays ALL-INTEGER:
+    * `(h % 1e6) · max_w < w · 1e6` — no float division anywhere, so the
+    * keep/drop decision is bit-identical in any engine.
+    *
+    * Scale shape: the max-weight is a 1-row aggregate broadcast into the
+    * scan stage; the sample decision itself is scan-stage, zero shuffle —
+    * the same shape as [[stratifiedSample]]'s quota coin. At 100 TB the
+    * only cross-cluster traffic is the 1-row scalar.
+    */
+  def weightedSample(docs: DataFrame): DataFrame = {
+    val mx = docs.agg(max(col("n_chars")).as("mx"))
+    docs.crossJoin(broadcast(mx))
+      .filter(
+        (portableHash60(concat(lit("ws:"), col("doc_id").cast("string")))
+          % 1000000L) * col("mx") < col("n_chars") * 1000000L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021 §A1.1, re-expressed
+    * over this corpus's signals): each rule is a named integer flag so a
+    * pipeline can report WHY a document was dropped, not just that it was.
+    *  - r_wc:   50 ≤ word count ≤ 1000 (too-short/too-long filter)
+    *  - r_mwl:  3 ≤ mean word length ≤ 10 (gibberish filter)
+    *  - r_stop: ≥ 2 distinct stopwords present (English-prose prior)
+    *  - r_rep:  most-frequent token ≤ 20% of all tokens (repetition cap)
+    * keep = every rule passes. All signals are exact-integer or single
+    * exact-int divisions, so flags AND signals hash-match the oracle.
+    *
+    * The top-token ratio is computed per-row over the distinct-token list
+    * — O(len·distinct) inside the scan stage, zero shuffle, which is right
+    * for web-scale docs (≤ a few thousand tokens). For book-length inputs
+    * the explode + count twin ([[repetitionScores]]'s shape) bounds the
+    * per-row cost instead.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) > 0)
+      .withColumn("n_words", size(col("w")))
+      .withColumn("mean_wl",
+        aggregate(col("w"), lit(0), (a, x) => a + length(x)).cast("double")
+          / col("n_words"))
+      .withColumn("n_stop", size(array_intersect(array_distinct(col("w")), sw)))
+      .withColumn("top_ratio",
+        array_max(transform(array_distinct(col("w")),
+          t => size(filter(col("w"), x => x === t)))).cast("double")
+          / col("n_words"))
+      .withColumn("r_wc",
+        (col("n_words") >= 50 && col("n_words") <= 1000).cast("int"))
+      .withColumn("r_mwl",
+        (col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("r_rep", (col("top_ratio") <= 0.2).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"), col("n_stop"),
+        col("top_ratio"), col("r_wc"), col("r_mwl"), col("r_stop"),
+        col("r_rep"),
+        (col("r_wc") * col("r_mwl") * col("r_stop") * col("r_rep"))
+          .as("keep"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_weighted_sample" -> ((s, d) =>
+      weightedSample(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_gopher" -> ((s, d) =>
+      gopherRules(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_rolling_hash" -> ((s, d) =>
       rollingHashes(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_curation" -> ((s, d) =>
@@ -826,6 +894,34 @@ object TextAnalysis {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "ta_weighted_sample" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents, (SELECT max(n_chars) AS mx FROM documents)
+        |WHERE (CAST(concat('0x', substr(md5('ws:' || doc_id), 1, 15)) AS BIGINT)
+        |       % 1000000) * mx < n_chars * 1000000
+        |ORDER BY doc_id""".stripMargin,
+    "ta_gopher" ->
+      s"""SELECT doc_id, n_words, mean_wl, n_stop, top_ratio,
+         | r_wc, r_mwl, r_stop, r_rep, r_wc * r_mwl * r_stop * r_rep AS keep
+         |FROM (
+         |  SELECT doc_id, n_words, mean_wl, n_stop, top_ratio,
+         |    CAST(n_words >= 50 AND n_words <= 1000 AS INTEGER) AS r_wc,
+         |    CAST(mean_wl >= 3.0 AND mean_wl <= 10.0 AS INTEGER) AS r_mwl,
+         |    CAST(n_stop >= 2 AS INTEGER) AS r_stop,
+         |    CAST(top_ratio <= 0.2 AS INTEGER) AS r_rep
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(w) AS INTEGER) AS n_words,
+         |      CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+         |        AS DOUBLE) / len(w) AS mean_wl,
+         |      CAST(len(list_intersect(list_distinct(w),
+         |        ['the','a','of','and','to','in'])) AS INTEGER) AS n_stop,
+         |      CAST(list_max(list_transform(list_distinct(w),
+         |        t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w)
+         |        AS top_ratio
+         |    FROM (SELECT doc_id, $W AS w FROM documents)
+         |    WHERE len(w) > 0))
+         |ORDER BY doc_id""".stripMargin,
     "ta_rolling_hash" ->
       s"""SELECT doc_id,
          | ${polyFold("text")} AS rh_raw,

@@ -69,6 +69,7 @@ object Relational {
     "q34_zorder" -> q34,
     "q35_array_hof" -> q35,
     "q36_hll_portable" -> q36,
+    "q37_cdc_upsert" -> q37,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -423,6 +424,55 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** 2024-01-16T00:00:00Z — mid-span of the events table's fixed January
+    * window at every SF, so both the snapshot and the delta are non-empty.
+    */
+  private val q37CutoffNs = 1705363200L * 1000000000L
+
+  /** CDC upsert (last-writer-wins merge with tombstones): the events feed
+    * is split into a base snapshot (ts < cutoff) and a delta batch; each
+    * side folds to one state row per key, and the MERGE is
+    * `greatest(base_state, delta_state)` on a (ts_ns, event_id, …) struct
+    * — struct comparison is lexicographic, so the newer writer wins with a
+    * total, deterministic tiebreak. 'error' events are tombstones: a key
+    * whose merged state is an error is deleted from the output.
+    *
+    * Scale shape: both sides reduce via groupBy(max(struct)) — partial
+    * aggregation (map-side combine) collapses each partition to one row
+    * per local key BEFORE the exchange, unlike a row_number window which
+    * must shuffle and sort every event. The full-outer merge joins two
+    * already-hash-partitioned-on-user_id sides, so it adds no exchange.
+    * This is the standard compact-a-changelog shape: state size O(keys),
+    * shuffle O(partitions × keys), never O(events).
+    *
+    * The oracle states the SEMANTICS (global latest-event rule over the
+    * union) rather than the incremental plan — the two agree exactly
+    * because the cutoff makes every delta timestamp newer than every
+    * snapshot timestamp, which is the merge's correctness argument.
+    */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    // rank at µs precision: the oracle engine's epoch_ns truncates parquet
+    // TIMESTAMP(NANOS) to µs, so sub-µs digits must not influence the
+    // winner (event_id breaks any same-µs tie deterministically)
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"),
+          col("event_type"), col("value"))).as("s"))
+    val snap = latest(e.filter(col("ts_ns") < q37CutoffNs))
+    val delta = latest(e.filter(col("ts_ns") >= q37CutoffNs))
+    snap.withColumnRenamed("s", "bs")
+      .join(delta.withColumnRenamed("s", "ds"), Seq("user_id"), "full_outer")
+      .select(col("user_id"), greatest(col("bs"), col("ds")).as("s"))
+      .filter(col("s.event_type") =!= "error")
+      .select(col("user_id"),
+        col("s.event_type").as("last_type"),
+        col("s.value").as("last_value"),
+        col("s.ts_us").as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -686,6 +736,16 @@ object Relational {
   }
 
   def oracle: Map[String, String] = Map(
+    "q37_cdc_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  ts_us AS last_ts_us
+        |FROM latest WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q36_hll_portable" ->
       s"""WITH h AS (SELECT l_returnflag AS flag,
          |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))

@@ -261,4 +261,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r3.getDouble(2) === 1.0 && r3.getDouble(3) === 1.0)
     assert(r3.getInt(4) === 0) // every bigram rare -> dropped
   }
+
+  test("q37 incremental LWW merge == global latest-event rule") {
+    val dir = TestSpark.sf0001
+    val got = graft.queries.Relational.defs("q37_cdc_upsert")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val e = graft.tables.Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val want = e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts_us").as("last_ts_us"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("gopherRules: each rule flags its own violation") {
+    // letter-only distinct fill words (digits are token separators)
+    val fill = (0 until 60)
+      .map(i => s"fy${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, s"the of and $fill"),            // clean: every rule passes
+      (2L, "the of tiny"),                  // too short -> r_wc = 0
+      (3L, s"the of ${Seq.fill(60)("spam").mkString(" ")}"), // r_rep = 0
+      (4L, fill)                            // no stopwords -> r_stop = 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[Int]("r_wc"), r.getAs[Int]("r_mwl"),
+        r.getAs[Int]("r_stop"), r.getAs[Int]("r_rep"),
+        r.getAs[Int]("keep"))).toSeq
+    assert(got(0) === ((1L, 1, 1, 1, 1, 1)))
+    assert(got(1)._2 === 0 && got(1)._6 === 0) // word count
+    assert(got(2)._5 === 0 && got(2)._6 === 0) // repetition
+    assert(got(3)._4 === 0 && got(3)._6 === 0) // stopwords
+  }
+
+  test("weightedSample: zero-weight never kept, max-weight always kept") {
+    val docs = (0L until 200L).map(i =>
+      (i, "x", "s", if (i % 2 == 0) 0L else 400L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val kept = TextAnalysis.weightedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ % 2 == 1), "a zero-weight doc was sampled")
+    assert((1L until 200L by 2).forall(kept), "a max-weight doc was dropped")
+  }
+
+  test("weightedSample: empirical rate tracks mean(w)/max(w)") {
+    val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
+    val n = docs.count().toDouble
+    val expected = docs.agg(sum(col("n_chars")).cast("double")
+      / (count(lit(1)) * max(col("n_chars")))).head().getDouble(0)
+    val rate = TextAnalysis.weightedSample(docs).count() / n
+    assert(math.abs(rate - expected) < 0.08,
+      s"rate $rate vs expected $expected")
+  }
 }

@@ -207,4 +207,34 @@ class PlanSpec extends AnyFunSuite {
     assert(viaExpr === graft.functions.FnvHash.hash64(
       org.apache.spark.unsafe.types.UTF8String.fromString(name)))
   }
+
+  test("q37 LWW merge: pushed cutoff, partial agg, join reuses partitioning") {
+    val df = Relational.defs("q37_cdc_upsert")(spark, dir)
+    df.collect()
+    // AQE prints Final Plan then Initial Plan — assert on the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the snapshot/delta time-split reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(ts), LessThan(ts"), p)
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+    // map-side combine: each side folds to one state row per local key
+    // BEFORE its exchange (SortAggregate — the max(struct) buffer isn't
+    // hash-aggregable, but partial/final split still applies)
+    assert("partial_max\\(struct".r.findAllMatchIn(p).size === 2, p)
+    // the full-outer merge runs on the aggregates' own hash partitioning:
+    // exactly 2 hash exchanges, none between aggregate and join
+    assert(p.contains("FullOuter"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size === 2, p)
+  }
+
+  test("weightedSample: scan-stage coin, only the 1-row scalar broadcasts") {
+    val ws = graft.operators.TextAnalysis.weightedSample(
+      Tables.load(spark, dir, "documents"))
+    ws.collect()
+    val p = ws.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the corpus side never shuffles: the only exchanges belong to the
+    // bounded max(n_chars) scalar (partial-agg SinglePartition + broadcast)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllMatchIn(p).size === 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
