@@ -160,6 +160,129 @@ object Embeddings {
           .as("proj"))
   }
 
+  /** Int8 code vectors (array<bigint>) — [[quantizeInt8]]'s exact-integer
+    * codes kept as a column for operators that consume whole vectors
+    * (Gram accumulation, PQ). Zero vectors code to all-zero.
+    */
+  private[operators] def int8Codes(emb: DataFrame): DataFrame =
+    emb.select(col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .select(
+        when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => int8Code(x, col("m")).cast("bigint"))).as("q"))
+
+  /** Distributed Gram-matrix sufficient statistics over the embedding
+    * column: Σ qqᵀ (upper triangle), Σ q, and n — everything PCA/whitening
+    * /covariance needs, in ONE pass. Vectors are int8-quantized first, so
+    * every sum is exact int64 and the result hash-matches the oracle
+    * replay (order of accumulation cannot matter for integers).
+    *
+    * This is the one operator family where `mapPartitions` beats any
+    * Catalyst formulation: the SQL shape explodes each row into d(d+1)/2
+    * pair structs (2080 per row at d=64 — a 2000× row inflation feeding
+    * the partial aggregate), while the imperative kernel keeps ONE
+    * long[2080] accumulator per partition and walks each vector with two
+    * tight loops. Communication is identical (P × d² partial rows into a
+    * d²-key final aggregate); the scan-stage CPU differs by orders of
+    * magnitude. Same architecture as classic RowMatrix.computeGramian,
+    * but the reduce is a normal tiny shuffle, not a driver treeAggregate
+    * — the driver never holds more than the d×d result it asked for.
+    *
+    * Output rows: (i, j, s, n) for i ≤ j — s = Σ q_i·q_j; plus (i, -1,
+    * Σ q_i, n) per-dimension sum rows. Overflow headroom: |q| ≤ 127 so
+    * each row adds ≤ 16129 per cell — int64 saturates only past 5·10¹⁴
+    * rows per cluster, far beyond 100 TB of embeddings.
+    */
+  def gramMatrix(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = dimOf(emb)
+    val triples = int8Codes(emb).select(col("q")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val nPairs = d * (d + 1) / 2
+        val gram = new Array[Long](nPairs)
+        val sums = new Array[Long](d)
+        var n = 0L
+        while (it.hasNext) {
+          val q = it.next()
+          n += 1
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val qi = q(i)
+            sums(i) += qi
+            var j = i
+            while (j < d) { gram(k) += qi * q(j); j += 1; k += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else {
+          val dimRows = Iterator.tabulate(d)(i => (i, -1, sums(i), n))
+          val gramRows = for {
+            i <- Iterator.range(0, d)
+            j <- Iterator.range(i, d)
+          } yield (i, j, gram(i * d - i * (i - 1) / 2 + (j - i)), n)
+          dimRows ++ gramRows
+        }
+      }
+    triples.toDF("i", "j", "s_part", "n_part")
+      .groupBy("i", "j")
+      .agg(sum(col("s_part")).cast("long").as("s"),
+        sum(col("n_part")).cast("long").as("n"))
+      .orderBy("i", "j")
+  }
+
+  /** Driver-side PCA finish over [[gramMatrix]]'s sufficient statistics:
+    * covariance C = (G − s·sᵀ/n)/n, then a cyclic Jacobi eigensolver on
+    * the d×d matrix (d ≤ a few hundred — the DISTRIBUTED work is the one
+    * Gram pass; the O(d³) finish is microseconds and belongs on the
+    * driver, like the k-means centroid step). Returns eigenpairs sorted
+    * by descending eigenvalue: (eigenvalue, component vector).
+    */
+  def pcaFromGram(gram: Array[((Int, Int), Long)], dimSums: Array[Long],
+                  n: Long): Seq[(Double, Array[Double])] = {
+    val d = dimSums.length
+    val c = Array.ofDim[Double](d, d)
+    gram.foreach { case ((i, j), s) =>
+      val cij = (s.toDouble - dimSums(i).toDouble * dimSums(j) / n) / n
+      c(i)(j) = cij
+      c(j)(i) = cij
+    }
+    // cyclic Jacobi: rotate away the largest off-diagonal until negligible
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 100 && {
+      var off = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) off += c(i)(j) * c(i)(j)
+      off > 1e-18
+    }) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(c(p)(q)) > 1e-15) {
+        val theta = 0.5 * math.atan2(2 * c(p)(q), c(q)(q) - c(p)(p))
+        val (cs, sn) = (math.cos(theta), math.sin(theta))
+        for (k <- 0 until d) {
+          val (ckp, ckq) = (c(k)(p), c(k)(q))
+          c(k)(p) = cs * ckp - sn * ckq
+          c(k)(q) = sn * ckp + cs * ckq
+        }
+        for (k <- 0 until d) {
+          val (cpk, cqk) = (c(p)(k), c(q)(k))
+          c(p)(k) = cs * cpk - sn * cqk
+          c(q)(k) = sn * cpk + cs * cqk
+        }
+        for (k <- 0 until d) {
+          val (vkp, vkq) = (v(k)(p), v(k)(q))
+          v(k)(p) = cs * vkp - sn * vkq
+          v(k)(q) = sn * vkp + cs * vkq
+        }
+      }
+      sweep += 1
+    }
+    (0 until d).map(i => (c(i)(i), Array.tabulate(d)(k => v(k)(i))))
+      .sortBy(-_._1)
+  }
+
   /** k-NN majority-label classification over the embedding column — the
     * label-propagation / weak-supervision primitive: each query vector is
     * assigned the majority label of its k nearest neighbors (ties toward
@@ -231,9 +354,33 @@ object Embeddings {
         .orderBy("vec_id", "p")),
     "emb_knn_label" -> ((s, d) =>
       knnLabel(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
+    "emb_gram" -> ((s, d) =>
+      gramMatrix(Tables.load(s, d, "embeddings"))),
   )
 
   def oracle: Map[String, String] = Map(
+    "emb_gram" ->
+      """WITH qq AS (
+        |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |idx AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1 FROM embeddings))) AS p),
+        |gram AS (
+        |  SELECT CAST(a.p - 1 AS INTEGER) AS i, CAST(b.p - 1 AS INTEGER) AS j,
+        |    CAST(sum(q[a.p] * q[b.p]) AS BIGINT) AS s, count(*) AS n
+        |  FROM qq, idx a, idx b WHERE a.p <= b.p GROUP BY 1, 2),
+        |dims AS (
+        |  SELECT CAST(p - 1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+        |    CAST(sum(q[p]) AS BIGINT) AS s, count(*) AS n
+        |  FROM qq, idx GROUP BY 1)
+        |SELECT i, j, s, n FROM gram
+        |UNION ALL SELECT i, j, s, n FROM dims
+        |ORDER BY i, j""".stripMargin,
     "emb_stats" ->
       """SELECT vec_id,
         | CAST(len(embedding) AS INTEGER) AS dim,

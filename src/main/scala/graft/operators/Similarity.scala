@@ -285,6 +285,70 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Product-quantization ADC top-k — the memory-bound ANN accelerator
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+    * The vector is split into `nSub` subspaces; each sub-vector is encoded
+    * as its nearest codeword id from a per-subspace codebook of `nCodes`
+    * entries, compressing a d-dim vector to nSub small ids (8 bytes here
+    * vs 64 int8 components — and vs 256 float bytes raw). Asymmetric
+    * distance computation (ADC) scores a pair as dot(query, RECONSTRUCTED
+    * candidate): the query stays uncompressed, the candidate is its
+    * codeword concatenation.
+    *
+    * Engine-exact by the same discipline as [[ivfTopK]]: codebooks are
+    * the `nCodes` lowest-id candidates' int8 sub-vectors (deterministic
+    * seeds, no Lloyd float drift), sub-assignment ranks by the portable
+    * integer-code cosine with ties to the lowest codeword id (zero-norm
+    * sub-vectors score -2.0 — the [[graft.functions.TopCentroids]]
+    * kernel), and the ADC dot is exact int64. Every stage hash-matches
+    * the DuckDB replay.
+    *
+    * Scale shape: encoding is in-row column math (nSub TopCentroids
+    * calls against bounded literal codebooks, then a literal-matrix
+    * lookup for reconstruction) — scan-stage, zero shuffle, driver holds
+    * nSub × nCodes × (d/nSub) params. Scoring is a flat scan like
+    * [[bruteForceTopK]] (PQ compresses memory and per-pair cost; it does
+    * not prune candidates) — the production composition is PQ WITHIN
+    * [[ivfTopK]] cells: IVF cuts the candidate list, ADC makes each
+    * remaining comparison nSub adds against an 8-byte code.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val qc = quantized(candidates, "neighbor_id")
+    val qq = quantized(queries, "query_id")
+    val seeds: Seq[(Long, Seq[Double])] = qc
+      .orderBy("neighbor_id").limit(nCodes).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    require(seeds.nonEmpty, "pqTopK: candidate frame is empty")
+    val d = seeds.head._2.length
+    require(d % nSub == 0, s"pqTopK: dim $d not divisible into $nSub subspaces")
+    val sd = d / nSub
+    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until nSub).map { m =>
+      seeds.map { case (id, v) => (id, v.slice(m * sd, (m + 1) * sd)) }
+    }
+    val codeCols = (0 until nSub).map { m =>
+      element_at(topCentroidIds(slice(col("q"), m * sd + 1, sd), books(m), 1), 1)
+        .as(s"c$m")
+    }
+    // reconstruction: codeword matrices as literal constants, indexed by
+    // the code id's position in the (ascending) seed-id list
+    val idArr = typedLit(seeds.map(_._1))
+    val recon = concat((0 until nSub).map { m =>
+      element_at(typedLit(books(m).map(_._2)),
+        array_position(idArr, col(s"c$m")).cast("int"))
+    }: _*)
+    val encoded = qc.select((col("neighbor_id") +: codeCols): _*)
+      .withColumn("recon", recon)
+    val qb = broadcast(qq.select(col("query_id"), col("q").as("qa")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    encoded.join(qb, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", vecDot(col("qa"), col("recon")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -305,6 +369,11 @@ object Similarity {
     "ann_ivf" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_pq" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      pqTopK(e.filter(col("vec_id") < 20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
   )
@@ -428,5 +497,46 @@ object Similarity {
          |      ORDER BY scos2 DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // replays pqTopK exactly: codebooks = 16 lowest surviving vec_ids'
+    // int8 sub-vectors (8 subspaces × 8 dims), sub-assignment by the
+    // portable integer-code cosine (zero-norm -> -2.0, ties to lowest
+    // codeword id), reconstruction by codeword concatenation, exact-int
+    // ADC dot with ties to the lowest neighbor_id
+    "ann_pq" -> {
+      val vs = "v.q[rm.m*8+1 : rm.m*8+8]"
+      val cs = "c.q[rm.m*8+1 : rm.m*8+8]"
+      s"""WITH $QQ,
+         |cents AS (SELECT vec_id AS cent_id, q FROM qq ORDER BY vec_id LIMIT 16),
+         |subsim AS (
+         |  SELECT v.vec_id, rm.m, c.cent_id,
+         |    CASE WHEN list_dot_product($vs, $vs) = 0
+         |           OR list_dot_product($cs, $cs) = 0 THEN -2.0
+         |         ELSE ${intCos(s"list_dot_product($vs, $cs)",
+                                 s"list_dot_product($vs, $vs)",
+                                 s"list_dot_product($cs, $cs)")}
+         |    END AS cos
+         |  FROM qq v, range(0, 8) rm(m), cents c),
+         |codes AS (
+         |  SELECT vec_id, m, cent_id FROM (
+         |    SELECT vec_id, m, cent_id, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY cos DESC, cent_id) AS rn
+         |    FROM subsim) WHERE rn = 1),
+         |recon AS (
+         |  SELECT codes.vec_id,
+         |    flatten(list(c.q[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS r
+         |  FROM codes JOIN cents c ON c.cent_id = codes.cent_id
+         |  GROUP BY codes.vec_id),
+         |scored AS (
+         |  SELECT qa.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    CAST(list_dot_product(qa.q, r.r) AS BIGINT) AS adc
+         |  FROM qq qa, recon r
+         |  WHERE qa.vec_id < 20 AND r.vec_id <> qa.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }

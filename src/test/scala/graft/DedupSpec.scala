@@ -198,6 +198,59 @@ class DedupSpec extends AnyFunSuite {
     info(f"ivf ann recall@5 = $recall%.2f")
   }
 
+  test("PQ ANN == driver-side replay; recall vs brute force measured") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val got = Similarity.pqTopK(queries, emb, 5)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    // independent full replay on the driver
+    val raw = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val quant = raw.flatMap { case (id, v) =>
+      val m = v.map(math.abs).max
+      if (m == 0.0) None
+      else Some(id -> v.map(x => math.floor(x * 127.0 / m + 0.5)))
+    }
+    val seeds = quant.take(16)
+    val d = seeds.head._2.length
+    val sd = d / 8
+    def sub(v: Array[Double], m: Int) = v.slice(m * sd, (m + 1) * sd)
+    def cosOrFloor(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recon = quant.map { case (id, v) =>
+      id -> (0 until 8).flatMap { m =>
+        val best = seeds.minBy { case (cid, cv) =>
+          (-cosOrFloor(sub(v, m), sub(cv, m)), cid)
+        }
+        sub(best._2, m)
+      }.toArray
+    }.toMap
+    val want = quant.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      quant.filter(_._1 != qid)
+        .map { case (nid, _) =>
+          (nid, recon(nid).zip(qv).map(p => p._1 * p._2).sum.toLong) }
+        .sortBy { case (nid, adc) => (-adc, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, i + 1, nid) }
+    }.toSeq
+    assert(got === want)
+
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = got.map(t => (t._1, t._3)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // 16-codeword × 8-subspace reconstruction of near-uniform vectors is
+    // a coarse code: the floor only guards against degenerate encodings
+    assert(recall >= 0.1, s"PQ recall $recall")
+    info(f"pq ann recall@5 = $recall%.2f")
+  }
+
   test("minhash estimate tracks exact jaccard on candidate pairs") {
     val rows = Dedup.minhashEstimates(docs).collect()
       .map(r => (r.getDouble(2), r.getDouble(3)))

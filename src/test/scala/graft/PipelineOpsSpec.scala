@@ -262,6 +262,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r3.getInt(4) === 0) // every bigram rare -> dropped
   }
 
+  test("pcaFromGram: eigen equation, orthonormal components, trace kept") {
+    val emb = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val rows = Embeddings.gramMatrix(emb).collect()
+    val dimSums = rows.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1).map(_._2)
+    val gram = rows.filter(_.getInt(1) >= 0)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val n = rows.head.getLong(3)
+    val d = dimSums.length
+    assert(d === 64 && gram.length === d * (d + 1) / 2)
+    val eig = Embeddings.pcaFromGram(gram, dimSums, n)
+    // covariance rebuilt independently for the residual checks
+    val c = Array.ofDim[Double](d, d)
+    gram.foreach { case ((i, j), s) =>
+      val v = (s.toDouble - dimSums(i).toDouble * dimSums(j) / n) / n
+      c(i)(j) = v; c(j)(i) = v
+    }
+    // eigenvalues descending, non-negative (covariance is PSD)
+    assert(eig.map(_._1).sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(eig.last._1 > -1e-9)
+    // trace preserved: Σλ == ΣC_ii
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    assert(math.abs(eig.map(_._1).sum - trace) < 1e-6 * math.abs(trace))
+    // components orthonormal
+    for (a <- 0 until 3; b <- 0 until 3) {
+      val dot = (0 until d).map(k => eig(a)._2(k) * eig(b)._2(k)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8,
+        s"v${a}.v$b=$dot")
+    }
+    // eigen equation: C·v ≈ λ·v for the top components
+    for ((lambda, v) <- eig.take(3)) {
+      val res = (0 until d).map { i =>
+        val cv = (0 until d).map(j => c(i)(j) * v(j)).sum
+        math.pow(cv - lambda * v(i), 2)
+      }.sum
+      assert(math.sqrt(res) < 1e-6 * math.max(1.0, math.abs(lambda)),
+        s"residual for lambda=$lambda")
+    }
+  }
+
   test("q37 incremental LWW merge == global latest-event rule") {
     val dir = TestSpark.sf0001
     val got = graft.queries.Relational.defs("q37_cdc_upsert")(spark, dir)

@@ -226,6 +226,17 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size === 2, p)
   }
 
+  test("emb_gram: one bounded shuffle (P x d² partials into d² keys)") {
+    val df = graft.operators.Embeddings.gramMatrix(
+      Tables.load(spark, dir, "embeddings"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // partial agg collapses each partition's triples before the exchange;
+    // the only hash shuffle carries O(partitions × d²) tiny rows
+    assert(p.contains("partial_sum"), p)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size === 1, p)
+  }
+
   test("weightedSample: scan-stage coin, only the 1-row scalar broadcasts") {
     val ws = graft.operators.TextAnalysis.weightedSample(
       Tables.load(spark, dir, "documents"))
