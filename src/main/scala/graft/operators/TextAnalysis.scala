@@ -751,7 +751,28 @@ object TextAnalysis {
           .as("keep"))
   }
 
+  /** Deterministic train/val/test split (80/10/10): membership is a PURE
+    * FUNCTION of the document id (portable-hash bucket mod 100), so the
+    * split is stable under reprocessing, repartitioning, appends, and
+    * engine changes — the property that prevents train/test leakage when
+    * a corpus is rebuilt. Stratification across sources is statistical
+    * (the hash is uniform within every source); a pipeline needing exact
+    * per-source quotas uses [[stratifiedSample]]'s quota machinery
+    * instead. Scan-stage, zero shuffle, no state.
+    */
+  def trainValTest(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      (portableHash60(concat(lit("sp:"), col("doc_id").cast("string")))
+        % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_split" -> ((s, d) =>
+      trainValTest(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_weighted_sample" -> ((s, d) =>
       weightedSample(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_gopher" -> ((s, d) =>
@@ -894,6 +915,15 @@ object TextAnalysis {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "ta_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        CAST(concat('0x', substr(md5('sp:' || doc_id), 1, 15)) AS BIGINT)
+        |          % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "ta_weighted_sample" ->
       """SELECT doc_id, source, n_chars
         |FROM documents, (SELECT max(n_chars) AS mx FROM documents)

@@ -28,6 +28,13 @@ object EventStream {
   final case class SessionState(sessionId: Long, lastTs: Long,
                                 count: Long, startTs: Long)
 
+  final case class UpsertState(tsUs: Long, eventId: Long, lastType: String,
+                               lastValue: Double, n: Long)
+
+  final case class UpsertOut(user_id: Long, last_type: String,
+                             last_value: Double, last_ts_us: Long,
+                             n_events: Long, is_deleted: Int)
+
   // One staged directory per source PATH, pinned to the file VERSION
   // (size, mtime): a file regenerated in place during this JVM's lifetime
   // gets a fresh staged copy instead of the stream silently reading the
@@ -191,6 +198,41 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming last-writer-wins state via mapGroupsWithState — the
+    * streaming twin of batch q37_cdc_upsert: every micro-batch folds its
+    * events into one state row per key ((ts_us, event_id)-newest wins —
+    * an order-independent fold, so any batch split of the stream yields
+    * the same state), and emits the key's current materialized state.
+    * 'error' events surface as is_deleted = 1 rather than vanishing — a
+    * downstream upsert sink applies the delete; the STATE layer's job is
+    * to carry the tombstone.
+    *
+    * Scale shape: state is O(live keys) × one small struct, hash-
+    * partitioned across executors by the groupByKey; nothing buffers
+    * events. mapGroupsWithState (vs [[sessionize]]'s flatMap variant)
+    * because exactly one updated row per key per batch IS the contract.
+    */
+  def lwwState(events: Dataset[Event]): Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[UpsertState]): UpsertOut = {
+      var st = state.getOption.orNull
+      for (e <- it) {
+        val tsUs = e.ts_ns / 1000
+        val newer = st == null || tsUs > st.tsUs ||
+          (tsUs == st.tsUs && e.event_id > st.eventId)
+        val n = (if (st == null) 0L else st.n) + 1
+        st = if (newer) UpsertState(tsUs, e.event_id, e.event_type, e.value, n)
+        else st.copy(n = n)
+      }
+      state.update(st)
+      UpsertOut(userId, st.lastType, st.lastValue, st.tsUs, st.n,
+        if (st.lastType == "error") 1 else 0)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Run a streaming query on the finite file source into a memory sink and
     * block until all available data is processed — the local test harness
     * for the operators above.
@@ -273,6 +315,26 @@ object EventStream {
           expr("end_ns div 1000").as("end_us"))
         .orderBy("user_id", "session_id")
     }),
+    // Streaming LWW upsert state (see lwwState). Update mode emits each
+    // key's state once per micro-batch that touched it; the sink-side
+    // reconciliation (max by n_events, which strictly increases) is
+    // idempotent in the batch split — one batch or many, same answer.
+    "st_upsert" -> ((s, d) => {
+      import s.implicits._
+      val ev = readEvents(s, d)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value").as[Event]
+      runToMemory(lwwState(ev).toDF(), "st_upsert_sink", OutputMode.Update)
+      s.table("st_upsert_sink")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("last_ts_us"), col("last_type"),
+          col("last_value"), col("is_deleted"))).as("f"))
+        .select(col("user_id"), col("f.last_type").as("last_type"),
+          col("f.last_value").as("last_value"),
+          col("f.last_ts_us").as("last_ts_us"),
+          col("f.n_events").as("n_events"),
+          col("f.is_deleted").as("is_deleted"))
+        .orderBy("user_id")
+    }),
     // Streaming near-dedup at ingest: new documents stream in, each is
     // MinHash-signed ROW-LOCALLY (Dedup.rowLocalBands — scan-stage HOFs,
     // no state store), and its LSH band keys probe the HISTORICAL
@@ -314,6 +376,17 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  ts_us AS last_ts_us, n_events,
+        |  CAST(event_type = 'error' AS INTEGER) AS is_deleted
+        |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st_incremental" ->
       s"""WITH ${graft.operators.Dedup.PAIR_CTES},
          |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents)

@@ -133,4 +133,55 @@ class StreamingSpec extends AnyFunSuite {
     }.toSet
     assert(emitted.toSet === batchClosed)
   }
+
+  test("streaming LWW state == batch latest rule, tombstones surfaced") {
+    import spark.implicits._
+    val stream = EventStream.readEvents(spark, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.Event]
+    EventStream.runToMemory(
+      EventStream.lwwState(stream).toDF(), "lww_stream", OutputMode.Update)
+    // reconcile per-batch updates exactly as the driver query does
+    val got = spark.table("lww_stream")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("last_ts_us"), col("last_type"),
+        col("last_value"), col("is_deleted"))).as("f"))
+      .select(col("user_id"), col("f.last_type"), col("f.last_ts_us"),
+        col("f.n_events"), col("f.is_deleted"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val want = graft.tables.Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("n"),
+        (col("event_type") === "error").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got === want)
+    // tombstones are carried, not dropped: every user appears
+    assert(got.map(_._1) === want.map(_._1))
+  }
+
+  test("trainValTest: pure function of doc_id — stable under repartition") {
+    val docs = graft.tables.Tables.load(spark, dir, "documents")
+    val a = graft.operators.TextAnalysis.trainValTest(docs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val b = graft.operators.TextAnalysis.trainValTest(docs.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a === b)
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    val test = a.values.count(_ == "test") / n
+    assert(math.abs(train - 0.8) < 0.06, s"train fraction $train")
+    assert(math.abs(test - 0.1) < 0.05, s"test fraction $test")
+  }
 }
