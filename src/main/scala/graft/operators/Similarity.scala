@@ -312,16 +312,16 @@ object Similarity {
     * [[ivfTopK]] cells: IVF cuts the candidate list, ADC makes each
     * remaining comparison nSub adds against an 8-byte code.
     */
-  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-             nSub: Int = 8, nCodes: Int = 16): DataFrame = {
-    val qc = quantized(candidates, "neighbor_id")
-    val qq = quantized(queries, "query_id")
-    val seeds: Seq[(Long, Seq[Double])] = qc
-      .orderBy("neighbor_id").limit(nCodes).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
-    require(seeds.nonEmpty, "pqTopK: candidate frame is empty")
+  /** PQ-encode `qc` (id, q) rows against codebooks built from `seeds`:
+    * nearest codeword per subspace (in-row TopCentroids on sub-slices),
+    * then literal-matrix reconstruction. Keeps every column of `qc` it is
+    * given plus `recon` — shared by [[pqTopK]] and [[ivfPqTopK]] so the
+    * encoding can never drift between the flat and the IVF-composed path.
+    */
+  private def pqEncode(qc: DataFrame, seeds: Seq[(Long, Seq[Double])],
+                       nSub: Int): DataFrame = {
     val d = seeds.head._2.length
-    require(d % nSub == 0, s"pqTopK: dim $d not divisible into $nSub subspaces")
+    require(d % nSub == 0, s"pqEncode: dim $d not divisible into $nSub subspaces")
     val sd = d / nSub
     val books: Seq[Seq[(Long, Seq[Double])]] = (0 until nSub).map { m =>
       seeds.map { case (id, v) => (id, v.slice(m * sd, (m + 1) * sd)) }
@@ -337,12 +337,62 @@ object Similarity {
       element_at(typedLit(books(m).map(_._2)),
         array_position(idArr, col(s"c$m")).cast("int"))
     }: _*)
-    val encoded = qc.select((col("neighbor_id") +: codeCols): _*)
+    qc.select((qc.columns.map(col).toSeq ++ codeCols): _*)
       .withColumn("recon", recon)
+      .drop((0 until nSub).map(m => s"c$m"): _*)
+  }
+
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+             nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val qc = quantized(candidates, "neighbor_id")
+    val qq = quantized(queries, "query_id")
+    val seeds: Seq[(Long, Seq[Double])] = qc
+      .orderBy("neighbor_id").limit(nCodes).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    require(seeds.nonEmpty, "pqTopK: candidate frame is empty")
+    val encoded = pqEncode(qc, seeds, nSub).drop("q")
     val qb = broadcast(qq.select(col("query_id"), col("q").as("qa")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     encoded.join(qb, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", vecDot(col("qa"), col("recon")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF + PQ — the production ANN composition (faiss IndexIVFPQ):
+    * [[ivfTopK]]'s coarse cells cut the candidate list to ~nProbe/nCells
+    * of the corpus, and within the probed cells each comparison is
+    * [[pqTopK]]'s ADC dot against an 8-byte code instead of the raw
+    * vector. At 100 TB this is the only tractable shape: the index scan
+    * is sub-linear AND memory-bandwidth-light; the flat variants exist as
+    * the recall oracles for tuning nProbe/nCodes against.
+    *
+    * Same determinism discipline as both parents (shared seed list,
+    * shared [[pqEncode]]); hash-checks against a DuckDB replay that
+    * composes the ann_ivf and ann_pq oracle CTEs.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                nSub: Int = 8): DataFrame = {
+    val qc = quantized(candidates, "neighbor_id")
+    val qq = quantized(queries, "query_id")
+    val seeds: Seq[(Long, Seq[Double])] = qc
+      .orderBy("neighbor_id").limit(nCentroids).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    require(seeds.nonEmpty, "ivfPqTopK: candidate frame is empty")
+    val encoded = pqEncode(
+      qc.withColumn("cent_id",
+        element_at(topCentroidIds(col("q"), seeds, 1), 1)),
+      seeds, nSub).drop("q")
+    val probed = broadcast(qq
+      .select(col("query_id"), col("q").as("qa"),
+        explode(topCentroidIds(col("q"), seeds, nProbe)).as("cent_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    probed.join(encoded, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", vecDot(col("qa"), col("recon")).cast("long"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -374,6 +424,11 @@ object Similarity {
     "ann_pq" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       pqTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivfpq" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      ivfPqTopK(e.filter(col("vec_id") < 20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
   )
@@ -531,6 +586,62 @@ object Similarity {
          |    CAST(list_dot_product(qa.q, r.r) AS BIGINT) AS adc
          |  FROM qq qa, recon r
          |  WHERE qa.vec_id < 20 AND r.vec_id <> qa.vec_id)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // replays ivfPqTopK: the ann_ivf cell CTEs (assignment + probing)
+    // composed with the ann_pq code/reconstruction CTEs — candidates come
+    // from probed cells, scoring is the exact-int ADC dot
+    "ann_ivfpq" -> {
+      val vs = "v.q[rm.m*8+1 : rm.m*8+8]"
+      val cs = "c.q[rm.m*8+1 : rm.m*8+8]"
+      s"""WITH $QQ,
+         |cents AS (SELECT vec_id AS cent_id, q FROM qq ORDER BY vec_id LIMIT 16),
+         |sim AS (
+         |  SELECT v.vec_id, c.cent_id,
+         |    ${intCos("list_dot_product(v.q, c.q)",
+                       "list_dot_product(v.q, v.q)",
+                       "list_dot_product(c.q, c.q)")} AS cos
+         |  FROM qq v, cents c),
+         |ranked AS (
+         |  SELECT vec_id, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cent_id) AS rn
+         |  FROM sim),
+         |assigned AS (SELECT vec_id AS neighbor_id, cent_id FROM ranked
+         |             WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS query_id, cent_id FROM ranked
+         |           WHERE vec_id < 20 AND rn <= 4),
+         |subsim AS (
+         |  SELECT v.vec_id, rm.m, c.cent_id,
+         |    CASE WHEN list_dot_product($vs, $vs) = 0
+         |           OR list_dot_product($cs, $cs) = 0 THEN -2.0
+         |         ELSE ${intCos(s"list_dot_product($vs, $cs)",
+                                 s"list_dot_product($vs, $vs)",
+                                 s"list_dot_product($cs, $cs)")}
+         |    END AS cos
+         |  FROM qq v, range(0, 8) rm(m), cents c),
+         |codes AS (
+         |  SELECT vec_id, m, cent_id FROM (
+         |    SELECT vec_id, m, cent_id, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY cos DESC, cent_id) AS rn
+         |    FROM subsim) WHERE rn = 1),
+         |recon AS (
+         |  SELECT codes.vec_id,
+         |    flatten(list(c.q[codes.m*8+1 : codes.m*8+8] ORDER BY codes.m)) AS r
+         |  FROM codes JOIN cents c ON c.cent_id = codes.cent_id
+         |  GROUP BY codes.vec_id),
+         |scored AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    CAST(list_dot_product(qa.q, r.r) AS BIGINT) AS adc
+         |  FROM qprobe p JOIN assigned a USING (cent_id)
+         |  JOIN recon r ON r.vec_id = a.neighbor_id
+         |  JOIN qq qa ON qa.vec_id = p.query_id
+         |  WHERE p.query_id <> a.neighbor_id)
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT query_id, neighbor_id,
          |    CAST(row_number() OVER (PARTITION BY query_id

@@ -251,6 +251,24 @@ class DedupSpec extends AnyFunSuite {
     info(f"pq ann recall@5 = $recall%.2f")
   }
 
+  test("IVF+PQ composition: candidates come from probed cells only") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivfpq = Similarity.ivfPqTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(ivfpq.nonEmpty)
+    // every returned neighbor must live in a cell the query probed — i.e.
+    // be among the IVF candidate set (IVF with a large k bounds it)
+    val ivfWide = Similarity.ivfTopK(queries, emb, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfpq.forall(ivfWide.contains),
+      "ivfpq returned a neighbor outside the probed cells")
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ivfpq.toSet.contains).toDouble / exact.size
+    info(f"ivfpq ann recall@5 = $recall%.2f")
+    assert(recall >= 0.05, s"IVF+PQ recall $recall")
+  }
+
   test("minhash estimate tracks exact jaccard on candidate pairs") {
     val rows = Dedup.minhashEstimates(docs).collect()
       .map(r => (r.getDouble(2), r.getDouble(3)))
