@@ -70,6 +70,8 @@ object Relational {
     "q35_array_hof" -> q35,
     "q36_hll_portable" -> q36,
     "q37_cdc_upsert" -> q37,
+    "q38_cms_heavy" -> q38,
+    "q39_pagerank" -> q39,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -473,6 +475,102 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Count-Min sketch heavy hitters — the second portable sketch next to
+    * q36's HyperLogLog: d=4 hash rows × w=256 counters, every counter an
+    * EXACT integer and every hash the md5-prefix construction, so the
+    * whole sketch (and the estimates read from it) is bit-identical in
+    * any engine. The CMS guarantee est ≥ true (collisions only ADD) is
+    * property-tested; the min over the 4 rows bounds the overshoot.
+    *
+    * Scale shape: the sketch build is ONE partial aggregation into d×w =
+    * 1024 keys — per-executor partial sketches merge associatively
+    * (counter-wise sum), which is exactly what CMS is FOR at 100 TB:
+    * stream it, shard it, merge it; memory is the 1024-cell grid however
+    * many billions of items flow through. The heavy-hitter threshold is a
+    * data-derived 1-row scalar (9/10 of the max key frequency), and the
+    * verify side joins only candidate keys × 4 probe cells.
+    */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val items = li.select(col("l_partkey").as("key"))
+    def bucket(r: Int, k: Column): Column =
+      portableHash60(concat(lit(s"cms:$r:"), k.cast("string"))) % 256
+    val rows = 0 until 4
+    def cellsOf(df: DataFrame): DataFrame =
+      df.withColumn("c", explode(array(rows.map(r =>
+          struct(lit(r).as("r"), bucket(r, col("key")).as("b"))): _*)))
+        .select(df.columns.map(col) :+ col("c.r") :+ col("c.b"): _*)
+    val sketch = cellsOf(items).groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+    val counts = items.groupBy("key").agg(count(lit(1)).as("n_true"))
+    val thresh = counts.agg(expr("(max(n_true) * 9) div 10").as("t"))
+    val heavy = counts.crossJoin(broadcast(thresh))
+      .filter(col("n_true") >= col("t")).select("key", "n_true")
+    cellsOf(heavy).join(sketch, Seq("r", "b"))
+      .groupBy("key", "n_true")
+      .agg(min(col("cnt")).as("cms_est"))
+      .orderBy("key")
+  }
+
+  /** PageRank (authority scoring) over the customer↔supplier trade graph
+    * — the web-crawl curation primitive that weights pages by host
+    * authority, expressed on this schema as "who trades with important
+    * partners". Edges are the DISTINCT (customer, supplier) pairs joined
+    * through orders×lineitem, taken in BOTH directions so every node in
+    * the graph has outdegree (no dangling-mass correction needed); nodes
+    * live in one id space (customer → 2k, supplier → 2k+1).
+    *
+    * Every iteration is EXACT integer arithmetic on ranks scaled by 1e9:
+    * r'(v) = floor(0.15·1e9/N) + floor(0.85·Σ_{u→v} floor(r_u/deg_u))
+    * with floor division throughout — bit-identical in any engine, which
+    * a float PageRank (order-dependent double sums) can never be. Five
+    * fixed iterations, like the oracle's unrolled CTE chain.
+    *
+    * Scale shape: the rank vector and the edge list stay distributed —
+    * each iteration is one join (ranks ⋈ edges on src, both sides
+    * hash-partitioned the same way after the first iteration) and one
+    * partial-agg groupBy(dst); nothing is collected. Five iterations =
+    * five bounded shuffles of O(nodes + edges). Degrees are computed once
+    * and carried WITH the rank row, so the per-iteration join is binary,
+    * not ternary. The same loop shape as [[graft.operators.Dedup]]'s
+    * label propagation; fixed depth, so no per-iteration checkpoint is
+    * needed (lineage stays 5 joins deep).
+    */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nNodes = deg.count() // bounded: one count of the node list
+    val scale = 1000000000L
+    val teleport = (scale * 15L / 100L) / nNodes
+    var ranks = deg.select(col("src").as("node"), col("deg"),
+      lit(scale / nNodes).as("rank"))
+    for (_ <- 0 until 5) {
+      val contrib = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("share"))
+        .groupBy("dst")
+        .agg(sum(col("share")).as("inflow"))
+      ranks = deg.join(contrib, col("src") === col("dst"), "left")
+        .select(col("src").as("node"), col("deg"),
+          (lit(teleport) +
+            expr("(85 * coalesce(inflow, 0)) div 100")).as("rank"))
+    }
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("rank").as("rank_scaled"))
+      .orderBy("node_type", "node_id")
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -736,6 +834,51 @@ object Relational {
   }
 
   def oracle: Map[String, String] = Map(
+    "q39_pagerank" -> {
+      // one unrolled iteration: rank = teleport + floor(0.85 * inflow)
+      def it(k: Int): String =
+        s"""it$k AS (
+           |  SELECT d.src AS node, d.deg,
+           |    CAST(150000000 AS BIGINT) // (SELECT n FROM n)
+           |      + (85 * COALESCE(f.inflow, 0)) // 100 AS rank
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst, sum(r.rank // r.deg) AS inflow
+           |    FROM it${k - 1} r JOIN edges e ON r.node = e.src
+           |    GROUP BY 1) f ON d.src = f.dst)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |it0 AS (SELECT src AS node, deg,
+         |          CAST(1000000000 AS BIGINT) // (SELECT n FROM n) AS rank
+         |        FROM deg),
+         |${(1 to 5).map(it).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |         AS node_type,
+         |  node // 2 AS node_id, CAST(rank AS BIGINT) AS rank_scaled
+         |FROM it5 ORDER BY node_type, node_id""".stripMargin
+    },
+    "q38_cms_heavy" ->
+      """WITH items AS (SELECT l_partkey AS key FROM lineitem),
+        |cells AS (
+        |  SELECT r.r, CAST(concat('0x', substr(md5('cms:' || r.r || ':' || key),
+        |    1, 15)) AS BIGINT) % 256 AS b
+        |  FROM items, range(0, 4) r(r)),
+        |sketch AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |counts AS (SELECT key, count(*) AS n_true FROM items GROUP BY 1),
+        |t AS (SELECT (max(n_true) * 9) // 10 AS t FROM counts),
+        |heavy AS (SELECT key, n_true FROM counts, t WHERE n_true >= t.t),
+        |probes AS (
+        |  SELECT key, n_true, r.r,
+        |    CAST(concat('0x', substr(md5('cms:' || r.r || ':' || key),
+        |      1, 15)) AS BIGINT) % 256 AS b
+        |  FROM heavy, range(0, 4) r(r))
+        |SELECT key, n_true, CAST(min(cnt) AS BIGINT) AS cms_est
+        |FROM probes JOIN sketch USING (r, b)
+        |GROUP BY 1, 2 ORDER BY key""".stripMargin,
     "q37_cdc_upsert" ->
       """WITH latest AS (
         |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,

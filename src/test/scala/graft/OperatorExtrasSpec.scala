@@ -82,6 +82,44 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS heavy hitters: est >= true always, overshoot bounded (q38)") {
+    val rows = Relational.defs("q38_cms_heavy")(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, TestSpark.sf001, "lineitem").count()
+    rows.foreach { r =>
+      val (truth, est) = (r.getLong(1), r.getLong(2))
+      // the hard CMS guarantee: collisions only ADD
+      assert(est >= truth, s"key ${r.getLong(0)}: est $est < true $truth")
+      // expected collision mass per row is N/w; min over d=4 rows keeps
+      // the overshoot well under a few multiples of it
+      assert(est - truth <= 4 * n / 256,
+        s"key ${r.getLong(0)}: overshoot ${est - truth} vs N/w = ${n / 256}")
+    }
+  }
+
+  test("integer PageRank: mass conserved up to floor loss, hubs rank high") {
+    val rows = Relational.defs("q39_pagerank")(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(2)).sum
+    // floors only SHAVE mass, never add: per iteration the per-edge share
+    // floor loses < 1 unit per edge and the damping/teleport floors < 2
+    // per node — rebuild the edge count for the exact envelope
+    val o = Tables.load(spark, TestSpark.sf001, "orders")
+    val li = Tables.load(spark, TestSpark.sf001, "lineitem")
+    val e = 2 * o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    assert(total <= 1000000000L, s"mass grew: $total")
+    assert(total >= 1000000000L - 5 * (e + 2 * n),
+      s"mass lost beyond floor loss: $total (edges $e)")
+    // 100 suppliers absorb the flow of 1500 customers: the mean supplier
+    // rank must clearly exceed the mean customer rank
+    val (supp, cust) = rows.partition(_.getString(0) == "supplier")
+    val meanS = supp.map(_.getLong(2)).sum.toDouble / supp.length
+    val meanC = cust.map(_.getLong(2)).sum.toDouble / cust.length
+    assert(meanS > 2 * meanC, s"supplier mean $meanS vs customer mean $meanC")
+  }
+
   test("percentile_approx sketch within 5% of exact percentile") {
     val o = Tables.load(spark, TestSpark.sf001, "orders")
     val r = o.agg(
