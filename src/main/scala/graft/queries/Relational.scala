@@ -72,6 +72,8 @@ object Relational {
     "q37_cdc_upsert" -> q37,
     "q38_cms_heavy" -> q38,
     "q39_pagerank" -> q39,
+    "q40_profile" -> q40,
+    "q41_anomaly" -> q41,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -571,6 +573,76 @@ object Relational {
       .orderBy("node_type", "node_id")
   }
 
+  /** Column profiling — the ingest-QA operator every pipeline runs before
+    * trusting a new drop: per numeric column, counts/nulls/min/max/exact
+    * distinct plus a 10-bucket equi-width histogram. Money columns are
+    * taken to exact cents first, so the bucket boundary arithmetic is ALL
+    * INTEGER (`((x−min)·10) div (max−min+1)` — a float-ratio floor can
+    * straddle a ULP differently per engine; an integer div cannot).
+    *
+    * Scale shape: per column, one 1-row min/max/count aggregate broadcast
+    * back into the scan, then one partial-agg groupBy over ≤10 bucket
+    * keys — two passes of the scan per column, shuffle volume O(buckets).
+    * The four per-column frames union into one long-form result, so
+    * adding columns widens nothing.
+    */
+  private def q40(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      val base = li.select((d2(col(c)) * 100).cast("bigint").as("xc"),
+        col(c).isNull.cast("int").as("isn"))
+      val stats = base.agg(
+        count(lit(1)).as("n_total"),
+        sum(col("isn")).cast("long").as("n_null"),
+        min("xc").as("min_cents"),
+        max("xc").as("max_cents"),
+        countDistinct(col("xc")).as("n_distinct"))
+      base.filter(col("isn") === 0).crossJoin(broadcast(stats))
+        .withColumn("bucket",
+          expr("((xc - min_cents) * 10) div (max_cents - min_cents + 1)")
+            .cast("int"))
+        .groupBy("bucket", "n_total", "n_null", "min_cents", "max_cents",
+          "n_distinct")
+        .agg(count(lit(1)).as("n_bucket"))
+        .withColumn("col_name", lit(c))
+        .select("col_name", "bucket", "n_bucket", "n_total", "n_null",
+          "min_cents", "max_cents", "n_distinct")
+    }.reduce(_.unionByName(_)).orderBy("col_name", "bucket")
+  }
+
+  /** Volume-anomaly flags: hours whose event count exceeds the per-type
+    * mean by 3σ. The z-score test is cross-multiplied into EXACT integer
+    * arithmetic — `n > μ + 3σ  ⇔  (n·H − S) > 0 ∧ (n·H − S)² > 9·(H·S₂ −
+    * S²)` where S/S₂ are the per-type count sums over H observed hours —
+    * so no float mean, variance, or sqrt exists anywhere and the flags
+    * are bit-identical in any engine. (μ, σ are over OBSERVED hours;
+    * zero-event hours are absent by definition of the groupBy. Counters
+    * fit int64 through ~10⁹ events/hour; past that the same identity runs
+    * in decimal.)
+    *
+    * Scale shape: hourly buckets are a partial-agg groupBy (map-side
+    * combine); the 5-row per-type stats table broadcasts back into the
+    * bucket stream. Two bounded shuffles, no window over raw events.
+    */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e.groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("h"), sum("n").as("s"),
+      sum(col("n") * col("n")).as("s2"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("n") * col("h") - col("s"))
+      .withColumn("is_anomaly",
+        (col("dev") > 0 &&
+          col("dev") * col("dev") > lit(9L) * (col("h") * col("s2") - col("s") * col("s")))
+          .cast("int"))
+      .select("event_type", "bucket", "n", "is_anomaly")
+      .orderBy("event_type", "bucket")
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -834,6 +906,45 @@ object Relational {
   }
 
   def oracle: Map[String, String] = Map(
+    "q41_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    strftime(time_bucket(INTERVAL '1 hour', ts),
+        |             '%Y-%m-%d %H:%M:%S') AS bucket,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, count(*) AS h, sum(n) AS s,
+        |            sum(n * n) AS s2
+        |          FROM hourly GROUP BY 1)
+        |SELECT event_type, bucket, n,
+        |  CAST(dev > 0 AND dev * dev > 9 * (h * s2 - s * s) AS INTEGER)
+        |    AS is_anomaly
+        |FROM (SELECT hourly.*, h, s, s2, n * h - s AS dev
+        |      FROM hourly JOIN stats USING (event_type))
+        |ORDER BY event_type, bucket""".stripMargin,
+    "q40_profile" -> {
+      def block(c: String): String =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(((xc - min_cents) * 10) // (max_cents - min_cents + 1)
+           |    AS INTEGER) AS bucket,
+           |  count(*) AS n_bucket, n_total, n_null, min_cents, max_cents,
+           |  n_distinct
+           |FROM (SELECT CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+           |      FROM lineitem WHERE $c IS NOT NULL),
+           |     (SELECT count(*) AS n_total,
+           |        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |          AS n_null,
+           |        min(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT))
+           |          AS min_cents,
+           |        max(CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT))
+           |          AS max_cents,
+           |        count(DISTINCT CAST(CAST($c AS DECIMAL(18,2)) * 100
+           |          AS BIGINT)) AS n_distinct
+           |      FROM lineitem)
+           |GROUP BY 2, n_total, n_null, min_cents, max_cents, n_distinct""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(block).mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket")
+    },
     "q39_pagerank" -> {
       // one unrolled iteration: rank = teleport + floor(0.85 * inflow)
       def it(k: Int): String =

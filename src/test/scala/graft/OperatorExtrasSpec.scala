@@ -120,6 +120,27 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(meanS > 2 * meanC, s"supplier mean $meanS vs customer mean $meanC")
   }
 
+  test("q41 integer z-score identity == float z-score off the boundary") {
+    val rows = Relational.defs("q41_anomaly")(spark, TestSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ns = rs.map(_._2.toDouble)
+      val h = ns.length
+      val mean = ns.sum / h
+      val sd = math.sqrt(ns.map(n => (n - mean) * (n - mean)).sum / h)
+      rs.foreach { case (t, n, flag) =>
+        if (sd > 0) {
+          val z = (n - mean) / sd
+          // exactly AT z = 3 the two formulations may legitimately round
+          // apart; away from it they must agree
+          if (math.abs(z - 3.0) > 0.01)
+            assert(flag === (if (z > 3.0) 1 else 0), s"$t n=$n z=$z flag=$flag")
+        }
+      }
+    }
+  }
+
   test("percentile_approx sketch within 5% of exact percentile") {
     val o = Tables.load(spark, TestSpark.sf001, "orders")
     val r = o.agg(
