@@ -283,6 +283,52 @@ object Embeddings {
       .sortBy(-_._1)
   }
 
+  /** PCA projection — the end-to-end dimensionality-reduction transform:
+    * [[gramMatrix]]'s distributed sufficient statistics → driver-side
+    * [[pcaFromGram]] eigensolve (bounded d×d) → every vector projected
+    * onto the top-k components IN-ROW (the component matrix is a literal
+    * constant, like [[randomProject]]'s planes — scan-stage, zero
+    * shuffle beyond the one Gram pass).
+    *
+    * The projection is float (eigenvectors are irrational); the driver
+    * records it rows-only, and PipelineOpsSpec pins the semantics the
+    * hash cannot: per-component sample variance equals its eigenvalue
+    * and distinct components are empirically uncorrelated. The Gram
+    * stage underneath stays hash-checked (emb_gram).
+    */
+  def pcaProject(emb: DataFrame, topK: Int = 8): DataFrame = {
+    val rows = gramMatrix(emb).collect()
+    val dimSums = rows.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1).map(_._2)
+    val gram = rows.filter(_.getInt(1) >= 0)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    require(dimSums.nonEmpty, "pcaProject: empty embedding table")
+    val n = rows.head.getLong(3)
+    val eig = pcaFromGram(gram, dimSums, n).take(topK)
+    val mean = dimSums.map(_.toDouble / n)
+    val comps = eig.map { case (_, v) =>
+      typedLit(v.toSeq.map(x => BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    import graft.functions.vector.vecDot
+    val centered = int8CodesWithId(emb)
+      .withColumn("c", transform(col("q"),
+        (x, i) => x.cast("double") - element_at(typedLit(mean.toSeq), i + 1)))
+    centered.select(col("vec_id") +:
+      comps.zipWithIndex.map { case (v, k) =>
+        vecDot(col("c"), v).as(s"p$k")
+      }: _*)
+  }
+
+  /** [[int8Codes]] keeping vec_id — for operators that need the row id. */
+  private[operators] def int8CodesWithId(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"),
+        when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => int8Code(x, col("m")).cast("bigint"))).as("q"))
+
   /** k-NN majority-label classification over the embedding column — the
     * label-propagation / weak-supervision primitive: each query vector is
     * assigned the majority label of its k nearest neighbors (ties toward
@@ -356,6 +402,11 @@ object Embeddings {
       knnLabel(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "emb_gram" -> ((s, d) =>
       gramMatrix(Tables.load(s, d, "embeddings"))),
+    // rows-only by design (float eigenvectors have no SQL replay); the
+    // Gram stage underneath is the hash-checked emb_gram, and the
+    // eigen-semantics are property-tested in PipelineOpsSpec
+    "emb_pca" -> ((s, d) =>
+      pcaProject(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
   )
 
   def oracle: Map[String, String] = Map(

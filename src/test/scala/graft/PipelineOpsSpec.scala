@@ -302,6 +302,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pcaProject: component variances == eigenvalues, decorrelated") {
+    val emb = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val proj = Embeddings.pcaProject(emb, topK = 4).collect()
+    val n = proj.length.toDouble
+    assert(n > 0)
+    val cols = (0 until 4).map(k => proj.map(_.getDouble(k + 1)))
+    // recompute the eigenvalues from the same stats
+    val rows = Embeddings.gramMatrix(emb).collect()
+    val dimSums = rows.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1).map(_._2)
+    val gram = rows.filter(_.getInt(1) >= 0)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+    val eig = Embeddings.pcaFromGram(gram, dimSums, rows.head.getLong(3))
+    for (k <- 0 until 4) {
+      val mean = cols(k).sum / n
+      val variance = cols(k).map(x => (x - mean) * (x - mean)).sum / n
+      val lambda = eig(k)._1
+      // population variance of the projection IS the eigenvalue (up to
+      // the 6-decimal rounding of the component matrix)
+      assert(math.abs(variance - lambda) < 0.01 * math.max(1.0, lambda),
+        s"component $k: var $variance vs lambda $lambda")
+    }
+    // distinct components are uncorrelated
+    val m0 = cols(0).sum / n
+    val m1 = cols(1).sum / n
+    val cov01 = cols(0).zip(cols(1))
+      .map { case (a, b) => (a - m0) * (b - m1) }.sum / n
+    val denom = math.sqrt(eig(0)._1 * eig(1)._1)
+    assert(math.abs(cov01) / denom < 0.01, s"corr(p0,p1) = ${cov01 / denom}")
+  }
+
   test("q37 incremental LWW merge == global latest-event rule") {
     val dir = TestSpark.sf0001
     val got = graft.queries.Relational.defs("q37_cdc_upsert")(spark, dir)
