@@ -47,15 +47,46 @@ object Bench {
   val WindowBytes = 2000
   val SafeLineBytes = 1950 // headroom for the newline + value-width variance
 
-  /** Degradation ladder: 2 -> 1 -> 0 decimals, then drop the per-query map
-    * entirely (names alone outgrow the window near ~100 queries). The
-    * official total must parse in EVERY case — a round without per-query
-    * resolution is poorer, a round without a bench number is lost.
+  /** Degradation ladder: 2 -> 1 -> 0 decimals with the full map; past
+    * ~100 queries the NAMES alone outgrow the window, so the next rung
+    * keeps only the slowest K queries individually (failures always kept
+    * — they are the diagnostic signal) and folds the rest into one
+    * "_other" bucket, choosing the largest K that fits by binary search.
+    * The absolute last resort drops the map. The official total must
+    * parse in EVERY case — a round without per-query resolution is
+    * poorer, a round without a bench number is lost.
     */
   def renderLine(results: Seq[(String, Double, Boolean)], sfDir: String): String =
     Iterator(2, 1, 0).map(renderAt(results, sfDir, _))
       .find(_.length <= SafeLineBytes)
+      .orElse(topKRender(results, sfDir))
       .getOrElse(renderAt(results, sfDir, 2, withQueries = false))
+
+  /** Slowest-K + "_other" rollup at 1 decimal. Failed queries sort first
+    * so they are never folded away (their names must stay in failed[]
+    * AND their negative markers in the map); "_other" carries the summed
+    * magnitude of the folded remainder, so "sum of printed magnitudes ==
+    * printed total" still reconciles exactly.
+    */
+  private def topKRender(results: Seq[(String, Double, Boolean)],
+                         sfDir: String): Option[String] = {
+    val prio = results.sortBy { case (_, v, ok) => (ok, -math.abs(v)) }
+    def attempt(k: Int): String = {
+      val keepNames = prio.take(k).map(_._1).toSet
+      val kept = results.filter(r => keepNames(r._1))
+      val folded = results.filterNot(r => keepNames(r._1))
+      val other = folded.map { case (_, v, _) => math.abs(v) }.sum
+      renderAt(kept :+ (("_other", other, true)), sfDir, 1)
+    }
+    var lo = 0
+    var hi = results.size
+    while (lo < hi) { // largest k whose render fits
+      val mid = (lo + hi + 1) / 2
+      if (attempt(mid).length <= SafeLineBytes) lo = mid else hi = mid - 1
+    }
+    val line = attempt(lo)
+    if (line.length <= SafeLineBytes) Some(line) else None
+  }
 
   /** a failed query is visibly failed: negative elapsed in `queries` AND
     * listed in `failed` — it can't masquerade as a fast success.

@@ -162,15 +162,10 @@ object Embeddings {
 
   /** Int8 code vectors (array<bigint>) — [[quantizeInt8]]'s exact-integer
     * codes kept as a column for operators that consume whole vectors
-    * (Gram accumulation, PQ). Zero vectors code to all-zero.
+    * (Gram accumulation, PCA projection). Zero vectors code to all-zero.
     */
   private[operators] def int8Codes(emb: DataFrame): DataFrame =
-    emb.select(col("embedding").cast("array<double>").as("v"))
-      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
-      .select(
-        when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
-          .otherwise(transform(col("v"),
-            x => int8Code(x, col("m")).cast("bigint"))).as("q"))
+    int8CodesWithId(emb).select(col("q"))
 
   /** Distributed Gram-matrix sufficient statistics over the embedding
     * column: Σ qqᵀ (upper triangle), Σ q, and n — everything PCA/whitening

@@ -30,22 +30,41 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("adaptive renderer degrades precision rather than overflow the window") {
     // simulate a round of query growth: the 2-decimal render of ~8 extra
-    // queries would overflow; renderLine must fall back and still fit.
-    // NOTE the roster has a hard ceiling near ~100 queries — past that even
-    // the 1-decimal render outgrows the driver's window, and this test is
-    // the tripwire that says so before the driver loses a round's number.
+    // queries would overflow; renderLine must fall back and still fit
     val grown = pessimistic ++ (1 to 8).map(i => (f"zz_future_q$i%02d", 9.99, true))
     val line = Bench.renderLine(grown, sfDir)
     assert(line.length <= Bench.WindowBytes - 10,
       s"grown line is ${line.length} bytes; adaptive fallback failed")
   }
 
-  test("last-resort render sacrifices the map, never the official total") {
-    val huge = (1 to 130).map(i => (f"zz_padding_query_name_$i%03d", 9.99, true))
+  test("past the full-map ceiling: slowest-K + _other rollup, reconciled") {
+    // 130 long-named queries: no full map fits at any precision, so the
+    // rollup rung must keep the slowest individually and fold the rest
+    val huge = (1 to 130).map(i =>
+      (f"zz_padding_query_name_$i%03d", 0.1 * (i % 17), i != 7))
     val line = Bench.renderLine(huge, sfDir)
     assert(line.length <= Bench.WindowBytes - 10, s"${line.length} bytes")
-    assert(line.contains("\"queries\":{}"), line)
-    assert(line.contains("\"value\":"), line)
+    assert(line.contains("\"_other\":"), line)
+    // the failed query is never folded away
+    assert(line.contains("\"zz_padding_query_name_007\":-"), line)
+    assert(line.contains("\"failed\":[\"zz_padding_query_name_007\"]"), line)
+    // printed magnitudes still sum exactly to the printed total
+    val value = BigDecimal("""\"value\":(-?[0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1))
+    val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    val parts = qmap.split(",").map(_.split(":")(1)).map(BigDecimal(_))
+    assert(parts.map(_.abs).sum == value,
+      "per-query magnitudes + _other must sum exactly to the total")
+  }
+
+  test("the REAL roster keeps meaningful per-query resolution") {
+    // today's roster overflows the full map: the rollup rung must retain
+    // a useful number of individual entries, not collapse to _other alone
+    val line = Bench.renderLine(pessimistic, sfDir)
+    val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    val entries = qmap.split(",").length
+    assert(entries >= 30 || !qmap.contains("_other"),
+      s"only $entries per-query entries survived: $qmap")
   }
 
   test("printed total equals the sum of the printed per-query magnitudes") {
