@@ -60,23 +60,49 @@ object Bench {
     Iterator(2, 1, 0).map(renderAt(results, sfDir, _))
       .find(_.length <= SafeLineBytes)
       .orElse(topKRender(results, sfDir))
-      .getOrElse(renderAt(results, sfDir, 2, withQueries = false))
+      .orElse(Some(renderAt(results, sfDir, 2, withQueries = false))
+        .filter(_.length <= SafeLineBytes))
+      .getOrElse(truncatedFailedRender(results, sfDir))
+
+  /** Absolute floor: even the no-queries render can overflow when a huge
+    * roster fails wholesale (the failed[] NAMES alone exceed the window).
+    * Keep as many failed names as fit — "n_failed" (present in every
+    * render) still reports the true count the names can no longer carry.
+    */
+  private def truncatedFailedRender(results: Seq[(String, Double, Boolean)],
+                                    sfDir: String): String = {
+    val failed = results.collect { case (k, _, false) => k }
+    def attempt(k: Int): String =
+      renderAt(results, sfDir, 2, withQueries = false,
+        failedOverride = Some(failed.take(k)),
+        nFailedOverride = Some(failed.size))
+    var lo = 0
+    var hi = failed.size
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (attempt(mid).length <= SafeLineBytes) lo = mid else hi = mid - 1
+    }
+    attempt(lo)
+  }
 
   /** Slowest-K + "_other" rollup at 1 decimal. Failed queries sort first
-    * so they are never folded away (their names must stay in failed[]
-    * AND their negative markers in the map); "_other" carries the summed
-    * magnitude of the folded remainder, so "sum of printed magnitudes ==
-    * printed total" still reconciles exactly.
+    * so their negative markers stay in the map as long as ANY entries
+    * fit, and failed[] is always rendered from the FULL result set — a
+    * folded failure loses its per-query timing, never its name. "_other"
+    * carries the summed magnitude of the folded remainder, so "sum of
+    * printed magnitudes == printed total" still reconciles exactly.
     */
   private def topKRender(results: Seq[(String, Double, Boolean)],
                          sfDir: String): Option[String] = {
     val prio = results.sortBy { case (_, v, ok) => (ok, -math.abs(v)) }
+    val allFailed = results.collect { case (k, _, false) => k }
     def attempt(k: Int): String = {
       val keepNames = prio.take(k).map(_._1).toSet
       val kept = results.filter(r => keepNames(r._1))
       val folded = results.filterNot(r => keepNames(r._1))
       val other = folded.map { case (_, v, _) => math.abs(v) }.sum
-      renderAt(kept :+ (("_other", other, true)), sfDir, 1)
+      renderAt(kept :+ (("_other", other, true)), sfDir, 1,
+        failedOverride = Some(allFailed))
     }
     var lo = 0
     var hi = results.size
@@ -95,7 +121,9 @@ object Bench {
     * making "sum the queries map == value" hold to the last digit.
     */
   private def renderAt(results: Seq[(String, Double, Boolean)], sfDir: String,
-                       scale: Int, withQueries: Boolean = true): String = {
+                       scale: Int, withQueries: Boolean = true,
+                       failedOverride: Option[Seq[String]] = None,
+                       nFailedOverride: Option[Int] = None): String = {
     val signed = results.map { case (k, v, ok) =>
       // floor failed times away from zero: an instantly-failing query
       // would otherwise print -0.00, and JSON -0.0 == 0.0
@@ -113,12 +141,20 @@ object Bench {
         signed.map { case (k, r) => "\"" + k + "\":" + render(r) }
           .mkString("{", ",", "}")
       else "{}" // schema-stable: the key stays, the map is sacrificed
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    // n_failed is the TRUE failure count in every render — failed[] may be
+    // a truncated best-effort list at the ladder's floor, and `results`
+    // itself is a kept-subset in the rollup rung, so callers that reshape
+    // either one supply the true count explicitly
+    val nFailed = nFailedOverride
+      .orElse(failedOverride.map(_.size))
+      .getOrElse(results.count(!_._3))
+    val failed = failedOverride
+      .getOrElse(results.collect { case (k, _, false) => k })
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // total elapsed = sum of |per-query values| (failures are printed
     // negative as a marker but still cost their elapsed time; a signed sum
     // would report less than actual wall time on a run with failures)
     val total = signed.map(_._2.abs).sum
-    s"""{"metric":"total","value":${render(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${render(total)},"unit":"sec","queries":$qs,"failed":$failed,"n_failed":$nFailed,"sf":"$sfDir"}"""
   }
 }

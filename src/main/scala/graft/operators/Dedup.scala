@@ -939,9 +939,9 @@ object Dedup {
     * cleanup) — a Bench+Verify run must not leave `graft-sigstore*` dirs
     * behind. A real pipeline passes a durable path instead.
     */
-  private[graft] def tempSigStore(): String = {
+  private[graft] def tempSigStore(prefix: String = "graft-sigstore"): String = {
     import java.nio.file.{Files, Path}
-    val dir = Files.createTempDirectory("graft-sigstore")
+    val dir = Files.createTempDirectory(prefix)
     sys.addShutdownHook {
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p)) {

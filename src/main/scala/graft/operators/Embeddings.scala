@@ -106,12 +106,7 @@ object Embeddings {
       (na * nb).cast("double")
 
   def quantizeInt8(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("q",
-        when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
-          .otherwise(transform(col("v"),
-            x => int8Code(x, col("m")).cast("bigint"))))
+    int8CodesWithId(emb)
       .select(
         col("vec_id"),
         round(col("m") / 127.0, 6).as("scale"),
@@ -201,6 +196,10 @@ object Embeddings {
         var n = 0L
         while (it.hasNext) {
           val q = it.next()
+          // ragged input throws loudly (the VectorOps convention: never
+          // silently truncate or zero-fill a mismatched vector)
+          require(q.length == d,
+            s"gramMatrix: $d-dim corpus contains a ${q.length}-dim vector")
           n += 1
           var i = 0
           var k = 0
@@ -315,11 +314,16 @@ object Embeddings {
       }: _*)
   }
 
-  /** [[int8Codes]] keeping vec_id — for operators that need the row id. */
+  /** THE int8 code builder — (vec_id, m, q) with m = max|component| and q
+    * the exact-integer code array. Every quantization consumer
+    * ([[quantizeInt8]], [[int8Codes]], [[pcaProject]]) derives from this
+    * one pipeline: a second copy of the half-up formula is exactly the
+    * silent-drift hazard the [[int8Code]] scaladoc warns about.
+    */
   private[operators] def int8CodesWithId(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("m", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("m"),
         when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
             x => int8Code(x, col("m")).cast("bigint"))).as("q"))

@@ -35,9 +35,10 @@ import org.apache.spark.sql.types._
   *  - The checksum is bit_xor + a modular sum of the 60-bit portable row
   *    hash: both are order-independent (no sort before aggregate) and
   *    map-side combinable, so the verification itself is one partial-agg
-  *    shuffle of O(sources) rows. (The modular sum bounds the magnitude:
-  *    1e9 × row-count stays far under int64 even at 10^12 rows — a raw
-  *    60-bit sum would overflow at 9 rows.)
+  *    shuffle of O(sources) rows. The modular sum accumulates in
+  *    DECIMAL(38,0) on both sides — an int64 sum of ~1e9-sized terms
+  *    wraps (silently in Spark, as a cast error in the oracle) near
+  *    9·10⁹ rows per source, which a 100 TB corpus exceeds.
   */
 object Sources {
 
@@ -82,29 +83,18 @@ object Sources {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
         expr("bit_xor(h)").as("checksum_xor"),
-        sum(col("h") % 1000000007L).cast("long").as("checksum_sum"))
+        sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("checksum_sum"))
       .orderBy("source")
   }
 
-  /** Staged output dir, recursively deleted on JVM exit (the
-    * [[graft.operators.Dedup.tempSigStore]] contract — a Bench+Verify run
-    * must not leave graft-src-* dirs behind).
+  /** Staged output dir, recursively deleted on JVM exit — ONE
+    * implementation of exit-time temp cleanup for the whole library
+    * ([[graft.operators.Dedup.tempSigStore]]); a Bench+Verify run must
+    * not leave graft-src-* dirs behind.
     */
-  private[graft] def staged(prefix: String): String = {
-    import java.nio.file.{Files, Path}
-    val dir = Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val children = Files.list(p)
-          try children.forEach(rm(_)) finally children.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      rm(dir)
-    }
-    dir.toString
-  }
+  private[graft] def staged(prefix: String): String =
+    graft.operators.Dedup.tempSigStore(prefix)
 
   /** documents → JSONL → documents, summarized. */
   def jsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
@@ -157,7 +147,7 @@ object Sources {
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  bit_xor(h) AS checksum_xor,
-      |  CAST(sum(h % 1000000007) AS BIGINT) AS checksum_sum
+      |  CAST(sum(h % 1000000007) AS DECIMAL(38,0)) AS checksum_sum
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
   def oracle: Map[String, String] = Map(

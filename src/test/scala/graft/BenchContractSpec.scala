@@ -57,6 +57,31 @@ class BenchContractSpec extends AnyFunSuite {
       "per-query magnitudes + _other must sum exactly to the total")
   }
 
+  test("wholesale failure on a huge roster: true count survives truncation") {
+    // pathological round: EVERY query fails (bad data dir) on a roster so
+    // big the failed NAMES alone overflow the window — the floor render
+    // keeps as many names as fit and n_failed carries the true count
+    val allBad = (1 to 130).map(i =>
+      (f"zz_padding_query_name_$i%03d", 9.99, false))
+    val line = Bench.renderLine(allBad, sfDir)
+    assert(line.length <= Bench.WindowBytes - 10, s"${line.length} bytes")
+    assert(line.contains("\"n_failed\":130"), line)
+    val failed = """\"failed\":\[([^\]]*)\]""".r
+      .findFirstMatchIn(line).get.group(1)
+    assert(failed.nonEmpty && failed.split(",").length >= 30,
+      s"failed[] kept too few names: $failed")
+  }
+
+  test("rollup rung reports the true failure count for folded failures") {
+    // realistic-length names, 60 failures: the rollup rung fits some map
+    // but may fold failures — n_failed and failed[] must stay complete
+    val mixed = (1 to 130).map(i =>
+      (f"zz_q$i%03d", 0.1 * (i % 11), i % 2 == 0))
+    val line = Bench.renderLine(mixed, sfDir)
+    assert(line.length <= Bench.WindowBytes - 10, s"${line.length} bytes")
+    assert(line.contains("\"n_failed\":65"), line)
+  }
+
   test("the REAL roster keeps meaningful per-query resolution") {
     // today's roster overflows the full map: the rollup rung must retain
     // a useful number of individual entries, not collapse to _other alone

@@ -41,13 +41,4 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq === direct())
   }
 
-  test("round-trip reads never infer schema (explicit schema, one pass)") {
-    // an inference pass would show up as a second json/csv scan job; the
-    // cheap structural assert is that the read schema is exactly docSchema
-    val out = Sources.staged("graft-src-schema")
-    Sources.decorate(Tables.load(spark, TestSpark.sf0001, "documents"))
-      .limit(10).write.mode("overwrite").json(out)
-    val df = spark.read.schema(Sources.docSchema).json(out)
-    assert(df.schema === Sources.docSchema)
-  }
 }
