@@ -580,39 +580,49 @@ object Relational {
     * INTEGER (`((x−min)·10) div (max−min+1)` — a float-ratio floor can
     * straddle a ULP differently per engine; an integer div cannot).
     *
-    * Scale shape: TWO scans total, however many columns are profiled —
-    * one aggregate computes every column's min/max/nulls/distinct in a
-    * single pass (Catalyst's Expand handles the multi-distinct), its
-    * 1-row result broadcasts back into a second pass that emits one
-    * (column, bucket) struct per profiled column per row and partial-aggs
-    * them into O(columns × buckets) keys. A per-column loop of scans
-    * (the naive shape, 2·C passes) measured 4.1 s vs ~1 s at sf0.1.
+    * Scale shape: everything derives from ONE per-(column, value) count
+    * table — a single scan explodes each row into C (column, value)
+    * structs and partial-aggs them, so the only exchange carries the
+    * DISTINCT values per column (~2k rows here), not data. Stats
+    * (total/nulls/min/max/distinct) and the histogram are then two tiny
+    * aggregations of that table; raw rows are never touched again. The
+    * two rejected shapes both measured ~4 s at sf0.1: a per-column scan
+    * loop (2·C full passes), and a single multi-`countDistinct` agg —
+    * Catalyst plans C distinct aggregates as Expand(C+1 copies) + a
+    * dedup aggregate KEYED ON ALL C COLUMNS, which shuffles ~5× the
+    * table. For a genuinely high-cardinality column the value table
+    * degrades to the column's cardinality — the price ANY exact distinct
+    * pays — while min/max/counts stay partial-agg cheap.
     */
   private def q40(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val base = li.select(cols.map(c =>
-      (d2(col(c)) * 100).cast("bigint").as(s"x_$c")): _*)
-    val stats = base.agg(
-      count(lit(1)).as("n_total"),
-      cols.flatMap(c => Seq(
-        sum(col(s"x_$c").isNull.cast("int")).cast("long").as(s"null_$c"),
-        min(col(s"x_$c")).as(s"min_$c"),
-        max(col(s"x_$c")).as(s"max_$c"),
-        countDistinct(col(s"x_$c")).as(s"dist_$c"))): _*)
-    base.crossJoin(broadcast(stats))
-      .select(explode(array(cols.map(c => struct(
+    val long = li.select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"),
-        expr(s"((x_$c - min_$c) * 10) div (max_$c - min_$c + 1)")
-          .cast("int").as("bucket"),
-        col("n_total"), col(s"null_$c").as("n_null"),
-        col(s"min_$c").as("min_cents"), col(s"max_$c").as("max_cents"),
-        col(s"dist_$c").as("n_distinct"))): _*)).as("p"))
-      .select(col("p.*"))
-      .filter(col("bucket").isNotNull)
+        (d2(col(c)) * 100).cast("bigint").as("xc"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.xc").as("xc"))
+    // materialize the tiny value table eagerly: TWO consumers (stats +
+    // histogram) would otherwise each re-run the corpus scan — the
+    // differing parent aggregates defeat ReuseExchange, exactly the
+    // ta_lm_score lesson. ~cardinality rows, so the checkpoint is free.
+    val vcounts = long.groupBy("col_name", "xc").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val stats = vcounts.groupBy("col_name").agg(
+      sum("n").cast("long").as("n_total"),
+      sum(when(col("xc").isNull, col("n")).otherwise(0L)).cast("long")
+        .as("n_null"),
+      min("xc").as("min_cents"),
+      max("xc").as("max_cents"),
+      sum(when(col("xc").isNotNull, 1L).otherwise(0L)).cast("long")
+        .as("n_distinct"))
+    vcounts.filter(col("xc").isNotNull)
+      .join(broadcast(stats), "col_name")
+      .withColumn("bucket",
+        expr("((xc - min_cents) * 10) div (max_cents - min_cents + 1)")
+          .cast("int"))
       .groupBy("col_name", "bucket", "n_total", "n_null", "min_cents",
         "max_cents", "n_distinct")
-      .agg(count(lit(1)).as("n_bucket"))
+      .agg(sum(col("n")).cast("long").as("n_bucket"))
       .select("col_name", "bucket", "n_bucket", "n_total", "n_null",
         "min_cents", "max_cents", "n_distinct")
       .orderBy("col_name", "bucket")
