@@ -545,9 +545,15 @@ object Relational {
     val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
+    // materialize the graph ONCE: edges feed every iteration's join and
+    // deg every iteration's rebuild — without the checkpoint each of the
+    // 5 iterations re-runs the orders⋈lineitem edge derivation (the
+    // duplicateClusters lesson); edge lists are O(distinct pairs), small
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val nNodes = deg.count() // bounded: one count of the node list
     val scale = 1000000000L
     val teleport = (scale * 15L / 100L) / nNodes
