@@ -648,12 +648,11 @@ object Relational {
     * combine); the 5-row per-type stats table broadcasts back into the
     * bucket stream. Two bounded shuffles, no window over raw events.
     */
-  private def q41(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val hourly = e.groupBy(col("event_type"),
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
-          .as("bucket"))
-      .agg(count(lit(1)).as("n"))
+  /** The flag stage of q41 over an (event_type, bucket, n) hourly-count
+    * frame — factored out so the STREAMING twin (st_anomaly) can apply
+    * the identical exact-integer test inside foreachBatch.
+    */
+  def anomalyFlags(hourly: DataFrame): DataFrame = {
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("h"), sum("n").as("s"),
       sum(col("n") * col("n")).as("s2"))
@@ -664,7 +663,15 @@ object Relational {
           col("dev") * col("dev") > lit(9L) * (col("h") * col("s2") - col("s") * col("s")))
           .cast("int"))
       .select("event_type", "bucket", "n", "is_anomaly")
-      .orderBy("event_type", "bucket")
+  }
+
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourly = e.groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    anomalyFlags(hourly).orderBy("event_type", "bucket")
   }
 
   private val q22Sql =

@@ -233,6 +233,46 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming anomaly monitor — the foreachBatch surface: a Complete-mode
+    * hourly aggregation streams into a batch function that applies the
+    * SAME exact-integer 3σ test as batch q41 (shared
+    * [[graft.queries.Relational.anomalyFlags]]) and overwrite-publishes
+    * the flagged table. foreachBatch is the idempotent-sink pattern for
+    * logic Structured Streaming can't express in one query (here: a
+    * second aggregation OVER the windowed aggregate); mode=overwrite per
+    * batch makes replays idempotent — the last batch (the complete
+    * aggregate, on this finite source) is the published truth.
+    *
+    * Scale notes: the per-batch input is the AGGREGATE (types × hours),
+    * not events, so the foreachBatch body works on bounded data; state
+    * is the windowed-count store, watermark-bounded in an unbounded
+    * deployment (Complete mode here because the flag test wants all
+    * hours — a production monitor would bound it to a sliding horizon).
+    */
+  def anomalyMonitor(spark: SparkSession, dir: String,
+                     outDir: String): Unit = {
+    val hourly = readEvents(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("n"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = hourly.writeStream
+        .outputMode(OutputMode.Complete)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.queries.Relational.anomalyFlags(batch)
+            .write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming query on the finite file source into a memory sink and
     * block until all available data is processed — the local test harness
     * for the operators above.
@@ -344,6 +384,12 @@ object EventStream {
     // by design to history×batch pairs (within-batch dups are the nightly
     // batch job's business). Only dropDuplicates keeps state, bounded by
     // O(flagged pairs).
+    "st_anomaly" -> ((s, d) => {
+      // foreachBatch monitor (see anomalyMonitor); same oracle as q41
+      val out = graft.operators.Dedup.tempSigStore("graft-st-anomaly")
+      anomalyMonitor(s, d, out)
+      s.read.parquet(out).orderBy("event_type", "bucket")
+    }),
     "st_incremental" -> ((s, d) => {
       import graft.operators.Dedup
       val docs = graft.tables.Tables.load(s, d, "documents")
@@ -376,6 +422,7 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_upsert" ->
       """WITH latest AS (
         |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -171,6 +171,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1) === want.map(_._1))
   }
 
+  test("foreachBatch anomaly monitor == batch q41 flags") {
+    val out = graft.operators.Dedup.tempSigStore("graft-test-anomaly")
+    EventStream.anomalyMonitor(spark, dir, out)
+    val got = spark.read.parquet(out)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Relational.defs("q41_anomaly")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("trainValTest: pure function of doc_id — stable under repartition") {
     val docs = graft.tables.Tables.load(spark, dir, "documents")
     val a = graft.operators.TextAnalysis.trainValTest(docs)
