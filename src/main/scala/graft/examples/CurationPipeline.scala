@@ -38,17 +38,21 @@ object CurationPipeline {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // each stage is materialized once: the gate/dedup frames feed several
+    // downstream actions (measures, the split, packing, the write), and
+    // without the checkpoint every action re-runs the Gopher scan and the
+    // LSH clustering — the same multiple-consumer lesson as q39/q40
     val keepQuality = TextAnalysis.gopherRules(docs)
       .filter(col("keep") === 1).select("doc_id")
-    val quality = docs.join(keepQuality, "doc_id")
+    val quality = docs.join(keepQuality, "doc_id").localCheckpoint(true)
 
     val survivors = Dedup.resolveClusters(quality)
       .filter(col("keep") === 1).select("doc_id")
-    val deduped = quality.join(survivors, "doc_id")
+    val deduped = quality.join(survivors, "doc_id").localCheckpoint(true)
 
     val split = TextAnalysis.trainValTest(deduped)
       .select(col("doc_id"), col("split"))
-    val withSplit = deduped.join(split, "doc_id")
+    val withSplit = deduped.join(split, "doc_id").localCheckpoint(true)
 
     val train = withSplit.filter(col("split") === "train")
     val packed = TextAnalysis.packSequences(train)

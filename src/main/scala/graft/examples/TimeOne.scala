@@ -10,15 +10,26 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
+    // validate BEFORE paying session startup + the warm-up run
+    val names = args.headOption.map(_.split(",").toSeq).getOrElse {
+      System.err.println("usage: TimeOne <query[,query...]> [sfDir]")
+      sys.exit(2)
+    }
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled","true")
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     graft.SparkEntry.queries("q01_pricing_summary")(spark, dir).count()
-    for (name <- args(0).split(",")) {
+    for (name <- names) {
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, dir).count()

@@ -257,17 +257,36 @@ object EventStream {
       .select(col("event_type"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("n"))
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val q = hourly.writeStream
+    // seed the sink with the empty flagged schema: a zero-batch stream
+    // (empty source) must publish an EMPTY table like batch q41, not
+    // leave an unreadable directory behind
+    graft.queries.Relational.anomalyFlags(hourly.sparkSession
+        .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          hourly.schema))
+      .write.mode("overwrite").parquet(outDir)
+    runDrained(spark) {
+      hourly.writeStream
         .outputMode(OutputMode.Complete)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.queries.Relational.anomalyFlags(batch)
             .write.mode("overwrite").parquet(outDir)
         }
         .start()
+    }
+  }
+
+  /** Start a stream, drain the finite source, stop — with the state-store
+    * partition count lowered for the one-micro-batch local run and the
+    * session value restored afterwards. ONE definition of the local
+    * stream harness, shared by every sink shape.
+    */
+  private def runDrained(spark: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = start
       q.processAllAvailable()
       q.stop()
     } finally spark.conf.set(key, prev)
@@ -285,17 +304,10 @@ object EventStream {
     * top of the operator itself — bench numbers for st_* queries include
     * that harness overhead by design.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
-    val spark = df.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try {
-      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set(key, prev)
-  }
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit =
+    runDrained(df.sparkSession) {
+      df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    }
 
   // --- driver-checked query surface: the streaming pipeline itself runs
   // (file source -> watermark -> window agg -> memory sink) and its output
@@ -375,6 +387,13 @@ object EventStream {
           col("f.is_deleted").as("is_deleted"))
         .orderBy("user_id")
     }),
+    // Streaming anomaly monitor through foreachBatch (see anomalyMonitor);
+    // hash-checked against the same oracle as batch q41
+    "st_anomaly" -> ((s, d) => {
+      val out = graft.operators.Dedup.tempSigStore("graft-st-anomaly")
+      anomalyMonitor(s, d, out)
+      s.read.parquet(out).orderBy("event_type", "bucket")
+    }),
     // Streaming near-dedup at ingest: new documents stream in, each is
     // MinHash-signed ROW-LOCALLY (Dedup.rowLocalBands — scan-stage HOFs,
     // no state store), and its LSH band keys probe the HISTORICAL
@@ -384,12 +403,6 @@ object EventStream {
     // by design to history×batch pairs (within-batch dups are the nightly
     // batch job's business). Only dropDuplicates keeps state, bounded by
     // O(flagged pairs).
-    "st_anomaly" -> ((s, d) => {
-      // foreachBatch monitor (see anomalyMonitor); same oracle as q41
-      val out = graft.operators.Dedup.tempSigStore("graft-st-anomaly")
-      anomalyMonitor(s, d, out)
-      s.read.parquet(out).orderBy("event_type", "bucket")
-    }),
     "st_incremental" -> ((s, d) => {
       import graft.operators.Dedup
       val docs = graft.tables.Tables.load(s, d, "documents")

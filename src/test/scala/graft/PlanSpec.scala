@@ -237,6 +237,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size === 1, p)
   }
 
+  test("q38 CMS: the sketch is one partial aggregation into d×w keys") {
+    val df = Relational.defs("q38_cms_heavy")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // per-executor partial sketches ARE the mergeable-CMS property; the
+    // sketch-side exchange must carry combined (r,b) cells, not items
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning\\(r".r.findAllMatchIn(p).size === 1, p)
+  }
+
+  test("q41 anomaly: bounded shuffles only, stats broadcast back") {
+    val df = Relational.defs("q41_anomaly")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // hourly buckets partial-agg before their exchange; the 5-row stats
+    // table comes back as a broadcast, never a corpus-side shuffle join
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("weightedSample: scan-stage coin, only the 1-row scalar broadcasts") {
     val ws = graft.operators.TextAnalysis.weightedSample(
       Tables.load(spark, dir, "documents"))
