@@ -74,6 +74,8 @@ object Relational {
     "q39_pagerank" -> q39,
     "q40_profile" -> q40,
     "q41_anomaly" -> q41,
+    "q42_session_window" -> q42,
+    "q43_incremental_agg" -> q43,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -674,6 +676,66 @@ object Relational {
     anomalyFlags(hourly).orderBy("event_type", "bucket")
   }
 
+  /** Sessionization via the BUILT-IN session_window operator — the same
+    * merge-by-gap semantics q16 derives with lag/cumsum windows, but
+    * planned as Spark's native UpdatingSessions/MergingSessions physical
+    * operators (the exact operator Structured Streaming uses for session
+    * state, here in batch). Boundary rule: session_window merges events
+    * whose gap is STRICTLY under the 30-minute timeout — a gap of
+    * exactly 30 min starts a new session — so the oracle's split test is
+    * `gap >= 30 min` (q16's hand-rolled rule is `>`, a deliberate
+    * difference at the measure-zero boundary).
+    *
+    * Scale shape: one hash exchange on user_id, then per-key local sort
+    * + merge — identical shuffle volume to q16's window formulation; the
+    * native operator fuses the gap detection and the aggregation in one
+    * pass instead of lag + running-sum + groupBy.
+    */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Incremental materialized-view maintenance: a per-type (count, sum)
+    * aggregate is kept as BASE state (events before the cutoff, already
+    * aggregated) and refreshed with a DELTA batch by merging partial
+    * states — count adds, exact-decimal sum adds — instead of
+    * re-scanning history. This is the algebraic-aggregate property the
+    * whole engine leans on (partial aggregation, mergeable sketches),
+    * surfaced as the nightly-refresh operator a 100 TB pipeline runs:
+    * the base table is O(groups) no matter how much history it
+    * summarizes, the delta scan is O(new events), and the merge is a
+    * full-outer join of two O(groups) sides.
+    *
+    * The oracle states the SEMANTICS — the same aggregate over the full
+    * union — which the incremental path must reproduce exactly; exact
+    * decimal sums make the merge associative to the last bit (float sums
+    * would drift under regrouping).
+    */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(d2(col("value"))).as("v")) // decimal: merge-exact
+    val base = agg(e.filter(col("ts_ns") < q37CutoffNs))
+    val delta = agg(e.filter(col("ts_ns") >= q37CutoffNs))
+    base.select(col("event_type"), col("n").as("bn"), col("v").as("bv"))
+      .join(delta.select(col("event_type"), col("n").as("dn"), col("v").as("dv")),
+        Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("bv"), lit(BigDecimal(0)).cast(D)) +
+          coalesce(col("dv"), lit(BigDecimal(0)).cast(D)))
+          .cast("double").as("v"))
+      .orderBy("event_type")
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -937,6 +999,29 @@ object Relational {
   }
 
   def oracle: Map[String, String] = Map(
+    "q42_session_window" ->
+      """WITH gapped AS (
+        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |         >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS sid
+        |  FROM gapped)
+        |SELECT user_id,
+        |  strftime(to_timestamp(min(ts_us) // 1000000), '%Y-%m-%d %H:%M:%S')
+        |    AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q43_incremental_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q41_anomaly" ->
       """WITH hourly AS (
         |  SELECT event_type,

@@ -141,6 +141,30 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("q42 native session_window conserves events and matches q16 count") {
+    val dir = TestSpark.sf0001
+    val sessions = Relational.defs("q42_session_window")(spark, dir).collect()
+    val nEvents = Tables.load(spark, dir, "events").count()
+    assert(sessions.map(_.getLong(2)).sum === nEvents,
+      "session event counts must partition the event stream")
+    val q16n = Relational.defs("q16_sessionize")(spark, dir).count()
+    // boundary rules differ only at a gap of EXACTLY 30 min (measure-zero
+    // in µs data): same session count on real data
+    assert(sessions.length.toLong === q16n)
+  }
+
+  test("q43 incremental merge == direct aggregate over the union") {
+    val dir = TestSpark.sf0001
+    val got = Relational.defs("q43_incremental_agg")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val e = Tables.events(spark, dir)
+    val want = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      .orderBy("event_type").collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
   test("percentile_approx sketch within 5% of exact percentile") {
     val o = Tables.load(spark, TestSpark.sf001, "orders")
     val r = o.agg(
