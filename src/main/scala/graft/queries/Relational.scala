@@ -76,6 +76,8 @@ object Relational {
     "q41_anomaly" -> q41,
     "q42_session_window" -> q42,
     "q43_incremental_agg" -> q43,
+    "q44_tpch_q3" -> q44,
+    "q45_tpch_q5" -> q45,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -736,6 +738,63 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** TPC-H Q3 (shipping priority), adapted to this schema
+    * (o_orderpriority for the absent o_shippriority): segment-filtered
+    * customer ⋈ orders ⋈ lineitem, revenue-ranked top 10. The benchmark
+    * shape this exercises: Catalyst must push both date filters to their
+    * scans, join the two filtered fact sides on their keys, and take a
+    * deterministic top-k (exact-decimal revenue; o_orderdate + orderkey
+    * break ties totally). At 100 TB orders⋈lineitem is the real shuffle;
+    * customer is the broadcast side.
+    */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local supplier volume): the six-table join — customer ⋈
+    * orders ⋈ lineitem ⋈ supplier (on BOTH the line's supplier key and
+    * the customer-nation = supplier-nation "local" condition) ⋈ nation ⋈
+    * region — revenue per nation inside one region-year. The join-order
+    * showcase: Catalyst reorders around the two tiny dimensions
+    * (broadcast), the equi-join on nationkey pairs prunes the fact join,
+    * and the exact-decimal revenue keeps the answer engine-identical.
+    */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -999,6 +1058,31 @@ object Relational {
   }
 
   def oracle: Map[String, String] = Map(
+    "q44_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q45_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, value, epoch_us(ts) AS ts_us,

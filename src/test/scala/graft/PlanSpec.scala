@@ -257,6 +257,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q45 six-way join: dimensions broadcast, dates pushed, no cartesian") {
+    val df = Relational.defs("q45_tpch_q5")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the order-date range reaches the orders scan as data filters
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("weightedSample: scan-stage coin, only the 1-row scalar broadcasts") {
     val ws = graft.operators.TextAnalysis.weightedSample(
       Tables.load(spark, dir, "documents"))
