@@ -759,8 +759,11 @@ object Relational {
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
+      // factors cast to decimal BEFORE the multiply (the q01 pattern):
+      // a double product cast to decimal can land on a midpoint the two
+      // engines round apart (observed: one cent at sf0.1)
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
   }
@@ -790,8 +793,8 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(money(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .as("revenue"))
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -1061,8 +1064,8 @@ object Relational {
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-        |    AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1073,8 +1076,8 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "q45_tpch_q5" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-        |    AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
