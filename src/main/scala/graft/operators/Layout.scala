@@ -40,6 +40,34 @@ object Layout {
   def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode("overwrite").parquet(dir)
 
+  /** Small-file compaction — the nightly job that undoes what streaming
+    * sinks and over-parallel writers do to a table: many kilobyte-scale
+    * files whose per-file open/footer/task overhead eventually dominates
+    * scans (and whose file count explodes driver-side listings). Sizes
+    * the output by the INPUT's actual bytes: ceil(total / targetBytes)
+    * files via one round-robin repartition — a single shuffle pass, no
+    * driver materialization; the file listing is the only driver-side
+    * work and is bounded by the file count being fixed.
+    *
+    * Returns the output file count. At cluster scale the same operator
+    * runs per partition-directory (compact cold partitions, skip hot
+    * ones); `spark.sql.files.maxRecordsPerFile` is the complementary
+    * WRITE-side guard this repair job exists to fix the absence of.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Z-order (Morton) key over the low `bits` of two dimension columns —
     * the same interleave as query q34_zorder, exposed for layout use.
     */

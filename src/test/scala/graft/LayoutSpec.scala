@@ -73,4 +73,29 @@ class LayoutSpec extends AnyFunSuite {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("compact collapses a many-small-files table, data unchanged") {
+    val dir = TestSpark.tempDir("graft-compact").toString
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    // simulate a streaming sink's damage: 64 tiny files
+    docs.repartition(64).write.parquet(s"$dir/small")
+    val smallFiles = new java.io.File(s"$dir/small")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles === 64)
+    // target far above the table size -> everything fits one file
+    val n = Layout.compact(spark, s"$dir/small", s"$dir/compacted")
+    assert(n === 1)
+    val outFiles = new java.io.File(s"$dir/compacted")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles === 1, s"$outFiles output files")
+    // byte-identical content, just fewer files
+    val a = docs.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = spark.read.parquet(s"$dir/compacted")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
+    // a tiny target produces multiple files (sizing actually responds)
+    val n2 = Layout.compact(spark, s"$dir/small", s"$dir/compacted2",
+      targetBytes = 8192)
+    assert(n2 > 1)
+  }
 }
