@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, Embeddings, Similarity, TextAnalysis}
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-corpus behavior of the public operator surface: a library user
+  * pointing a pipeline at an empty (but well-formed) table must get an
+  * empty result with the right schema — or, for operators whose
+  * parameters are DERIVED from the data (quantizer seeds, codebooks),
+  * the documented loud require. Silent crashes (NPE on a null aggregate,
+  * head() on nothing) are the failure mode this spec exists to exclude.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val noDocs: DataFrame =
+    Tables.load(spark, TestSpark.sf0001, "documents").filter(lit(false))
+  private lazy val noEmb: DataFrame =
+    Tables.load(spark, TestSpark.sf0001, "embeddings").filter(lit(false))
+
+  test("scan-stage text operators return empty frames, schema intact") {
+    for ((name, df) <- Seq(
+      "tokenStats" -> TextAnalysis.tokenStats(noDocs),
+      "qualityScores" -> TextAnalysis.qualityScores(noDocs),
+      "gopherRules" -> TextAnalysis.gopherRules(noDocs),
+      "langId" -> TextAnalysis.langId(noDocs),
+      "fingerprints" -> TextAnalysis.fingerprints(noDocs),
+      "trainValTest" -> TextAnalysis.trainValTest(noDocs),
+      "weightedSample" -> TextAnalysis.weightedSample(noDocs),
+      "repetitionScores" -> TextAnalysis.repetitionScores(noDocs))) {
+      assert(df.count() === 0, s"$name not empty")
+      assert(df.schema.nonEmpty, s"$name lost its schema")
+    }
+  }
+
+  test("dedup operators handle an empty corpus") {
+    assert(Dedup.exact(noDocs).count() === 0)
+    assert(Dedup.minhashLshPairs(noDocs).count() === 0)
+    assert(Dedup.simhashPairs(noDocs).count() === 0)
+    assert(Dedup.duplicateClusters(noDocs).count() === 0)
+    assert(Dedup.resolveClusters(noDocs).count() === 0)
+    assert(Dedup.paragraphDedup(noDocs).count() === 0)
+    assert(Dedup.winnowFingerprints(noDocs).count() === 0)
+  }
+
+  test("embedding statistics are empty-safe; seeded quantizers require data") {
+    assert(Embeddings.stats(noEmb).count() === 0)
+    assert(Embeddings.quantizeInt8(noEmb).count() === 0)
+    assert(Embeddings.centroids(noEmb).count() === 0)
+    assert(Embeddings.randomProject(noEmb).count() === 0)
+    assert(Embeddings.gramMatrix(noEmb).count() === 0)
+    // parameter-deriving operators refuse loudly, never NPE
+    val e1 = intercept[IllegalArgumentException] {
+      Embeddings.pcaProject(noEmb).count()
+    }
+    assert(e1.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(noEmb, noEmb, 5).count()
+    }
+    assert(e2.getMessage.contains("empty"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(noEmb, noEmb, 5).count()
+    }
+    assert(e3.getMessage.contains("empty"))
+  }
+
+  test("packing / sharding / capping over nothing produce nothing") {
+    assert(TextAnalysis.packSequences(noDocs).count() === 0)
+    assert(TextAnalysis.shuffleShards(noDocs).count() === 0)
+    assert(TextAnalysis.sourceCap(noDocs).count() === 0)
+    assert(Similarity.bruteForceTopK(noEmb, noEmb, 5).count() === 0)
+  }
+}
