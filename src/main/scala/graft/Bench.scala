@@ -8,17 +8,26 @@ import org.apache.spark.sql.SparkSession
   * the count must execute; orderBy/limit results are tiny anyway).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** THE bench-shaped session (SPARK_GRAFT_CPUS cores, shuffle=cpus, AQE,
+    * UTC, no UI) — one definition, so per-query probes (TimeOne) measure
+    * under exactly the configuration the official bench runs.
+    */
+  def session(appName: String = "graft-bench"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName("graft-bench")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
     spark.sparkContext.setLogLevel("WARN")
 
     // one warmup action so JIT/codegen/first-file-listing cost doesn't land

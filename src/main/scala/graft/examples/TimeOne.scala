@@ -20,12 +20,8 @@ object TimeOne {
       System.err.println(s"unknown queries: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled","true")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+    // the literal bench session: shared builder, no copy to drift
+    val spark = graft.Bench.session("graft-timeone")
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     graft.SparkEntry.queries("q01_pricing_summary")(spark, dir).count()

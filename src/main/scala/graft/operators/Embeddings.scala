@@ -196,8 +196,10 @@ object Embeddings {
         var n = 0L
         while (it.hasNext) {
           val q = it.next()
-          // ragged input throws loudly (the VectorOps convention: never
-          // silently truncate or zero-fill a mismatched vector)
+          // ragged or null input throws loudly (the VectorOps convention:
+          // never silently truncate, zero-fill, or NPE without context)
+          require(q != null,
+            "gramMatrix: corpus contains a NULL embedding — filter or impute first")
           require(q.length == d,
             s"gramMatrix: $d-dim corpus contains a ${q.length}-dim vector")
           n += 1

@@ -56,11 +56,23 @@ object Layout {
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 128L << 20): Int = {
-    val fs = new org.apache.hadoop.fs.Path(inDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+    // a Hive-partitioned table (data in key=value subdirectories) must be
+    // compacted PER PARTITION DIRECTORY — a flat rewrite would silently
+    // flatten the partition columns away and mis-size the output (the
+    // top-level listing sees zero bytes); refuse loudly instead
+    val subdirs = entries.filter(e =>
+      e.isDirectory && !e.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact: $inDir contains partition subdirectories " +
+        s"(${subdirs.map(_.getPath.getName).take(3).mkString(", ")}…) — " +
+        "compact each partition directory individually")
+    val total = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
+    require(total > 0, s"compact: no parquet data files in $inDir")
     val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(nFiles)

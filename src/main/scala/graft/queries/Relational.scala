@@ -559,6 +559,8 @@ object Relational {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val nNodes = deg.count() // bounded: one count of the node list
+    require(nNodes > 0,
+      "q39_pagerank: the orders⋈lineitem trade graph is empty — no nodes to rank")
     val scale = 1000000000L
     val teleport = (scale * 15L / 100L) / nNodes
     var ranks = deg.select(col("src").as("node"), col("deg"),
@@ -1088,15 +1090,15 @@ object Relational {
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
-        |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |         >= 1800000000 THEN 1 ELSE 0 END AS is_new
         |  FROM events),
         |sess AS (
         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS sid
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM gapped)
         |SELECT user_id,
         |  strftime(to_timestamp(min(ts_us) // 1000000), '%Y-%m-%d %H:%M:%S')

@@ -58,8 +58,18 @@ def main():
     old_total, old = load(args[0])
     new_total, new = load(args[1])
 
-    added = sorted(set(new) - set(old))
-    removed = sorted(set(old) - set(new))
+    # rollup-rung awareness: past ~100 queries the Bench ladder folds the
+    # fastest queries into one "_other" bucket. A key absent from a side
+    # that HAS "_other" was (almost surely) folded, not removed/added —
+    # report it as folded instead of polluting the regression signal.
+    old_rolled = "_other" in old
+    new_rolled = "_other" in new
+    old.pop("_other", None)
+    new.pop("_other", None)
+    folded_new = sorted(q for q in set(old) - set(new)) if new_rolled else []
+    folded_old = sorted(q for q in set(new) - set(old)) if old_rolled else []
+    added = sorted(set(new) - set(old) - set(folded_old))
+    removed = sorted(set(old) - set(new) - set(folded_new))
     moved = sorted(((new[q] - old[q], q) for q in set(old) & set(new)
                     if abs(new[q] - old[q]) > noise), reverse=True)
 
@@ -73,6 +83,15 @@ def main():
         print("added:   " + ", ".join(f"{q} ({new[q]:.2f}s)" for q in added))
     if removed:
         print("removed: " + ", ".join(f"{q} ({old[q]:.2f}s)" for q in removed))
+    if folded_new:
+        print(f"folded into _other (new side): {len(folded_new)} queries "
+              f"({sum(old[q] for q in folded_new):.1f}s on the old side)")
+    if folded_old:
+        print(f"folded into _other (old side): {len(folded_old)} queries "
+              f"({sum(new[q] for q in folded_old):.1f}s on the new side)")
+    if old_rolled or new_rolled:
+        print("note: rollup-rung line(s) — common-query totals cover the "
+              "kept subset only")
 
     def tot(t, qs):
         return t if t is not None else sum(qs.values())
