@@ -322,13 +322,76 @@ object Embeddings {
     * one pipeline: a second copy of the half-up formula is exactly the
     * silent-drift hazard the [[int8Code]] scaladoc warns about.
     */
-  private[operators] def int8CodesWithId(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  private[operators] def int8CodesWithId(emb: DataFrame,
+                                         keep: Seq[String] = Nil): DataFrame =
+    emb.select(col("vec_id") +: keep.map(col) :+
+        col("embedding").cast("array<double>").as("v"): _*)
       .withColumn("m", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"), col("m"),
+      .select(col("vec_id") +: keep.map(col) :+ col("m") :+
         when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
-            x => int8Code(x, col("m")).cast("bigint"))).as("q"))
+            x => int8Code(x, col("m")).cast("bigint"))).as("q"): _*)
+
+  /** Per-label embedding outlier flags — the mislabeled/noisy-vector
+    * filter of a curation pipeline: each vector's squared L2 distance to
+    * its label centroid, flagged when it exceeds 4× the label's mean
+    * squared distance (the ">2σ-equivalent radius" rule, kept as a single
+    * integer cross-multiplication instead of a mean + sqrt).
+    *
+    * Exactness: vectors are int8-quantized ([[int8CodesWithId]] — THE one
+    * quantization source), so with per-label code sums S and count n the
+    * centroid is the rational S/n and
+    *   dist²·n² = Σ_j (n·q_j − S_j)²
+    * is an EXACT integer (DECIMAL(38,0) — the per-dim square passes 2^63
+    * once n·|q| crosses ~3·10⁹, i.e. ~10⁷ rows per label, well inside
+    * 100 TB). The flag dist²·n > 4·Σdist² and the exported double
+    * dist2 = int(dist²·n²)/int(n²) are a decimal comparison and one
+    * IEEE division of exactly-converted integers: engine-portable.
+    *
+    * Scale shape: two corpus scans — one partial-agg pass building the
+    * O(labels × dim) per-label sufficient statistics (Σq, Σq², n), one
+    * scoring pass — with the statistics BROADCAST back (class-cardinality-
+    * bounded); the corpus itself never shuffles. The label's TOTAL squared
+    * distance needs no third pass: Σᵢdistᵢ²·n² = n²·ΣⱼQⱼ − n·ΣⱼSⱼ²
+    * algebraically (Qⱼ = Σᵢq²ᵢⱼ), so the threshold comes from the same
+    * bounded statistics. Zero vectors participate like any other code (no
+    * division by norms anywhere).
+    */
+  def outlierFlags(emb: DataFrame): DataFrame = {
+    val D = DecimalType(38, 0)
+    val dec = (c: Column) => c.cast(D)
+    val codes = int8CodesWithId(emb, keep = Seq("label"))
+      .select(col("vec_id"), col("label"), col("q"))
+    val labelStats = codes
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q2"),
+        count(lit(1)).as("n_part"))
+      .groupBy("label")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("s_vec"),
+        sum(col("q2")).as("sq2"),
+        max(col("n_part")).as("n"))
+      // Σᵢ dist²ᵢ·n² = n²·ΣQ − n·ΣS² (exact decimal, bounded rows only)
+      .withColumn("sum_dist",
+        dec(col("n")) * dec(col("n")) * dec(col("sq2")) -
+          dec(col("n")) * aggregate(col("s_vec"),
+            lit(java.math.BigDecimal.ZERO).cast(D),
+            (acc, s) => acc + dec(s) * dec(s)))
+    codes
+      .join(broadcast(labelStats), "label")
+      .withColumn("dist_num",
+        aggregate(
+          zip_with(col("q"), col("s_vec"), (qi, si) => col("n") * qi - si),
+          lit(java.math.BigDecimal.ZERO).cast(D),
+          (acc, x) => acc + dec(x) * dec(x)))
+      .select(col("vec_id"), col("label"),
+        (col("dist_num").cast("double") /
+          (col("n") * col("n")).cast("double")).as("dist2"),
+        (col("dist_num") * dec(col("n")) >
+          lit(4).cast(D) * col("sum_dist")).cast("int").as("is_outlier"))
+  }
 
   /** k-NN majority-label classification over the embedding column — the
     * label-propagation / weak-supervision primitive: each query vector is
@@ -401,6 +464,8 @@ object Embeddings {
         .orderBy("vec_id", "p")),
     "emb_knn_label" -> ((s, d) =>
       knnLabel(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
+    "emb_outlier" -> ((s, d) =>
+      outlierFlags(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "emb_gram" -> ((s, d) =>
       gramMatrix(Tables.load(s, d, "embeddings"))),
     // rows-only by design (float eigenvectors have no SQL replay); the
@@ -486,6 +551,36 @@ object Embeddings {
         |         FROM qq, planes GROUP BY 1, 2)
         |SELECT vec_id, CAST(p AS INTEGER) AS p, x
         |FROM proj ORDER BY vec_id, p""".stripMargin,
+    // same int8 codes; per-label sums from the exploded positions; dist²·n²
+    // per row in HUGEINT (the oracle needs no algebraic Σdist shortcut —
+    // it can afford the direct per-label total)
+    "emb_outlier" ->
+      """WITH qq AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |idx AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1 FROM embeddings))) AS p),
+        |sums AS (
+        |  SELECT label, p, CAST(sum(q[p]) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM qq, idx GROUP BY 1, 2),
+        |dist AS (
+        |  SELECT vec_id, qq.label AS label, max(n) AS n,
+        |    CAST(sum(CAST(n * q[p] - s AS HUGEINT)
+        |             * CAST(n * q[p] - s AS HUGEINT)) AS HUGEINT) AS dn
+        |  FROM qq JOIN sums ON qq.label = sums.label GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(sum(dn) AS HUGEINT) AS sd
+        |        FROM dist GROUP BY 1)
+        |SELECT vec_id, label, CAST(dn AS DOUBLE) / CAST(n * n AS DOUBLE) AS dist2,
+        |  CAST(dn * n > 4 * sd AS INTEGER) AS is_outlier
+        |FROM dist JOIN tot USING (label)
+        |ORDER BY vec_id""".stripMargin,
     "emb_knn_label" ->
       """WITH qq AS (
         |  SELECT vec_id, label,

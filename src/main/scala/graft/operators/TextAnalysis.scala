@@ -770,7 +770,96 @@ object TextAnalysis {
           .otherwise("test"))
       .select(col("doc_id"), col("source"), col("split"))
 
+  /** BM25 retrieval scoring against a fixed query — the ranking function
+    * behind every lexical search / retrieval-augmented pipeline (Robertson
+    * & Spärck Jones; the Okapi formulation with k1 = 1.2, b = 0.75). For
+    * each document: per-term frequency, document length, and the summed
+    * BM25 score; the top `k` documents by score are returned — the exact
+    * result a search engine serves for the query.
+    *
+    * Portability: the classic log-idf and float k1/b constants are libm /
+    * FMA hazards (see [[tfidfTopTerms]]), so the score is algebraically
+    * cleared of fractions. With k1 = 12/10, b = 3/4 and linear idf = N/df,
+    * the per-term score
+    *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  avgdl = T/N
+    * multiplies out to
+    *   22·T·tf·N / ((10·T·tf + 3·T + 9·dl·N) · df)
+    * — ONE IEEE division of exact int64 products per term, and the total
+    * is the left-associated sum of the (≤ |query|) term scores in fixed
+    * query order: bit-identical in any engine. (At 100 TB corpus scale the
+    * int64 products want DECIMAL(38,0) headroom — T·tf·N can pass 2^63
+    * around 10¹³ corpus tokens; the shape is unchanged.)
+    *
+    * Scale shape: term frequencies are counted IN-ROW over the token array
+    * (no explode, no per-term shuffle — the query is a codegen constant);
+    * the corpus statistics (T, N, per-term df) are ONE 1-row partial
+    * aggregate broadcast back; the top-k is a TakeOrdered (per-partition
+    * heads merged on the driver), never a global sort. The corpus is
+    * scanned once and never shuffles.
+    */
+  def bm25TopDocs(docs: DataFrame,
+                  query: Seq[String] = Seq("spark", "join", "window"),
+                  k: Int = 20): DataFrame = {
+    val perDoc = docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) > 0)
+      .select(
+        col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+          query.map(t =>
+            size(filter(col("w"), x => x === lit(t))).cast("long")
+              .as(s"tf_$t")): _*)
+    val statCols = sum(col("dl")).as("tt") +: count(lit(1)).as("n") +:
+      query.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val termScore = query.map { t =>
+      val tf = col(s"tf_$t")
+      val dfq = col(s"df_$t")
+      when(tf === 0L || dfq === 0L, lit(0.0)).otherwise(
+        (lit(22L) * col("tt") * tf * col("n")).cast("double") /
+          ((lit(10L) * col("tt") * tf + lit(3L) * col("tt")
+            + lit(9L) * col("dl") * col("n")) * dfq).cast("double"))
+    }
+    scored
+      .withColumn("score", termScore.reduceLeft(_ + _))
+      .select(col("doc_id") +: col("dl") +:
+        query.map(t => col(s"tf_$t")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hashed term-frequency features (the HashingTF / feature-hashing
+    * vectorizer of Weinberger et al.): each term maps to one of `nBuckets`
+    * buckets by portable hash, and each document becomes its sparse
+    * (bucket, count) histogram — the fixed-dimension representation linear
+    * text classifiers and quality models train on, with no vocabulary
+    * dictionary to build, ship, or keep consistent across a 100 TB corpus
+    * (that dictionary-free property is the whole point at scale).
+    *
+    * Scale shape: the histogram is built IN-ROW — bucket each token with
+    * the codegen'd md5-prefix hash, then count each distinct bucket over
+    * the row's own array (O(len · distinct-buckets) ≤ O(len · nBuckets)
+    * per row, bounded) — and exploded to sparse rows in the same scan
+    * stage: ZERO shuffle, no aggregation anywhere; the classic
+    * explode+groupBy twin costs a corpus-sized exchange keyed by doc_id
+    * for identical output. Zero-count buckets are omitted (sparse form).
+    */
+  def hashingTf(docs: DataFrame, nBuckets: Int = 64): DataFrame =
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) > 0)
+      .withColumn("b", transform(col("w"), t =>
+        pmod(portableHash60(concat(lit("htf:"), t)), lit(nBuckets.toLong))))
+      .select(col("doc_id"), explode(transform(
+        array_sort(array_distinct(col("b"))),
+        bk => struct(bk.cast("int").as("bucket"),
+          size(filter(col("b"), x => x === bk)).cast("long").as("tf"))))
+        .as("e"))
+      .select(col("doc_id"), col("e.bucket"), col("e.tf"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25" -> ((s, d) =>
+      bm25TopDocs(Tables.load(s, d, "documents"))),
+    "ta_hashing_tf" -> ((s, d) =>
+      hashingTf(Tables.load(s, d, "documents")).orderBy("doc_id", "bucket")),
     "ta_split" -> ((s, d) =>
       trainValTest(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_weighted_sample" -> ((s, d) =>
@@ -915,6 +1004,47 @@ object TextAnalysis {
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the same cleared-fraction BM25 algebra: 22·T·tf·N over
+    // (10·T·tf + 3·T + 9·dl·N)·df per term, summed left-to-right in
+    // fixed query order — each term ONE division of exact int64s
+    "ta_bm25" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+         |    CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_join,
+         |    CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+         |  FROM (SELECT doc_id, $W AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |s AS (
+         |  SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (tf_spark > 0) AS BIGINT) AS df_spark,
+         |    CAST(count(*) FILTER (tf_join > 0) AS BIGINT) AS df_join,
+         |    CAST(count(*) FILTER (tf_window > 0) AS BIGINT) AS df_window
+         |  FROM t)
+         |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+         |  (CASE WHEN tf_spark = 0 OR df_spark = 0 THEN 0.0
+         |        ELSE CAST(22 * tt * tf_spark * n AS DOUBLE)
+         |           / CAST((10 * tt * tf_spark + 3 * tt + 9 * dl * n)
+         |                  * df_spark AS DOUBLE) END)
+         |  + (CASE WHEN tf_join = 0 OR df_join = 0 THEN 0.0
+         |          ELSE CAST(22 * tt * tf_join * n AS DOUBLE)
+         |             / CAST((10 * tt * tf_join + 3 * tt + 9 * dl * n)
+         |                    * df_join AS DOUBLE) END)
+         |  + (CASE WHEN tf_window = 0 OR df_window = 0 THEN 0.0
+         |          ELSE CAST(22 * tt * tf_window * n AS DOUBLE)
+         |             / CAST((10 * tt * tf_window + 3 * tt + 9 * dl * n)
+         |                    * df_window AS DOUBLE) END) AS score
+         |FROM t, s
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ta_hashing_tf" ->
+      s"""SELECT doc_id, CAST(b AS INTEGER) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS tf
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('htf:' || t), 1, 15)) AS BIGINT)
+         |      % 64 AS b
+         |  FROM (SELECT doc_id, unnest($W) AS t FROM documents))
+         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "ta_split" ->
       """SELECT doc_id, source,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'

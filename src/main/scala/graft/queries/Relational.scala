@@ -78,6 +78,7 @@ object Relational {
     "q43_incremental_agg" -> q43,
     "q44_tpch_q3" -> q44,
     "q45_tpch_q5" -> q45,
+    "q46_analytic_fns" -> q46,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -800,6 +801,30 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Distribution analytic functions — ntile / percent_rank / cume_dist
+    * over each order-priority's price ranking: the quantile-bucketing and
+    * relative-standing primitives (SQL:2003 window family) the ranking
+    * windows (q07/q28) don't cover. The order key includes o_orderkey, so
+    * every rank is unique and percent_rank = (rank−1)/(n−1) and
+    * cume_dist = rank/n are single divisions of exact integers —
+    * engine-portable like every ratio in this suite.
+    *
+    * Scale: one hash exchange on the partition key, then each partition
+    * sorts locally — same cost envelope as any ranking window. ntile's
+    * bucket arithmetic and both ratios are pure per-row integer math over
+    * the partition's row count.
+    */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -1088,6 +1113,15 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q46_analytic_fns" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

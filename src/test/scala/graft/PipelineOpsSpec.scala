@@ -390,4 +390,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(rate - expected) < 0.08,
       s"rate $rate vs expected $expected")
   }
+
+  test("bm25TopDocs: hand-computed scores on a 3-doc corpus") {
+    // corpus: T = 2+3+4 = 9 tokens, N = 3
+    val docs = Seq(
+      (1L, "spark spark"),          // dl=2, tf_spark=2
+      (2L, "join alpha beta"),      // dl=3, tf_join=1
+      (3L, "gamma delta eps zeta")  // dl=4, no query terms
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopDocs(docs, Seq("spark", "join"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // score(d1) = 22·9·2·3 / ((10·9·2 + 3·9 + 9·2·3)·1) = 1188/261
+    assert(out(1L) === 22.0 * 9 * 2 * 3 / ((10 * 9 * 2 + 3 * 9 + 9 * 2 * 3) * 1))
+    // score(d2) = 22·9·1·3 / ((10·9·1 + 3·9 + 9·3·3)·1) = 594/198 = 3.0
+    assert(out(2L) === 22.0 * 9 * 1 * 3 / ((10 * 9 * 1 + 3 * 9 + 9 * 3 * 3) * 1))
+    assert(out(3L) === 0.0)
+  }
+
+  test("bm25TopDocs: higher tf wins at equal dl; longer doc loses at equal tf") {
+    val docs = Seq(
+      (1L, "spark spark filler"), (2L, "spark other filler"),
+      (3L, "spark pad pad pad pad pad")).toDF("doc_id", "text")
+    val ranked = TextAnalysis.bm25TopDocs(docs, Seq("spark"), k = 3)
+      .collect().map(_.getLong(0))
+    assert(ranked.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("hashingTf: per-doc bucket counts == driver-side replay; buckets bounded") {
+    val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
+      .limit(50)
+    val got = TextAnalysis.hashingTf(docs, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val expect = texts.flatMap { case (id, t) =>
+      t.split("[^\\p{L}]+").filter(_.nonEmpty)
+        .map(w => (id, (h60("htf:" + w) % 16).toInt))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got == expect)
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < 16 })
+  }
+
+  test("outlierFlags: planted far vector flagged, tight cluster clean") {
+    // label 0: 40 copies of (100,0,...) plus one at (0,100): the stray's
+    // dist² is ~2·100² while the mean is dominated by near-zero distances
+    val vecs =
+      (0L until 40L).map(i => (i, Array(100f, 0f, 0f), 0)) :+
+        (40L, Array(0f, 0f, 100f), 0)
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = Embeddings.outlierFlags(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out(40L) == 1, "planted outlier not flagged")
+    assert((0L until 40L).forall(out(_) == 0), "inlier flagged")
+  }
+
+  test("outlierFlags: dist2 matches the exact centroid arithmetic") {
+    // two vectors, one label: codes ±127 on dim 0 → centroid 0, each
+    // dist² = 127² exactly; nothing flagged (both AT the mean, 4× rule)
+    val emb = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(-1f, 0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Embeddings.outlierFlags(emb).collect()
+    assert(rows.forall(_.getDouble(2) == 127.0 * 127.0))
+    assert(rows.forall(_.getInt(3) == 0))
+  }
 }

@@ -59,6 +59,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle in a scan-only operator: $p")
   }
 
+  test("hashingTf is scan-stage (in-row histogram, zero Exchange)") {
+    val p = graft.operators.TextAnalysis
+      .hashingTf(Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"hashed TF must not shuffle: $p")
+  }
+
+  test("bm25: corpus never hash-shuffles; stats come back via broadcast") {
+    val df = graft.operators.TextAnalysis
+      .bm25TopDocs(Tables.load(spark, dir, "documents"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange is the 1-row stats aggregate collapsing to a
+    // single partition (+ TakeOrdered's internal collect); the corpus
+    // side must not repartition by any key
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bm25 must not hash-shuffle the corpus: $p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus statistics must broadcast back: $p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort: $p")
+  }
+
+  test("emb_outlier: label stats broadcast; only the stats explode shuffles") {
+    val df = graft.operators.Embeddings
+      .outlierFlags(Tables.load(spark, dir, "embeddings"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // one hash exchange family keyed by (label, pos) for the sufficient
+    // statistics; the scoring side joins via broadcast only
+    assert(p.contains("BroadcastHashJoin"), s"label stats must broadcast: $p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against label stats: $p")
+  }
+
   test("winnowing and random projection are scan-stage: zero Exchange") {
     val docs = Tables.load(spark, dir, "documents")
     val pw = graft.operators.Dedup.winnowFingerprints(docs)
