@@ -827,6 +827,51 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Collocation (phrase) mining — adjacent-pair lift scoring, the
+    * word2vec-phrases / PMI primitive that decides "new york" is a unit
+    * and "of the" is not: lift = P(xy) / (P(x)·P(y)) over adjacent token
+    * pairs, i.e. how many times more often the pair occurs than chance.
+    * Pairs below `minCount` occurrences are dropped first (the standard
+    * noise floor — a 5-count pair's lift is an unstable estimate), and
+    * the top `k` pairs by lift are returned.
+    *
+    * Portability: with integer counts c(xy), c(x), c(y) and totals
+    * T_uni / T_bi, lift = c(xy)·T_uni² / (T_bi·c(x)·c(y)) — exact int64
+    * products (T_uni²·c(xy) passes 2^63 only past ~10⁹ corpus tokens;
+    * DECIMAL(38,0) is the headroom at that scale), ONE IEEE division.
+    * log-PMI is the same ranking through a monotone map, applied
+    * downstream if wanted — libm stays out of the oracle-checked path.
+    *
+    * Scale shape: unigram and bigram counts are partial-agg groupBys
+    * (map-side combine); the pair table joins the vocabulary-sized
+    * unigram table on x then y — SHUFFLE joins, never broadcast (the
+    * [[tfidfTopTerms]] open-vocabulary discipline); corpus totals are a
+    * 1-row broadcast; top-k is TakeOrdered, never a global sort.
+    */
+  def collocations(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = docs.withColumn("w", tokens(col("text")))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("x"),
+          element_at(col("w"), i + 1).as("y")))).as("b"))
+      .select(col("b.x"), col("b.y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val totals = toks.agg(
+      sum(size(col("w"))).as("tu"),
+      sum(greatest(size(col("w")) - 1, lit(0))).as("tb"))
+    bi.join(uni.select(col("t").as("x"), col("c1").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("c1").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
+        ((col("cxy") * col("tu") * col("tu")).cast("double") /
+          (col("tb") * col("cx") * col("cy")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Hashed term-frequency features (the HashingTF / feature-hashing
     * vectorizer of Weinberger et al.): each term maps to one of `nBuckets`
     * buckets by portable hash, and each document becomes its sparse
@@ -858,6 +903,8 @@ object TextAnalysis {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25" -> ((s, d) =>
       bm25TopDocs(Tables.load(s, d, "documents"))),
+    "ta_colloc" -> ((s, d) =>
+      collocations(Tables.load(s, d, "documents"))),
     "ta_hashing_tf" -> ((s, d) =>
       hashingTf(Tables.load(s, d, "documents")).orderBy("doc_id", "bucket")),
     "ta_split" -> ((s, d) =>
@@ -1036,6 +1083,26 @@ object TextAnalysis {
          |                    * df_window AS DOUBLE) END) AS score
          |FROM t, s
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // same cleared-fraction lift: c(xy)·T_uni² over T_bi·c(x)·c(y)
+    "ta_colloc" ->
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1
+         |        FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+         |bi AS (
+         |  SELECT b['x'] AS x, b['y'] AS y, CAST(count(*) AS BIGINT) AS cxy
+         |  FROM (SELECT unnest([{'x': w[i], 'y': w[i+1]}
+         |                       FOR i IN range(1, len(w))]) AS b
+         |        FROM d WHERE len(w) >= 2)
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS tu,
+         |          CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS tb
+         |        FROM d)
+         |SELECT x, y, cxy, ux.c1 AS cx, uy.c1 AS cy,
+         |  CAST(cxy * tu * tu AS DOUBLE) / CAST(tb * ux.c1 * uy.c1 AS DOUBLE)
+         |    AS lift
+         |FROM bi JOIN uni ux ON bi.x = ux.t
+         |        JOIN uni uy ON bi.y = uy.t, tot
+         |ORDER BY lift DESC, x, y LIMIT 50""".stripMargin,
     "ta_hashing_tf" ->
       s"""SELECT doc_id, CAST(b AS INTEGER) AS bucket,
          |  CAST(count(*) AS BIGINT) AS tf

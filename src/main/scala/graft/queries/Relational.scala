@@ -79,6 +79,8 @@ object Relational {
     "q44_tpch_q3" -> q44,
     "q45_tpch_q5" -> q45,
     "q46_analytic_fns" -> q46,
+    "q47_funnel" -> q47,
+    "q48_hits" -> q48,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -825,6 +827,121 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Ordered event funnel — signup → view → click → purchase, each stage
+    * the FIRST event of its type strictly after the previous stage's
+    * completion time (the product-analytics conversion funnel; strictness
+    * at equal microseconds is the documented tie rule, identical on both
+    * engines). Emits per-user stage timestamps (epoch µs — exact integer
+    * comparisons, no timestamp formatting in the hot path) and the stage
+    * count reached; later stages are null once a stage is missed, so
+    * `stage_reached` counts a prefix, exactly like the funnel charts it
+    * feeds.
+    *
+    * Scale shape: each stage is a conditional-filter partial aggregate
+    * keyed by user_id, and every join is user_id ⋈ user_id — one hash
+    * partitioning reused across the whole chain (stage frames are
+    * O(users), far below the event count). Nothing is windowed over the
+    * full event stream and nothing broadcasts beyond what AQE picks.
+    */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    def stage(prev: DataFrame, prevCol: String, typ: String, out: String) =
+      ev.join(prev.select(col("user_id"), col(prevCol)), "user_id")
+        .filter(col("event_type") === typ && col("ts_us") > col(prevCol))
+        .groupBy("user_id").agg(min(col("ts_us")).as(out))
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_signup"))
+    val t2 = stage(t1, "t_signup", "view", "t_view")
+    val t3 = stage(t2, "t_view", "click", "t_click")
+    val t4 = stage(t3, "t_click", "purchase", "t_purchase")
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .join(t4, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        (lit(1) + col("t_view").isNotNull.cast("int")
+          + col("t_click").isNotNull.cast("int")
+          + col("t_purchase").isNotNull.cast("int")).as("stage_reached"))
+      .orderBy("user_id")
+  }
+
+  /** HITS hubs & authorities (Kleinberg) over the directed customer →
+    * supplier trade graph — the dual of q39's PageRank: a supplier is
+    * authoritative when good hubs buy from it, a customer is a good hub
+    * when it buys from authoritative suppliers. Three mutual-reinforcement
+    * iterations; scores are int64 fixed-point (scale 10⁶) and each half-
+    * step renormalizes by the max via FLOOR DIVISION — the l∞ analogue of
+    * the usual l2 normalization, chosen because it keeps every score an
+    * exact integer (sqrt is not engine-portable). Scores stay ≤ 10⁶, so
+    * the renormalization product is ≤ 10⁶·Σh < 2^63 up to ~10⁶-degree
+    * nodes; beyond that the DECIMAL(38,0) widening is mechanical.
+    *
+    * Scale shape: per iteration exactly two key-partitioned joins and two
+    * partial-agg groupBys over the O(edges) list (never the raw fact
+    * tables — the edge derivation is checkpointed once, the q39 lesson);
+    * the max is a 1-row broadcast. Nothing node- or edge-sized ever
+    * reaches the driver.
+    */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .localCheckpoint(true)
+    require(!edges.isEmpty,
+      "q48_hits: the orders⋈lineitem trade graph is empty — no nodes to score")
+    val scale = 1000000L
+    var h = edges.select(col("c")).distinct().withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 0 until 3) {
+      val aRaw = edges.join(h, "c").groupBy("s").agg(sum(col("h")).as("ar"))
+      a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
+        .select(col("s"), expr(s"ar * $scale div am").as("a"))
+      val hRaw = edges.join(a, "s").groupBy("c").agg(sum(col("a")).as("hr"))
+      h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
+        .select(col("c"), expr(s"hr * $scale div hm").as("h"))
+    }
+    h.select(lit("customer").as("node_type"), col("c").as("node_id"),
+        col("h").as("score_scaled"))
+      .unionByName(a.select(lit("supplier").as("node_type"),
+        col("s").as("node_id"), col("a").as("score_scaled")))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** The q48 oracle: the three HITS iterations unrolled to chained CTEs
+    * (the bpeMergeCtes pattern), each half-step the same sum + max-floor-
+    * div renormalization.
+    */
+  private def q48Sql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+             |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e)""".stripMargin
+    for (i <- 1 to 3) {
+      sb ++= s""",
+                |a${i}r AS (SELECT s, CAST(sum(h) AS BIGINT) AS ar
+                |        FROM e JOIN h${i - 1} USING (c) GROUP BY 1),
+                |a$i AS (SELECT s, ar * 1000000 // (SELECT max(ar) FROM a${i}r) AS a
+                |        FROM a${i}r),
+                |h${i}r AS (SELECT c, CAST(sum(a) AS BIGINT) AS hr
+                |        FROM e JOIN a$i USING (s) GROUP BY 1),
+                |h$i AS (SELECT c, hr * 1000000 // (SELECT max(hr) FROM h${i}r) AS h
+                |        FROM h${i}r)""".stripMargin
+    }
+    sb ++= """
+             |SELECT 'customer' AS node_type, c AS node_id, h AS score_scaled FROM h3
+             |UNION ALL
+             |SELECT 'supplier' AS node_type, s AS node_id, a AS score_scaled FROM a3
+             |ORDER BY node_type, node_id""".stripMargin
+    sb.result()
+  }
+
   private val q22Sql =
     """SELECT c_custkey, c_nationkey, c_acctbal
       |FROM customer c1
@@ -1122,6 +1239,28 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q47_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        |            FROM events),
+        |t1 AS (SELECT user_id, min(ts_us) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT ev.user_id, min(ts_us) AS t_view
+        |       FROM ev JOIN t1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t_signup GROUP BY 1),
+        |t3 AS (SELECT ev.user_id, min(ts_us) AS t_click
+        |       FROM ev JOIN t2 USING (user_id)
+        |       WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+        |t4 AS (SELECT ev.user_id, min(ts_us) AS t_purchase
+        |       FROM ev JOIN t3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+        |SELECT t1.user_id, t_signup, t_view, t_click, t_purchase,
+        |  1 + CAST(t_view IS NOT NULL AS INTEGER)
+        |    + CAST(t_click IS NOT NULL AS INTEGER)
+        |    + CAST(t_purchase IS NOT NULL AS INTEGER) AS stage_reached
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |        LEFT JOIN t4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q48_hits" -> q48Sql,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

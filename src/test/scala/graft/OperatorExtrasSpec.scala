@@ -120,6 +120,50 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(meanS > 2 * meanC, s"supplier mean $meanS vs customer mean $meanC")
   }
 
+  test("HITS: scores bounded by the scale, best hub/authority AT it") {
+    val rows = Relational.defs("q48_hits")(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val (supp, cust) = rows.partition(_.getString(0) == "supplier")
+    // l∞ renormalization: every score in [0, 10⁶], the max exactly 10⁶
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+    assert(supp.map(_.getLong(2)).max == 1000000L, "no authority at the scale")
+    assert(cust.map(_.getLong(2)).max == 1000000L, "no hub at the scale")
+  }
+
+  test("funnel: stages are ordered and stage_reached counts the prefix") {
+    val rows = Relational.defs("q47_funnel")(spark, TestSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = Seq(1, 2, 3, 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      // strictly increasing over the non-null prefix
+      val defined = ts.takeWhile(_.isDefined).flatten
+      assert(defined.zip(defined.tail).forall { case (a, b) => a < b },
+        s"stage times not increasing: $r")
+      // nulls form a suffix (a missed stage kills the rest)
+      assert(ts.dropWhile(_.isDefined).forall(_.isEmpty), s"gap in funnel: $r")
+      assert(r.getInt(5) == defined.length, s"stage_reached mismatch: $r")
+    }
+  }
+
+  test("collocations: a planted phrase tops the lift ranking, floor enforced") {
+    import spark.implicits._
+    // "zeta qoph" occurs 6 times and its parts occur nowhere else; filler
+    // words are common everywhere → phrase lift must dominate
+    val filler = "alpha beta gamma alpha beta gamma"
+    val docs = (0L until 30L).map { i =>
+      val t = if (i < 6) s"$filler zeta qoph $filler" else filler
+      (i, t)
+    }.toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis.collocations(docs, minCount = 5, k = 5)
+      .collect()
+    assert(top.nonEmpty)
+    assert(top.head.getString(top.head.fieldIndex("x")) == "zeta" &&
+      top.head.getString(top.head.fieldIndex("y")) == "qoph",
+      s"planted phrase not top: ${top.mkString("; ")}")
+    // the floor: nothing below minCount appears
+    assert(top.forall(_.getLong(2) >= 5))
+  }
+
   test("q41 integer z-score identity == float z-score off the boundary") {
     val rows = Relational.defs("q41_anomaly")(spark, TestSpark.sf001).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getInt(3)))
