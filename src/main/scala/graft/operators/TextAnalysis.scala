@@ -827,6 +827,83 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", re-expressed with
+    * portable integer math): score each document by how target-like its
+    * hashed token distribution is, where the target is a slice of the
+    * corpus itself (here `lang = targetLang`) and features are hashed
+    * token buckets ([[hashingTf]]'s dictionary-free trick). Per bucket the
+    * target/corpus rate ratio is the fixed-point integer
+    * T[b]·10⁶ div C[b] ≤ 10⁶ (T ⊆ C, so never above scale); a document's
+    * weight is the floor-mean of its tokens' bucket ratios — exact
+    * integers end-to-end, no log-likelihood (the log is monotone on the
+    * downstream resampling rank, applied after export if wanted).
+    *
+    * Scale shape: bucket statistics are ONE conditional partial aggregate
+    * into `nBuckets` keys; the nBuckets-row result is collected (the
+    * k-means-centroid convention — parameter-bounded, never data-sized)
+    * and baked into the scoring pass as a literal lookup array, so scoring
+    * is scan-stage with ZERO shuffle and the corpus is read exactly twice.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  nBuckets: Int = 64): DataFrame = {
+    val bucket = (t: Column) =>
+      pmod(portableHash60(concat(lit("dsir:"), t)), lit(nBuckets.toLong))
+    val bcounts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy(bucket(col("t")).as("b"))
+      .agg(count(lit(1)).as("c_all"),
+        sum((col("lang") === targetLang).cast("long")).as("c_tgt"))
+      .collect()
+    val ratios = Array.fill(nBuckets)(0L)
+    bcounts.foreach { r =>
+      ratios(r.getLong(0).toInt) =
+        r.getLong(2) * 1000000L / math.max(r.getLong(1), 1L)
+    }
+    val rl = typedLit(ratios.toSeq)
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("w"),
+            t => element_at(rl, bucket(t).cast("int") + 1)),
+          lit(0L), (a, x) => a + x).as("wsum"))
+      .withColumn("weight_scaled", expr("wsum div n_tokens"))
+  }
+
+  /** Per-document n-gram novelty — the redundancy-aware sampling signal: a
+    * document's novelty is the fraction of its DISTINCT 3-token shingles
+    * whose first corpus occurrence (minimum doc_id — the same global-
+    * first-wins rule as [[Dedup.paragraphDedup]]) is this document. Fresh
+    * content scores 1.0; a document whose shingles all appeared earlier
+    * scores 0.0 — what a curation pass downsamples. One division of exact
+    * integers per document. Documents under 3 tokens have no shingles and
+    * are excluded by construction (they carry no n-gram evidence either
+    * way — the length-based filters handle them).
+    *
+    * Scale shape: per-doc distinct shingles via one (doc, shingle)
+    * partial-agg distinct; first-occurrence via one shingle-keyed groupBy
+    * (vocabulary-sized, SHUFFLE-joined back — never broadcast); one final
+    * per-doc aggregate. Shuffle volume is O(distinct shingle occurrences),
+    * the same envelope as TF-IDF.
+    */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    val grams = docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   /** Collocation (phrase) mining — adjacent-pair lift scoring, the
     * word2vec-phrases / PMI primitive that decides "new york" is a unit
     * and "of the" is not: lift = P(xy) / (P(x)·P(y)) over adjacent token
@@ -905,6 +982,10 @@ object TextAnalysis {
       bm25TopDocs(Tables.load(s, d, "documents"))),
     "ta_colloc" -> ((s, d) =>
       collocations(Tables.load(s, d, "documents"))),
+    "ta_dsir" -> ((s, d) =>
+      dsirWeights(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_novelty" -> ((s, d) =>
+      noveltyScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_hashing_tf" -> ((s, d) =>
       hashingTf(Tables.load(s, d, "documents")).orderBy("doc_id", "bucket")),
     "ta_split" -> ((s, d) =>
@@ -1083,6 +1164,38 @@ object TextAnalysis {
          |                    * df_window AS DOUBLE) END) AS score
          |FROM t, s
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // same bucket statistics and fixed-point ratio; per-token ratio sum
+    // replayed through a 64-row join instead of the literal array
+    "ta_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5('dsir:' || t), 1, 15)) AS BIGINT)
+         |      % 64 AS b
+         |  FROM (SELECT doc_id, lang, unnest($W) AS t FROM documents)),
+         |r AS (
+         |  SELECT b,
+         |    CAST(count(*) FILTER (lang = 'en') AS BIGINT) * 1000000
+         |      // greatest(CAST(count(*) AS BIGINT), 1) AS ratio
+         |  FROM tok GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(ratio) AS BIGINT) AS wsum,
+         |  CAST(sum(ratio) AS BIGINT) // count(*) AS weight_scaled
+         |FROM tok JOIN r USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "ta_novelty" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |            FOR i IN range(1, len(w) - 1)]) AS g
+         |  FROM (SELECT doc_id, $W AS w FROM documents) WHERE len(w) >= 3),
+         |first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS novelty
+         |FROM grams JOIN first USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same cleared-fraction lift: c(xy)·T_uni² over T_bi·c(x)·c(y)
     "ta_colloc" ->
       s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),

@@ -81,6 +81,7 @@ object Relational {
     "q46_analytic_fns" -> q46,
     "q47_funnel" -> q47,
     "q48_hits" -> q48,
+    "q49_tpch_q10" -> q49,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -867,6 +868,32 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** TPC-H Q10 (returned-item reporting) adapted to this schema: the top
+    * 20 customers by revenue lost to returns in one quarter — customer ⋈
+    * orders (quarter window) ⋈ lineitem (returnflag = 'R') ⋈ nation.
+    * The canonical "find the problem accounts" shape: two fact filters
+    * pushed to the scans, the date window pruning orders BEFORE the join,
+    * nation broadcast, exact-decimal revenue (the q01 factor pattern),
+    * TakeOrdered top-20.
+    */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val n = Tables.load(spark, dir, "nation")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** HITS hubs & authorities (Kleinberg) over the directed customer →
     * supplier trade graph — the dual of q39's PageRank: a supplier is
     * authoritative when good hubs buy from it, a customer is a good hub
@@ -899,10 +926,16 @@ object Relational {
     var h = edges.select(col("c")).distinct().withColumn("h", lit(scale))
     var a: DataFrame = null
     for (_ <- 0 until 3) {
+      // materialize each node-sized half-step ONCE: the max scalar and the
+      // renormalization both consume it, and without the checkpoint every
+      // iteration re-derives the whole prior chain for each consumer
+      // (observed 6.7 s → the per-iteration cost is two small joins again)
       val aRaw = edges.join(h, "c").groupBy("s").agg(sum(col("h")).as("ar"))
+        .localCheckpoint(true)
       a = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("s"), expr(s"ar * $scale div am").as("a"))
       val hRaw = edges.join(a, "s").groupBy("c").agg(sum(col("a")).as("hr"))
+        .localCheckpoint(true)
       h = hRaw.crossJoin(broadcast(hRaw.agg(max(col("hr")).as("hm"))))
         .select(col("c"), expr(s"hr * $scale div hm").as("h"))
     }
@@ -1261,6 +1294,17 @@ object Relational {
         |        LEFT JOIN t4 USING (user_id)
         |ORDER BY user_id""".stripMargin,
     "q48_hits" -> q48Sql,
+    "q49_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

@@ -434,6 +434,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.keys.forall { case (_, b) => b >= 0 && b < 16 })
   }
 
+  test("dsirWeights: target-language docs weigh higher; weights ≤ scale") {
+    val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
+    val w = TextAnalysis.dsirWeights(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("lang", "weight_scaled").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(w.forall(_._2 <= 1000000L), "a ratio mean exceeded the scale")
+    val (en, rest) = w.partition(_._1 == "en")
+    val meanEn = en.map(_._2).sum.toDouble / en.length
+    val meanRest = rest.map(_._2).sum.toDouble / rest.length
+    // the corpus shares one vocabulary across languages, so the gap is
+    // driven by the en share of each bucket — en must still sit above
+    assert(meanEn > meanRest,
+      s"target docs not up-weighted: en $meanEn vs rest $meanRest")
+  }
+
+  test("noveltyScores: first copy scores 1, an exact duplicate scores 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // duplicate of 1 → nothing novel
+      (3L, "zeta eta theta iota")     // fresh content → fully novel
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 0.0 && out(3L) == 1.0, out.toString)
+  }
+
   test("outlierFlags: planted far vector flagged, tight cluster clean") {
     // label 0: 40 copies of (100,0,...) plus one at (0,100): the stray's
     // dist² is ~2·100² while the mean is dominated by near-zero distances
