@@ -82,6 +82,7 @@ object Relational {
     "q47_funnel" -> q47,
     "q48_hits" -> q48,
     "q49_tpch_q10" -> q49,
+    "q50_observe_metrics" -> q50,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -894,6 +895,43 @@ object Relational {
       .limit(20)
   }
 
+  /** Pipeline-embedded data-quality metrics via `Dataset.observe`
+    * (Catalyst's CollectMetrics node) — production pipelines attach
+    * row-count / sum / null-count assertions to a scan and read them off
+    * the SAME pass that computes the real result: the metrics cost ZERO
+    * extra scans (vs a separate profiling query like q40). Here the
+    * "real work" is the q01-style returnflag aggregate; the observation
+    * rides on the lineitem scan and is harvested from
+    * `queryExecution.observedMetrics` after the action. Exported as one
+    * row (exact counts + one exact-decimal sum → double) next to the
+    * downstream group count, so the oracle can replay it as plain
+    * aggregates.
+    */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val observed = Tables.load(spark, dir, "lineitem")
+      .observe("graft_metrics",
+        count(lit(1)).as("n_rows"),
+        sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").isNull.cast("long")).as("n_null_price"))
+    // the metrics surface on the EXECUTED dataset's queryExecution — a
+    // derived action (count()) builds its own plan and the parent's
+    // observedMetrics stays empty (observed zeros, caught by the oracle)
+    val result = observed.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val nGroups = result.collect().length.toLong
+    val m = result.queryExecution.observedMetrics("graft_metrics")
+    spark.createDataFrame(
+      java.util.List.of(Row(m.getAs[Long]("n_rows"), m.getAs[Double]("sum_qty"),
+        m.getAs[Long]("n_null_price"), nGroups)),
+      StructType(Seq(
+        StructField("n_rows", LongType, nullable = false),
+        StructField("sum_qty", DoubleType, nullable = false),
+        StructField("n_null_price", LongType, nullable = false),
+        StructField("n_groups", LongType, nullable = false))))
+  }
+
   /** HITS hubs & authorities (Kleinberg) over the directed customer →
     * supplier trade graph — the dual of q39's PageRank: a supplier is
     * authoritative when good hubs buy from it, a customer is a good hub
@@ -1305,6 +1343,13 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-04-01'
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q50_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_null_price,
+        |  (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_groups
+        |FROM lineitem""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

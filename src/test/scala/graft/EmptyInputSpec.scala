@@ -73,4 +73,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.sourceCap(noDocs).count() === 0)
     assert(Similarity.bruteForceTopK(noEmb, noEmb, 5).count() === 0)
   }
+
+  test("retrieval / scoring / outlier operators over nothing produce nothing") {
+    assert(TextAnalysis.bm25TopDocs(noDocs).count() === 0)
+    assert(TextAnalysis.hashingTf(noDocs).count() === 0)
+    assert(TextAnalysis.collocations(noDocs).count() === 0)
+    assert(TextAnalysis.dsirWeights(noDocs).count() === 0)
+    assert(TextAnalysis.noveltyScores(noDocs).count() === 0)
+    assert(Embeddings.outlierFlags(noEmb).count() === 0)
+  }
 }
