@@ -35,6 +35,12 @@ object EventStream {
                              last_value: Double, last_ts_us: Long,
                              n_events: Long, is_deleted: Int)
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+
+  final case class FunnelOut(user_id: Long, t_signup: Option[Long],
+                             t_view: Option[Long], t_click: Option[Long],
+                             t_purchase: Option[Long], stage_reached: Int)
+
   // One staged directory per source PATH, pinned to the file VERSION
   // (size, mtime): a file regenerated in place during this JVM's lifetime
   // gets a fresh staged copy instead of the stream silently reading the
@@ -233,6 +239,49 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming conversion funnel via mapGroupsWithState — the stateful
+    * twin of batch q47: per user a 4-slot state machine (signup → view →
+    * click → purchase), each slot filled by the first event of its type
+    * strictly after the previous slot (the identical stage rule, µs
+    * precision). Events are folded in (ts, event_id) order within each
+    * batch; across batches the state carries the filled prefix, so the
+    * result is exact whenever each user's events arrive in event-time
+    * order across batches (the keyed-log ordering guarantee; a deployment
+    * on an unordered transport would buffer to the watermark first — the
+    * standard trade documented rather than hidden). Emits the user's
+    * funnel row each batch; `stage_reached` strictly grows, so the
+    * sink-side max-reconciliation is idempotent like [[lwwState]]'s.
+    *
+    * Scale shape: state is O(users) × 4 longs, hash-partitioned by the
+    * groupByKey; no event buffering, no timers.
+    */
+  def funnelState(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[FunnelState]): FunnelOut = {
+      var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+      for (e <- it.toSeq.sortBy(e => (e.ts_ns, e.event_id))) {
+        val t = e.ts_ns / 1000
+        e.event_type match {
+          case "signup" if st.t1 < 0 => st = st.copy(t1 = t)
+          case "view" if st.t1 >= 0 && st.t2 < 0 && t > st.t1 =>
+            st = st.copy(t2 = t)
+          case "click" if st.t2 >= 0 && st.t3 < 0 && t > st.t2 =>
+            st = st.copy(t3 = t)
+          case "purchase" if st.t3 >= 0 && st.t4 < 0 && t > st.t3 =>
+            st = st.copy(t4 = t)
+          case _ =>
+        }
+      }
+      state.update(st)
+      def opt(v: Long) = if (v < 0) None else Some(v)
+      FunnelOut(userId, opt(st.t1), opt(st.t2), opt(st.t3), opt(st.t4),
+        Seq(st.t1, st.t2, st.t3, st.t4).takeWhile(_ >= 0).length)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming anomaly monitor — the foreachBatch surface: a Complete-mode
     * hourly aggregation streams into a batch function that applies the
     * SAME exact-integer 3σ test as batch q41 (shared
@@ -387,6 +436,27 @@ object EventStream {
           col("f.is_deleted").as("is_deleted"))
         .orderBy("user_id")
     }),
+    // Streaming funnel state (see funnelState): Update mode emits each
+    // touched user's funnel row per batch; stage_reached only grows and
+    // stage times only fill, so max-by-struct reconciliation is
+    // idempotent; users who never signed up (stage 0) are the rows batch
+    // q47 doesn't emit — filtered like the oracle
+    "st_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev = readEvents(s, d)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value").as[Event]
+      runToMemory(funnelState(ev).toDF(), "st_funnel_sink", OutputMode.Update)
+      s.table("st_funnel_sink")
+        .groupBy("user_id")
+        .agg(max(struct(col("stage_reached"), col("t_signup"), col("t_view"),
+          col("t_click"), col("t_purchase"))).as("f"))
+        .filter(col("f.stage_reached") >= 1)
+        .select(col("user_id"), col("f.t_signup").as("t_signup"),
+          col("f.t_view").as("t_view"), col("f.t_click").as("t_click"),
+          col("f.t_purchase").as("t_purchase"),
+          col("f.stage_reached").as("stage_reached"))
+        .orderBy("user_id")
+    }),
     // Streaming anomaly monitor through foreachBatch (see anomalyMonitor);
     // hash-checked against the same oracle as batch q41
     "st_anomaly" -> ((s, d) => {
@@ -436,6 +506,7 @@ object EventStream {
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
+    "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
     "st_upsert" ->
       """WITH latest AS (
         |  SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,

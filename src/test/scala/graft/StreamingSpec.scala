@@ -171,6 +171,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._1) === want.map(_._1))
   }
 
+  test("funnel state carries the filled prefix across ordered batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(id: Long, ns: Long, u: Long, t: String) =
+      EventStream.Event(id, ns, u, t, 0.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelState(input.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_ms").start()
+    try {
+      // user 1 progresses across the split; user 2's purchase arrives
+      // before any click and must NOT advance the funnel
+      input.addData(e(1, 1000000L, 1, "signup"), e(2, 2000000L, 1, "view"),
+        e(3, 1000000L, 2, "signup"), e(4, 1500000L, 2, "purchase"))
+      q.processAllAvailable()
+      input.addData(e(5, 3000000L, 1, "click"), e(6, 4000000L, 1, "purchase"),
+        e(7, 2000000L, 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_ms")
+      .groupBy("user_id")
+      .agg(max(struct(col("stage_reached"), col("t_signup"), col("t_view"),
+        col("t_click"), col("t_purchase"))).as("f"))
+      .select(col("user_id"), col("f.stage_reached"), col("f.t_signup"),
+        col("f.t_view"), col("f.t_click"), col("f.t_purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), (2 to 5).map(i =>
+          if (r.isNullAt(i)) -1L else r.getLong(i)))).toMap
+    assert(got(1L) === ((4, Seq(1000L, 2000L, 3000L, 4000L))),
+      s"user 1: ${got(1L)}")
+    assert(got(2L) === ((2, Seq(1000L, 2000L, -1L, -1L))),
+      s"user 2: ${got(2L)}")
+  }
+
   test("foreachBatch anomaly monitor == batch q41 flags") {
     val out = graft.operators.Dedup.tempSigStore("graft-test-anomaly")
     EventStream.anomalyMonitor(spark, dir, out)
