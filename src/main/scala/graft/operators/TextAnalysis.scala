@@ -4,6 +4,7 @@ import graft.functions.hashes.portableHash60
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline: token statistics,
   * quality scoring, language-ID heuristic, document fingerprinting. All are
@@ -784,22 +785,29 @@ object TextAnalysis {
     *   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  avgdl = T/N
     * multiplies out to
     *   22·T·tf·N / ((10·T·tf + 3·T + 9·dl·N) · df)
-    * — ONE IEEE division of exact int64 products per term, and the total
-    * is the left-associated sum of the (≤ |query|) term scores in fixed
-    * query order: bit-identical in any engine. (At 100 TB corpus scale the
-    * int64 products want DECIMAL(38,0) headroom — T·tf·N can pass 2^63
-    * around 10¹³ corpus tokens; the shape is unchanged.)
+    * — ONE IEEE division per term of EXACT DECIMAL(38,0) products (the
+    * numerator 22·T·tf·N passes 2^63 already around 10¹⁰ corpus tokens ×
+    * 10⁸ docs, and the denominator's df factor even earlier, so int64
+    * would wrap silently at real corpus sizes; decimal keeps every
+    * product exact to 10³⁸ and the final int→double casts are the same
+    * deterministic nearest-rounding in every engine). The total is the
+    * left-associated sum of the (≤ |query|) term scores in fixed query
+    * order: bit-identical in any engine.
     *
     * Scale shape: term frequencies are counted IN-ROW over the token array
     * (no explode, no per-term shuffle — the query is a codegen constant);
     * the corpus statistics (T, N, per-term df) are ONE 1-row partial
     * aggregate broadcast back; the top-k is a TakeOrdered (per-partition
-    * heads merged on the driver), never a global sort. The corpus is
-    * scanned once and never shuffles.
+    * heads merged on the driver), never a global sort. The corpus never
+    * shuffles; it is scanned twice (the stats aggregate and the scoring
+    * pass are separate subtrees — the [[outlierFlags]] shape).
     */
   def bm25TopDocs(docs: DataFrame,
                   query: Seq[String] = Seq("spark", "join", "window"),
                   k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "bm25TopDocs: query must contain at least one term")
+    require(query.distinct.size == query.size,
+      s"bm25TopDocs: duplicate query terms: ${query.mkString(", ")}")
     val perDoc = docs.withColumn("w", tokens(col("text")))
       .filter(size(col("w")) > 0)
       .select(
@@ -811,13 +819,18 @@ object TextAnalysis {
       query.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
     val scored = perDoc.crossJoin(broadcast(stats))
+    val D = DecimalType(38, 0)
+    val dec = (c: Column) => c.cast(D)
     val termScore = query.map { t =>
       val tf = col(s"tf_$t")
       val dfq = col(s"df_$t")
       when(tf === 0L || dfq === 0L, lit(0.0)).otherwise(
-        (lit(22L) * col("tt") * tf * col("n")).cast("double") /
-          ((lit(10L) * col("tt") * tf + lit(3L) * col("tt")
-            + lit(9L) * col("dl") * col("n")) * dfq).cast("double"))
+        (lit(22L).cast(D) * dec(col("tt")) * dec(tf) * dec(col("n")))
+          .cast("double") /
+          ((lit(10L).cast(D) * dec(col("tt")) * dec(tf)
+            + lit(3L).cast(D) * dec(col("tt"))
+            + lit(9L).cast(D) * dec(col("dl")) * dec(col("n"))) * dec(dfq))
+            .cast("double"))
     }
     scored
       .withColumn("score", termScore.reduceLeft(_ + _))
@@ -852,8 +865,11 @@ object TextAnalysis {
     val bcounts = docs
       .select(col("lang"), explode(tokens(col("text"))).as("t"))
       .groupBy(bucket(col("t")).as("b"))
+      // when(...).otherwise(0): a NULL lang makes the === NULL, and a
+      // bucket whose rows are ALL null-lang would sum to NULL and NPE the
+      // driver loop below — the oracle's count(*) FILTER counts 0 there
       .agg(count(lit(1)).as("c_all"),
-        sum((col("lang") === targetLang).cast("long")).as("c_tgt"))
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_tgt"))
       .collect()
     val ratios = Array.fill(nBuckets)(0L)
     bcounts.foreach { r =>
@@ -913,11 +929,14 @@ object TextAnalysis {
     * the top `k` pairs by lift are returned.
     *
     * Portability: with integer counts c(xy), c(x), c(y) and totals
-    * T_uni / T_bi, lift = c(xy)·T_uni² / (T_bi·c(x)·c(y)) — exact int64
-    * products (T_uni²·c(xy) passes 2^63 only past ~10⁹ corpus tokens;
-    * DECIMAL(38,0) is the headroom at that scale), ONE IEEE division.
-    * log-PMI is the same ranking through a monotone map, applied
-    * downstream if wanted — libm stays out of the oracle-checked path.
+    * T_uni / T_bi, lift = c(xy)·T_uni² / (T_bi·c(x)·c(y)) — both sides
+    * computed as EXACT DECIMAL(38,0) products and cast to double only for
+    * the ONE IEEE division (c(xy)·T_uni² wraps int64 already around 10⁷
+    * corpus tokens when a stop-pair's c(xy) ≈ 10⁵ — silently in Spark's
+    * non-ANSI longs, loudly in the oracle; decimal keeps both engines
+    * exact to 10³⁸). log-PMI is the same ranking through a monotone map,
+    * applied downstream if wanted — libm stays out of the oracle-checked
+    * path.
     *
     * Scale shape: unigram and bigram counts are partial-agg groupBys
     * (map-side combine); the pair table joins the vocabulary-sized
@@ -939,12 +958,15 @@ object TextAnalysis {
     val totals = toks.agg(
       sum(size(col("w"))).as("tu"),
       sum(greatest(size(col("w")) - 1, lit(0))).as("tb"))
+    val D = DecimalType(38, 0)
+    val dec = (c: Column) => c.cast(D)
     bi.join(uni.select(col("t").as("x"), col("c1").as("cx")), "x")
       .join(uni.select(col("t").as("y"), col("c1").as("cy")), "y")
       .crossJoin(broadcast(totals))
       .select(col("x"), col("y"), col("cxy"), col("cx"), col("cy"),
-        ((col("cxy") * col("tu") * col("tu")).cast("double") /
-          (col("tb") * col("cx") * col("cy")).cast("double")).as("lift"))
+        ((dec(col("cxy")) * dec(col("tu")) * dec(col("tu"))).cast("double") /
+          (dec(col("tb")) * dec(col("cx")) * dec(col("cy"))).cast("double"))
+          .as("lift"))
       .orderBy(col("lift").desc, col("x"), col("y"))
       .limit(k)
   }
@@ -1151,16 +1173,22 @@ object TextAnalysis {
          |  FROM t)
          |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
          |  (CASE WHEN tf_spark = 0 OR df_spark = 0 THEN 0.0
-         |        ELSE CAST(22 * tt * tf_spark * n AS DOUBLE)
-         |           / CAST((10 * tt * tf_spark + 3 * tt + 9 * dl * n)
+         |        ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_spark * n AS DOUBLE)
+         |           / CAST((CAST(10 AS HUGEINT) * tt * tf_spark
+         |                   + CAST(3 AS HUGEINT) * tt
+         |                   + CAST(9 AS HUGEINT) * dl * n)
          |                  * df_spark AS DOUBLE) END)
          |  + (CASE WHEN tf_join = 0 OR df_join = 0 THEN 0.0
-         |          ELSE CAST(22 * tt * tf_join * n AS DOUBLE)
-         |             / CAST((10 * tt * tf_join + 3 * tt + 9 * dl * n)
+         |          ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_join * n AS DOUBLE)
+         |             / CAST((CAST(10 AS HUGEINT) * tt * tf_join
+         |                     + CAST(3 AS HUGEINT) * tt
+         |                     + CAST(9 AS HUGEINT) * dl * n)
          |                    * df_join AS DOUBLE) END)
          |  + (CASE WHEN tf_window = 0 OR df_window = 0 THEN 0.0
-         |          ELSE CAST(22 * tt * tf_window * n AS DOUBLE)
-         |             / CAST((10 * tt * tf_window + 3 * tt + 9 * dl * n)
+         |          ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_window * n AS DOUBLE)
+         |             / CAST((CAST(10 AS HUGEINT) * tt * tf_window
+         |                     + CAST(3 AS HUGEINT) * tt
+         |                     + CAST(9 AS HUGEINT) * dl * n)
          |                    * df_window AS DOUBLE) END) AS score
          |FROM t, s
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -1211,8 +1239,8 @@ object TextAnalysis {
          |          CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS tb
          |        FROM d)
          |SELECT x, y, cxy, ux.c1 AS cx, uy.c1 AS cy,
-         |  CAST(cxy * tu * tu AS DOUBLE) / CAST(tb * ux.c1 * uy.c1 AS DOUBLE)
-         |    AS lift
+         |  CAST(CAST(cxy AS HUGEINT) * tu * tu AS DOUBLE)
+         |    / CAST(CAST(tb AS HUGEINT) * ux.c1 * uy.c1 AS DOUBLE) AS lift
          |FROM bi JOIN uni ux ON bi.x = ux.t
          |        JOIN uni uy ON bi.y = uy.t, tot
          |ORDER BY lift DESC, x, y LIMIT 50""".stripMargin,

@@ -920,15 +920,20 @@ object Relational {
     // observedMetrics stays empty (observed zeros, caught by the oracle)
     val result = observed.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
-    val nGroups = result.collect().length.toLong
+    // count(DISTINCT) semantics like the oracle: a NULL-returnflag group
+    // is a result row but not a distinct value
+    val nGroups = result.collect().count(!_.isNullAt(0)).toLong
     val m = result.queryExecution.observedMetrics("graft_metrics")
+    // boxed passthrough for the sums: on an EMPTY table observe's sum is
+    // NULL and the oracle's SQL sum is NULL too — don't unbox a fake 0.0
     spark.createDataFrame(
-      java.util.List.of(Row(m.getAs[Long]("n_rows"), m.getAs[Double]("sum_qty"),
-        m.getAs[Long]("n_null_price"), nGroups)),
+      java.util.List.of(Row(m.get(m.fieldIndex("n_rows")),
+        m.get(m.fieldIndex("sum_qty")),
+        m.get(m.fieldIndex("n_null_price")), nGroups)),
       StructType(Seq(
         StructField("n_rows", LongType, nullable = false),
-        StructField("sum_qty", DoubleType, nullable = false),
-        StructField("n_null_price", LongType, nullable = false),
+        StructField("sum_qty", DoubleType, nullable = true),
+        StructField("n_null_price", LongType, nullable = true),
         StructField("n_groups", LongType, nullable = false))))
   }
 

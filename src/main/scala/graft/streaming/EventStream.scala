@@ -257,26 +257,30 @@ object EventStream {
     */
   def funnelState(events: Dataset[Event]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
+    // Long.MinValue, not -1: a -1 sentinel would read any PRE-EPOCH event
+    // time as "slot unfilled" and silently diverge from batch q47 on
+    // negative timestamps (MinValue µs is unreachable from a ns division)
+    val Unset = Long.MinValue
     def fn(userId: Long, it: Iterator[Event],
            state: GroupState[FunnelState]): FunnelOut = {
-      var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+      var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset, Unset))
       for (e <- it.toSeq.sortBy(e => (e.ts_ns, e.event_id))) {
         val t = e.ts_ns / 1000
         e.event_type match {
-          case "signup" if st.t1 < 0 => st = st.copy(t1 = t)
-          case "view" if st.t1 >= 0 && st.t2 < 0 && t > st.t1 =>
+          case "signup" if st.t1 == Unset => st = st.copy(t1 = t)
+          case "view" if st.t1 != Unset && st.t2 == Unset && t > st.t1 =>
             st = st.copy(t2 = t)
-          case "click" if st.t2 >= 0 && st.t3 < 0 && t > st.t2 =>
+          case "click" if st.t2 != Unset && st.t3 == Unset && t > st.t2 =>
             st = st.copy(t3 = t)
-          case "purchase" if st.t3 >= 0 && st.t4 < 0 && t > st.t3 =>
+          case "purchase" if st.t3 != Unset && st.t4 == Unset && t > st.t3 =>
             st = st.copy(t4 = t)
           case _ =>
         }
       }
       state.update(st)
-      def opt(v: Long) = if (v < 0) None else Some(v)
+      def opt(v: Long) = if (v == Unset) None else Some(v)
       FunnelOut(userId, opt(st.t1), opt(st.t2), opt(st.t3), opt(st.t4),
-        Seq(st.t1, st.t2, st.t3, st.t4).takeWhile(_ >= 0).length)
+        Seq(st.t1, st.t2, st.t3, st.t4).takeWhile(_ != Unset).length)
     }
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
