@@ -336,6 +336,62 @@ object Multimodal {
         expr(s"CAST((n_samples + ${samplesPerFrame - 1}) div $samplesPerFrame AS INT)")
           .as("n_frames"))
 
+  final case class AudioStats(doc_id: Long, n_samples: Long, sum_amp: Long,
+                              sum_sq: Long, peak: Int)
+
+  /** PCM sample statistics over the WAV payload — the first genuinely
+    * signal-level multimodal compute (count / sum / energy / peak of the
+    * decoded int16 stream): what a loudness filter, silence detector, or
+    * clipping check reads. The RIFF chunk walk finds the data chunk and
+    * the bytes PRESENT after its header are decoded as little-endian
+    * signed 16-bit samples, capped by the declared size (a truncated file
+    * yields stats over what exists — never an index error). Non-RIFF
+    * payloads are skipped by magic, like [[HeaderDecoder]]'s dispatch.
+    *
+    * All four statistics are exact integers (sum_sq ≤ 2^30 per sample —
+    * int64 holds ~2^33 samples ≈ 70 hours of 44.1 kHz stereo per FILE,
+    * far past any real clip), so the operator hash-checks in DuckDB,
+    * which replays the byte pairing arithmetically from the synthesized
+    * payload. mapPartitions like [[decodeHeaders]] — scan-stage, one
+    * decoder instance per batch, zero shuffle.
+    */
+  def audioSampleStats(media: Dataset[MediaFile]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { f =>
+      val b = f.payload
+      def le32(i: Int): Long =
+        ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+          ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F') None
+      else {
+        var i = 12
+        var off = -1
+        var declared = -1L
+        while (i + 8 <= b.length && off < 0) {
+          val cid = new String(b, i, 4, "US-ASCII")
+          val sz = le32(i + 4)
+          if (cid == "data") { off = i + 8; declared = sz }
+          else i += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (off < 0) None
+        else {
+          val avail = math.min(declared, (b.length - off).toLong).toInt
+          val nPairs = avail / 2
+          var s = 0L; var s2 = 0L; var peak = 0; var k = 0
+          while (k < nPairs) {
+            val lo = b(off + 2 * k) & 0xff
+            val v = (b(off + 2 * k + 1) << 8) | lo // signed high byte
+            s += v; s2 += v.toLong * v
+            val a = math.abs(v); if (a > peak) peak = a
+            k += 1
+          }
+          Some(AudioStats(f.doc_id, nPairs, s, s2, peak))
+        }
+      }
+    })
+  }
+
   /** Resize plan: fit (width, height) into a `box` square preserving aspect
     * ratio — pure integer column math (exact in any engine). Emits the
     * target dimensions a batched GPU/codec stage would consume; upscaling
@@ -368,6 +424,11 @@ object Multimodal {
       sampleFrames(audioFrames(decoded(s, d))).orderBy("doc_id", "frame_idx")),
     "mm_resize" -> ((s, d) =>
       resizePlan(decoded(s, d).filter(col("width").isNotNull)).orderBy("doc_id")),
+    "mm_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      audioSampleStats(synthesizeMedia(Tables.load(s, d, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
   )
 
   // the Recipe fields, as the oracle re-derives them (same md5-prefix h)
@@ -410,6 +471,36 @@ object Multimodal {
          | CAST(CASE WHEN greatest(width, height) <= 224 THEN height
          |           ELSE (height * 224) // greatest(width, height) END AS INTEGER) AS out_h
          |FROM ($DECODED) WHERE width IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // byte-pair replay: the WAV body is the document's UTF-8 text (ASCII
+    // corpus: byte k == ascii(char k)); sample i = b(2i) + 256·b(2i+1),
+    // two's-complement above 32767; available samples = min(declared
+    // data size per the Recipe, body length) // 2
+    "mm_audio_stats" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |    least(CAST((1000 + h % 9000) * ((1 + h % 2) * 2) AS BIGINT),
+         |          CAST(length(text) AS BIGINT)) // 2 AS np
+         |  FROM ($R) JOIN documents USING (doc_id) WHERE fmt = 3),
+         |v AS (
+         |  SELECT doc_id,
+         |    unnest([ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+         |            + 256 * ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1))
+         |            FOR i IN range(0, np)]) AS raw
+         |  FROM p),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+         |         AS BIGINT) AS sum_amp,
+         |    CAST(sum((CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)
+         |           * (CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END))
+         |         AS BIGINT) AS sum_sq,
+         |    CAST(max(abs(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END))
+         |         AS INTEGER) AS peak
+         |  FROM v GROUP BY 1)
+         |SELECT p.doc_id, np AS n_samples, coalesce(sum_amp, 0) AS sum_amp,
+         |  coalesce(sum_sq, 0) AS sum_sq, coalesce(peak, 0) AS peak
+         |FROM p LEFT JOIN s ON p.doc_id = s.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, concat('text/plain;lang=', lang) AS media_type,
         | CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS size_bytes,

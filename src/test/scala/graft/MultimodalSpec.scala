@@ -69,6 +69,31 @@ class MultimodalSpec extends AnyFunSuite {
       bit_depth = 16, channels = 2, sample_rate = Some(44100), n_samples = Some(88200)))
   }
 
+  test("WAV sample stats: signed int16 pairing, declared-size cap, non-RIFF skip") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def wav(id: Long, declared: Int, samples: Array[Byte]) = MediaFile(id,
+      Array.concat("RIFF".getBytes, le32(36 + declared), "WAVE".getBytes,
+        "fmt ".getBytes, le32(16), le16(1), le16(1), le32(8000),
+        le32(16000), le16(2), le16(16),
+        "data".getBytes, le32(declared), samples))
+    // samples: 100, -2, -32768 (little-endian int16)
+    val pcm = Array.concat(le16(100), le16(0xfffe), le16(0x8000))
+    val media = Seq(
+      wav(1L, 6, pcm),                      // exact
+      wav(2L, 4, pcm),                      // declared caps at 2 samples
+      wav(3L, 100, pcm),                    // truncated file: 3 available
+      MediaFile(4L, "GIF89a".getBytes ++ Array.fill(20)(0.toByte))) // skipped
+    val got = Multimodal.audioSampleStats(media.toDS()).collect()
+      .map(a => a.doc_id -> ((a.n_samples, a.sum_amp, a.sum_sq, a.peak))).toMap
+    assert(got(1L) === ((3L, 100L - 2L - 32768L,
+      100L * 100 + 4 + 32768L * 32768L, 32768)))
+    assert(got(2L) === ((2L, 98L, 10004L, 100)))
+    assert(got(3L) === ((3L, got(1L)._2, got(1L)._3, 32768)))
+    assert(!got.contains(4L))
+  }
+
   test("corrupt payloads fail loudly, never decode to garbage") {
     intercept[Exception] { // unknown magic
       HeaderDecoder.decode(MediaFile(1L, Array[Byte](1, 2, 3, 4, 5)))
