@@ -840,6 +840,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Simpson lexical diversity — the distribution-aware counterpart of
+    * [[qualityScores]]'s type-token ratio: TTR treats "the the the cat"
+    * and "big red old cat" alike once lengths match, while the Simpson
+    * collision probability Σc²/T² (chance two random tokens are equal —
+    * Rényi-2) rises with concentration. Exported: the collision
+    * probability and its inverse T²/Σc² (the "effective vocabulary",
+    * perplexity's unigram cousin) — each ONE division of exact int64
+    * products, the engine-portable stand-in for entropy (log stays out of
+    * the oracle-checked path; Shannon fans apply −log downstream).
+    *
+    * Scale shape: per-row over the distinct-token list (the
+    * [[gopherRules]] top-ratio trick — O(len·distinct) in the scan
+    * stage), zero shuffle.
+    */
+  def diversityScores(docs: DataFrame): DataFrame =
+    docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(array_distinct(col("w")),
+            t => {
+              val c = size(filter(col("w"), x => x === t)).cast("long")
+              c * c
+            }),
+          lit(0L), (a, x) => a + x).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_c2"),
+        (col("sum_c2").cast("double") / (col("n_tokens") * col("n_tokens")))
+          .as("simpson"),
+        ((col("n_tokens") * col("n_tokens")).cast("double") / col("sum_c2"))
+          .as("eff_vocab"))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", re-expressed with
     * portable integer math): score each document by how target-like its
@@ -1004,6 +1035,8 @@ object TextAnalysis {
       bm25TopDocs(Tables.load(s, d, "documents"))),
     "ta_colloc" -> ((s, d) =>
       collocations(Tables.load(s, d, "documents"))),
+    "ta_diversity" -> ((s, d) =>
+      diversityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_dsir" -> ((s, d) =>
       dsirWeights(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_novelty" -> ((s, d) =>
@@ -1192,6 +1225,22 @@ object TextAnalysis {
          |                    * df_window AS DOUBLE) END) AS score
          |FROM t, s
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "ta_diversity" ->
+      s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(list_aggregate(list_transform(list_distinct(w),
+         |         t -> len(list_filter(w, x -> x = t))
+         |            * len(list_filter(w, x -> x = t))), 'sum') AS BIGINT)
+         |    AS sum_c2,
+         |  CAST(list_aggregate(list_transform(list_distinct(w),
+         |         t -> len(list_filter(w, x -> x = t))
+         |            * len(list_filter(w, x -> x = t))), 'sum') AS DOUBLE)
+         |    / (len(w) * len(w)) AS simpson,
+         |  CAST(len(w) * len(w) AS DOUBLE)
+         |    / list_aggregate(list_transform(list_distinct(w),
+         |        t -> len(list_filter(w, x -> x = t))
+         |           * len(list_filter(w, x -> x = t))), 'sum') AS eff_vocab
+         |FROM (SELECT doc_id, $W AS w FROM documents)
+         |WHERE len(w) > 0 ORDER BY doc_id""".stripMargin,
     // same bucket statistics and fixed-point ratio; per-token ratio sum
     // replayed through a 64-row join instead of the literal array
     "ta_dsir" ->

@@ -434,6 +434,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.keys.forall { case (_, b) => b >= 0 && b < 16 })
   }
 
+  test("diversityScores: hand-computed Simpson; concentration ranks below variety") {
+    val docs = Seq(
+      (1L, "a a a b"),          // ss = 9 + 1 = 10, T = 4
+      (2L, "big red old cat")   // ss = 4, T = 4 — fully diverse
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.diversityScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) === ((10L, 10.0 / 16.0, 16.0 / 10.0)))
+    assert(out(2L) === ((4L, 4.0 / 16.0, 4.0)))
+    // same length + same TTR can't fool Simpson: repetition scores higher
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("dsirWeights: target-language docs weigh higher; weights ≤ scale") {
     val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
     val w = TextAnalysis.dsirWeights(docs)
