@@ -83,6 +83,7 @@ object Relational {
     "q48_hits" -> q48,
     "q49_tpch_q10" -> q49,
     "q50_observe_metrics" -> q50,
+    "q51_unpivot" -> q51,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -895,6 +896,27 @@ object Relational {
       .limit(20)
   }
 
+  /** Unpivot (melt) — the inverse of q24's pivot and the missing half of
+    * the reshape pair: the four lineitem measures go long as (metric,
+    * value) rows, the form metric stores and chart layers ingest. Uses
+    * Spark's native `unpivot` (Catalyst Expand — one projection per
+    * measure in a single scan pass, zero shuffle, like the rollup/cube
+    * family), windowed to one ship month so the driver artifact stays
+    * bounded. Values pass through untouched (no arithmetic — bit-exact by
+    * construction); the oracle is the portable UNION ALL form.
+    */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-02-01"))
+    l.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
   /** Pipeline-embedded data-quality metrics via `Dataset.observe`
     * (Catalyst's CollectMetrics node) — production pipelines attach
     * row-count / sum / null-count assertions to a scan and read them off
@@ -1355,6 +1377,18 @@ object Relational {
         |       AS BIGINT) AS n_null_price,
         |  (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_groups
         |FROM lineitem""".stripMargin,
+    "q51_unpivot" ->
+      """WITH l AS (SELECT * FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |             AND l_shipdate < TIMESTAMP '1997-02-01')
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS value FROM l
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       l_extendedprice FROM l
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       l_discount FROM l
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM l
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
