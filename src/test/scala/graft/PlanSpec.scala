@@ -173,6 +173,38 @@ class PlanSpec extends AnyFunSuite {
       s"model side must re-read the probe side's (doc_id, bg) exchange:\n$p")
   }
 
+  test("dsir scoring pass is scan-stage: zero Exchange after the stats collect") {
+    val p = graft.operators.TextAnalysis
+      .dsirWeights(Tables.load(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the literal-lookup scoring pass must not shuffle: $p")
+  }
+
+  test("ta_novelty / ta_colloc never REQUIRE a broadcast of vocab-sized sides") {
+    // same discipline (and test harness) as ta_tfidf below: with the
+    // size-estimate threshold off, the shingle/unigram joins must degrade
+    // to shuffle joins — nothing vocabulary-sized is pinned broadcast
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val pn = graft.operators.TextAnalysis
+        .noveltyScores(Tables.load(spark, dir, "documents"))
+        .queryExecution.executedPlan.toString
+      assert(!pn.contains("BroadcastHashJoin"),
+        s"first-occurrence side must not be pinned broadcast:\n$pn")
+      val pc = graft.operators.TextAnalysis
+        .collocations(Tables.load(spark, dir, "documents"))
+        .queryExecution.executedPlan.toString
+      assert(!pc.contains("BroadcastHashJoin"),
+        s"unigram sides must not be pinned broadcast:\n$pc")
+      // the 1-row totals scalar is the ONLY broadcast (nested-loop)
+      assert(pc.contains("BroadcastNestedLoopJoin"),
+        s"corpus totals should broadcast as the 1-row scalar:\n$pc")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("ta_tfidf never REQUIRES a broadcast of the vocabulary-sized df side") {
     // the df table is vocabulary-sized (Heaps' law: unbounded on an open
     // web corpus), so the plan must not pin a broadcast of it in code the
