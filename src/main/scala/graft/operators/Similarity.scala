@@ -399,9 +399,67 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
+    * the RAG-stack shape: a lexical BM25 ranking and a semantic
+    * vector-cosine ranking over the same id space, fused by
+    * RRF(d) = Σ_lists 1/(60 + rank_list(d)) with absent-from-list
+    * contributing 0. RRF needs no score calibration between the two
+    * retrievers (only ranks), which is exactly why production hybrid
+    * search uses it.
+    *
+    * Determinism: both input rankings are already engine-portable
+    * ([[graft.operators.TextAnalysis.bm25TopDocs]]'s cleared-fraction
+    * scores; the exact-integer quantized cosine of
+    * [[graft.operators.Embeddings.exactScos2]]); each RRF term is one
+    * IEEE division 1.0/(60+r) of small exact ints and the two terms add
+    * in fixed written order — hash-checkable end to end, unusual for a
+    * fusion layer.
+    *
+    * Scale shape: each retriever produces a BOUNDED top-kEach list
+    * (TakeOrdered); the fusion full-outer join and the re-rank windows
+    * run on ≤ 2·kEach rows — driver-adjacent arithmetic, never
+    * corpus-sized. The corpus-side costs are the retrievers' own
+    * (documented on each).
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame,
+                query: Seq[String] = Seq("spark", "join", "window"),
+                queryVecId: Long = 0L, kEach: Int = 50,
+                k: Int = 20): DataFrame = {
+    import graft.operators.{Embeddings, TextAnalysis}
+    val lex = TextAnalysis.bm25TopDocs(docs, query, kEach)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("r_lex"))
+    val qv = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0.0)
+      .select(col("vec_id"),
+        transform(col("v"), x => Embeddings.int8Code(x, col("m"))).as("q"))
+    val queryRow = broadcast(qv.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("qid"), col("q").as("qq")))
+    val sem = qv.join(queryRow, col("vec_id") =!= col("qid"))
+      .withColumn("dot", vecDot(col("qq"), col("q")).cast("long"))
+      .withColumn("na", vecDot(col("qq"), col("qq")).cast("long"))
+      .withColumn("nb", vecDot(col("q"), col("q")).cast("long"))
+      .withColumn("scos2", Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
+      .orderBy(col("scos2").desc, col("vec_id")).limit(kEach)
+      .select(col("vec_id").as("id"),
+        row_number().over(Window.orderBy(col("scos2").desc, col("vec_id")))
+          .as("r_sem"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("r_lex"), col("r_sem"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"))),
     "ann_bruteforce" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
       bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
@@ -462,6 +520,36 @@ object Similarity {
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
   def oracle: Map[String, String] = Map(
+    // lexical CTEs shared verbatim with ta_bm25 (bm25OracleCtes); the
+    // semantic side is the emb_knn_label scored shape with one query
+    "ann_hybrid_rrf" ->
+      s"""WITH ${graft.operators.TextAnalysis.bm25OracleCtes},
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         |      AS r_lex
+         |  FROM lexall ORDER BY score DESC, doc_id LIMIT 50),
+         |$QQ,
+         |semall AS (
+         |  SELECT c.vec_id AS cid,
+         |    CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END
+         |         AS DOUBLE) / CAST(na * nb AS DOUBLE) AS scos2
+         |  FROM (SELECT c.vec_id,
+         |          CAST(list_dot_product(q.q, c.q) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(q.q, q.q) AS BIGINT) AS na,
+         |          CAST(list_dot_product(c.q, c.q) AS BIGINT) AS nb
+         |        FROM qq q JOIN qq c ON q.vec_id = 0 AND c.vec_id <> 0) c),
+         |sem AS (
+         |  SELECT cid AS id,
+         |    CAST(row_number() OVER (ORDER BY scos2 DESC, cid) AS INTEGER)
+         |      AS r_sem
+         |  FROM semall ORDER BY scos2 DESC, cid LIMIT 50)
+         |SELECT id, r_lex, r_sem,
+         |  coalesce(CAST(1 AS DOUBLE) / (60 + r_lex), CAST(0 AS DOUBLE))
+         |  + coalesce(CAST(1 AS DOUBLE) / (60 + r_sem), CAST(0 AS DOUBLE))
+         |    AS rrf
+         |FROM lex FULL JOIN sem USING (id)
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1186,44 +1186,54 @@ object TextAnalysis {
        |  list_transform(string_split($e, ''), x -> CAST(ascii(x) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** The BM25 oracle's shared CTE chain (t per-doc tfs, s corpus stats,
+    * lexall scored docs) — reused verbatim by [[Similarity]]'s hybrid-RRF
+    * oracle so the two lexical replays cannot drift.
+    */
+  private[operators] val bm25OracleCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+       |    CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_join,
+       |    CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
+       |  FROM (SELECT doc_id, $W AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |s AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (tf_spark > 0) AS BIGINT) AS df_spark,
+       |    CAST(count(*) FILTER (tf_join > 0) AS BIGINT) AS df_join,
+       |    CAST(count(*) FILTER (tf_window > 0) AS BIGINT) AS df_window
+       |  FROM t),
+       |lexall AS (
+       |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+       |  (CASE WHEN tf_spark = 0 OR df_spark = 0 THEN 0.0
+       |        ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_spark * n AS DOUBLE)
+       |           / CAST((CAST(10 AS HUGEINT) * tt * tf_spark
+       |                   + CAST(3 AS HUGEINT) * tt
+       |                   + CAST(9 AS HUGEINT) * dl * n)
+       |                  * df_spark AS DOUBLE) END)
+       |  + (CASE WHEN tf_join = 0 OR df_join = 0 THEN 0.0
+       |          ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_join * n AS DOUBLE)
+       |             / CAST((CAST(10 AS HUGEINT) * tt * tf_join
+       |                     + CAST(3 AS HUGEINT) * tt
+       |                     + CAST(9 AS HUGEINT) * dl * n)
+       |                    * df_join AS DOUBLE) END)
+       |  + (CASE WHEN tf_window = 0 OR df_window = 0 THEN 0.0
+       |          ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_window * n AS DOUBLE)
+       |             / CAST((CAST(10 AS HUGEINT) * tt * tf_window
+       |                     + CAST(3 AS HUGEINT) * tt
+       |                     + CAST(9 AS HUGEINT) * dl * n)
+       |                    * df_window AS DOUBLE) END) AS score
+       |FROM t, s)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the same cleared-fraction BM25 algebra: 22·T·tf·N over
     // (10·T·tf + 3·T + 9·dl·N)·df per term, summed left-to-right in
     // fixed query order — each term ONE division of exact int64s
     "ta_bm25" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
-         |    CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf_spark,
-         |    CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_join,
-         |    CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_window
-         |  FROM (SELECT doc_id, $W AS w FROM documents)
-         |  WHERE len(w) > 0),
-         |s AS (
-         |  SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(count(*) FILTER (tf_spark > 0) AS BIGINT) AS df_spark,
-         |    CAST(count(*) FILTER (tf_join > 0) AS BIGINT) AS df_join,
-         |    CAST(count(*) FILTER (tf_window > 0) AS BIGINT) AS df_window
-         |  FROM t)
-         |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
-         |  (CASE WHEN tf_spark = 0 OR df_spark = 0 THEN 0.0
-         |        ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_spark * n AS DOUBLE)
-         |           / CAST((CAST(10 AS HUGEINT) * tt * tf_spark
-         |                   + CAST(3 AS HUGEINT) * tt
-         |                   + CAST(9 AS HUGEINT) * dl * n)
-         |                  * df_spark AS DOUBLE) END)
-         |  + (CASE WHEN tf_join = 0 OR df_join = 0 THEN 0.0
-         |          ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_join * n AS DOUBLE)
-         |             / CAST((CAST(10 AS HUGEINT) * tt * tf_join
-         |                     + CAST(3 AS HUGEINT) * tt
-         |                     + CAST(9 AS HUGEINT) * dl * n)
-         |                    * df_join AS DOUBLE) END)
-         |  + (CASE WHEN tf_window = 0 OR df_window = 0 THEN 0.0
-         |          ELSE CAST(CAST(22 AS HUGEINT) * tt * tf_window * n AS DOUBLE)
-         |             / CAST((CAST(10 AS HUGEINT) * tt * tf_window
-         |                     + CAST(3 AS HUGEINT) * tt
-         |                     + CAST(9 AS HUGEINT) * dl * n)
-         |                    * df_window AS DOUBLE) END) AS score
-         |FROM t, s
+      s"""WITH $bm25OracleCtes
+         |SELECT doc_id, dl, tf_spark, tf_join, tf_window, score
+         |FROM lexall
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "ta_diversity" ->
       s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,

@@ -475,6 +475,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L) == 1.0 && out(2L) == 0.0 && out(3L) == 1.0, out.toString)
   }
 
+  test("hybridRrf: scores recompute exactly from the exported ranks, sorted") {
+    val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
+    val emb = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val rows = graft.operators.Similarity.hybridRrf(docs, emb).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map { r =>
+      val lex = if (r.isNullAt(1)) 0.0 else 1.0 / (60 + r.getInt(1))
+      val sem = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val expect = lex + sem
+      assert(r.getDouble(3) == expect, s"rrf mismatch: $r")
+      expect
+    }
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "fusion output not rank-sorted")
+    // both retrievers contributed: at least one row carries each rank kind
+    assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
+  }
+
   test("outlierFlags: planted far vector flagged, tight cluster clean") {
     // label 0: 40 copies of (100,0,...) plus one at (0,100): the stray's
     // dist² is ~2·100² while the mean is dominated by near-zero distances
