@@ -115,4 +115,16 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"b_bad\":-0.01"), line)
     assert(line.contains("\"failed\":[\"b_bad\"]"), line)
   }
+
+  test("driver contract consistency: every oracle names a query; rows-only set pinned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    // a dangling oracle key is a silent typo: the driver would run SQL for
+    // a query that writes no parquet and record a confusing miss
+    assert((o -- q).isEmpty, s"oracle keys without a query: ${(o -- q).mkString(", ")}")
+    // every query is hash-gated except the two documented rows-only
+    // entries (approximate-by-construction, each with a hash-checked twin)
+    assert(q -- o === Set("q21_approx_distinct", "emb_pca"),
+      s"unexpected rows-only queries: ${(q -- o).mkString(", ")}")
+  }
 }
