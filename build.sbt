@@ -19,6 +19,10 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // head of the Bench contract JSON line out of the window (BENCH_r07 lost
 // its official number exactly this way)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another setting,
+// so the unused-key lint flags it on every launch — silence the false
+// positive (the behavior itself is covered by the bench-window tests)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
