@@ -358,8 +358,7 @@ object Embeddings {
     * division by norms anywhere).
     */
   def outlierFlags(emb: DataFrame): DataFrame = {
-    val D = DecimalType(38, 0)
-    val dec = (c: Column) => c.cast(D)
+    import Exact.{D38 => D, dec}
     val codes = int8CodesWithId(emb, keep = Seq("label"))
       .select(col("vec_id"), col("label"), col("q"))
     val labelStats = codes
@@ -393,6 +392,22 @@ object Embeddings {
           lit(4).cast(D) * col("sum_dist")).cast("int").as("is_outlier"))
   }
 
+  /** Nonzero int8 code vectors as exact small integers in DOUBLE — the
+    * form the exact-cosine kernels consume ([[knnLabel]],
+    * [[Similarity.hybridRrf]]): zero vectors have no cosine and are
+    * excluded, like the oracles. ONE definition next to
+    * [[int8CodesWithId]] (whose bigint codes INCLUDE zero vectors — the
+    * Gram/PCA contract) for the same anti-drift reason.
+    */
+  private[operators] def nonZeroCodes(emb: DataFrame,
+                                      keep: Seq[String] = Nil): DataFrame =
+    emb.select(col("vec_id") +: keep.map(col) :+
+        col("embedding").cast("array<double>").as("v"): _*)
+      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("m") > 0.0)
+      .select(col("vec_id") +: keep.map(col) :+
+        transform(col("v"), x => int8Code(x, col("m"))).as("q"): _*)
+
   /** k-NN majority-label classification over the embedding column — the
     * label-propagation / weak-supervision primitive: each query vector is
     * assigned the majority label of its k nearest neighbors (ties toward
@@ -415,13 +430,7 @@ object Embeddings {
   def knnLabel(emb: DataFrame, k: Int = 5, nQueries: Int = 100): DataFrame = {
     import graft.functions.vector.vecDot
     import org.apache.spark.sql.expressions.Window
-    val qv = emb
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
-      .filter(col("m") > 0.0)
-      .select(col("vec_id"), col("label"),
-        transform(col("v"), x => int8Code(x, col("m"))).as("q"))
+    val qv = nonZeroCodes(emb, keep = Seq("label"))
     val queries = broadcast(qv.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("q").as("qq")))

@@ -430,12 +430,7 @@ object Similarity {
       .select(col("doc_id").as("id"),
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .as("r_lex"))
-    val qv = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("m", array_max(transform(col("v"), x => abs(x))))
-      .filter(col("m") > 0.0)
-      .select(col("vec_id"),
-        transform(col("v"), x => Embeddings.int8Code(x, col("m"))).as("q"))
+    val qv = Embeddings.nonZeroCodes(emb)
     val queryRow = broadcast(qv.filter(col("vec_id") === queryVecId)
       .select(col("vec_id").as("qid"), col("q").as("qq")))
     val sem = qv.join(queryRow, col("vec_id") =!= col("qid"))

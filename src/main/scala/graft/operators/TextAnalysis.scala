@@ -4,7 +4,6 @@ import graft.functions.hashes.portableHash60
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for a training-data pipeline: token statistics,
   * quality scoring, language-ID heuristic, document fingerprinting. All are
@@ -819,17 +818,16 @@ object TextAnalysis {
       query.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
     val scored = perDoc.crossJoin(broadcast(stats))
-    val D = DecimalType(38, 0)
-    val dec = (c: Column) => c.cast(D)
+    import Exact.dec
     val termScore = query.map { t =>
       val tf = col(s"tf_$t")
       val dfq = col(s"df_$t")
       when(tf === 0L || dfq === 0L, lit(0.0)).otherwise(
-        (lit(22L).cast(D) * dec(col("tt")) * dec(tf) * dec(col("n")))
+        (dec(lit(22L)) * dec(col("tt")) * dec(tf) * dec(col("n")))
           .cast("double") /
-          ((lit(10L).cast(D) * dec(col("tt")) * dec(tf)
-            + lit(3L).cast(D) * dec(col("tt"))
-            + lit(9L).cast(D) * dec(col("dl")) * dec(col("n"))) * dec(dfq))
+          ((dec(lit(10L)) * dec(col("tt")) * dec(tf)
+            + dec(lit(3L)) * dec(col("tt"))
+            + dec(lit(9L)) * dec(col("dl")) * dec(col("n"))) * dec(dfq))
             .cast("double"))
     }
     scored
@@ -973,7 +971,11 @@ object TextAnalysis {
     * (map-side combine); the pair table joins the vocabulary-sized
     * unigram table on x then y — SHUFFLE joins, never broadcast (the
     * [[tfidfTopTerms]] open-vocabulary discipline); corpus totals are a
-    * 1-row broadcast; top-k is TakeOrdered, never a global sort.
+    * 1-row broadcast from a SIZE-ONLY third pass (tokenize + size, no
+    * explode — deliberately NOT derived from the count aggregates: the
+    * unigram exchange does get reused, but the planner duplicates the
+    * bigram explode for a Σc(xy) total, which costs more than this scan);
+    * top-k is TakeOrdered, never a global sort.
     */
   def collocations(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
     val toks = docs.withColumn("w", tokens(col("text")))
@@ -989,8 +991,7 @@ object TextAnalysis {
     val totals = toks.agg(
       sum(size(col("w"))).as("tu"),
       sum(greatest(size(col("w")) - 1, lit(0))).as("tb"))
-    val D = DecimalType(38, 0)
-    val dec = (c: Column) => c.cast(D)
+    import Exact.dec
     bi.join(uni.select(col("t").as("x"), col("c1").as("cx")), "x")
       .join(uni.select(col("t").as("y"), col("c1").as("cy")), "y")
       .crossJoin(broadcast(totals))
