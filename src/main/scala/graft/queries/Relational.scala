@@ -84,6 +84,10 @@ object Relational {
     "q49_tpch_q10" -> q49,
     "q50_observe_metrics" -> q50,
     "q51_unpivot" -> q51,
+    "q52_gaps_islands" -> q52,
+    "q53_kmv_distinct" -> q53,
+    "q54_triangles" -> q54,
+    "q55_tpch_q18" -> q55,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -1302,6 +1306,173 @@ object Relational {
       .orderBy("l_orderkey")
   }
 
+  /** Gaps-and-islands over INTERVALS (q16/q42 sessionize over points):
+    * each event holds a 5-minute lease [ts, ts+300s); overlapping or
+    * touching leases per user merge into maximal islands. The island
+    * boundary is `ts > running max of all PRIOR lease ends` — the running
+    * max (not lag of the end, which misses an early long lease swallowing
+    * later short ones) is the part plain sessionize gets wrong on true
+    * interval data (maintenance windows, locks, meetings).
+    *
+    * Scale: one window partitioned by user_id — q16's exact shuffle
+    * envelope; per-user streams are human-bounded. All arithmetic is
+    * exact epoch nanoseconds.
+    */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val leaseNs = 300L * 1000000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        (col("ts_ns") + leaseNs).as("end_ns"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val prevEnd = max(col("end_ns"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = e.withColumn(
+      "is_new", when(prevEnd.isNull || col("ts_ns") > prevEnd, 1).otherwise(0))
+    marked
+      .withColumn("island",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ns")).as("start_ns"),
+        max(col("end_ns")).as("end_ns"))
+      .withColumn("covered_ns", col("end_ns") - col("start_ns"))
+      .orderBy("user_id", "island")
+  }
+
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch — the third
+    * portable cardinality sketch next to q36's HLL and q38's CMS, and the
+    * one whose sketch is also a uniform SAMPLE of the distinct values
+    * (the basis of distinct-sampling joins). Estimator (Beyer et al.):
+    * with h_k the k-th smallest of the distinct 60-bit hashes,
+    * est = (k-1)·2^60 / h_k; if fewer than k distinct hashes exist the
+    * exact count is the answer.
+    *
+    * Engine parity: (k-1)·2^60 = 255·2^60 is EXACTLY representable as a
+    * double (8-bit mantissa · power of two), h_k→double is the same
+    * round-to-nearest in both engines, and the estimate is that one IEEE
+    * division — the single-division discipline of ta_bm25/q41.
+    *
+    * Scale: distinct-hash build is one partial-agg shuffle; the bottom-k
+    * is TakeOrdered (per-partition heaps, no global sort). The exact
+    * distinct count rides the SAME distinct exchange (ReuseExchange —
+    * both consumers share the subtree), so truth-vs-estimate costs one
+    * scan. At 100 TB you'd drop the truth column — the sketch is the
+    * point — and merge per-partition bottom-k sets instead.
+    */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val two60d = lit(1152921504606846976L).cast("double")
+    val dh = Tables.load(spark, dir, "lineitem")
+      .select(portableHash60(col("l_orderkey").cast("string")).as("h"))
+      .distinct()
+    val bottom = dh.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth_hash"))
+    val truth = dh.agg(count(lit(1)).as("true_distinct"))
+    bottom.crossJoin(truth)
+      .select(
+        lit(k).as("k"),
+        col("kth_hash"),
+        when(col("n_k") < k, col("true_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two60d /
+            col("kth_hash").cast("double"))
+          .as("est_distinct"),
+        col("true_distinct"))
+  }
+
+  /** Triangle counting with degree-ordered edge orientation (the
+    * Schank–Wagner / Latapy discipline) on the nation-level trade
+    * backbone: an undirected edge joins two nations whose cross-border
+    * trade volume is at least the mean edge volume (integer
+    * cross-multiplied threshold, q41's no-float-stats rule). Each
+    * undirected edge is oriented from its (degree, id)-smaller endpoint,
+    * so every triangle is counted exactly once and the wedge join is
+    * bounded by sum of C(out-degree, 2) — out-degrees are O(sqrt(m))
+    * under this orientation regardless of skew, which is what makes the
+    * same plan survive an unbounded node set (user graphs, domain
+    * graphs). Output is per-nation triangle participation.
+    *
+    * Scale: the heavy stage is the 4-table join + two-level partial
+    * aggregation down to <=300 nation-pair rows; everything after runs on
+    * the bounded backbone (localCheckpointed — ~300 rows — so the
+    * scalar-threshold and edge branches don't re-execute the fact join).
+    */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val und = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey"), col("s_nationkey")).as("a"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val thr = und.agg(sum(col("w")).as("sw"), count(lit(1)).as("ne"))
+    val edges = und.crossJoin(thr)
+      .filter(col("w") * col("ne") >= col("sw"))
+      .select("a", "b")
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint
+    val da = deg.select(col("node").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("b"), col("deg").as("degb"))
+    val oriented = edges.join(da, "a").join(db, "b")
+      .select(
+        when(col("dega") < col("degb") ||
+             (col("dega") === col("degb") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val e1 = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val e2 = oriented.select(col("src").as("x2"), col("dst").as("z"))
+    // e1 x e2 emits BOTH orderings of each out-neighbour pair {y,z}; the
+    // closer join matches only the oriented direction y->z, so each
+    // triangle (x->y, x->z, y->z) surfaces exactly once.
+    val wedges = e1.join(e2, col("x") === col("x2") && col("y") =!= col("z"))
+      .select(col("x"), col("y"), col("z"))
+    val closer = oriented.select(col("src").as("cs"), col("dst").as("cd"))
+    val tri = wedges.join(closer,
+      col("y") === col("cs") && col("z") === col("cd"))
+      .select("x", "y", "z")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nationkey"))
+      .groupBy("nationkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("nationkey"))
+  }
+
+  /** TPC-H Q18 (large-volume customer): orders whose total quantity
+    * exceeds the threshold, top-100 by order value. The quantity HAVING
+    * filter runs as a partial-agg groupBy BEFORE any dimension join, so
+    * only qualifying orders (a few percent) ever touch orders/customer —
+    * the aggregate-then-join ordering is the point of the shape; customer
+    * is broadcast. Threshold 230 (the generator's line-count/quantity
+    * distribution puts ~2% of orders above it at every SF).
+    */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(d2(col("l_quantity"))).as("sum_qty_d"))
+      .filter(col("sum_qty_d") > 230)
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        d2(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty_d").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   def oracle: Map[String, String] = Map(
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1389,6 +1560,86 @@ object Relational {
         |       l_discount FROM l
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM l
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q52_gaps_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |         epoch_ns(ts) + 300000000000 AS end_ns
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN max(end_ns) OVER w_prev IS NULL
+        |                   OR ts_ns > max(end_ns) OVER w_prev
+        |            THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w_prev AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |i AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM m)
+        |SELECT user_id, island, count(*) AS n_events,
+        |  min(ts_ns) AS start_ns, max(end_ns) AS end_ns,
+        |  max(end_ns) - min(ts_ns) AS covered_ns
+        |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q53_kmv_distinct" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT CAST(concat('0x',
+        |    substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |bottom AS (SELECT count(*) AS n_k, max(h) AS kth_hash
+        |           FROM (SELECT h FROM dh ORDER BY h LIMIT 256)),
+        |truth AS (SELECT count(*) AS true_distinct FROM dh)
+        |SELECT CAST(256 AS INTEGER) AS k, kth_hash,
+        |  CASE WHEN n_k < 256 THEN CAST(true_distinct AS DOUBLE)
+        |       ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(kth_hash AS DOUBLE)
+        |  END AS est_distinct,
+        |  true_distinct
+        |FROM bottom, truth""".stripMargin,
+    "q54_triangles" ->
+      """WITH und AS (
+        |  SELECT least(c_nationkey, s_nationkey) AS a,
+        |         greatest(c_nationkey, s_nationkey) AS b, count(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE c_nationkey <> s_nationkey GROUP BY 1, 2),
+        |thr AS (SELECT sum(w) AS sw, count(*) AS ne FROM und),
+        |edges AS (SELECT a, b FROM und, thr WHERE w * ne >= sw),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM edges
+        |    UNION ALL SELECT b FROM edges) GROUP BY 1),
+        |oriented AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.a ELSE e.b END AS src,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        |              THEN e.b ELSE e.a END AS dst
+        |  FROM edges e
+        |  JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+        |tri AS (
+        |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |  FROM oriented e1
+        |  JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+        |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        |nodes AS (SELECT x AS nationkey FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT nationkey, count(*) AS n_triangles FROM nodes GROUP BY 1
+        |ORDER BY n_triangles DESC, nationkey""".stripMargin,
+    "q55_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 230)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
