@@ -51,9 +51,12 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point: injects the [[GraftFunctions]] SQL
-  * surface into every session built with this class configured.
+  * surface plus the library's optimizer rules into every session built
+  * with this class configured.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.QuantizationPushdown)
+  }
 }

@@ -274,9 +274,53 @@ object Dedup {
     * a cross-snapshot dedup pipeline carries between corpus versions, so a
     * new batch is deduped against the whole history WITHOUT re-reading or
     * re-hashing the historical corpus.
+    *
+    * A `_meta.json` sidecar pins the signature parameters (K, rows/band,
+    * base hash + permutation family, modulus). Signatures are only
+    * comparable when ALL of them match — a K or hash change across
+    * incremental runs would otherwise silently mix incomparable
+    * signatures and the band join would return garbage candidate pairs
+    * with no error. Readers ([[incrementalLshPairs]]) fail loudly on any
+    * mismatch, including a MISSING sidecar (a bare parquet dir is not a
+    * signature store this library promises to understand).
     */
-  def writeSignatureStore(docs: DataFrame, path: String): Unit =
+  private[graft] val StoreMetaFile = "_meta.json"
+  private[graft] def storeMetaJson: String =
+    s"""{"format":1,"k":$K,"r":$R,"hash":"md5-60/lcg","p":$P}"""
+
+  def writeSignatureStore(docs: DataFrame, path: String): Unit = {
     minhashSignatures(docs).write.mode("overwrite").parquet(path)
+    // Hadoop FS, not java.nio: the store path is a cluster URI in
+    // production (s3a/hdfs); the sidecar must land next to the data.
+    val p = new org.apache.hadoop.fs.Path(path, StoreMetaFile)
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(storeMetaJson.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Open a signature store, failing loudly unless its `_meta.json`
+    * matches this build's parameters exactly.
+    */
+  private[graft] def readSignatureStore(spark: SparkSession,
+                                        path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, StoreMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"signature store at $path has no $StoreMetaFile — not written by " +
+        s"writeSignatureStore (or predates store versioning); refusing to " +
+        s"guess its parameters. Expected: $storeMetaJson")
+    val in = fs.open(p)
+    val meta =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8")
+      finally in.close()
+    require(meta == storeMetaJson,
+      s"signature store at $path was written with incompatible parameters " +
+        s"$meta; this build expects $storeMetaJson. Rebuild the store (or " +
+        s"run with the matching library version) — mixing signature " +
+        s"families silently corrupts candidate generation.")
+    spark.read.parquet(path)
+  }
 
   /** Incremental (cross-snapshot) LSH dedup: candidate pairs that TOUCH
     * the new batch — batch-vs-store and batch-vs-batch, never
@@ -289,7 +333,7 @@ object Dedup {
     */
   def incrementalLshPairs(spark: SparkSession, storePath: String,
                           batch: DataFrame): DataFrame = {
-    val stored = spark.read.parquet(storePath)
+    val stored = readSignatureStore(spark, storePath)
     val batchSig = minhashSignatures(batch)
     val all = bandsOf(stored.unionByName(batchSig)).as("a")
     val nb = bandsOf(batchSig).as("b")
@@ -353,7 +397,18 @@ object Dedup {
     * recall/cost dial); h=0 degenerates to one 60-bit chunk, i.e. exact
     * simhash equality.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 9): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 9): DataFrame =
+    hammingPairs60(simhash(docs), "simhash", maxHamming)
+
+  /** Generic pigeonhole banded Hamming join over ANY (doc_id, <hashCol>)
+    * frame of 60-bit hashes — the machinery behind [[simhashPairs]] and
+    * [[graft.operators.Multimodal.phashPairs]] (perceptual image hashes):
+    * any fingerprint family that measures similarity as Hamming distance
+    * plugs in. Pairs within `maxHamming` must agree on >= 1 of the
+    * maxHamming + 1 disjoint bit chunks; candidates are verified exactly.
+    */
+  def hammingPairs60(sig: DataFrame, hashCol: String,
+                     maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60,
       s"maxHamming must be in [0, 60), got $maxHamming")
     val nChunks = maxHamming + 1
@@ -361,22 +416,22 @@ object Dedup {
     val extra = 60 % nChunks
     val widths = Seq.tabulate(nChunks)(c => if (c < extra) base + 1 else base)
     val shifts = widths.scanLeft(0)(_ + _).init
-    val spark = docs.sparkSession
+    val spark = sig.sparkSession
     import spark.implicits._
-    val sh = simhash(docs)
+    val sh = sig.select(col("doc_id"), col(hashCol).as("h60"))
     val chunks = broadcast(shifts.zip(widths).zipWithIndex
       .map { case ((s, wd), c) => (c, s, (1L << wd) - 1) }
       .toDF("c", "shift", "mask"))
     val banded = sh.crossJoin(chunks)
-      .select(col("doc_id"), col("simhash"), col("c"),
-        expr("shiftright(simhash, shift) & mask").as("cv"))
+      .select(col("doc_id"), col("h60"), col("c"),
+        expr("shiftright(h60, shift) & mask").as("cv"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.h60").bitwiseXOR(col("b.h60"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -392,6 +392,176 @@ object Multimodal {
     })
   }
 
+  // ------------------------------------------------- perceptual image hash
+
+  /** Thumbnail geometry for the perceptual-hash path: 40×24 grayscale →
+    * 4×4 average blocks → a 10×6 = 60-bit hash, the repo's standard
+    * portable 60-bit integer width (so the generic banded Hamming join
+    * [[graft.operators.Dedup.hammingPairs60]] applies unchanged).
+    */
+  private val PW = 40
+  private val PH = 24
+  private val PB = 4 // block edge
+
+  /** Deterministic grayscale value at (x, y) for a doc with content hash
+    * `h` — the pixel recipe shared with the DuckDB oracle (which replays
+    * it arithmetically, like [[Recipe]] for headers). The Spark side never
+    * uses this after synthesis: it DECODES the PNG bytes back.
+    */
+  private[graft] def grayPixel(h: Long, x: Int, y: Int): Int =
+    ((h % 256 + 7L * x + 13L * y + ((x.toLong * y) % 5) * 29) % 256).toInt
+
+  /** Encode 8-bit grayscale pixels (row-major) as a REAL PNG: IHDR (color
+    * type 0, bit depth 8), one zlib-deflated IDAT of filter-0 scanlines,
+    * IEND — a file any PNG reader opens. Pure JVM: java.util.zip IS a real
+    * zlib; no codec library needed for grayscale/no-filter.
+    */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h, s"need ${w * h} pixels, got ${pixels.length}")
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val payload = tag.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      out.write(be32(data.length)); out.write(payload)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, 0, 0, 0, 0)) // depth 8, gray, deflate, filter 0, no interlace
+    val raw = new Array[Byte](h * (1 + w))
+    var y = 0
+    while (y < h) {
+      raw(y * (1 + w)) = 0 // per-scanline filter byte: None
+      var x = 0
+      while (x < w) { raw(y * (1 + w) + 1 + x) = pixels(y * w + x).toByte; x += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zOut = new ByteArrayOutputStream()
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Decode a grayscale filter-0 PNG back to (width, height, pixels) —
+    * the inverse of [[encodeGrayPng]] via a real chunk walk + zlib
+    * inflate. Fails loudly on anything this library didn't promise to
+    * write (color, sub-byte depth, nonzero scanline filters): a curation
+    * pipeline surfaces unsupported media, it doesn't guess.
+    */
+  def decodeGrayPng(id: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val meta = HeaderDecoder.parsePng(id, b) // signature + IHDR validation
+    require(meta.channels == 1 && meta.bit_depth == 8,
+      s"doc $id: phash decoder supports 8-bit grayscale only, " +
+        s"got depth=${meta.bit_depth} channels=${meta.channels}")
+    val (w, h) = (meta.width.get, meta.height.get)
+    val idat = new ByteArrayOutputStream()
+    var i = 8
+    while (i + 8 <= b.length) {
+      val len = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      val tag = new String(b, i + 4, 4, "US-ASCII")
+      if (tag == "IDAT") idat.write(b, i + 8, len)
+      i += 12 + len // len + tag + data + crc
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    var got = 0
+    while (got < raw.length && !inflater.finished())
+      got += inflater.inflate(raw, got, raw.length - got)
+    inflater.end()
+    require(got == raw.length, s"doc $id: PNG pixel data truncated ($got/${raw.length})")
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      require(raw(y * (1 + w)) == 0,
+        s"doc $id: unsupported PNG scanline filter ${raw(y * (1 + w))} at row $y")
+      var x = 0
+      while (x < w) { px(y * w + x) = raw(y * (1 + w) + 1 + x) & 0xff; x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** 60-bit average hash of a grayscale image: 4×4 block sums on the
+    * 10×6 grid, bit b = (x div 4) + 10·(y div 4) set iff the block mean
+    * exceeds the global mean — cross-multiplied (blockSum·60 > totalSum;
+    * every block holds the same 16 pixels) so the comparison is exact
+    * integer, bit-identical in any engine.
+    */
+  def averageHash60(w: Int, h: Int, px: Array[Int]): (Long, Int) = {
+    require(w == PW && h == PH, s"phash expects ${PW}x$PH thumbnails, got ${w}x$h")
+    val bs = new Array[Long](60)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        bs((x / PB) + (PW / PB) * (y / PB)) += px(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    val total = bs.sum
+    var hash = 0L; var ones = 0; var b = 0
+    while (b < 60) {
+      if (bs(b) * 60 > total) { hash |= (1L << b); ones += 1 }
+      b += 1
+    }
+    (hash, ones)
+  }
+
+  /** documents → real 40×24 grayscale PNG thumbnails (binary column).
+    * Pixels derive from the doc's md5-prefix content hash via
+    * [[grayPixel]]; the bytes are genuine zlib-deflated PNG files.
+    */
+  def synthesizeThumbnails(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          md.reset()
+          val md5hex = md.digest(text.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val hh = java.lang.Long.parseLong(md5hex.take(15), 16)
+          val px = Array.tabulate(PW * PH)(k => grayPixel(hh, k % PW, k / PW))
+          MediaFile(id, encodeGrayPng(PW, PH, px))
+        }
+      }
+  }
+
+  final case class PHash(doc_id: Long, phash60: Long, n_ones: Int)
+
+  /** Perceptual hash per document: synthesize the thumbnail PNG, decode
+    * the REAL bytes back (chunk walk + inflate + defilter), average-hash
+    * the decoded pixels. The oracle replays the pixel recipe + hash
+    * arithmetic in SQL, so any encoder/decoder disagreement (offset,
+    * endianness, filter handling, zlib framing) hash-mismatches.
+    * mapPartitions like [[decodeHeaders]]: scan-stage, zero shuffle.
+    */
+  def phash(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    synthesizeThumbnails(docs).mapPartitions(_.map { f =>
+      val (w, h, px) = decodeGrayPng(f.doc_id, f.payload)
+      val (hash, ones) = averageHash60(w, h, px)
+      PHash(f.doc_id, hash, ones)
+    }).toDF()
+  }
+
+  /** Near-duplicate IMAGE pairs: the banded Hamming join over perceptual
+    * hashes — the cross-modal analog of [[graft.operators.Dedup
+    * .simhashPairs]], catching re-encoded/slightly-perturbed images that
+    * byte-level dedup can't. Same pigeonhole machinery, same 100 TB
+    * shape: chunk-keyed buckets, never all-pairs.
+    */
+  def phashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs60(phash(docs), "phash60", maxHamming)
+
   /** Resize plan: fit (width, height) into a `box` square preserving aspect
     * ratio — pure integer column math (exact in any engine). Emits the
     * target dimensions a batched GPU/codec stage would consume; upscaling
@@ -429,6 +599,8 @@ object Multimodal {
       audioSampleStats(synthesizeMedia(Tables.load(s, d, "documents")))
         .toDF().orderBy("doc_id")
     }),
+    "mm_phash" -> ((s, d) =>
+      phash(Tables.load(s, d, "documents")).orderBy("doc_id")),
   )
 
   // the Recipe fields, as the oracle re-derives them (same md5-prefix h)
@@ -507,5 +679,23 @@ object Multimodal {
         | md5(text) AS payload_md5,
         | substr(text, 1, 8) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // pixel-recipe replay: the Spark side DECODES real PNG bytes; the
+    // oracle recomputes grayPixel + the 10×6 block-mean bits arithmetically
+    "mm_phash" ->
+      s"""WITH r AS ($R),
+         |px AS (
+         |  SELECT doc_id, (x // 4) + 10 * (y // 4) AS b,
+         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
+         |blk AS (SELECT doc_id, b, CAST(sum(g) AS BIGINT) AS bs
+         |        FROM px GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts FROM blk GROUP BY 1)
+         |SELECT blk.doc_id,
+         |  CAST(sum(CASE WHEN bs * 60 > ts
+         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+         |           ELSE 0 END) AS BIGINT) AS phash60,
+         |  CAST(sum(CASE WHEN bs * 60 > ts THEN 1 ELSE 0 END) AS INTEGER) AS n_ones
+         |FROM blk JOIN tot USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -798,8 +798,13 @@ object TextAnalysis {
     * the corpus statistics (T, N, per-term df) are ONE 1-row partial
     * aggregate broadcast back; the top-k is a TakeOrdered (per-partition
     * heads merged on the driver), never a global sort. The corpus never
-    * shuffles; it is scanned twice (the stats aggregate and the scoring
-    * pass are separate subtrees — the [[outlierFlags]] shape).
+    * shuffles, and it is TOKENIZED ONCE: `perDoc` (the narrow
+    * O(docs × (2+|query|)) tf projection) is materialized eagerly
+    * (localCheckpoint — the q40/ta_lm_score lesson) so the stats aggregate
+    * and the scoring join both read the cached projection instead of each
+    * re-running the `size(filter(w, …))` scan over the raw text. At 100 TB
+    * the same holds: two consumers over a persisted narrow projection,
+    * never two passes over the corpus text.
     */
   def bm25TopDocs(docs: DataFrame,
                   query: Seq[String] = Seq("spark", "join", "window"),
@@ -814,6 +819,7 @@ object TextAnalysis {
           query.map(t =>
             size(filter(col("w"), x => x === lit(t))).cast("long")
               .as(s"tf_$t")): _*)
+      .localCheckpoint(true)
     val statCols = sum(col("dl")).as("tt") +: count(lit(1)).as("n") +:
       query.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)

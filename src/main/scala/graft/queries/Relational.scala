@@ -1316,7 +1316,9 @@ object Relational {
     *
     * Scale: one window partitioned by user_id — q16's exact shuffle
     * envelope; per-user streams are human-bounded. All arithmetic is
-    * exact epoch nanoseconds.
+    * exact integer nanoseconds on µs-quantized inputs ([[Tables.events]]
+    * truncates ts_ns to µs multiples — the oracle's timestamp precision —
+    * so the raw ns values this query emits match the oracle).
     */
   private def q52(spark: SparkSession, dir: String): DataFrame = {
     val leaseNs = 300L * 1000000000L

@@ -83,8 +83,14 @@ object Sources {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
         expr("bit_xor(h)").as("checksum_xor"),
-        sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("checksum_sum"))
+        // Engine-neutral exact type: the modular sum reduces to BIGINT
+        // (< 2·10^9 more precisely < p) — r8 showed raw DECIMAL(38,0)
+        // output canonicalizes differently across Spark-parquet and
+        // DuckDB-HUGEINT in the driver's hasher. The internal sum stays
+        // DECIMAL(38,0) so it is overflow-exact at any corpus size; only
+        // the published column is reduced.
+        (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
+          % lit(1000000007L)).cast("long").as("checksum_sum"))
       .orderBy("source")
   }
 
@@ -147,7 +153,7 @@ object Sources {
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  bit_xor(h) AS checksum_xor,
-      |  CAST(sum(h % 1000000007) AS DECIMAL(38,0)) AS checksum_sum
+      |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
   def oracle: Map[String, String] = Map(

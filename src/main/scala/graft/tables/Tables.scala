@@ -39,10 +39,21 @@ object Tables {
     require(names.contains(name), s"unknown table: $name (have: ${names.mkString(", ")})")
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default (PARQUET_TYPE_ILLEGAL). Read it as a nanosecond epoch long
-      // — exact, and ns arithmetic then matches the DuckDB oracle
-      // bit-for-bit (no µs truncation).
+      // default (PARQUET_TYPE_ILLEGAL). Read it as a nanosecond epoch long.
+      // NOTE: the raw value is exact in Spark, but the DuckDB oracle's
+      // TIMESTAMP is µs-precision — epoch_ns(ts) there always ends in 000.
+      // [[events]] therefore quantizes ts_ns to µs multiples so any query
+      // emitting timestamp-derived values agrees with the oracle (the r8
+      // q52 lesson); sub-µs residue is unobservable to the oracle and
+      // would also make ORDER BY ts_ns engine-dependent for same-µs rows.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the µs quantization must not cost parquet pushdown: this rule
+      // turns `(ts div 1000)*1000 <cmp> literal` back into raw-column
+      // ranges the source can translate (PlanSpec pins the PushedFilters)
+      if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.QuantizationPushdown))
+        spark.experimental.extraOptimizations ++=
+          Seq(graft.plans.QuantizationPushdown)
     }
     if (hooked.add(spark))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -56,11 +67,15 @@ object Tables {
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** The events table with `ts_ns` (exact epoch nanoseconds, LongType) and
-    * `ts` (µs-truncated TimestampType for calendar functions / windows).
+  /** The events table with `ts_ns` (epoch nanoseconds QUANTIZED to µs
+    * multiples, LongType — always ends in 000) and `ts` (the matching
+    * TimestampType for calendar functions / windows). Quantizing at the
+    * source keeps every downstream ns value oracle-reproducible and makes
+    * ORDER BY (ts_ns, event_id) deterministic across engines.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
 }

@@ -127,4 +127,32 @@ class BenchContractSpec extends AnyFunSuite {
     assert(q -- o === Set("q21_approx_distinct", "emb_pca"),
       s"unexpected rows-only queries: ${(q -- o).mkString(", ")}")
   }
+
+  test("no published query schema contains a DecimalType column") {
+    // r8 lesson: src_csv/src_jsonl published a raw DECIMAL(38,0) and the
+    // driver's hasher canonicalizes Spark-parquet decimal differently from
+    // DuckDB's HUGEINT-cast decimal — rows+values matched, hash didn't.
+    // DECIMAL is fine as an internal exact accumulator (Exact.D38) but the
+    // published schema must use engine-neutral types (BIGINT/DOUBLE/STRING).
+    // Streaming (st_*) queries are excluded only because building them runs
+    // the stream; their published decimals are cast to double at the source
+    // (EventStream.scala) and their hash gates cover them.
+    val spark = TestSpark.spark
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1.startsWith("st_"))
+      .flatMap { case (name, f) =>
+        val bad = f(spark, TestSpark.sf0001).schema.fields
+          .filter(fld => hasDecimal(fld.dataType)).map(_.name)
+        if (bad.isEmpty) None else Some(s"$name(${bad.mkString(",")})")
+      }
+    assert(offenders.isEmpty,
+      s"queries publishing DecimalType columns: ${offenders.mkString("; ")}")
+  }
 }

@@ -143,4 +143,63 @@ class MultimodalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("gray PNG encode -> decode round-trips pixels through real zlib bytes") {
+    val px = Array.tabulate(40 * 24)(k => (k * 37 + 11) % 256)
+    val bytes = Multimodal.encodeGrayPng(40, 24, px)
+    // it is a REAL PNG: the header decoder reads it like any other file
+    val meta = HeaderDecoder.decode(MediaFile(7L, bytes))
+    assert(meta.format === "png" && meta.width === Some(40) &&
+      meta.height === Some(24) && meta.bit_depth === 8 && meta.channels === 1)
+    val (w, h, back) = Multimodal.decodeGrayPng(7L, bytes)
+    assert((w, h) === ((40, 24)))
+    assert(back.toSeq === px.toSeq)
+  }
+
+  test("planted near-duplicate image: small perturbation stays within hamming 6, " +
+    "phash pair join finds it, unrelated images stay apart") {
+    import spark.implicits._
+    val base = Array.tabulate(40 * 24)(k => ((k % 40) * 3 + (k / 40) * 7) % 256)
+    // re-encoded near-duplicate: a handful of pixels nudged by 1 — the
+    // byte stream differs (md5 dedup misses it) but block means barely move
+    val near = base.clone()
+    Seq(5, 333, 707).foreach(i => near(i) = (near(i) + 1) % 256)
+    // an unrelated image: inverted gradient
+    val far = base.map(255 - _)
+    def hashOf(id: Long, px: Array[Int]): Long = {
+      val (w, h, dec) =
+        Multimodal.decodeGrayPng(id, Multimodal.encodeGrayPng(40, 24, px))
+      Multimodal.averageHash60(w, h, dec)._1
+    }
+    val (hb, hn, hf) = (hashOf(1, base), hashOf(2, near), hashOf(3, far))
+    assert(java.lang.Long.bitCount(hb ^ hn) <= 6,
+      s"near-dup drifted: hamming ${java.lang.Long.bitCount(hb ^ hn)}")
+    assert(java.lang.Long.bitCount(hb ^ hf) > 6,
+      s"unrelated images collided: hamming ${java.lang.Long.bitCount(hb ^ hf)}")
+    val sig = Seq((1L, hb), (2L, hn), (3L, hf)).toDF("doc_id", "phash60")
+    val pairs = graft.operators.Dedup.hammingPairs60(sig, "phash60", 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("phash matches the pixel-recipe oracle formula on real documents") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(50)
+    val got = Multimodal.phash(docs)
+      .as[(Long, Long, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    for ((id, text) <- texts) {
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hh = java.lang.Long.parseLong(md5hex.take(15), 16)
+      val bs = new Array[Long](60)
+      for (y <- 0 until 24; x <- 0 until 40)
+        bs((x / 4) + 10 * (y / 4)) +=
+          ((hh % 256 + 7L * x + 13L * y + ((x.toLong * y) % 5) * 29) % 256)
+      val total = bs.sum
+      var expect = 0L; var ones = 0
+      for (b <- 0 until 60; if bs(b) * 60 > total) { expect |= 1L << b; ones += 1 }
+      assert(got(id) === ((expect, ones)), s"doc $id")
+    }
+  }
 }

@@ -229,4 +229,56 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(fromCsv.collect().map(_.toString).sorted.toSeq === want)
     assert(fromJson.collect().map(_.toString).sorted.toSeq === want)
   }
+
+  test("QuantizationPushdown rewrite is value-exact on boundaries and negatives") {
+    import spark.implicits._
+    Tables.events(spark, TestSpark.sf0001) // installs the rule on the session
+    val q = 1000L
+    val xs = Seq(Long.MinValue + 5, -2001L, -2000L, -1999L, -1001L, -1000L,
+      -999L, -1L, 0L, 1L, 999L, 1000L, 1001L, 1999L, 2000L, Long.MaxValue - 5)
+    val df = xs.toDF("x")
+    def t(v: Long) = v / q * q // Java truncation == Spark's div
+    for (c <- Seq(-2000L, -1500L, -1000L, -999L, -1L, 0L, 1L, 500L, 999L,
+      1000L, 1500L, 2000L)) {
+      for ((op, truth) <- Seq[(String, Long => Boolean)](
+        (">=", t(_) >= c), (">", t(_) > c), ("<", t(_) < c), ("<=", t(_) <= c),
+        ("=", t(_) == c))) {
+        val got = df.filter(expr(s"(x div $q) * $q $op $c"))
+          .as[Long].collect().toSet
+        val want = xs.filter(truth).toSet
+        assert(got === want, s"op=$op c=$c")
+      }
+    }
+    // (that the rewrite FIRES is pinned by PlanSpec's PushedFilters test
+    // on the events scan — a LocalRelation folds before it can show here)
+  }
+
+  test("signature store: parameter drift and missing _meta.json are rejected") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val store = TestSpark.tempDir("graft-test-sigmeta").toString
+    Dedup.writeSignatureStore(docs.filter(col("doc_id") < 50), store)
+    val batch = docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+    // matching meta: reads fine
+    assert(Dedup.incrementalLshPairs(spark, store, batch).columns.length === 2)
+    // simulate a writer/reader parameter drift (store built at K=16 read
+    // by this K=32 build): the reader must fail loudly, not join garbage
+    val metaPath = java.nio.file.Paths.get(store, Dedup.StoreMetaFile)
+    java.nio.file.Files.writeString(metaPath,
+      Dedup.storeMetaJson.replace("\"k\":32", "\"k\":16"))
+    // drop the local FS checksum sidecar: the test edits the file behind
+    // Hadoop's back, and a stale .crc fails before the mismatch check
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(store, s".${Dedup.StoreMetaFile}.crc"))
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshPairs(spark, store, batch)
+    }
+    assert(drift.getMessage.contains("incompatible"), drift.getMessage)
+    // a bare parquet dir with no sidecar is not a signature store
+    java.nio.file.Files.delete(metaPath)
+    val missing = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshPairs(spark, store, batch)
+    }
+    assert(missing.getMessage.contains(Dedup.StoreMetaFile), missing.getMessage)
+  }
 }

@@ -275,6 +275,20 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString(name)))
   }
 
+  test("quantization pushdown: a ts_ns range filter reaches the parquet scan") {
+    // the µs quantization in Tables.events rewrites ts_ns to
+    // (raw div 1000)*1000; without QuantizationPushdown the range below
+    // sits unpushed on the scan and a 100 TB time-range query reads
+    // every row group
+    val df = Tables.events(spark, dir)
+      .filter(col("ts_ns") >= lit(1705363200000000000L) &&
+        col("ts_ns") < lit(1705366800000000000L))
+      .select("event_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(ts,1705363200000000000"), p)
+    assert(p.contains("LessThan(ts,1705366800000000000"), p)
+  }
+
   test("q37 LWW merge: pushed cutoff, partial agg, join reuses partitioning") {
     val df = Relational.defs("q37_cdc_upsert")(spark, dir)
     df.collect()
