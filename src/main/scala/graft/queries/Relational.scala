@@ -88,6 +88,8 @@ object Relational {
     "q53_kmv_distinct" -> q53,
     "q54_triangles" -> q54,
     "q55_tpch_q18" -> q55,
+    "q56_tpch_q7" -> q56,
+    "q57_tpch_q21" -> q57,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -1475,6 +1477,85 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q7 (volume shipping): revenue between a two-nation pair, both
+    * directions, by ship year. The symmetric nation predicate is the
+    * interesting part — a naive plan joins nation twice into the fact and
+    * filters at the top; this one pushes each nation filter INTO its
+    * dimension (suppliers and customers are pre-restricted to the two
+    * nations before touching lineitem/orders), so the fact scan joins
+    * against dimensions a broadcast can carry.
+    *
+    * Scale: lineitem⋈orders is the one big hash shuffle (both filtered —
+    * lineitem by pushed shipdate range, orders by the semi-filtered
+    * customer side); the nation-restricted supplier dim broadcasts; the
+    * pair filter runs on 2×2 nation combinations post-join. Exact-decimal
+    * revenue, double only at the end (q45's discipline).
+    */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val n = Tables.load(spark, dir, "nation")
+      .filter(col("n_name").isin(na, nb))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val o = Tables.load(spark, dir, "orders")
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting) — the double-correlated
+    * EXISTS / NOT EXISTS shape, the hardest standard decorrelation test:
+    * late lineitems of multi-supplier 'F' orders where the supplier is the
+    * ONLY late one. Expressed through the SQL interface so CATALYST does
+    * the decorrelation (RewritePredicateSubquery → one LeftSemi + one
+    * LeftAnti join on l_orderkey — pinned in PlanSpec), not hand-rolled
+    * joins. "Late" adapts the reference predicate to this schema's
+    * columns: shipped more than 60 days after the order date (the
+    * l_receiptdate/l_commitdate pair doesn't exist here).
+    *
+    * Scale: the `late` set is computed once per reference (CTE), the
+    * semi/anti joins hash-shuffle on l_orderkey — same key, so AQE reuses
+    * the exchange layout; the 10-ish-column supplier dim broadcasts into
+    * the final count.
+    */
+  private val q57Sql =
+    """WITH late AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "supplier")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q57Sql)
+  }
+
   def oracle: Map[String, String] = Map(
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1642,6 +1723,27 @@ object Relational {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q56_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // same text as q57Sql (Spark and DuckDB both accept it) — the whole
+    // point is that BOTH engines decorrelate the same double-correlated
+    // EXISTS / NOT EXISTS their own way and agree on the result
+    "q57_tpch_q21" -> q57Sql,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

@@ -275,6 +275,29 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString(name)))
   }
 
+  test("q56 TPC-H Q7: shipdate pushed, nation-restricted dims broadcast, no cartesian") {
+    val df = Relational.defs("q56_tpch_q7")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // the nation name filter reaches the nation scan, not the fact join
+    assert(p.contains("In(n_name") || p.contains("EqualTo(n_name"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q57 TPC-H Q21: Catalyst decorrelates EXISTS/NOT EXISTS to semi + anti joins") {
+    val df = Relational.defs("q57_tpch_q21")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the 'F'-status filter is pushed into the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
   test("quantization pushdown: a ts_ns range filter reaches the parquet scan") {
     // the µs quantization in Tables.events rewrites ts_ns to
     // (raw div 1000)*1000; without QuantizationPushdown the range below
