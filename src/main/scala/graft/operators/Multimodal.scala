@@ -557,10 +557,35 @@ object Multimodal {
     * hashes — the cross-modal analog of [[graft.operators.Dedup
     * .simhashPairs]], catching re-encoded/slightly-perturbed images that
     * byte-level dedup can't. Same pigeonhole machinery, same 100 TB
-    * shape: chunk-keyed buckets, never all-pairs.
+    * shape: chunk-keyed buckets, never all-pairs. The pigeonhole gives
+    * EXACT recall within maxHamming, so the oracle can verify with a
+    * brute-force pair join at test scale while this side stays banded.
     */
   def phashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     Dedup.hammingPairs60(phash(docs), "phash60", maxHamming)
+
+  final case class PixelStats(doc_id: Long, n_px: Int, sum_px: Long,
+                              sum_sq: Long, min_px: Int, max_px: Int)
+
+  /** Pixel statistics over the DECODED grayscale stream — the image
+    * counterpart of [[audioSampleStats]] (mean/energy/range are what an
+    * exposure filter, blank-frame detector, or contrast check reads).
+    * Exact integers end-to-end; the oracle replays the pixel recipe
+    * arithmetically. Scan-stage, zero shuffle.
+    */
+  def pixelStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    synthesizeThumbnails(docs).mapPartitions(_.map { f =>
+      val (w, h, px) = decodeGrayPng(f.doc_id, f.payload)
+      var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
+      while (i < px.length) {
+        val v = px(i); s += v; s2 += v.toLong * v
+        if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      PixelStats(f.doc_id, px.length, s, s2, mn, mx)
+    }).toDF()
+  }
 
   /** Resize plan: fit (width, height) into a `box` square preserving aspect
     * ratio — pure integer column math (exact in any engine). Emits the
@@ -601,6 +626,11 @@ object Multimodal {
     }),
     "mm_phash" -> ((s, d) =>
       phash(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_phash_pairs" -> ((s, d) =>
+      phashPairs(Tables.load(s, d, "documents"), maxHamming = 2)
+        .orderBy("a_id", "b_id")),
+    "mm_pixel_stats" -> ((s, d) =>
+      pixelStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
   )
 
   // the Recipe fields, as the oracle re-derives them (same md5-prefix h)
@@ -697,5 +727,39 @@ object Multimodal {
          |  CAST(sum(CASE WHEN bs * 60 > ts THEN 1 ELSE 0 END) AS INTEGER) AS n_ones
          |FROM blk JOIN tot USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // brute-force all-pairs verify of the banded join (pigeonhole recall
+    // within maxHamming is exact, so the two formulations agree)
+    "mm_phash_pairs" ->
+      s"""WITH r AS ($R),
+         |px AS (
+         |  SELECT doc_id, (x // 4) + 10 * (y // 4) AS b,
+         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
+         |blk AS (SELECT doc_id, b, CAST(sum(g) AS BIGINT) AS bs
+         |        FROM px GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts FROM blk GROUP BY 1),
+         |ph AS (
+         |  SELECT blk.doc_id,
+         |    CAST(sum(CASE WHEN bs * 60 > ts
+         |             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+         |             ELSE 0 END) AS BIGINT) AS phash60
+         |  FROM blk JOIN tot USING (doc_id) GROUP BY 1)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.phash60, b.phash60)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash60, b.phash60)) <= 2
+         |ORDER BY 1, 2""".stripMargin,
+    "mm_pixel_stats" ->
+      s"""WITH r AS ($R),
+         |px AS (
+         |  SELECT doc_id,
+         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y))
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_px,
+         |  CAST(sum(g) AS BIGINT) AS sum_px,
+         |  CAST(sum(g * g) AS BIGINT) AS sum_sq,
+         |  CAST(min(g) AS INTEGER) AS min_px,
+         |  CAST(max(g) AS INTEGER) AS max_px
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
