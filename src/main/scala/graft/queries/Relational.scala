@@ -90,6 +90,8 @@ object Relational {
     "q55_tpch_q18" -> q55,
     "q56_tpch_q7" -> q56,
     "q57_tpch_q21" -> q57,
+    "q58_tpch_q14" -> q58,
+    "q59_tpch_q8" -> q59,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -1556,6 +1558,66 @@ object Relational {
     spark.sql(q57Sql)
   }
 
+  /** TPC-H Q14 (promo revenue), by ship month over a year: the
+    * conditional-aggregate ratio shape — promo revenue over total revenue
+    * in ONE aggregation pass (no second scan, no self-join). Both sums
+    * are exact decimal; the share is one IEEE double division (the q53
+    * single-division discipline).
+    *
+    * Scale: part broadcasts into the shipdate-pruned lineitem scan; one
+    * partial-agg shuffle into 12 month keys.
+    */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val p = Tables.load(spark, dir, "part")
+    val vol = d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg((sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0)))
+        .cast("double") / sum(vol).cast("double")).as("promo_share"))
+      .orderBy("ship_month")
+  }
+
+  /** TPC-H Q8 (national market share): NATION_1's share of PROMO-part
+    * volume delivered into ASIA customers, by order year — the deepest
+    * standard join tree on this schema (lineitem ⋈ part ⋈ supplier ⋈
+    * orders ⋈ customer ⋈ nation×2 ⋈ region). Every dimension restriction
+    * is pushed INTO its dimension before the fact join: parts filtered to
+    * PROMO, customers semi-reduced to the ASIA region via nation⋈region —
+    * so all dimension sides broadcast and the only shuffle is
+    * lineitem ⋈ orders. The share is the q58 conditional-aggregate ratio.
+    */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").filter(col("p_type") === "PROMO")
+    val n1 = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n2 = Tables.load(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select("c_custkey")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.load(spark, dir, "lineitem")
+    val vol = d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount")))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0)))
+        .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   def oracle: Map[String, String] = Map(
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1744,6 +1806,40 @@ object Relational {
     // point is that BOTH engines decorrelate the same double-correlated
     // EXISTS / NOT EXISTS their own way and agree on the result
     "q57_tpch_q21" -> q57Sql,
+    "q58_tpch_q14" ->
+      """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |       ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_share
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q59_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+        |       AS DOUBLE)
+        |  / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    n1.n_name AS supp_nation
+        |  FROM part, supplier, lineitem, orders, customer, nation n1,
+        |       nation n2, region
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND p_type = 'PROMO')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

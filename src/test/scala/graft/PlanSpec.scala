@@ -298,6 +298,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(o_orderstatus,F)"), p)
   }
 
+  test("q58 TPC-H Q14: part broadcast, shipdate pushed, single aggregation pass") {
+    val df = Relational.defs("q58_tpch_q14")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the conditional ratio shares ONE aggregate — no second lineitem scan
+    assert("FileScan parquet".r.findAllMatchIn(p).size === 2,
+      s"expected exactly 2 scans (lineitem + part): $p")
+  }
+
+  test("q59 TPC-H Q8: every dimension broadcasts; the only shuffles are fact-side") {
+    val df = Relational.defs("q59_tpch_q8")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    // dims (part, supplier+nation, customer+nation+region) all broadcast
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 5, p)
+    // fact side: lineitem ⋈ orders is the only sort-merge/shuffled-hash join
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllMatchIn(p).size <= 1, p)
+  }
+
   test("quantization pushdown: a ts_ns range filter reaches the parquet scan") {
     // the µs quantization in Tables.events rewrites ts_ns to
     // (raw div 1000)*1000; without QuantizationPushdown the range below
