@@ -447,6 +447,181 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Encode 8-bit grayscale pixels as a REAL GIF89a: identity grayscale
+    * global color table (palette i = (i,i,i)), one image descriptor, and
+    * genuinely LZW-compressed pixel indices (min code size 8, variable
+    * 9→12-bit codes, LSB-first bit packing, 255-byte sub-blocks) — a file
+    * any GIF reader opens (the spec differentially tests against the
+    * JDK's own ImageIO decoder). Second codec next to [[encodeGrayPng]]:
+    * the phash path dispatches on magic, so both formats' encode→decode
+    * round-trips stay oracle-checked.
+    */
+  def encodeGifGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h, s"need ${w * h} pixels, got ${pixels.length}")
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit colour res, 256 entries
+    out.write(0); out.write(0)    // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(0)    // no local colour table, not interlaced
+    out.write(8)    // LZW min code size
+    // --- LZW: dict entries are (prefixCode, byte); 256=clear, 257=EOI
+    val dict = new java.util.HashMap[Long, Int]()
+    def key(prefix: Int, k: Int): Long = (prefix.toLong << 8) | k
+    var next = 258
+    var codeSize = 9
+    val bits = new ByteArrayOutputStream()
+    var acc = 0L; var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += codeSize
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    def reset(): Unit = { dict.clear(); next = 258; codeSize = 9 }
+    emit(256) // initial clear
+    var wCode = -1
+    var p = 0
+    while (p < pixels.length) {
+      val k = pixels(p) & 0xff
+      if (wCode < 0) wCode = k
+      else {
+        val got = dict.getOrDefault(key(wCode, k), -1)
+        if (got >= 0) wCode = got
+        else {
+          emit(wCode)
+          if (next < 4096) {
+            dict.put(key(wCode, k), next); next += 1
+            // one step LATER than the decoder's check: the decoder adds
+            // its entry one code behind the encoder, so its next hits
+            // 2^cs exactly when ours passes it — both flip widths at the
+            // same code INDEX (the classic GIF off-by-one)
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else { emit(256); reset() }
+          wCode = k
+        }
+      }
+      p += 1
+    }
+    if (wCode >= 0) emit(wCode)
+    emit(257) // EOI
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val packed = bits.toByteArray
+    var off = 0
+    while (off < packed.length) {
+      val n = math.min(255, packed.length - off)
+      out.write(n); out.write(packed, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode a grayscale GIF written by [[encodeGifGray]] (or any
+    * single-frame non-interlaced GIF with a global colour table whose
+    * entries are achromatic) back to (width, height, pixels): a real LZW
+    * decompressor — variable code width, clear/EOI, the KwKwK case, dict
+    * reset — with palette lookup. Fails loudly on interlace, local colour
+    * tables, or a chromatic palette (this library never writes them).
+    */
+  def decodeGifGray(id: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    require(hdr == "GIF89a" || hdr == "GIF87a", s"doc $id: bad GIF header $hdr")
+    val flags = b(10) & 0xff
+    require((flags & 0x80) != 0, s"doc $id: GIF without a global colour table")
+    val gctSize = 2 << (flags & 7)
+    val palette = new Array[Int](gctSize)
+    var i = 13
+    var pi = 0
+    while (pi < gctSize) {
+      val (r, g, bl) = (b(i) & 0xff, b(i + 1) & 0xff, b(i + 2) & 0xff)
+      require(r == g && g == bl, s"doc $id: chromatic palette entry $pi")
+      palette(pi) = r; pi += 1; i += 3
+    }
+    // skip extension blocks to the image descriptor
+    while ((b(i) & 0xff) == 0x21) {
+      i += 2 // extension introducer + label
+      while (b(i) != 0) i += 1 + (b(i) & 0xff)
+      i += 1
+    }
+    require((b(i) & 0xff) == 0x2c, s"doc $id: expected image descriptor at $i")
+    val w = (b(i + 5) & 0xff) | ((b(i + 6) & 0xff) << 8)
+    val h = (b(i + 7) & 0xff) | ((b(i + 8) & 0xff) << 8)
+    val idFlags = b(i + 9) & 0xff
+    require((idFlags & 0x80) == 0, s"doc $id: local colour table unsupported")
+    require((idFlags & 0x40) == 0, s"doc $id: interlaced GIF unsupported")
+    i += 10
+    val minCode = b(i) & 0xff; i += 1
+    require(minCode == 8, s"doc $id: LZW min code size $minCode (expected 8)")
+    // concatenate sub-blocks
+    val data = new ByteArrayOutputStream()
+    while ((b(i) & 0xff) != 0) {
+      val n = b(i) & 0xff
+      data.write(b, i + 1, n); i += 1 + n
+    }
+    val d = data.toByteArray
+    val clear = 256; val eoi = 257
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    val px = new Array[Int](w * h)
+    var nPx = 0
+    var next = 258; var codeSize = 9
+    var acc = 0L; var nAcc = 0; var pos = 0
+    var prev = -1
+    def readCode(): Int = {
+      while (nAcc < codeSize && pos < d.length) {
+        acc |= (d(pos) & 0xffL) << nAcc; nAcc += 8; pos += 1
+      }
+      if (nAcc < codeSize) -1
+      else { val c = (acc & ((1L << codeSize) - 1)).toInt; acc >>= codeSize; nAcc -= codeSize; c }
+    }
+    def expand(code: Int, extra: Int): Unit = {
+      // walk prefix chain into a scratch, then write forward
+      var n = 0; var c = code
+      val scratch = new Array[Int](4096)
+      while (c >= 258) { scratch(n) = suffix(c); c = prefix(c); n += 1 }
+      scratch(n) = c; n += 1
+      require(nPx + n + (if (extra >= 0) 1 else 0) <= px.length,
+        s"doc $id: LZW output overruns ${px.length} pixels")
+      var j = n - 1
+      while (j >= 0) { px(nPx) = palette(scratch(j)); nPx += 1; j -= 1 }
+      if (extra >= 0) { px(nPx) = palette(extra); nPx += 1 }
+    }
+    def firstByte(code: Int): Int = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done) {
+      val code = readCode()
+      require(code >= 0, s"doc $id: truncated LZW stream")
+      if (code == clear) { next = 258; codeSize = 9; prev = -1 }
+      else if (code == eoi) done = true
+      else {
+        if (prev < 0) { expand(code, -1); prev = code }
+        else if (code < next) {
+          expand(code, -1)
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstByte(code); next += 1
+            if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        } else {
+          // KwKwK: code == next (the entry being defined)
+          require(code == next && next < 4096, s"doc $id: LZW code $code out of range (next=$next)")
+          prefix(next) = prev; suffix(next) = firstByte(prev); next += 1
+          expand(code, -1)
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = code
+        }
+      }
+    }
+    require(nPx == w * h, s"doc $id: GIF decoded $nPx of ${w * h} pixels")
+    (w, h, px)
+  }
+
   /** Decode a grayscale filter-0 PNG back to (width, height, pixels) —
     * the inverse of [[encodeGrayPng]] via a real chunk walk + zlib
     * inflate. Fails loudly on anything this library didn't promise to
@@ -515,9 +690,11 @@ object Multimodal {
     (hash, ones)
   }
 
-  /** documents → real 40×24 grayscale PNG thumbnails (binary column).
+  /** documents → real 40×24 grayscale thumbnails (binary column), format
+    * alternating by doc_id: even → PNG (zlib IDAT), odd → GIF89a (LZW).
     * Pixels derive from the doc's md5-prefix content hash via
-    * [[grayPixel]]; the bytes are genuine zlib-deflated PNG files.
+    * [[grayPixel]]; the bytes are genuine files of both formats, so the
+    * pixel-recipe oracle checks BOTH codecs' encode→decode round-trips.
     */
   def synthesizeThumbnails(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._
@@ -530,9 +707,22 @@ object Multimodal {
             .map("%02x".format(_)).mkString
           val hh = java.lang.Long.parseLong(md5hex.take(15), 16)
           val px = Array.tabulate(PW * PH)(k => grayPixel(hh, k % PW, k / PW))
-          MediaFile(id, encodeGrayPng(PW, PH, px))
+          val bytes =
+            if (id % 2 == 0) encodeGrayPng(PW, PH, px)
+            else encodeGifGray(PW, PH, px)
+          MediaFile(id, bytes)
         }
       }
+  }
+
+  /** Magic-sniffed grayscale decode over the formats this library writes
+    * — the [[HeaderDecoder.decode]] discipline at the PIXEL level.
+    */
+  def decodeGrayImage(id: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(b.length >= 6, s"doc $id: payload too short to sniff")
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P') decodeGrayPng(id, b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') decodeGifGray(id, b)
+    else sys.error(f"doc $id: unknown image magic ${b(0)}%02x${b(1)}%02x")
   }
 
   final case class PHash(doc_id: Long, phash60: Long, n_ones: Int)
@@ -547,7 +737,7 @@ object Multimodal {
   def phash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     synthesizeThumbnails(docs).mapPartitions(_.map { f =>
-      val (w, h, px) = decodeGrayPng(f.doc_id, f.payload)
+      val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
       val (hash, ones) = averageHash60(w, h, px)
       PHash(f.doc_id, hash, ones)
     }).toDF()
@@ -576,7 +766,7 @@ object Multimodal {
   def pixelStats(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     synthesizeThumbnails(docs).mapPartitions(_.map { f =>
-      val (w, h, px) = decodeGrayPng(f.doc_id, f.payload)
+      val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
       var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
       while (i < px.length) {
         val v = px(i); s += v; s2 += v.toLong * v

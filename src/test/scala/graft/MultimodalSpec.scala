@@ -156,6 +156,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.toSeq === px.toSeq)
   }
 
+  test("gray GIF encode -> decode round-trips pixels through real LZW bytes") {
+    val px = Array.tabulate(40 * 24)(k => (k * 91 + 5) % 256)
+    val bytes = Multimodal.encodeGifGray(40, 24, px)
+    val meta = HeaderDecoder.decode(MediaFile(9L, bytes))
+    assert(meta.format === "gif" && meta.width === Some(40) && meta.height === Some(24))
+    val (w, h, back) = Multimodal.decodeGifGray(9L, bytes)
+    assert((w, h) === ((40, 24)))
+    assert(back.toSeq === px.toSeq)
+  }
+
+  test("both image codecs agree with the JDK's independent ImageIO decoders") {
+    // a matched encoder/decoder bug pair would survive our own round-trip
+    // test; ImageIO is an independent reference implementation. Random
+    // noise pushes the GIF LZW code width past 9 bits; a large image
+    // (200x120 = 24000 px) forces dictionary growth toward the 4096 reset.
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((40, 24), (200, 120))) {
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      for ((name, bytes) <- Seq(
+        ("png", Multimodal.encodeGrayPng(w, h, px)),
+        ("gif", Multimodal.encodeGifGray(w, h, px)))) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img != null, s"$name: ImageIO could not read our bytes")
+        assert(img.getWidth === w && img.getHeight === h, name)
+        // raster samples, not getRGB: getRGB pushes gray through a
+        // nonlinear gray->sRGB colour conversion
+        val got = Array.tabulate(w * h) { k =>
+          img.getRaster.getSample(k % w, k / w, 0)
+        }
+        assert(got.toSeq === px.toSeq, s"$name ${w}x$h: pixel mismatch vs ImageIO")
+      }
+    }
+  }
+
   test("planted near-duplicate image: small perturbation stays within hamming 6, " +
     "phash pair join finds it, unrelated images stay apart") {
     import spark.implicits._
