@@ -92,6 +92,7 @@ object Relational {
     "q57_tpch_q21" -> q57,
     "q58_tpch_q14" -> q58,
     "q59_tpch_q8" -> q59,
+    "q60_recursive_cte" -> q60,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -1618,6 +1619,38 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — the hierarchy-walk shape
+    * (org chart, bill-of-materials, category tree): every document's
+    * ancestor chain under the deterministic parent rule
+    * `parent(n) = n div 2` down to the root, aggregated to depth, path
+    * checksum, and node count per doc. The SQL text is dialect-neutral
+    * (`(node - node % 2) / 2` is exact integral division in both
+    * engines) and serves as the oracle verbatim, like q57.
+    *
+    * Scale: each iteration is one join-free projection + filter over the
+    * previous frontier (every node has ONE parent, so the frontier never
+    * grows — total rows = docs × O(log maxId)); recursion depth is
+    * log₂(max doc_id), far under Spark's recursion limit. A cyclic or
+    * multi-parent graph would instead need the bounded-frontier BFS of
+    * q39/q48 — documented, not hidden.
+    */
+  private val q60Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id, doc_id AS node, 0 AS steps FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST((node - node % 2) / 2 AS BIGINT) AS node,
+      |         steps + 1
+      |  FROM anc WHERE node > 0)
+      |SELECT doc_id, CAST(max(steps) AS INTEGER) AS depth,
+      |  CAST(sum(node) AS BIGINT) AS path_sum,
+      |  CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(q60Sql)
+  }
+
   def oracle: Map[String, String] = Map(
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1840,6 +1873,7 @@ object Relational {
         |    AND o_orderdate < TIMESTAMP '1998-01-01'
         |    AND p_type = 'PROMO')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q60_recursive_cte" -> q60Sql,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
