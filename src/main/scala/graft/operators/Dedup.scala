@@ -407,8 +407,15 @@ object Dedup {
     * plugs in. Pairs within `maxHamming` must agree on >= 1 of the
     * maxHamming + 1 disjoint bit chunks; candidates are verified exactly.
     */
-  def hammingPairs60(sig: DataFrame, hashCol: String,
-                     maxHamming: Int): DataFrame = {
+  /** (doc_id, h60, c, cv) chunk buckets of a 60-bit hash frame: the
+    * maxHamming + 1 disjoint bit chunks, generated ROW-LOCALLY (explode
+    * of an on-row struct array, no join) — so the same projection signs
+    * an unbounded STREAM at ingest with no state ([[graft.streaming
+    * .EventStream]]'s st_phash) and, in batch, band generation never
+    * leaves the scan stage.
+    */
+  private[graft] def hammingBands60(sig: DataFrame, hashCol: String,
+                                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60,
       s"maxHamming must be in [0, 60), got $maxHamming")
     val nChunks = maxHamming + 1
@@ -416,15 +423,20 @@ object Dedup {
     val extra = 60 % nChunks
     val widths = Seq.tabulate(nChunks)(c => if (c < extra) base + 1 else base)
     val shifts = widths.scanLeft(0)(_ + _).init
-    val spark = sig.sparkSession
-    import spark.implicits._
-    val sh = sig.select(col("doc_id"), col(hashCol).as("h60"))
-    val chunks = broadcast(shifts.zip(widths).zipWithIndex
-      .map { case ((s, wd), c) => (c, s, (1L << wd) - 1) }
-      .toDF("c", "shift", "mask"))
-    val banded = sh.crossJoin(chunks)
-      .select(col("doc_id"), col("h60"), col("c"),
-        expr("shiftright(h60, shift) & mask").as("cv"))
+    val h = col(hashCol)
+    val chunkCols = shifts.zip(widths).zipWithIndex.map { case ((s, wd), c) =>
+      struct(lit(c).as("c"),
+        shiftright(h, s).bitwiseAND(lit((1L << wd) - 1)).as("cv"))
+    }
+    sig.select(col("doc_id"), h.as("h60"),
+        explode(array(chunkCols: _*)).as("bb"))
+      .select(col("doc_id"), col("h60"),
+        col("bb.c").as("c"), col("bb.cv").as("cv"))
+  }
+
+  def hammingPairs60(sig: DataFrame, hashCol: String,
+                     maxHamming: Int): DataFrame = {
+    val banded = hammingBands60(sig, hashCol, maxHamming)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,

@@ -823,6 +823,28 @@ object Multimodal {
       pixelStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
   )
 
+  /** The phash pixel-recipe replay as oracle CTEs ending in
+    * `ph(doc_id, phash60, n_ones)` — shared by the mm_phash / mm_phash_pairs
+    * oracles here and the streaming st_phash oracle
+    * ([[graft.streaming.EventStream]]), the bm25OracleCtes convention.
+    */
+  private[graft] lazy val phashOracleCtes: String =
+    s"""r AS ($R),
+       |px AS (
+       |  SELECT doc_id, (x // 4) + 10 * (y // 4) AS b,
+       |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+       |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
+       |blk AS (SELECT doc_id, b, CAST(sum(g) AS BIGINT) AS bs
+       |        FROM px GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts FROM blk GROUP BY 1),
+       |ph AS (
+       |  SELECT blk.doc_id,
+       |    CAST(sum(CASE WHEN bs * 60 > ts
+       |             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+       |             ELSE 0 END) AS BIGINT) AS phash60,
+       |    CAST(sum(CASE WHEN bs * 60 > ts THEN 1 ELSE 0 END) AS INTEGER) AS n_ones
+       |  FROM blk JOIN tot USING (doc_id) GROUP BY 1)""".stripMargin
+
   // the Recipe fields, as the oracle re-derives them (same md5-prefix h)
   private val R =
     """SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS fmt,
@@ -899,41 +921,15 @@ object Multimodal {
         | md5(text) AS payload_md5,
         | substr(text, 1, 8) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // pixel-recipe replay: the Spark side DECODES real PNG bytes; the
+    // pixel-recipe replay: the Spark side DECODES real PNG/GIF bytes; the
     // oracle recomputes grayPixel + the 10×6 block-mean bits arithmetically
     "mm_phash" ->
-      s"""WITH r AS ($R),
-         |px AS (
-         |  SELECT doc_id, (x // 4) + 10 * (y // 4) AS b,
-         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
-         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
-         |blk AS (SELECT doc_id, b, CAST(sum(g) AS BIGINT) AS bs
-         |        FROM px GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts FROM blk GROUP BY 1)
-         |SELECT blk.doc_id,
-         |  CAST(sum(CASE WHEN bs * 60 > ts
-         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-         |           ELSE 0 END) AS BIGINT) AS phash60,
-         |  CAST(sum(CASE WHEN bs * 60 > ts THEN 1 ELSE 0 END) AS INTEGER) AS n_ones
-         |FROM blk JOIN tot USING (doc_id)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH $phashOracleCtes
+         |SELECT doc_id, phash60, n_ones FROM ph ORDER BY 1""".stripMargin,
     // brute-force all-pairs verify of the banded join (pigeonhole recall
     // within maxHamming is exact, so the two formulations agree)
     "mm_phash_pairs" ->
-      s"""WITH r AS ($R),
-         |px AS (
-         |  SELECT doc_id, (x // 4) + 10 * (y // 4) AS b,
-         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
-         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
-         |blk AS (SELECT doc_id, b, CAST(sum(g) AS BIGINT) AS bs
-         |        FROM px GROUP BY 1, 2),
-         |tot AS (SELECT doc_id, CAST(sum(bs) AS BIGINT) AS ts FROM blk GROUP BY 1),
-         |ph AS (
-         |  SELECT blk.doc_id,
-         |    CAST(sum(CASE WHEN bs * 60 > ts
-         |             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-         |             ELSE 0 END) AS BIGINT) AS phash60
-         |  FROM blk JOIN tot USING (doc_id) GROUP BY 1)
+      s"""WITH $phashOracleCtes
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.phash60, b.phash60)) AS INTEGER) AS hamming
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id

@@ -494,6 +494,35 @@ object EventStream {
         "st_incremental_sink", OutputMode.Append)
       s.table("st_incremental_sink").orderBy("a_id", "b_id")
     }),
+    // Streaming IMAGE near-dedup at ingest: incoming documents are
+    // thumbnailed + perceptually hashed ROW-LOCALLY (Multimodal.phash is
+    // mapPartitions — stateless, stream-safe), chunk-banded on the row
+    // (Dedup.hammingBands60 — explode, no join), and probe the HISTORICAL
+    // phash side in a stream-static equi-join on (chunk, value) with exact
+    // Hamming verification — the cross-modal twin of st_incremental. Only
+    // dropDuplicates keeps state, bounded by O(flagged pairs).
+    "st_phash" -> ((s, d) => {
+      import graft.operators.{Dedup, Multimodal}
+      val docs = graft.tables.Tables.load(s, d, "documents")
+      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head().getLong(0)
+      val hist = Dedup.hammingBands60(
+          Multimodal.phash(docs.filter(col("doc_id") < split)), "phash60", 2)
+        .select(col("doc_id").as("a_id"), col("h60").as("a_h"),
+          col("c"), col("cv"))
+      val incoming = Dedup.hammingBands60(
+          Multimodal.phash(readDocuments(s, d).filter(col("doc_id") >= split)),
+          "phash60", 2)
+        .select(col("doc_id").as("b_id"), col("h60").as("b_h"),
+          col("c"), col("cv"))
+      runToMemory(
+        incoming.join(hist, Seq("c", "cv"))
+          .withColumn("hamming", bit_count(col("a_h").bitwiseXOR(col("b_h"))))
+          .filter(col("hamming") <= 2)
+          .select("a_id", "b_id", "hamming")
+          .dropDuplicates("a_id", "b_id"),
+        "st_phash_sink", OutputMode.Append)
+      s.table("st_phash_sink").orderBy("a_id", "b_id")
+    }),
     // Streaming curation: the batch quality-signal operator applied
     // UNCHANGED to a document stream — stateless projections only, so the
     // stream needs no watermark and no state store, and the output is
@@ -530,6 +559,15 @@ object EventStream {
          |WHERE a.doc_id < split AND b.doc_id >= split
          |ORDER BY 1, 2""".stripMargin,
     "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
+    "st_phash" ->
+      s"""WITH ${graft.operators.Multimodal.phashOracleCtes},
+         |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.phash60, b.phash60)) AS INTEGER) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id, s
+         |WHERE a.doc_id < split AND b.doc_id >= split
+         |  AND bit_count(xor(a.phash60, b.phash60)) <= 2
+         |ORDER BY 1, 2""".stripMargin,
     "st_join" ->
       """WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_us
         |           FROM events WHERE event_type = 'click'),
