@@ -192,7 +192,7 @@ object Dedup {
   private val storeHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  private def memoized(stage: String, input: DataFrame)
+  private[graft] def memoized(stage: String, input: DataFrame)
                       (build: => DataFrame): DataFrame = {
     val spark = input.sparkSession
     if (storeHooked.add(spark))

@@ -698,7 +698,22 @@ object Multimodal {
     */
   def synthesizeThumbnails(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._
-    docs.select("doc_id", "text").as[(Long, String)]
+    val narrow = docs.select("doc_id", "text")
+    // CPU-bound codec work must not inherit the input's split count: a
+    // small parquet (one row group) would serialize every encode/decode
+    // on one core. Batch inputs with fewer splits than cores spread the
+    // NARROW projection round-robin first (at 100 TB the input has far
+    // more splits than cores and this is a no-op); streams stay strictly
+    // row-local — their parallelism is the source's.
+    val spread =
+      if (narrow.isStreaming) narrow
+      else {
+        val sc = docs.sparkSession.sparkContext
+        if (narrow.rdd.getNumPartitions < sc.defaultParallelism)
+          narrow.repartition(sc.defaultParallelism)
+        else narrow
+      }
+    spread.as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -736,11 +751,17 @@ object Multimodal {
     */
   def phash(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    synthesizeThumbnails(docs).mapPartitions(_.map { f =>
-      val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
-      val (hash, ones) = averageHash60(w, h, px)
-      PHash(f.doc_id, hash, ones)
-    }).toDF()
+    def build: DataFrame =
+      synthesizeThumbnails(docs).mapPartitions(_.map { f =>
+        val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
+        val (hash, ones) = averageHash60(w, h, px)
+        PHash(f.doc_id, hash, ones)
+      }).toDF()
+    // the phash table is a shared intermediate exactly like the MinHash
+    // signatures (pairs self-join reads it twice; st_phash probes it as
+    // history) — same corpus store, same lifecycle. O(docs × 3) cells.
+    if (docs.isStreaming) build
+    else Dedup.memoized("phash", docs)(build)
   }
 
   /** Near-duplicate IMAGE pairs: the banded Hamming join over perceptual

@@ -82,4 +82,13 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(TextAnalysis.noveltyScores(noDocs).count() === 0)
     assert(Embeddings.outlierFlags(noEmb).count() === 0)
   }
+
+  test("perceptual-hash operators over nothing produce nothing") {
+    import graft.operators.Multimodal
+    assert(Multimodal.phash(noDocs).count() === 0)
+    assert(Multimodal.phashPairs(noDocs).count() === 0)
+    assert(Multimodal.pixelStats(noDocs).count() === 0)
+    assert(Dedup.hammingPairs60(
+      Multimodal.phash(noDocs), "phash60", 2).count() === 0)
+  }
 }

@@ -144,6 +144,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("image compute plans: no key shuffle; only the decode-spread round robin") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    // phash is memoized + checkpointed (shared intermediate): its plan is
+    // a cached-RDD scan with no Exchange at all
+    val pPlan = Multimodal.phash(docs).queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Exchange"), pPlan)
+    // pixelStats decodes inline; the ONLY exchange allowed is the explicit
+    // round-robin that decouples codec parallelism from the input's split
+    // count — never a hash/range shuffle (no key ever leaves the row)
+    val sPlan = Multimodal.pixelStats(docs).queryExecution.executedPlan.toString
+    assert(!sPlan.contains("hashpartitioning") && !sPlan.contains("rangepartitioning"), sPlan)
+  }
+
   test("gray PNG encode -> decode round-trips pixels through real zlib bytes") {
     val px = Array.tabulate(40 * 24)(k => (k * 37 + 11) % 256)
     val bytes = Multimodal.encodeGrayPng(40, 24, px)
