@@ -93,6 +93,19 @@ object Relational {
     "q58_tpch_q14" -> q58,
     "q59_tpch_q8" -> q59,
     "q60_recursive_cte" -> q60,
+    "q61_tpch_q2" -> q61,
+    "q62_tpch_q4" -> q62,
+    "q63_tpch_q6" -> q63,
+    "q64_tpch_q9" -> q64,
+    "q65_tpch_q11" -> q65,
+    "q66_tpch_q12" -> q66,
+    "q67_tpch_q13" -> q67,
+    "q68_tpch_q15" -> q68,
+    "q69_tpch_q16" -> q69,
+    "q70_tpch_q17" -> q70,
+    "q71_tpch_q19" -> q71,
+    "q72_tpch_q20" -> q72,
+    "q73_tpch_q22" -> q73,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -1651,6 +1664,356 @@ object Relational {
     spark.sql(q60Sql)
   }
 
+  // ---- TPC-H completion wave (round 9): the 13 remaining query shapes ----
+  // Adapted to this reduced schema: no partsupp table (supply facts derive
+  // from lineitem), no l_commitdate/l_receiptdate (lateness measured as
+  // shipdate vs orderdate), no p_container/o_comment/c_phone (stand-in
+  // columns noted per query). Numbering: q61=Q2, q62=Q4, q63=Q6, q64=Q9,
+  // q65=Q11, q66=Q12, q67=Q13, q68=Q15, q69=Q16, q70=Q17, q71=Q19,
+  // q72=Q20, q73=Q22 — with q01/q44/q45/q49/q55/q56/q57/q58/q59 this
+  // covers all 22 TPC-H query shapes.
+
+  /** TPC-H Q2 (minimum-cost supplier): the correlated-scalar-min shape.
+    * The supply relation (partsupp stand-in) is each supplier's minimum
+    * exact-decimal offer price per part observed in lineitem. Expressed
+    * through the SQL interface so Catalyst decorrelates the per-part min
+    * into an aggregate + join (the q22/q57 discipline); identical text is
+    * the oracle. Scale: supply is one partial-agg groupBy of lineitem; the
+    * correlated min becomes a second aggregate on the SAME (region-
+    * restricted) supply — both keyed by partkey, so AQE shares the
+    * exchange layout; dims broadcast. */
+  private val q61Sql =
+    """WITH supply AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eu_supply AS (
+      |  SELECT su.partkey, su.suppkey, su.cost
+      |  FROM supply su, supplier s, nation n, region r
+      |  WHERE s.s_suppkey = su.suppkey AND s.s_nationkey = n.n_nationkey
+      |    AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
+      |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+      |       CAST(su.cost AS DOUBLE) AS cost
+      |FROM part p, eu_supply su, supplier s, nation n
+      |WHERE p.p_partkey = su.partkey AND s.s_suppkey = su.suppkey
+      |  AND p.p_size = 15 AND p.p_type = 'SMALL'
+      |  AND s.s_nationkey = n.n_nationkey
+      |  AND su.cost = (SELECT min(su2.cost) FROM eu_supply su2
+      |                 WHERE su2.partkey = p.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "supplier", "nation", "region")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q61Sql)
+  }
+
+  /** TPC-H Q4 (order-priority checking): EXISTS over the fact — counts
+    * orders in one quarter having ANY lineitem shipped >30 days after the
+    * order date ("late" per the q57 adaptation; l_commitdate doesn't exist
+    * here). Catalyst rewrites the EXISTS to a LeftSemi on l_orderkey; the
+    * quarter filter is pushed to the orders scan. Identical SQL is the
+    * oracle. */
+  private val q62Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q62Sql)
+  }
+
+  /** TPC-H Q6 (forecasting-revenue change): the pure scan-side query — a
+    * one-year shipdate range, a decimal discount band, a quantity cap, ONE
+    * exact-decimal product sum, no join anywhere. Every predicate lands in
+    * the parquet scan (shipdate/quantity as PushedFilters); the aggregate
+    * is a 1-row partial agg. The roster's measure of raw scan + filter
+    * throughput. */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("0.03").cast(D)
+    val hi = lit("0.07").cast(D)
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_quantity") < 24 &&
+        d2(col("l_discount")).between(lo, hi))
+      .agg(sum(d2(col("l_extendedprice")) * d2(col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q9 (product-type profit): profit per red-named part line =
+    * revenue − cost, by supplier nation and order year. Cost adapts the
+    * missing ps_supplycost as half the part's retail price × quantity.
+    * Portability: the two terms are summed as SEPARATE exact decimals
+    * (vol and retail·qty are each one decimal product; a fused
+    * vol − 0.5·retail·qty chain would exceed DECIMAL(38) and round
+    * differently per engine) and combined as `sum_vol − 0.5·sum_cost` in
+    * doubles — ×0.5 is an exponent shift and the subtraction is one IEEE
+    * op, so both engines agree bit-for-bit.
+    * Scale: part (name-filtered) and supplier⋈nation broadcast;
+    * lineitem⋈orders is the only shuffle; partial aggs on (nation, year). */
+  private def q64(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_name").like("%red%"))
+      .select("p_partkey", "p_retailprice")
+    val n = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name"))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val vol = d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount")))
+    val cost = d2(col("p_retailprice")) * d2(col("l_quantity"))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg((sum(vol).cast("double") - lit(0.5) * sum(cost).cast("double"))
+        .as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock): per-part traded value through ASIA-region
+    * suppliers, kept where the part's share exceeds 2× the average part
+    * share — the group-vs-global-scalar HAVING shape. TPC-H scales Q11's
+    * fixed fraction by 1/SF because any constant threshold empties (or
+    * floods) under data growth; comparing against the average share is the
+    * scale-free equivalent (the measured share tail: max ≈ 2.8–3.6× and
+    * p99 ≈ 2.3× average at every SF, so 2× keeps the top ~1%). The
+    * compare runs in exact integer CENTS (value·n_parts > 2·total — decimal×decimal here would exceed
+    * DECIMAL(38) and round differently per engine). Scale: value table is
+    * one partial-agg groupBy(partkey); total and part count are a 1-row
+    * aggregate broadcast back (cross join against a scalar, the q53/q54
+    * convention); nothing corpus-sized moves twice. */
+  private def q65(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(spark, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("s_nk"))
+    val s = Tables.load(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey")
+    val value = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(d2(col("l_extendedprice"))).as("value_d"))
+      .withColumn("value_c", (col("value_d") * lit(100)).cast("bigint"))
+    val total = value.agg(sum(col("value_c")).as("total_c"),
+      count(lit(1)).as("np"))
+    value.join(broadcast(total))
+      .filter(col("value_c") * col("np") > lit(2L) * col("total_c"))
+      .select(col("p_partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 (shipping modes / priority): l_shipmode doesn't exist, so
+    * the mode classes are shipping-delay bands (FAST ≤15d, REGULAR ≤45d,
+    * SLOW beyond — datediff is exact integer days on these midnight
+    * timestamps). Per band: high- vs low-priority order counts as ONE
+    * conditional aggregation (no second scan). Scale: one lineitem⋈orders
+    * shuffle, 3-key partial agg. */
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(delay <= 15, "FAST").when(delay <= 45, "REGULAR")
+        .otherwise("SLOW").as("delay_band"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_band")
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): customers LEFT JOIN
+    * their orders (excluding '4-NOT SPECIFIED' priority — the o_comment
+    * stand-in), per-customer order count, then the histogram of those
+    * counts. The double-aggregation shape: customers with zero matching
+    * orders MUST survive as c_count=0 (count(o_orderkey) over the null-
+    * extended rows). Scale: one outer-join shuffle on custkey, then an
+    * O(distinct counts) second agg. */
+  private def q67(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.load(spark, dir, "customer").select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    * max — the scalar-max-subquery shape. The equality filter runs on the
+    * EXACT decimal revenue (a double-rounded compare could tie-break
+    * differently per engine); doubles only in the output. Scale: revenue
+    * is one partial-agg groupBy(suppkey) over the pruned scan; the max is
+    * a 1-row aggregate broadcast back; supplier dim broadcasts into the
+    * surviving row(s). */
+  private def q68(spark: SparkSession, dir: String): DataFrame = {
+    val vol = d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount")))
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(vol).as("rev_d"))
+    val top = rev.agg(max(col("rev_d")).as("max_d"))
+    val s = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_name")
+    rev.join(broadcast(top)).filter(col("rev_d") === col("max_d"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    * (brand, type, size) over the lineitem-derived supply pairs, excluding
+    * a brand and low-standing suppliers (s_acctbal < 500 stands in for the
+    * complaints comment filter) via an anti join. Scale: the pair set is
+    * one DISTINCT partial agg of two fact columns; the excluded-supplier
+    * side is tiny and broadcast; count(DISTINCT) expands inside one
+    * aggregate, no extra scan. */
+  private def q69(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+    val bad = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 500).select("s_suppkey")
+    val p = Tables.load(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): lines of one brand+type
+    * whose quantity is below 20% of the part's average — the correlated-
+    * average shape, cross-multiplied into ALL-INTEGER arithmetic
+    * (5·qty·count < sum; l_quantity values are integral, so BIGINT is
+    * exact — a float 0.2·avg compare is not engine-portable). The per-part
+    * stats CTE is the decorrelated aggregate both engines would emit;
+    * identical SQL is the oracle. The /7.0 is one IEEE division at the
+    * boundary. */
+  private val q70Sql =
+    """WITH pq AS (
+      |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sq,
+      |         count(*) AS cq
+      |  FROM lineitem GROUP BY 1)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       / 7.0 AS avg_yearly
+      |FROM lineitem, part, pq
+      |WHERE p_partkey = l_partkey AND pk = p_partkey
+      |  AND p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+      |  AND 5 * CAST(l_quantity AS BIGINT) * cq < sq""".stripMargin
+
+  private def q70(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q70Sql)
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    * brand/size/quantity OR-branches spanning both join sides — the
+    * predicate-pushdown stress shape (p_container doesn't exist; p_size
+    * bands stand in). Catalyst's CNF conversion extracts the part-only
+    * disjunction (brand ∈ {1,2,3}) below the join so the broadcast build
+    * side is pre-filtered; the mixed residual evaluates post-join. One
+    * exact-decimal sum. */
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand", "p_size")
+    val q = col("l_quantity")
+    val branch =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        q.between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        q.between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        q.between(20, 30))
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(D) - d2(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q20 (potential part promotion): suppliers in a region who moved
+    * serious volume (>50 units in 1997) of any red-named part — the
+    * nested-IN / HAVING shape (ps_availqty doesn't exist; the volume
+    * threshold stands in for the half-of-availqty rule). Catalyst turns
+    * both INs into LeftSemi joins; the inner HAVING is a partial agg on
+    * (suppkey, partkey). Identical SQL is the oracle. */
+  private val q72Sql =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+      |ORDER BY s_name""".stripMargin
+
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "nation", "region", "lineitem", "part")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q72Sql)
+  }
+
+  /** TPC-H Q22 (global sales opportunity): customers with above-average
+    * positive balances and NO recent orders, grouped by nation (the phone-
+    * prefix stand-in). The above-average compare is cross-multiplied exact
+    * decimal (bal·count > sum — a float avg is not engine-portable); the
+    * NOT EXISTS becomes a LeftAnti on o_custkey. Identical SQL is the
+    * oracle. Scale: the balance stats are a 1-row scalar; the anti join is
+    * the only shuffle. */
+  private val q73Sql =
+    """WITH stats AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS c
+      |  FROM customer WHERE c_acctbal > 0.0),
+      |rich AS (
+      |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer, stats
+      |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * c > s)
+      |SELECT n_name, count(*) AS numcust, CAST(sum(bal) AS DOUBLE) AS totacctbal
+      |FROM rich JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "nation", "orders")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(q73Sql)
+  }
+
   def oracle: Map[String, String] = Map(
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1874,6 +2237,106 @@ object Relational {
         |    AND p_type = 'PROMO')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_recursive_cte" -> q60Sql,
+    // q61/q62/q70/q72/q73: identical SQL text runs in both engines (the
+    // q57 convention) — decorrelation is the behavior under test.
+    "q61_tpch_q2" -> q61Sql,
+    "q62_tpch_q4" -> q62Sql,
+    "q63_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      BETWEEN CAST(0.03 AS DECIMAL(18,2))
+        |          AND CAST(0.07 AS DECIMAL(18,2))""".stripMargin,
+    "q64_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  - 0.5 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))
+        |    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem, part, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q65_tpch_q11" ->
+      """WITH s_asia AS (
+        |  SELECT s_suppkey FROM supplier, nation, region
+        |  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA'),
+        |pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |              AS BIGINT) AS value_c
+        |  FROM lineitem JOIN s_asia ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |total AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+        |                 count(*) AS np FROM pv)
+        |SELECT p_partkey, CAST(value_d AS DOUBLE) AS value
+        |FROM pv, total WHERE value_c * np > 2 * total_c
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q66_tpch_q12" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 15
+        |            THEN 'FAST'
+        |            WHEN date_diff('day', o_orderdate, l_shipdate) <= 45
+        |            THEN 'REGULAR' ELSE 'SLOW' END AS delay_band,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q67_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q68_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |top AS (SELECT max(rev_d) AS max_d FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM rev, top, supplier
+        |WHERE rev_d = max_d AND l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q69_tpch_q16" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 500)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q70_tpch_q17" -> q70Sql,
+    "q71_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q72_tpch_q20" -> q72Sql,
+    "q73_tpch_q22" -> q73Sql,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,

@@ -407,4 +407,75 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange SinglePartition".r.findAllMatchIn(p).size === 1, p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q61 TPC-H Q2: correlated min decorrelates to aggregate + join, no cartesian") {
+    val df = Relational.defs("q61_tpch_q2")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the per-part min(cost) subquery becomes an aggregate joined on
+    // (cost, partkey) — never a per-row re-execution or a cartesian
+    assert(p.contains("min(cost"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // part filters reach the part scan
+    assert(p.contains("EqualTo(p_size,15)") && p.contains("EqualTo(p_type,SMALL)"), p)
+  }
+
+  test("q62 TPC-H Q4: EXISTS becomes a semi join carrying the non-equi lateness") {
+    val df = Relational.defs("q62_tpch_q4")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"), p)
+    // the correlated shipdate > orderdate + 30d condition rides the join
+    assert(p.contains("INTERVAL '30' DAY") || p.contains("+ 30"), p)
+    // the quarter window is pushed to the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q63 TPC-H Q6: pure scan query — every predicate pushed, 4-column read") {
+    val df = Relational.defs("q63_tpch_q6")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), p)
+    // the toString truncates long PushedFilters lists, so read the scan
+    // node's metadata directly: shipdate range, quantity cap, and the
+    // decimal discount band's raw-column bounds must ALL reach parquet
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(n: SparkPlan): Seq[FileSourceScanExec] = n match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.size === 1, p)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), pushed)
+    assert(scans.head.metadata("ReadSchema").contains(
+      "l_quantity:double,l_extendedprice:double,l_discount:double," +
+        "l_shipdate:timestamp"), scans.head.metadata("ReadSchema"))
+  }
+
+  test("q64 TPC-H Q9: name filter pushed into part; dims broadcast; no cartesian") {
+    val df = Relational.defs("q64_tpch_q9")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q71 TPC-H Q19: CNF extraction pushes per-side disjunctions below the join") {
+    val df = Relational.defs("q71_tpch_q19")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // brand/size-only disjunction reaches the part scan…
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    // …and the quantity-only disjunction reaches the lineitem scan,
+    // so neither side carries unfiltered rows into the join
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
