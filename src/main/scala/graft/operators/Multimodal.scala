@@ -740,29 +740,48 @@ object Multimodal {
     else sys.error(f"doc $id: unknown image magic ${b(0)}%02x${b(1)}%02x")
   }
 
-  final case class PHash(doc_id: Long, phash60: Long, n_ones: Int)
+  final case class ImageStats(doc_id: Long, phash60: Long, n_ones: Int,
+                              n_px: Int, sum_px: Long, sum_sq: Long,
+                              min_px: Int, max_px: Int)
 
-  /** Perceptual hash per document: synthesize the thumbnail PNG, decode
-    * the REAL bytes back (chunk walk + inflate + defilter), average-hash
-    * the decoded pixels. The oracle replays the pixel recipe + hash
-    * arithmetic in SQL, so any encoder/decoder disagreement (offset,
-    * endianness, filter handling, zlib framing) hash-mismatches.
+  /** ONE decode pass per image serves every image consumer: synthesize
+    * the thumbnail (PNG or GIF), decode the REAL bytes back (chunk walk +
+    * inflate/LZW + defilter), then compute BOTH the 60-bit average hash
+    * and the pixel statistics over the same in-memory pixel array. The
+    * codec work is the expensive part (zlib/LZW per image); hashing and
+    * the stats loop are noise next to it — so [[phash]] and
+    * [[pixelStats]] are projections of this table, never second decodes.
     * mapPartitions like [[decodeHeaders]]: scan-stage, zero shuffle.
     */
-  def phash(docs: DataFrame): DataFrame = {
+  private def imageTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     def build: DataFrame =
       synthesizeThumbnails(docs).mapPartitions(_.map { f =>
         val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
         val (hash, ones) = averageHash60(w, h, px)
-        PHash(f.doc_id, hash, ones)
+        var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
+        while (i < px.length) {
+          val v = px(i); s += v; s2 += v.toLong * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        ImageStats(f.doc_id, hash, ones, px.length, s, s2, mn, mx)
       }).toDF()
-    // the phash table is a shared intermediate exactly like the MinHash
+    // the image table is a shared intermediate exactly like the MinHash
     // signatures (pairs self-join reads it twice; st_phash probes it as
-    // history) — same corpus store, same lifecycle. O(docs × 3) cells.
+    // history; pixel stats project from it) — same corpus store, same
+    // lifecycle. O(docs × 8) cells.
     if (docs.isStreaming) build
     else Dedup.memoized("phash", docs)(build)
   }
+
+  /** Perceptual hash per document: projection of [[imageTable]]. The
+    * oracle replays the pixel recipe + hash arithmetic in SQL, so any
+    * encoder/decoder disagreement (offset, endianness, filter handling,
+    * zlib framing) hash-mismatches.
+    */
+  def phash(docs: DataFrame): DataFrame =
+    imageTable(docs).select("doc_id", "phash60", "n_ones")
 
   /** Near-duplicate IMAGE pairs: the banded Hamming join over perceptual
     * hashes — the cross-modal analog of [[graft.operators.Dedup
@@ -775,28 +794,16 @@ object Multimodal {
   def phashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     Dedup.hammingPairs60(phash(docs), "phash60", maxHamming)
 
-  final case class PixelStats(doc_id: Long, n_px: Int, sum_px: Long,
-                              sum_sq: Long, min_px: Int, max_px: Int)
-
   /** Pixel statistics over the DECODED grayscale stream — the image
     * counterpart of [[audioSampleStats]] (mean/energy/range are what an
     * exposure filter, blank-frame detector, or contrast check reads).
     * Exact integers end-to-end; the oracle replays the pixel recipe
-    * arithmetically. Scan-stage, zero shuffle.
+    * arithmetically. Projection of [[imageTable]] — shares the one
+    * decode pass (and the memoized table) with [[phash]].
     */
-  def pixelStats(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    synthesizeThumbnails(docs).mapPartitions(_.map { f =>
-      val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
-      var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
-      while (i < px.length) {
-        val v = px(i); s += v; s2 += v.toLong * v
-        if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      PixelStats(f.doc_id, px.length, s, s2, mn, mx)
-    }).toDF()
-  }
+  def pixelStats(docs: DataFrame): DataFrame =
+    imageTable(docs).select("doc_id", "n_px", "sum_px", "sum_sq",
+      "min_px", "max_px")
 
   /** Resize plan: fit (width, height) into a `box` square preserving aspect
     * ratio — pure integer column math (exact in any engine). Emits the
