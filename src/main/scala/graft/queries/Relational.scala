@@ -106,6 +106,9 @@ object Relational {
     "q71_tpch_q19" -> q71,
     "q72_tpch_q20" -> q72,
     "q73_tpch_q22" -> q73,
+    "q74_resample_ffill" -> q74,
+    "q75_cohort_retention" -> q75,
+    "q76_mad_outliers" -> q76,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2014,6 +2017,117 @@ object Relational {
     spark.sql(q73Sql)
   }
 
+  /** Time-series resample + forward fill: each user's event stream
+    * regularized onto a 1-hour grid between their first and last active
+    * hour, empty hours carrying the last observed value forward — the
+    * gap-filling shape every metrics/feature pipeline needs before
+    * windowed models. Hour keys are exact integer µs-quantized epoch
+    * divisions; the per-hour representative is the LAST event by
+    * (ts_ns, event_id) — a deterministic total order, not an arbitrary
+    * `first()`.
+    *
+    * Scale: the grid explode is bounded per user (span hours, never
+    * corpus-sized); the dedup window, the span aggregate, and the fill
+    * window all partition by user_id — one reused hash partitioning,
+    * q16's shuffle envelope. `sequence()` ranges are span-bounded; a
+    * pathological multi-year straggler user would cap the range first
+    * (documented, not hidden).
+    */
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"),
+        expr(s"ts_ns div $hourNs").as("h"))
+    val lastInHour = Window.partitionBy("user_id", "h")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(lastInHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("ou"), col("h").as("oh"),
+        col("value").as("v_obs"))
+    val grid = e.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1")))
+        .as("hour_idx"))
+    val fill = Window.partitionBy("user_id").orderBy("hour_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs, col("user_id") === col("ou") && col("hour_idx") === col("oh"),
+        "left_outer")
+      .select(col("user_id"), col("hour_idx"),
+        last(col("v_obs"), ignoreNulls = true).over(fill).as("value"),
+        col("v_obs").isNotNull.cast("int").as("is_observed"))
+      .orderBy("user_id", "hour_idx")
+  }
+
+  /** Cohort retention: users grouped by first-activity day, activity
+    * counted per (cohort, day offset), with each row's share of its
+    * cohort's day-0 size — the product-analytics retention triangle.
+    * retention_pct is ONE IEEE division of two exact integer counts
+    * (the q53 single-division discipline).
+    *
+    * Scale: first-activity is a partial-agg groupBy(user); the join back
+    * reuses the user_id partitioning; the retention matrix is
+    * O(cohorts × offsets) — the cohort-size window runs on that bounded
+    * aggregate, never on raw events.
+    */
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("d"))
+    val first = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val matrix = e.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val perCohort = Window.partitionBy("cohort_day")
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_users"))).over(perCohort))
+      .withColumn("retention_pct",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Robust (median/MAD) outlier profile per event type — the q41 3σ
+    * rule's heavy-tail-safe sibling (a single extreme value drags a mean
+    * and explodes a variance; the median and the median absolute
+    * deviation ignore it). ALL decisions are exact integer arithmetic:
+    * values quantize to cents, medians are taken over DOUBLED integers so
+    * the even-count midpoint is itself an integer (every interpolation
+    * product is exact in ANY formula order — engines disagree only in the
+    * last ulp of inexact interpolation, so make interpolation exact), and
+    * the flag rule |v−med| > 3·MAD cross-multiplies to 2·d2 > 3·mad4.
+    * The friendly double columns are single divisions at the boundary.
+    *
+    * Scale: exact percentile() collects each GROUP's values — fine for
+    * enum-sized event_type keys; a high-cardinality key switches to
+    * approx_percentile with this exact form as the oracle-checked
+    * baseline (the dd_ngram_jaccard convention).
+    */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("bigint").as("v_c"))
+    val med = e.groupBy("event_type")
+      .agg(expr("CAST(percentile(2 * v_c, 0.5) AS BIGINT)").as("med2"))
+    val d = e.join(broadcast(med), "event_type")
+      .withColumn("d2", abs(col("v_c") * 2 - col("med2")))
+    val mad = d.groupBy(col("event_type").as("mt"))
+      .agg(expr("CAST(percentile(2 * d2, 0.5) AS BIGINT)").as("mad4"))
+    d.join(broadcast(mad), col("event_type") === col("mt"))
+      .groupBy("event_type")
+      .agg(
+        max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"),
+        sum(when(col("d2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("med2").cast("double") / 200.0).as("median_value"),
+        (col("mad4").cast("double") / 400.0).as("mad"),
+        col("n_outliers"), col("n"))
+      .orderBy("event_type")
+  }
+
   def oracle: Map[String, String] = Map(
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -2337,6 +2451,64 @@ object Relational {
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q72_tpch_q20" -> q72Sql,
     "q73_tpch_q22" -> q73Sql,
+    "q74_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |         epoch_ns(ts) // 3600000000000 AS h, value
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, h, value AS v_obs FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, h
+        |      ORDER BY ts_ns DESC, event_id DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h))) AS hour_idx
+        |  FROM e GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.hour_idx, o.v_obs
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.user_id = o.user_id AND g.hour_idx = o.h)
+        |SELECT user_id, hour_idx,
+        |  last_value(v_obs IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hour_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(v_obs IS NOT NULL AS INTEGER) AS is_observed
+        |FROM j ORDER BY user_id, hour_idx""".stripMargin,
+    "q75_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT cohort_day, d - cohort_day AS day_offset,
+        |         count(DISTINCT e.user_id) AS n_users
+        |  FROM e JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        |  max(CASE WHEN day_offset = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort_day) AS cohort_size,
+        |  CAST(n_users AS DOUBLE)
+        |  / CAST(max(CASE WHEN day_offset = 0 THEN n_users END)
+        |         OVER (PARTITION BY cohort_day) AS DOUBLE) AS retention_pct
+        |FROM g ORDER BY 1, 2""".stripMargin,
+    "q76_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |        CAST(quantile_cont(2 * v_c, 0.5) AS BIGINT) AS med2
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, v_c, med2, abs(2 * v_c - med2) AS d2
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |         CAST(quantile_cont(2 * d2, 0.5) AS BIGINT) AS mad4
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type,
+        |  CAST(max(med2) AS DOUBLE) / 200.0 AS median_value,
+        |  CAST(max(mad4) AS DOUBLE) / 400.0 AS mad,
+        |  CAST(sum(CASE WHEN 2 * d2 > 3 * mad4 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers,
+        |  count(*) AS n
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
