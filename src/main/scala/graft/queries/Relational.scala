@@ -109,6 +109,8 @@ object Relational {
     "q74_resample_ffill" -> q74,
     "q75_cohort_retention" -> q75,
     "q76_mad_outliers" -> q76,
+    "q77_integrity_audit" -> q77,
+    "q78_bfs_hops" -> q78,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -573,20 +575,11 @@ object Relational {
     * needed (lineage stays 5 joins deep).
     */
   private def q39(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    // materialize the graph ONCE: edges feed every iteration's join and
-    // deg every iteration's rebuild — without the checkpoint each of the
-    // 5 iterations re-runs the orders⋈lineitem edge derivation (the
-    // duplicateClusters lesson); edge lists are O(distinct pairs), small
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .localCheckpoint(true)
+    // the graph is materialized ONCE (tradeEdges localCheckpoints): edges
+    // feed every iteration's join and deg every iteration's rebuild —
+    // without the checkpoint each of the 5 iterations re-runs the
+    // orders⋈lineitem edge derivation (the duplicateClusters lesson)
+    val edges = tradeEdges(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val nNodes = deg.count() // bounded: one count of the node list
@@ -2128,7 +2121,212 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** One foreign-key relationship audited to a single summary row — the
+    * shared kernel of q77. The child side is reduced to per-key counts
+    * FIRST (one partial-agg shuffle keyed by the FK), so the integrity
+    * join carries distinct keys, never child rows; one full-outer join
+    * against the distinct parent keys then yields orphans (child side
+    * unmatched), null-key rows, and unreferenced parents in a single
+    * pass. No broadcast hint: the key tables are what AQE sizes, and
+    * dimension-sided audits broadcast on their own.
+    */
+  private def auditOne(label: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val kc = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("n"))
+    val pks = parent.select(col(pk).as("pk")).distinct()
+    kc.join(pks, col("k") === col("pk"), "full_outer")
+      .agg(
+        sum(coalesce(col("n"), lit(0L))).as("child_rows"),
+        count(when(col("k").isNotNull && col("n").isNotNull, 1)).as("child_keys"),
+        sum(when(col("k").isNull && col("n").isNotNull, col("n")).otherwise(0L))
+          .as("null_keys"),
+        sum(when(col("k").isNotNull && col("pk").isNull, col("n")).otherwise(0L))
+          .as("orphan_rows"),
+        count(when(col("k").isNotNull && col("n").isNotNull && col("pk").isNull, 1))
+          .as("orphan_keys"),
+        count(when(col("pk").isNotNull, 1)).as("parent_keys"),
+        count(when(col("pk").isNotNull && col("n").isNull, 1))
+          .as("unref_parent_keys"))
+      .select(lit(label).as("relationship"),
+        col("child_rows"), col("child_keys"), col("null_keys"),
+        col("orphan_rows"), col("orphan_keys"),
+        col("parent_keys"), col("unref_parent_keys"),
+        ((col("child_rows") - col("null_keys") - col("orphan_rows"))
+          .cast("double") / col("child_rows").cast("double")).as("match_pct"))
+  }
+
+  /** Referential-integrity / coverage audit — the data-contract check a
+    * pipeline runs on every new drop before joining anything: for each
+    * declared FK edge of the star schema, orphaned child rows/keys,
+    * NULL keys, and parents nothing references, plus the matched-row
+    * share (ONE IEEE division of exact counts, q53's discipline).
+    *
+    * Scale: each audit reduces the child table to its distinct-FK count
+    * table before any join (the exchange carries keys, not rows), so the
+    * seven audits cost seven partial-agg scans + key-sized joins; the
+    * seven 1-row summaries union driver-free. A healthy drop shows zero
+    * orphans — the query's value is that a BROKEN drop shows exactly
+    * where and how much.
+    */
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables.load(spark, dir, n)
+    val audits = Seq(
+      auditOne("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      auditOne("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      auditOne("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"),
+      auditOne("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"),
+      auditOne("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      auditOne("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey"),
+      auditOne("nation.n_regionkey->region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey"))
+    audits.reduce(_.unionByName(_)).orderBy("relationship")
+  }
+
+  /** The customer/supplier trade graph shared by q39 (PageRank) and q78
+    * (BFS): undirected bipartite edges between customers (even node ids)
+    * and suppliers (odd) that traded, derived once from orders⋈lineitem
+    * and localCheckpointed so iterative consumers never replay the fact
+    * join per iteration.
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+  }
+
+  /** BFS hop distance from a deterministic source (the smallest node id)
+    * over the trade graph — the iterative frontier-expansion shape behind
+    * shortest paths and connected components. Each iteration expands the
+    * frontier one hop (frontier ⋈ edges), dedups, and anti-joins the
+    * visited set so a node's FIRST discovery fixes its distance; the
+    * frontier is localCheckpointed per hop (lineage would otherwise
+    * nest 8 joins deep and the anti-join side would replay everything).
+    * Unreached nodes surface with NULL hops — never a numeric sentinel
+    * (the st_funnel lesson).
+    *
+    * Scale: per-iteration work is O(frontier × avg degree) plus an
+    * anti-join keyed on node id; the visited set only grows by new
+    * nodes, and the loop stops on an empty frontier or at the 8-hop cap
+    * (the bipartite diameter here is ~4; the cap is the documented
+    * bound that makes the oracle's recursion finite too).
+    */
+  private def q78(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val srcRow = edges.agg(min(col("src"))).first()
+    require(!srcRow.isNullAt(0),
+      "q78_bfs_hops: the trade graph is empty — no source node")
+    val source = srcRow.getLong(0)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var visited = spark.range(1)
+      .select(lit(source).as("node"), lit(0).cast("int").as("hops"))
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var step = 1
+    while (step <= 8 && !frontier.isEmpty) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .unionByName(next.select(col("node"), lit(step).cast("int").as("hops")))
+        .localCheckpoint(true)
+      frontier = next
+      step += 1
+    }
+    nodes.join(visited, Seq("node"), "left_outer")
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("hops"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
+    * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
+    * widens BIGINT sums to HUGEINT).
+    */
+  private def auditOneSql(label: String, child: String, fk: String,
+      parent: String, pk: String): String =
+    s"""SELECT relationship, child_rows, child_keys, null_keys, orphan_rows,
+       |  orphan_keys, parent_keys, unref_parent_keys,
+       |  CAST(child_rows - null_keys - orphan_rows AS DOUBLE)
+       |    / CAST(child_rows AS DOUBLE) AS match_pct
+       |FROM (
+       |  SELECT '$label' AS relationship,
+       |    CAST(sum(COALESCE(n, 0)) AS BIGINT) AS child_rows,
+       |    CAST(count(CASE WHEN k IS NOT NULL AND n IS NOT NULL THEN 1 END)
+       |         AS BIGINT) AS child_keys,
+       |    CAST(sum(CASE WHEN k IS NULL AND n IS NOT NULL THEN n ELSE 0 END)
+       |         AS BIGINT) AS null_keys,
+       |    CAST(sum(CASE WHEN k IS NOT NULL AND pk IS NULL THEN n ELSE 0 END)
+       |         AS BIGINT) AS orphan_rows,
+       |    CAST(count(CASE WHEN k IS NOT NULL AND n IS NOT NULL
+       |                     AND pk IS NULL THEN 1 END) AS BIGINT) AS orphan_keys,
+       |    CAST(count(CASE WHEN pk IS NOT NULL THEN 1 END) AS BIGINT)
+       |      AS parent_keys,
+       |    CAST(count(CASE WHEN pk IS NOT NULL AND n IS NULL THEN 1 END)
+       |         AS BIGINT) AS unref_parent_keys
+       |  FROM (SELECT kc.k, kc.n, pks.pk
+       |        FROM (SELECT $fk AS k, count(*) AS n FROM $child GROUP BY 1) kc
+       |        FULL OUTER JOIN
+       |             (SELECT DISTINCT $pk AS pk FROM $parent) pks
+       |          ON kc.k = pks.pk))""".stripMargin
+
+  private val q77Sql: String =
+    "SELECT * FROM (\n" + Seq(
+      auditOneSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      auditOneSql("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      auditOneSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      auditOneSql("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      auditOneSql("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      auditOneSql("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      auditOneSql("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+    ).mkString("\nUNION ALL\n") + "\n) ORDER BY relationship"
+
   def oracle: Map[String, String] = Map(
+    "q77_integrity_audit" -> q77Sql,
+    "q78_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |walk AS (
+        |  SELECT (SELECT min(src) FROM edges) AS node, 0 AS steps
+        |  UNION
+        |  SELECT e.dst AS node, w.steps + 1 AS steps
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.steps < 8),
+        |dist AS (SELECT node, CAST(min(steps) AS INTEGER) AS hops
+        |         FROM walk GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_type,
+        |  node // 2 AS node_id, hops
+        |FROM nodes LEFT JOIN dist USING (node)
+        |ORDER BY node_type, node_id""".stripMargin,
     "q44_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,
