@@ -111,6 +111,8 @@ object Relational {
     "q76_mad_outliers" -> q76,
     "q77_integrity_audit" -> q77,
     "q78_bfs_hops" -> q78,
+    "q79_scd2" -> q79,
+    "q80_zonemap_skip" -> q80,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2256,6 +2258,106 @@ object Relational {
       .orderBy("node_type", "node_id")
   }
 
+  /** SCD Type-2 dimension build — the warehouse shape that turns an event
+    * log into a slowly-changing-dimension history: per user, consecutive
+    * runs of the same `event_type` collapse into one row with a validity
+    * interval `[valid_from_us, valid_to_us)`, the next run's start closing
+    * the previous one (lead), and the open run flagged `is_current`.
+    * Change detection is lag-compare → running sum of change flags = run
+    * id (the change-point twin of q52's running-max island merge; q52
+    * merges overlapping INTERVALS, this collapses runs of equal VALUES).
+    *
+    * Scale: two windows over the same (user_id → ts, event_id) sort — the
+    * per-event lag/sum pass and the per-run lead — plus one partial-agg
+    * groupBy between them; everything is keyed by user_id, so one shuffle
+    * envelope serves all three (q16's discipline). All times are µs (the
+    * r8 q52 lesson), the window order is made total by the event_id
+    * tie-break, and the output order by (user_id, run_seq).
+    */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq",
+        sum(col("chg")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_seq")
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy("user_id").orderBy("run_seq")
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to_us").isNull.cast("int"))
+      .select("user_id", "run_seq", "state", "valid_from_us", "valid_to_us",
+        "n_events", "is_current")
+      .orderBy("user_id", "run_seq")
+  }
+
+  /** Zone-map data-skipping evaluation — the layout probe you run BEFORE
+    * choosing a 100 TB partitioning: shard events in arrival order
+    * (`event_id div 2048`, a stand-in for parquet row-groups), build the
+    * per-shard (min, max, rows) zone map, then score four time-range
+    * predicates (the global span quartered, exact integer boundary math)
+    * against it: shards scanned vs skipped, rows the zone maps admit vs
+    * rows actually matching — the false-positive gap IS the measured
+    * cost of ts/event_id mis-correlation, i.e. the number this engine's
+    * [[graft.operators.Layout.writeZOrdered]] exists to shrink.
+    *
+    * Scale: the zone map is one partial-agg scan into O(shards) rows;
+    * the 4-row predicate table joins it (and the raw scan, for ground
+    * truth) via broadcast, so nothing shuffles by predicate; the span
+    * bounds are a 1-row aggregate. Quartering [gmin, gmax] with an
+    * exclusive upper bound (gmax+1 on the last) partitions the events
+    * exactly once — rows_matching sums to the table size by construction.
+    */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000").as("ts_us"),
+        expr("event_id div 2048").as("shard"))
+    val zm = e.groupBy("shard")
+      .agg(min("ts_us").as("zmin"), max("ts_us").as("zmax"),
+        count(lit(1)).as("zrows"))
+      .localCheckpoint(true) // reused by the overlap join AND the totals
+    val preds = spark.range(4).toDF("pred_id")
+      .crossJoin(broadcast(
+        e.agg(min("ts_us").as("gmin"), max("ts_us").as("gmax"))))
+      .select(col("pred_id"),
+        (col("gmin") + expr("((gmax - gmin) * pred_id) div 4")).as("lo_us"),
+        when(col("pred_id") === 3, col("gmax") + 1)
+          .otherwise(col("gmin") + expr("((gmax - gmin) * (pred_id + 1)) div 4"))
+          .as("hi_us"))
+    val scanned = broadcast(preds)
+      .join(zm, col("zmin") < col("hi_us") && col("zmax") >= col("lo_us"))
+      .groupBy("pred_id")
+      .agg(count(lit(1)).as("shards_scanned"), sum("zrows").as("rows_scanned"))
+    val matching = e
+      .join(broadcast(preds),
+        col("ts_us") >= col("lo_us") && col("ts_us") < col("hi_us"))
+      .groupBy("pred_id").agg(count(lit(1)).as("rows_matching"))
+    preds
+      .crossJoin(broadcast(zm.agg(count(lit(1)).as("shards_total"))))
+      .join(scanned, Seq("pred_id"), "left_outer")
+      .join(matching, Seq("pred_id"), "left_outer")
+      .select(col("pred_id"), col("lo_us"), col("hi_us"), col("shards_total"),
+        coalesce(col("shards_scanned"), lit(0L)).as("shards_scanned"),
+        (col("shards_total") - coalesce(col("shards_scanned"), lit(0L)))
+          .as("shards_skipped"),
+        coalesce(col("rows_scanned"), lit(0L)).as("rows_scanned"),
+        coalesce(col("rows_matching"), lit(0L)).as("rows_matching"),
+        (coalesce(col("rows_scanned"), lit(0L))
+          - coalesce(col("rows_matching"), lit(0L))).as("false_positive_rows"),
+        ((col("shards_total") - coalesce(col("shards_scanned"), lit(0L)))
+          .cast("double") / col("shards_total").cast("double")).as("skip_pct"))
+      .orderBy("pred_id")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -2306,6 +2408,64 @@ object Relational {
     ).mkString("\nUNION ALL\n") + "\n) ORDER BY relationship"
 
   def oracle: Map[String, String] = Map(
+    "q79_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
+        |    min(event_type) AS state, min(ts_us) AS valid_from_us,
+        |    count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_seq, state, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+        |  CAST(lead(valid_from_us) OVER w2 IS NULL AS INTEGER) AS is_current
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_seq)
+        |ORDER BY user_id, run_seq""".stripMargin,
+    "q80_zonemap_skip" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS ts_us, event_id // 2048 AS shard
+        |  FROM events),
+        |zm AS (SELECT shard, min(ts_us) AS zmin, max(ts_us) AS zmax,
+        |         count(*) AS zrows
+        |       FROM e GROUP BY 1),
+        |b AS (SELECT min(ts_us) AS gmin, max(ts_us) AS gmax FROM e),
+        |p AS (SELECT i AS pred_id,
+        |        gmin + ((gmax - gmin) * i) // 4 AS lo_us,
+        |        CASE WHEN i = 3 THEN gmax + 1
+        |             ELSE gmin + ((gmax - gmin) * (i + 1)) // 4 END AS hi_us
+        |      FROM b, range(4) t(i)),
+        |s AS (SELECT pred_id, count(*) AS shards_scanned,
+        |        CAST(sum(zrows) AS BIGINT) AS rows_scanned
+        |      FROM p JOIN zm ON zm.zmin < p.hi_us AND zm.zmax >= p.lo_us
+        |      GROUP BY 1),
+        |m AS (SELECT pred_id, count(*) AS rows_matching
+        |      FROM p JOIN e ON e.ts_us >= p.lo_us AND e.ts_us < p.hi_us
+        |      GROUP BY 1),
+        |t AS (SELECT count(*) AS shards_total FROM zm)
+        |SELECT p.pred_id, p.lo_us, p.hi_us, t.shards_total,
+        |  COALESCE(s.shards_scanned, 0) AS shards_scanned,
+        |  t.shards_total - COALESCE(s.shards_scanned, 0) AS shards_skipped,
+        |  COALESCE(s.rows_scanned, 0) AS rows_scanned,
+        |  COALESCE(m.rows_matching, 0) AS rows_matching,
+        |  COALESCE(s.rows_scanned, 0) - COALESCE(m.rows_matching, 0)
+        |    AS false_positive_rows,
+        |  CAST(t.shards_total - COALESCE(s.shards_scanned, 0) AS DOUBLE)
+        |    / CAST(t.shards_total AS DOUBLE) AS skip_pct
+        |FROM p CROSS JOIN t
+        |LEFT JOIN s ON s.pred_id = p.pred_id
+        |LEFT JOIN m ON m.pred_id = p.pred_id
+        |ORDER BY p.pred_id""".stripMargin,
     "q77_integrity_audit" -> q77Sql,
     "q78_bfs_hops" ->
       """WITH RECURSIVE pairs AS (
