@@ -576,10 +576,13 @@ object Multimodal {
       if (nAcc < codeSize) -1
       else { val c = (acc & ((1L << codeSize) - 1)).toInt; acc >>= codeSize; nAcc -= codeSize; c }
     }
+    // one scratch per decode call, not per LZW code: expand runs thousands
+    // of times per image and a fresh 4096-int buffer each time was the
+    // dominant decode-path garbage (mm_phash/st_phash profile)
+    val scratch = new Array[Int](4096)
     def expand(code: Int, extra: Int): Unit = {
-      // walk prefix chain into a scratch, then write forward
+      // walk prefix chain into the scratch, then write forward
       var n = 0; var c = code
-      val scratch = new Array[Int](4096)
       while (c >= 258) { scratch(n) = suffix(c); c = prefix(c); n += 1 }
       scratch(n) = c; n += 1
       require(nPx + n + (if (extra >= 0) 1 else 0) <= px.length,

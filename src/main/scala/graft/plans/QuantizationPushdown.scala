@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 
 /** Restores parquet filter pushdown through integer quantization.
   *
@@ -80,6 +80,36 @@ object QuantizationPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** Matches unix_micros(t) * 1000 (either operand order) with t a
+    * TimestampType expression — the ts_ns derivation over µs-instant
+    * events data ([[graft.tables.Tables.withTsNs]]). Comparisons of this
+    * against a ns literal reduce EXACTLY to timestamp comparisons on t
+    * (m ↦ m·1000 is strictly increasing and unix_micros is the instant's
+    * micros, timezone-free), which the parquet source pushes natively.
+    */
+  private object ScaledMicros {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Multiply(u: UnixMicros, IntLit(1000L), _)
+          if u.child.dataType == TimestampType => Some(u.child)
+      case Multiply(IntLit(1000L), u: UnixMicros, _)
+          if u.child.dataType == TimestampType => Some(u.child)
+      case _ => None
+    }
+  }
+
+  /** Least micros m with m*1000 >= c, as a TimestampType literal; None on
+    * overflow.
+    */
+  private def microsCeil(c: Long): Option[Literal] =
+    try Some(Literal(Math.floorDiv(Math.addExact(c, 999L), 1000L), TimestampType))
+    catch { case _: ArithmeticException => None }
+
+  private def geqTs(t: Expression, c: Long): Option[Expression] =
+    microsCeil(c).map(GreaterThanOrEqual(t, _))
+
+  private def ltTs(t: Expression, c: Long): Option[Expression] =
+    microsCeil(c).map(LessThan(t, _))
+
   /** Least x with (x div q) * q >= c, or None on overflow. */
   private def lowerBound(c: Long, q: Long): Option[Long] =
     try {
@@ -124,11 +154,40 @@ object QuantizationPushdown extends Rule[LogicalPlan] {
         case (Some(g), Some(l)) => And(g, l)
         case _ => e
       }
-    // ((x div q) * q) div q == x div q — collapses the ts derivation chain
+    // --- µs-instant generation: ts_ns = unix_micros(t) * 1000 ---
+    case GreaterThanOrEqual(ScaledMicros(t), IntLit(c)) =>
+      geqTs(t, c).getOrElse(e)
+    case GreaterThan(ScaledMicros(t), IntLit(c)) if c < Long.MaxValue =>
+      geqTs(t, c + 1).getOrElse(e)
+    case LessThan(ScaledMicros(t), IntLit(c)) =>
+      ltTs(t, c).getOrElse(e)
+    case LessThanOrEqual(ScaledMicros(t), IntLit(c)) if c < Long.MaxValue =>
+      ltTs(t, c + 1).getOrElse(e)
+    // mirrored literal-first forms
+    case GreaterThanOrEqual(IntLit(c), ScaledMicros(t)) if c < Long.MaxValue =>
+      ltTs(t, c + 1).getOrElse(e)
+    case GreaterThan(IntLit(c), ScaledMicros(t)) =>
+      ltTs(t, c).getOrElse(e)
+    case LessThan(IntLit(c), ScaledMicros(t)) if c < Long.MaxValue =>
+      geqTs(t, c + 1).getOrElse(e)
+    case LessThanOrEqual(IntLit(c), ScaledMicros(t)) =>
+      geqTs(t, c).getOrElse(e)
+    // equality: m*1000 = c has exactly one solution when 1000 | c (the
+    // scaling is injective), none otherwise (skipped — `null = c` must
+    // stay null outside a Filter)
+    case EqualTo(ScaledMicros(t), IntLit(c)) if c % 1000 == 0 =>
+      EqualTo(t, Literal(c / 1000, TimestampType))
+    case EqualTo(IntLit(c), ScaledMicros(t)) if c % 1000 == 0 =>
+      EqualTo(t, Literal(c / 1000, TimestampType))
+    // ((x div q) * q) div q == x div q — collapses the ts derivation chain;
+    // (unix_micros(t) * 1000) div 1000 == unix_micros(t) — same collapse
+    // for the µs-instant generation (epoch-µs views of ts_ns)
     case d: IntegralDivide =>
       (d.left, d.right) match {
         case (Quantized(x, q), IntLit(q2)) if q == q2 =>
           d.withNewChildren(Seq(x, d.right))
+        case (ScaledMicros(t), IntLit(1000L)) =>
+          UnixMicros(t)
         case _ => d
       }
     case other => other

@@ -2153,8 +2153,12 @@ object Relational {
         col("child_rows"), col("child_keys"), col("null_keys"),
         col("orphan_rows"), col("orphan_keys"),
         col("parent_keys"), col("unref_parent_keys"),
-        ((col("child_rows") - col("null_keys") - col("orphan_rows"))
-          .cast("double") / col("child_rows").cast("double")).as("match_pct"))
+        // NULL (not NaN) on an empty child: Spark's 0.0/0.0 is NaN while
+        // the oracle's CASE yields NULL — guard both sides identically
+        when(col("child_rows") > 0,
+          (col("child_rows") - col("null_keys") - col("orphan_rows"))
+            .cast("double") / col("child_rows").cast("double"))
+          .as("match_pct"))
   }
 
   /** Referential-integrity / coverage audit — the data-contract check a
@@ -2366,8 +2370,9 @@ object Relational {
       parent: String, pk: String): String =
     s"""SELECT relationship, child_rows, child_keys, null_keys, orphan_rows,
        |  orphan_keys, parent_keys, unref_parent_keys,
-       |  CAST(child_rows - null_keys - orphan_rows AS DOUBLE)
-       |    / CAST(child_rows AS DOUBLE) AS match_pct
+       |  CASE WHEN child_rows > 0 THEN
+       |    CAST(child_rows - null_keys - orphan_rows AS DOUBLE)
+       |      / CAST(child_rows AS DOUBLE) END AS match_pct
        |FROM (
        |  SELECT '$label' AS relationship,
        |    CAST(sum(COALESCE(n, 0)) AS BIGINT) AS child_rows,

@@ -87,15 +87,17 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // schema from the cached batch scan plan (graft.tables.Tables): saves a
     // file listing + parquet footer read per stream start — the st_* family
-    // starts 8 streams per round over the same two tables
+    // starts 8 streams per round over the same two tables. The batch scan
+    // also resolved the generation-dependent ts type (raw-ns long vs µs
+    // instant, see Tables.load), so the stream inherits it and
+    // Tables.withTsNs publishes the identical (ts_ns, ts) pair.
     val schema = graft.tables.Tables.load(spark, dir, "events").schema
     // FileStreamSource requires a directory; the test data is one file per
     // table, so stage it into a (reused) temp dir — a production deployment
     // streams from a directory of arriving files anyway.
     val streamDir = stageDir(java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.tables.Tables.withTsNs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Read the documents table as a file stream (same staging discipline
@@ -328,6 +330,17 @@ object EventStream {
     }
   }
 
+  /** doc_id half-split for the history-vs-incoming demos (st_incremental,
+    * st_phash). On an empty documents table max(doc_id) is NULL and a bare
+    * getLong would NPE — fail with a message that names the problem.
+    */
+  private def halfSplit(docs: DataFrame): Long = {
+    val row = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head()
+    require(!row.isNullAt(0),
+      "documents table is empty: no doc_id to split history vs incoming on")
+    row.getLong(0)
+  }
+
   /** Start a stream, drain the finite source, stop — with the state-store
     * partition count lowered for the one-micro-batch local run and the
     * session value restored afterwards. ONE definition of the local
@@ -480,7 +493,7 @@ object EventStream {
     "st_incremental" -> ((s, d) => {
       import graft.operators.Dedup
       val docs = graft.tables.Tables.load(s, d, "documents")
-      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head().getLong(0)
+      val split = halfSplit(docs)
       val store = Dedup.tempSigStore()
       Dedup.writeSignatureStore(docs.filter(col("doc_id") < split), store)
       val hist = Dedup.bandsOf(s.read.parquet(store))
@@ -504,7 +517,7 @@ object EventStream {
     "st_phash" -> ((s, d) => {
       import graft.operators.{Dedup, Multimodal}
       val docs = graft.tables.Tables.load(s, d, "documents")
-      val split = docs.agg(expr("(max(doc_id) + 1) div 2").as("sp")).head().getLong(0)
+      val split = halfSplit(docs)
       val hist = Dedup.hammingBands60(
           Multimodal.phash(docs.filter(col("doc_id") < split)), "phash60", 2)
         .select(col("doc_id").as("a_id"), col("h60").as("a_h"),

@@ -323,17 +323,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quantization pushdown: a ts_ns range filter reaches the parquet scan") {
-    // the µs quantization in Tables.events rewrites ts_ns to
-    // (raw div 1000)*1000; without QuantizationPushdown the range below
+    // Tables.events derives ts_ns from the scan's ts column (raw-ns
+    // quantization on TIMESTAMP(NANOS) data; unix_micros×1000 on
+    // timestamp[us] data); without QuantizationPushdown the range below
     // sits unpushed on the scan and a 100 TB time-range query reads
-    // every row group
+    // every row group. The pushed literal renders as a raw long on the
+    // nanos generation and as a timestamp on the µs generation.
     val df = Tables.events(spark, dir)
       .filter(col("ts_ns") >= lit(1705363200000000000L) &&
         col("ts_ns") < lit(1705366800000000000L))
       .select("event_id")
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("GreaterThanOrEqual(ts,1705363200000000000"), p)
-    assert(p.contains("LessThan(ts,1705366800000000000"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,1705363200000000000") ||
+      p.contains("GreaterThanOrEqual(ts,2024-01-16 00:00:00"), p)
+    assert(p.contains("LessThan(ts,1705366800000000000") ||
+      p.contains("LessThan(ts,2024-01-16 01:00:00"), p)
   }
 
   test("q37 LWW merge: pushed cutoff, partial agg, join reuses partitioning") {
