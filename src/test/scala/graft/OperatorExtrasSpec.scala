@@ -253,6 +253,28 @@ class OperatorExtrasSpec extends AnyFunSuite {
     // on the events scan — a LocalRelation folds before it can show here)
   }
 
+  test("ScaledMicros rewrite (unix_micros×1000 vs ns literal) is value-exact") {
+    import spark.implicits._
+    Tables.events(spark, TestSpark.sf0001) // installs the rule on the session
+    // micros values straddling 0 and the ms grain; ts_ns = m*1000
+    val ms = Seq(-2000001L, -2000000L, -1999999L, -1001L, -1000L, -999L,
+      -1L, 0L, 1L, 999L, 1000L, 1001L, 1999999L, 2000000L, 2000001L)
+    val df = ms.toDF("m").select(col("m"), timestamp_micros(col("m")).as("t"))
+    // ns literals both ON and OFF the ×1000 grid (the = case is only
+    // rewritten when 1000 | c; the others must be exact everywhere)
+    for (c <- Seq(-2000000000L, -1999999001L, -1000000L, -999999L, -1L, 0L,
+      1L, 999L, 1000L, 999999L, 1000000L, 1000001L, 2000000000L)) {
+      for ((op, truth) <- Seq[(String, Long => Boolean)](
+        (">=", _ * 1000 >= c), (">", _ * 1000 > c), ("<", _ * 1000 < c),
+        ("<=", _ * 1000 <= c), ("=", _ * 1000 == c))) {
+        val got = df.filter(expr(s"unix_micros(t) * 1000 $op $c"))
+          .select("m").as[Long].collect().toSet
+        val want = ms.filter(truth).toSet
+        assert(got === want, s"op=$op c=$c")
+      }
+    }
+  }
+
   test("signature store: parameter drift and missing _meta.json are rejected") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")
