@@ -113,6 +113,10 @@ object Relational {
     "q78_bfs_hops" -> q78,
     "q79_scd2" -> q79,
     "q80_zonemap_skip" -> q80,
+    "q81_heavy_hitters" -> q81,
+    "q82_kmv_setops" -> q82,
+    "q83_ohlc_bars" -> q83,
+    "q84_ivm_join" -> q84,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2362,6 +2366,179 @@ object Relational {
       .orderBy("pred_id")
   }
 
+  /** Heavy-hitter tokens via the sketch-filter / exact-verify two-pass —
+    * the scale-correct shape for "top-k over an open domain": pass 1 runs
+    * Misra–Gries per partition (capacity m, mapPartitions, zero shuffle)
+    * and unions the surviving candidates; pass 2 exact-counts ONLY the
+    * candidate set (broadcast semi join — the corpus never shuffles on
+    * the open token domain) and keeps the top k.
+    *
+    * Correctness envelope: a token with global count C survives some
+    * partition's summary whenever C > N/(m+1) (if it were evicted
+    * everywhere, every partition charged it its local share). With
+    * m = 2048 the threshold is < 0.05% of tokens — far below any
+    * plausible rank-25 frequency — so candidates ⊇ true top-k and the
+    * exact-verify output equals the oracle's full groupBy. Candidate
+    * cardinality is bounded by m × partitions regardless of corpus size
+    * (never collected to the driver; broadcast as a DataFrame).
+    *
+    * Scale: pass 1 is scan-stage with O(m) state/partition (amortized
+    * O(1) per token — each decrement cancels an increment); pass 2
+    * shuffles only candidate counts (≤ m×P rows). A plain
+    * groupBy-then-top-k instead shuffles the FULL token domain —
+    * this plan's exchange is capped no matter how the corpus grows.
+    */
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 25
+    val cap = 2048
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(
+        graft.operators.TextAnalysis.tokens(lower(col("text")))).as("word"))
+    val cands = toks.as[String].mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+      it.foreach { w =>
+        val cur = m.get(w)
+        if (cur != null) m.put(w, cur + 1L)
+        else if (m.size < cap) m.put(w, 1L)
+        else {
+          // decrement-all: the Misra–Gries eviction step
+          val iter = m.entrySet.iterator
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove()
+            else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      m.keySet.iterator.asScala
+    }.toDF("word").distinct()
+    toks.join(broadcast(cands), "word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+  }
+
+  /** KMV (k-minimum-values) sketch SET OPERATIONS: distinct users per
+    * event class, of their union, and of their intersection (by
+    * inclusion–exclusion over the three estimates) — the mergeable-
+    * sketch algebra a pipeline uses to answer "how many users do these
+    * two sources share" without ever shuffling raw IDs between them.
+    * Everything is deterministic (portable md5-prefix hash, exact kth-min
+    * threshold, one IEEE division per estimate — q53's discipline), so
+    * the oracle replays it bit-for-bit. k = 64 keeps the ESTIMATING
+    * branch exercised at correctness scale (150 distinct users/class at
+    * sf0.01); truths ride along for the error audit.
+    *
+    * Scale: the (class, hash) table collapses to ≤ classes × distinct
+    * users rows at the partial-agg stage and is localCheckpointed once
+    * (three sketches + three truths read it); each sketch is a k-row
+    * TakeOrdered, each truth a 1-row count. Merging KMVs = kth-min of
+    * the hash union — no raw-ID exchange, which is the whole point of
+    * the sketch at 100 TB.
+    */
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val two60d = lit(1152921504606846976L).cast("double")
+    val eh = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type").as("et"),
+        portableHash60(col("user_id").cast("string")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    def one(df: DataFrame, label: String): DataFrame = {
+      val bottom = df.orderBy(col("h")).limit(k)
+        .agg(count(lit(1)).as("n_k"), max(col("h")).as("kth"))
+      val truth = df.agg(count(lit(1)).as("truth"))
+      bottom.crossJoin(truth).select(
+        when(col("n_k") < k, col("truth").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two60d / col("kth").cast("double"))
+          .as(s"est_$label"),
+        col("truth").as(s"true_$label"))
+    }
+    one(eh.filter(col("et") === "click").select("h"), "a")
+      .crossJoin(one(eh.filter(col("et") === "purchase").select("h"), "b"))
+      .crossJoin(one(eh.select("h").distinct(), "union"))
+      .select(lit(k).as("k"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("true_a"), col("true_b"), col("true_union"),
+        (col("true_a") + col("true_b") - col("true_union"))
+          .as("true_intersect"))
+  }
+
+  /** Hourly OHLC bars per event class — the resample shape a market-data
+    * or metrics pipeline runs constantly: open/close are the first/last
+    * tick by the total (ts_ns, event_id) order (exact VALUES, no
+    * arithmetic), low/high exact min/max, volume an exact-decimal sum
+    * exported as double (q17's convention).
+    *
+    * Scale: one hash exchange on (bucket, event_type); both row_number
+    * directions and the final aggregate reuse that partitioning (two
+    * sorts, zero extra shuffles). Per-(hour, class) groups are bounded by
+    * arrival rate, so the window state never skews unboundedly.
+    */
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"),
+        col("event_type"), col("ts_ns"), col("event_id"), col("value"))
+    val part = Window.partitionBy(col("bucket"), col("event_type"))
+    val wa = part.orderBy(col("ts_ns"), col("event_id"))
+    val wd = part.orderBy(col("ts_ns").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy("bucket", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        sum(d2(col("value"))).cast("double").as("volume"))
+      .orderBy("bucket", "event_type")
+  }
+
+  /** Incremental view maintenance of an AGGREGATE-OVER-JOIN — the delta
+    * algebra behind every materialized rollup a pipeline keeps warm:
+    * V = γ(customer ⋈ orders) split at a cutoff into a base snapshot and
+    * a fact-side delta, each aggregated independently, merged by the
+    * group-key with sums/counts added (full outer: a nation may first
+    * appear in the delta). The oracle recomputes the view from scratch —
+    * equality IS the proof that the maintenance algebra loses nothing.
+    *
+    * Scale: this is the plan you run when the base aggregate is already
+    * materialized — then only the delta (a day of orders, not years)
+    * joins and shuffles, and the merge is group-key-sized. Decimal sums
+    * merge exactly (addition is associative in DECIMAL, never IEEE), so
+    * incremental and recomputed revenue agree bit-for-bit.
+    */
+  private def q84(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1999-01-01"
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    def view(orders: DataFrame): DataFrame = orders
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(d2(col("o_totalprice"))).as("rev"))
+    val base = view(o.filter(col("o_orderdate") < lit(cutoff)))
+      .select(col("c_nationkey"), col("n").as("bn"), col("rev").as("brev"))
+    val delta = view(o.filter(col("o_orderdate") >= lit(cutoff)))
+      .select(col("c_nationkey"), col("n").as("dn"), col("rev").as("drev"))
+    base.join(delta, Seq("c_nationkey"), "full_outer")
+      .select(
+        col("c_nationkey"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("brev"), lit(0).cast(D))
+          + coalesce(col("drev"), lit(0).cast(D)))
+          .cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3240,6 +3417,80 @@ object Relational {
         |SELECT band, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q81: the oracle is the FULL exact groupBy — the two-pass
+    // sketch-filter plan must reproduce it or the candidate envelope is
+    // broken (see the builder's correctness argument)
+    "q81_heavy_hitters" ->
+      """SELECT word, cnt FROM (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(lower(text), '[^\p{L}]+'),
+        |      x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY 1)
+        |ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+    "q82_kmv_setops" ->
+      """WITH eh AS (
+        |  SELECT DISTINCT event_type AS et,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |a AS (SELECT h FROM eh WHERE et = 'click'),
+        |b AS (SELECT h FROM eh WHERE et = 'purchase'),
+        |u AS (SELECT DISTINCT h FROM eh),
+        |sa AS (SELECT count(*) AS n_k, max(h) AS kth
+        |       FROM (SELECT h FROM a ORDER BY h LIMIT 64)),
+        |sb AS (SELECT count(*) AS n_k, max(h) AS kth
+        |       FROM (SELECT h FROM b ORDER BY h LIMIT 64)),
+        |su AS (SELECT count(*) AS n_k, max(h) AS kth
+        |       FROM (SELECT h FROM u ORDER BY h LIMIT 64)),
+        |ta AS (SELECT count(*) AS t FROM a),
+        |tb AS (SELECT count(*) AS t FROM b),
+        |tu AS (SELECT count(*) AS t FROM u)
+        |SELECT k, est_a, est_b, est_union,
+        |  est_a + est_b - est_union AS est_intersect,
+        |  true_a, true_b, true_union,
+        |  true_a + true_b - true_union AS true_intersect
+        |FROM (SELECT CAST(64 AS INTEGER) AS k,
+        |  CASE WHEN sa.n_k < 64 THEN CAST(ta.t AS DOUBLE)
+        |       ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(sa.kth AS DOUBLE) END AS est_a,
+        |  CASE WHEN sb.n_k < 64 THEN CAST(tb.t AS DOUBLE)
+        |       ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(sb.kth AS DOUBLE) END AS est_b,
+        |  CASE WHEN su.n_k < 64 THEN CAST(tu.t AS DOUBLE)
+        |       ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(su.kth AS DOUBLE) END AS est_union,
+        |  CAST(ta.t AS BIGINT) AS true_a, CAST(tb.t AS BIGINT) AS true_b,
+        |  CAST(tu.t AS BIGINT) AS true_union
+        |  FROM sa, sb, su, ta, tb, tu)""".stripMargin,
+    "q83_ohlc_bars" ->
+      """WITH r AS (
+        |  SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        |           '%Y-%m-%d %H:%M:%S') AS bucket,
+        |    event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |      ORDER BY epoch_ns(ts), event_id) AS rn_a,
+        |    row_number() OVER (
+        |      PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT bucket, event_type, count(*) AS n,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  min(value) AS low, max(value) AS high,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q84: the oracle RECOMPUTES the view from scratch; the Spark side
+    // maintains it incrementally (base + fact-side delta, merged) —
+    // equality proves the IVM algebra
+    "q84_ivm_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -482,4 +482,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q81 heavy hitters: candidates broadcast; corpus never sort-merges on the token domain") {
+    val df = Relational.defs("q81_heavy_hitters")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // pass-2 exact verify joins the BOUNDED candidate set by broadcast —
+    // the full token stream must never hash-exchange against candidates
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the final count is a partial agg over candidate-filtered tokens only
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q83 OHLC bars: one hash exchange shared by both window directions and the aggregate") {
+    val df = Relational.defs("q83_ohlc_bars")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // both row_number directions and the groupBy reuse the single
+    // (bucket, event_type) hashpartitioning; only the presentation
+    // orderBy adds its range exchange
+    assert("Exchange hashpartitioning\\(bucket".r.findAllMatchIn(p).size === 1, p)
+    assert("Window \\[row_number".r.findAllMatchIn(p).size === 2, p)
+    assert(p.contains("partial_sum(cast(value"), p)
+  }
+
+  test("q84 IVM join: customer broadcasts into both branches; merge is group-key sized") {
+    val df = Relational.defs("q84_ivm_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the base/delta view joins broadcast the dimension
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size === 2, p)
+    // the base⋈delta merge is a full outer on the ≤25-row group keys —
+    // a sort-merge there is fine; a cartesian anywhere is not
+    assert(!p.contains("CartesianProduct"), p)
+    // each branch partial-aggregates before its exchange
+    assert("partial_count".r.findAllMatchIn(p).size >= 2, p)
+  }
 }
