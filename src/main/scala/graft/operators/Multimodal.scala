@@ -358,38 +358,78 @@ object Multimodal {
   def audioSampleStats(media: Dataset[MediaFile]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { f =>
-      val b = f.payload
-      def le32(i: Int): Long =
-        ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
-          ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
-        b(3) != 'F') None
-      else {
-        var i = 12
-        var off = -1
-        var declared = -1L
-        while (i + 8 <= b.length && off < 0) {
-          val cid = new String(b, i, 4, "US-ASCII")
-          val sz = le32(i + 4)
-          if (cid == "data") { off = i + 8; declared = sz }
-          else i += 8 + sz.toInt + (sz.toInt & 1)
+      wavPcm(f.payload).map { v =>
+        var s = 0L; var s2 = 0L; var peak = 0; var k = 0
+        while (k < v.length) {
+          val x = v(k); s += x; s2 += x.toLong * x
+          val a = math.abs(x); if (a > peak) peak = a
+          k += 1
         }
-        if (off < 0) None
-        else {
-          val avail = math.min(declared, (b.length - off).toLong).toInt
-          val nPairs = avail / 2
-          var s = 0L; var s2 = 0L; var peak = 0; var k = 0
-          while (k < nPairs) {
-            val lo = b(off + 2 * k) & 0xff
-            val v = (b(off + 2 * k + 1) << 8) | lo // signed high byte
-            s += v; s2 += v.toLong * v
-            val a = math.abs(v); if (a > peak) peak = a
-            k += 1
-          }
-          Some(AudioStats(f.doc_id, nPairs, s, s2, peak))
-        }
+        AudioStats(f.doc_id, v.length.toLong, s, s2, peak)
       }
     })
+  }
+
+  final case class AudioAutocorr(doc_id: Long, n_samples: Long,
+                                 r0: Long, r1: Long, r2: Long,
+                                 r4: Long, r8: Long)
+
+  /** Integer autocorrelation of the PCM stream at fixed lags — the
+    * periodicity/pitch signal (a pure tone shows r_L ≈ r_0 at its period;
+    * noise decays immediately): R(L) = Σ v[i]·v[i+L] over i+L < n, exact
+    * int64 (|v| ≤ 2^15 ⇒ each term ≤ 2^30 — the [[audioSampleStats]]
+    * overflow envelope). Same RIFF chunk walk and truncation-tolerant
+    * decode; same scan-stage mapPartitions shape, zero shuffle. The
+    * oracle replays the byte pairing and computes the lagged products
+    * with window LEADs (NULL past the end ⟺ the i+L < n loop bound).
+    */
+  def audioAutocorr(media: Dataset[MediaFile]): Dataset[AudioAutocorr] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { f =>
+      wavPcm(f.payload).map { v =>
+        def r(lag: Int): Long = {
+          var s = 0L; var i = 0
+          while (i + lag < v.length) { s += v(i).toLong * v(i + lag); i += 1 }
+          s
+        }
+        AudioAutocorr(f.doc_id, v.length.toLong, r(0), r(1), r(2), r(4), r(8))
+      }
+    })
+  }
+
+  /** RIFF chunk walk + int16 LE decode shared by the signal-level audio
+    * operators: the data chunk's available bytes (declared size capped by
+    * what is present) as signed samples; None for non-RIFF payloads.
+    */
+  private def wavPcm(b: Array[Byte]): Option[Array[Int]] = {
+    def le32(i: Int): Long =
+      ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F') None
+    else {
+      var i = 12
+      var off = -1
+      var declared = -1L
+      while (i + 8 <= b.length && off < 0) {
+        val cid = new String(b, i, 4, "US-ASCII")
+        val sz = le32(i + 4)
+        if (cid == "data") { off = i + 8; declared = sz }
+        else i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (off < 0) None
+      else {
+        val nPairs = (math.min(declared, (b.length - off).toLong) / 2).toInt
+        val out = new Array[Int](nPairs)
+        var k = 0
+        while (k < nPairs) {
+          val lo = b(off + 2 * k) & 0xff
+          out(k) = (b(off + 2 * k + 1) << 8) | lo // signed high byte
+          k += 1
+        }
+        Some(out)
+      }
+    }
   }
 
   // ------------------------------------------------- perceptual image hash
@@ -745,7 +785,9 @@ object Multimodal {
 
   final case class ImageStats(doc_id: Long, phash60: Long, n_ones: Int,
                               n_px: Int, sum_px: Long, sum_sq: Long,
-                              min_px: Int, max_px: Int)
+                              min_px: Int, max_px: Int,
+                              sum_dx: Long, sum_dy: Long,
+                              max_grad: Int, n_edges: Long)
 
   /** ONE decode pass per image serves every image consumer: synthesize
     * the thumbnail (PNG or GIF), decode the REAL bytes back (chunk walk +
@@ -768,7 +810,30 @@ object Multimodal {
           if (v < mn) mn = v; if (v > mx) mx = v
           i += 1
         }
-        ImageStats(f.doc_id, hash, ones, px.length, s, s2, mn, mx)
+        // first-difference gradients over the same pixel array (the
+        // sharpness/blur signal): exact integer |Δ| sums horizontally and
+        // vertically, the max gradient, and the count of strong edges
+        var dx = 0L; var dy = 0L; var mg = 0; var ne = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val row = y * w
+          while (x < w) {
+            val g = px(row + x)
+            if (x + 1 < w) {
+              val d = math.abs(px(row + x + 1) - g)
+              dx += d; if (d > mg) mg = d; if (d >= EdgeThreshold) ne += 1
+            }
+            if (y + 1 < h) {
+              val d = math.abs(px(row + w + x) - g)
+              dy += d; if (d > mg) mg = d; if (d >= EdgeThreshold) ne += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(f.doc_id, hash, ones, px.length, s, s2, mn, mx,
+          dx, dy, mg, ne)
       }).toDF()
     // the image table is a shared intermediate exactly like the MinHash
     // signatures (pairs self-join reads it twice; st_phash probes it as
@@ -807,6 +872,25 @@ object Multimodal {
   def pixelStats(docs: DataFrame): DataFrame =
     imageTable(docs).select("doc_id", "n_px", "sum_px", "sum_sq",
       "min_px", "max_px")
+
+  /** Strong-edge threshold for [[edgeStats]]: a first-difference of at
+    * least this many gray levels counts as an edge.
+    */
+  val EdgeThreshold = 32
+
+  /** Gradient statistics over the DECODED grayscale stream — the
+    * sharpness/blur/flatness signal an image-curation filter reads (a
+    * blurry or synthetic-flat image has low |Δ| mass and few strong
+    * edges; a textured one is dense in both). Exact integers end-to-end:
+    * horizontal and vertical first-difference |Δ| sums, the max gradient,
+    * and the strong-edge count. Projection of [[imageTable]] — shares the
+    * one decode pass (and the memoized table) with [[phash]] and
+    * [[pixelStats]]; the oracle replays the pixel recipe plus the
+    * difference arithmetic.
+    */
+  def edgeStats(docs: DataFrame): DataFrame =
+    imageTable(docs).select("doc_id", "sum_dx", "sum_dy",
+      "max_grad", "n_edges")
 
   /** Resize plan: fit (width, height) into a `box` square preserving aspect
     * ratio — pure integer column math (exact in any engine). Emits the
@@ -852,6 +936,13 @@ object Multimodal {
         .orderBy("a_id", "b_id")),
     "mm_pixel_stats" -> ((s, d) =>
       pixelStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_edge_stats" -> ((s, d) =>
+      edgeStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_audio_autocorr" -> ((s, d) => {
+      import s.implicits._
+      audioAutocorr(synthesizeMedia(Tables.load(s, d, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
   )
 
   /** The phash pixel-recipe replay as oracle CTEs ending in
@@ -978,5 +1069,67 @@ object Multimodal {
          |  CAST(min(g) AS INTEGER) AS min_px,
          |  CAST(max(g) AS INTEGER) AS max_px
          |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pixel-recipe replay + first-difference arithmetic: the Spark side
+    // differences REAL decoded bytes; the oracle differences the recipe
+    "mm_edge_stats" ->
+      s"""WITH r AS ($R),
+         |px AS (
+         |  SELECT doc_id, x, y,
+         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
+         |d AS (
+         |  SELECT a.doc_id, abs(b.g - a.g) AS d, 1 AS is_dx
+         |  FROM px a JOIN px b
+         |    ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+         |  UNION ALL
+         |  SELECT a.doc_id, abs(b.g - a.g) AS d, 0 AS is_dx
+         |  FROM px a JOIN px b
+         |    ON a.doc_id = b.doc_id AND b.x = a.x AND b.y = a.y + 1)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN is_dx = 1 THEN d ELSE 0 END) AS BIGINT)
+         |    AS sum_dx,
+         |  CAST(sum(CASE WHEN is_dx = 0 THEN d ELSE 0 END) AS BIGINT)
+         |    AS sum_dy,
+         |  CAST(max(d) AS INTEGER) AS max_grad,
+         |  CAST(sum(CASE WHEN d >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_edges
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // byte-pair replay (the mm_audio_stats discipline) + window LEADs:
+    // lead(val, L) is NULL past the stream end, and sum() skips NULLs —
+    // exactly the i+L < n loop bound of the Spark-side kernel
+    "mm_audio_autocorr" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |    least(CAST((1000 + h % 9000) * ((1 + h % 2) * 2) AS BIGINT),
+         |          CAST(length(text) AS BIGINT)) // 2 AS np
+         |  FROM ($R) JOIN documents USING (doc_id) WHERE fmt = 3),
+         |v AS (SELECT doc_id, unnest(range(0, np)) AS i, text FROM p),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+         |  FROM (SELECT doc_id, i,
+         |          ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+         |          + 256 * ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1))
+         |            AS raw
+         |        FROM v)),
+         |w AS (
+         |  SELECT doc_id, val,
+         |    lead(val, 1) OVER win AS v1, lead(val, 2) OVER win AS v2,
+         |    lead(val, 4) OVER win AS v4, lead(val, 8) OVER win AS v8
+         |  FROM s WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(val * val) AS BIGINT) AS r0,
+         |    CAST(sum(val * v1) AS BIGINT) AS r1,
+         |    CAST(sum(val * v2) AS BIGINT) AS r2,
+         |    CAST(sum(val * v4) AS BIGINT) AS r4,
+         |    CAST(sum(val * v8) AS BIGINT) AS r8
+         |  FROM w GROUP BY 1)
+         |SELECT p.doc_id, np AS n_samples,
+         |  coalesce(r0, 0) AS r0, coalesce(r1, 0) AS r1,
+         |  coalesce(r2, 0) AS r2, coalesce(r4, 0) AS r4,
+         |  coalesce(r8, 0) AS r8
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
   )
 }

@@ -94,6 +94,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("audio autocorrelation: planted period-4 tone peaks at r4, anti-peaks at r2") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // 32 samples of the period-4 square-ish tone A, 0, -A, 0, ...
+    val a = 1000
+    val tone = Array.tabulate(32)(i => (i % 4) match {
+      case 0 => a; case 1 => 0; case 2 => -a; case _ => 0
+    })
+    val pcm = tone.flatMap(v => le16(v & 0xffff))
+    val media = Seq(Multimodal.MediaFile(1L,
+      Array.concat("RIFF".getBytes, le32(36 + pcm.length), "WAVE".getBytes,
+        "fmt ".getBytes, le32(16), le16(1), le16(1), le32(8000),
+        le32(16000), le16(2), le16(16),
+        "data".getBytes, le32(pcm.length), pcm)))
+    val r = Multimodal.audioAutocorr(media.toDS()).collect().head
+    // exact expectations (count the nonzero-product index pairs): lag 4
+    // aligns the tone with itself (14 surviving ±a·±a pairs, all +a²),
+    // lag 2 anti-aligns (15 pairs, all −a²), odd lags interleave zeros
+    assert(r.n_samples === 32L)
+    assert(r.r0 === 16L * a * a)
+    assert(r.r4 === 14L * a * a, "lag 4 must align with the period")
+    assert(r.r2 === -15L * a * a, "lag 2 must anti-align")
+    assert(r.r1 === 0L && r.r8 === 12L * a * a)
+  }
+
+  test("edge stats: planted flat vs textured images order by gradient mass") {
+    // recipe-synthesized thumbnails are textured by construction; assert
+    // the invariants the curation filter relies on: every gradient field
+    // is consistent (n_edges bounded by the number of differences, max
+    // gradient witnessed by the sums) and a REAL decode feeds it (any
+    // codec drift would already fail the oracle — this pins the shape)
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      .limit(8)
+    val rows = Multimodal.edgeStats(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sumDx = r.getAs[Long]("sum_dx"); val sumDy = r.getAs[Long]("sum_dy")
+      val mg = r.getAs[Int]("max_grad"); val ne = r.getAs[Long]("n_edges")
+      assert(mg >= 0 && mg <= 255)
+      assert(sumDx >= 0 && sumDy >= 0)
+      // 39×24 horizontal + 40×23 vertical differences per 40×24 thumbnail
+      assert(ne <= 39L * 24 + 40L * 23)
+      if (ne > 0) assert(mg >= Multimodal.EdgeThreshold)
+      if (mg > 0) assert(sumDx + sumDy >= mg)
+    }
+  }
+
   test("corrupt payloads fail loudly, never decode to garbage") {
     intercept[Exception] { // unknown magic
       HeaderDecoder.decode(MediaFile(1L, Array[Byte](1, 2, 3, 4, 5)))
