@@ -497,14 +497,55 @@ object Multimodal {
     * round-trips stay oracle-checked.
     */
   def encodeGifGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
-    require(pixels.length == w * h, s"need ${w * h} pixels, got ${pixels.length}")
     val out = new ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    writeGifFrame(out, w, h, pixels)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Animated GIF89a — the library's honest VIDEO container: N full
+    * frames behind a NETSCAPE2.0 loop extension, each with its Graphic
+    * Control Extension and its own LZW-coded image data. Same identity
+    * grayscale palette and spec-conformant layout as the single-frame
+    * writer ([[encodeGifGray]] is exactly this with one frame and no
+    * animation extensions), so any stock GIF player animates the output.
+    */
+  def encodeGifGrayAnimated(w: Int, h: Int, frames: Seq[Array[Int]],
+                            delayCs: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "animated GIF needs at least one frame")
+    val out = new ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(le16(0)); out.write(0)
+    frames.foreach { px =>
+      // Graphic Control Extension: no disposal tricks, fixed delay
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(le16(delayCs)); out.write(0); out.write(0)
+      writeGifFrame(out, w, h, px)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  private def writeGifHeader(out: ByteArrayOutputStream, w: Int, h: Int): Unit = {
     out.write("GIF89a".getBytes("US-ASCII"))
     out.write(le16(w)); out.write(le16(h))
     out.write(0x80 | 0x70 | 0x07) // GCT present, 8-bit colour res, 256 entries
     out.write(0); out.write(0)    // background index, aspect
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+  }
+
+  /** One image descriptor + LZW-coded full-frame data block (the body
+    * shared by the single-frame and animated writers — byte-identical to
+    * the pre-refactor single-frame layout).
+    */
+  private def writeGifFrame(out: ByteArrayOutputStream, w: Int, h: Int,
+                            pixels: Array[Int]): Unit = {
+    require(pixels.length == w * h, s"need ${w * h} pixels, got ${pixels.length}")
     out.write(0x2c) // image descriptor
     out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
     out.write(0)    // no local colour table, not interlaced
@@ -555,8 +596,6 @@ object Multimodal {
       out.write(n); out.write(packed, off, n); off += n
     }
     out.write(0)    // block terminator
-    out.write(0x3b) // trailer
-    out.toByteArray
   }
 
   /** Decode a grayscale GIF written by [[encodeGifGray]] (or any
@@ -567,6 +606,20 @@ object Multimodal {
     * tables, or a chromatic palette (this library never writes them).
     */
   def decodeGifGray(id: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, frames) = decodeGifGrayFrames(id, b)
+    require(frames.length == 1,
+      s"doc $id: expected a single-frame GIF, got ${frames.length} frames")
+    (w, h, frames.head)
+  }
+
+  /** Decode EVERY frame of a grayscale GIF (animated or single-frame)
+    * written by [[encodeGifGray]]/[[encodeGifGrayAnimated]]: the real
+    * block walk — extensions skipped (GCE/NETSCAPE included), one LZW
+    * decode per image descriptor — until the trailer. Same loud-failure
+    * discipline as the single-frame path for anything this library
+    * didn't promise to write.
+    */
+  def decodeGifGrayFrames(id: Long, b: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
     val hdr = new String(b, 0, 6, "US-ASCII")
     require(hdr == "GIF89a" || hdr == "GIF87a", s"doc $id: bad GIF header $hdr")
     val flags = b(10) & 0xff
@@ -580,13 +633,41 @@ object Multimodal {
       require(r == g && g == bl, s"doc $id: chromatic palette entry $pi")
       palette(pi) = r; pi += 1; i += 3
     }
-    // skip extension blocks to the image descriptor
-    while ((b(i) & 0xff) == 0x21) {
-      i += 2 // extension introducer + label
-      while (b(i) != 0) i += 1 + (b(i) & 0xff)
-      i += 1
+    val sw = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val sh = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var done = false
+    while (!done) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: introducer + label + data sub-blocks
+          i += 2
+          while (b(i) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c =>
+          val (px, ni) = decodeGifFrame(id, b, i, palette)
+          frames += px
+          i = ni
+        case 0x3b => done = true
+        case other =>
+          sys.error(f"doc $id: unexpected GIF block 0x$other%02x at $i")
+      }
     }
+    require(frames.nonEmpty, s"doc $id: GIF with no image data")
+    require(frames.forall(_.length == sw * sh),
+      s"doc $id: frame size mismatch vs ${sw}x$sh screen")
+    (sw, sh, frames.toArray)
+  }
+
+  /** One image-descriptor + LZW block starting at offset `i0`; returns
+    * the decoded full-frame pixels and the offset just past the block.
+    */
+  private def decodeGifFrame(id: Long, b: Array[Byte], i0: Int,
+                             palette: Array[Int]): (Array[Int], Int) = {
+    var i = i0
     require((b(i) & 0xff) == 0x2c, s"doc $id: expected image descriptor at $i")
+    val left = (b(i + 1) & 0xff) | ((b(i + 2) & 0xff) << 8)
+    val top = (b(i + 3) & 0xff) | ((b(i + 4) & 0xff) << 8)
+    require(left == 0 && top == 0, s"doc $id: partial-frame GIF unsupported")
     val w = (b(i + 5) & 0xff) | ((b(i + 6) & 0xff) << 8)
     val h = (b(i + 7) & 0xff) | ((b(i + 8) & 0xff) << 8)
     val idFlags = b(i + 9) & 0xff
@@ -601,6 +682,7 @@ object Multimodal {
       val n = b(i) & 0xff
       data.write(b, i + 1, n); i += 1 + n
     }
+    i += 1 // block terminator
     val d = data.toByteArray
     val clear = 256; val eoi = 257
     val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
@@ -662,7 +744,7 @@ object Multimodal {
       }
     }
     require(nPx == w * h, s"doc $id: GIF decoded $nPx of ${w * h} pixels")
-    (w, h, px)
+    (px, i)
   }
 
   /** Decode a grayscale filter-0 PNG back to (width, height, pixels) —
@@ -733,6 +815,22 @@ object Multimodal {
     (hash, ones)
   }
 
+  /** CPU-bound codec work must not inherit the input's split count: a
+    * small parquet (one row group) would serialize every encode/decode
+    * on one core. Batch inputs with fewer splits than cores spread the
+    * NARROW projection round-robin first (at 100 TB the input has far
+    * more splits than cores and this is a no-op); streams stay strictly
+    * row-local — their parallelism is the source's.
+    */
+  private def spreadForCodec(narrow: DataFrame): DataFrame =
+    if (narrow.isStreaming) narrow
+    else {
+      val sc = narrow.sparkSession.sparkContext
+      if (narrow.rdd.getNumPartitions < sc.defaultParallelism)
+        narrow.repartition(sc.defaultParallelism)
+      else narrow
+    }
+
   /** documents → real 40×24 grayscale thumbnails (binary column), format
     * alternating by doc_id: even → PNG (zlib IDAT), odd → GIF89a (LZW).
     * Pixels derive from the doc's md5-prefix content hash via
@@ -741,22 +839,7 @@ object Multimodal {
     */
   def synthesizeThumbnails(docs: DataFrame): Dataset[MediaFile] = {
     import docs.sparkSession.implicits._
-    val narrow = docs.select("doc_id", "text")
-    // CPU-bound codec work must not inherit the input's split count: a
-    // small parquet (one row group) would serialize every encode/decode
-    // on one core. Batch inputs with fewer splits than cores spread the
-    // NARROW projection round-robin first (at 100 TB the input has far
-    // more splits than cores and this is a no-op); streams stay strictly
-    // row-local — their parallelism is the source's.
-    val spread =
-      if (narrow.isStreaming) narrow
-      else {
-        val sc = docs.sparkSession.sparkContext
-        if (narrow.rdd.getNumPartitions < sc.defaultParallelism)
-          narrow.repartition(sc.defaultParallelism)
-        else narrow
-      }
-    spread.as[(Long, String)]
+    spreadForCodec(docs.select("doc_id", "text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -878,6 +961,70 @@ object Multimodal {
     */
   val EdgeThreshold = 32
 
+  /** Frames per synthesized clip and the scene-cut threshold for
+    * [[motionStats]]: a frame-to-frame |Δ| mass of at least
+    * `CutMeanDelta` gray levels PER PIXEL counts as a cut.
+    */
+  val ClipFrames = 8
+  val CutMeanDelta = 24
+
+  /** documents → real animated 40×24 grayscale GIF clips: frame t is the
+    * thumbnail recipe scrolled t columns ([[grayPixel]] at (x+t) mod W) —
+    * known horizontal motion, so temporal statistics have a closed-form
+    * oracle. The bytes are genuine looping GIF89a animations
+    * ([[encodeGifGrayAnimated]]); any stock player shows the scroll.
+    */
+  def synthesizeClips(docs: DataFrame): Dataset[MediaFile] = {
+    import docs.sparkSession.implicits._
+    spreadForCodec(docs.select("doc_id", "text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          md.reset()
+          val md5hex = md.digest(text.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val hh = java.lang.Long.parseLong(md5hex.take(15), 16)
+          val frames = (0 until ClipFrames).map { t =>
+            Array.tabulate(PW * PH)(k =>
+              grayPixel(hh, (k % PW + t) % PW, k / PW))
+          }
+          MediaFile(id, encodeGifGrayAnimated(PW, PH, frames))
+        }
+      }
+  }
+
+  final case class MotionStats(doc_id: Long, n_frames: Int, sum_motion: Long,
+                               max_frame_diff: Long, n_cuts: Long)
+
+  /** Temporal motion statistics over the DECODED frame stream — the
+    * video-curation signal (a static clip has zero |Δ| mass; a scene cut
+    * spikes it): per clip, the total frame-to-frame |Δ| sum, the largest
+    * single frame transition, and the count of cut-grade transitions
+    * (mean per-pixel |Δ| ≥ [[CutMeanDelta]], compared exactly as
+    * fd ≥ CutMeanDelta·W·H — no float). Exact integers end-to-end; the
+    * oracle replays the scrolled pixel recipe arithmetically, so any
+    * multi-frame encoder/decoder disagreement (GCE handling, frame
+    * ordering, dictionary reset across frames) hash-mismatches.
+    * mapPartitions scan-stage like every codec operator — zero shuffle.
+    */
+  def motionStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    synthesizeClips(docs).mapPartitions(_.map { f =>
+      val (w, h, frames) = decodeGifGrayFrames(f.doc_id, f.payload)
+      var total = 0L; var mx = 0L; var cuts = 0L
+      var t = 1
+      while (t < frames.length) {
+        val a = frames(t - 1); val c = frames(t)
+        var fd = 0L; var i = 0
+        while (i < c.length) { fd += math.abs(c(i) - a(i)); i += 1 }
+        total += fd; if (fd > mx) mx = fd
+        if (fd >= CutMeanDelta.toLong * w * h) cuts += 1
+        t += 1
+      }
+      MotionStats(f.doc_id, frames.length, total, mx, cuts)
+    }).toDF()
+  }
+
   /** Gradient statistics over the DECODED grayscale stream — the
     * sharpness/blur/flatness signal an image-curation filter reads (a
     * blurry or synthetic-flat image has low |Δ| mass and few strong
@@ -938,6 +1085,8 @@ object Multimodal {
       pixelStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_edge_stats" -> ((s, d) =>
       edgeStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_motion_stats" -> ((s, d) =>
+      motionStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_audio_autocorr" -> ((s, d) => {
       import s.implicits._
       audioAutocorr(synthesizeMedia(Tables.load(s, d, "documents")))
@@ -1093,6 +1242,28 @@ object Multimodal {
          |  CAST(max(d) AS INTEGER) AS max_grad,
          |  CAST(sum(CASE WHEN d >= 32 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_edges
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // scrolled-recipe replay: frame t's pixel is the recipe at (x+t) mod 40,
+    // so the frame-to-frame difference has a closed form the oracle sums
+    // directly — no window needed. The Spark side differences REAL decoded
+    // animated-GIF frames.
+    "mm_motion_stats" ->
+      s"""WITH r AS ($R),
+         |d AS (
+         |  SELECT doc_id, t,
+         |    CAST(sum(abs(
+         |      ((h % 256 + 7 * ((x + t) % 40) + 13 * y
+         |        + ((((x + t) % 40) * y) % 5) * 29) % 256)
+         |      - ((h % 256 + 7 * ((x + t - 1) % 40) + 13 * y
+         |        + ((((x + t - 1) % 40) * y) % 5) * 29) % 256)))
+         |      AS BIGINT) AS fd
+         |  FROM r, range(1, 8) tt(t), range(0, 40) tx(x), range(0, 24) ty(y)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(8 AS INTEGER) AS n_frames,
+         |  CAST(sum(fd) AS BIGINT) AS sum_motion,
+         |  CAST(max(fd) AS BIGINT) AS max_frame_diff,
+         |  CAST(sum(CASE WHEN fd >= 24 * 960 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cuts
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // byte-pair replay (the mm_audio_stats discipline) + window LEADs:
     // lead(val, L) is NULL past the stream end, and sum() skips NULLs —

@@ -527,6 +527,51 @@ object TextAnalysis {
           .cast("int").as("keep"))
   }
 
+  /** Distinctive vocabulary per source — the data-mixing QA view: which
+    * words over- or under-represent a source against the whole corpus.
+    * Ranked by the EXACT cross-multiplied frequency deviation
+    * |c_sw·n_c − c_w·n_s| (DECIMAL(38,0) — n_c·c_sw reaches ~10^27 at
+    * 100 TB, far past int64), so the ranking never touches a float; the
+    * per-row `lift` ((c_sw/n_s)/(c_w/n_c), the log-odds ratio's argument)
+    * is ONE fixed-shape double expression — the [[lmScores]] discipline:
+    * integer aggregation everywhere, engine-replayable float math only in
+    * the final projection. A KL/JS divergence score would instead SUM
+    * engine-computed logs across the vocab — never bit-stable across
+    * engines — which is exactly why the ranked-deviation form is the
+    * hash-gated one.
+    *
+    * Scale: token counts are one partial-agg exchange; corpus and
+    * per-source totals are key-bounded partial aggs; the top-k window
+    * partitions by source over per-source vocab (sub-linear in corpus
+    * size — the only stage whose width grows with vocabulary, noted).
+    * Only PRESENT (source, word) pairs rank — a distinctive absence
+    * doesn't surface (it would need the vocab × sources cross join).
+    */
+  def distinctiveWords(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(col("source"), explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val corpus = wc.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val perSource = wc.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val total = perSource.agg(sum(col("n_s")).as("n_c"))
+    val dev = wc.join(corpus, "word")
+      .join(perSource, "source")
+      .crossJoin(total)
+      .withColumn("dev",
+        abs(Exact.dec(col("c_sw")) * col("n_c")
+          - Exact.dec(col("c_w")) * col("n_s")))
+    val w = Window.partitionBy("source").orderBy(col("dev").desc, col("word"))
+    dev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("word"),
+        col("c_sw"), col("n_s"), col("c_w"), col("n_c"),
+        ((col("c_sw").cast("double") * col("n_c").cast("double"))
+          / (col("n_s").cast("double") * col("c_w").cast("double")))
+          .as("lift"))
+      .orderBy("source", "rnk")
+  }
+
   /** Sequence packing (concat-and-chunk) — how pretraining actually
     * consumes documents: the corpus is one long token stream, cut into
     * fixed-size context windows. For each document: its start offset in
@@ -1054,6 +1099,8 @@ object TextAnalysis {
       trainValTest(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_weighted_sample" -> ((s, d) =>
       weightedSample(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_distinctive" -> ((s, d) =>
+      distinctiveWords(Tables.load(s, d, "documents"))),
     "ta_gopher" -> ((s, d) =>
       gopherRules(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_rolling_hash" -> ((s, d) =>
@@ -1334,6 +1381,33 @@ object TextAnalysis {
         |WHERE (CAST(concat('0x', substr(md5('ws:' || doc_id), 1, 15)) AS BIGINT)
         |       % 1000000) * mx < n_chars * 1000000
         |ORDER BY doc_id""".stripMargin,
+    // exact HUGEINT cross-multiplied ranking; the float lift is the same
+    // fixed expression tree as the Spark side (one mult, one mult, one div)
+    "ta_distinctive" ->
+      """WITH wc AS (
+        |  SELECT source, word, count(*) AS c_sw FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^\p{L}]+'),
+        |      x -> x <> '')) AS word
+        |    FROM documents) GROUP BY 1, 2),
+        |corpus AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w
+        |           FROM wc GROUP BY 1),
+        |per_source AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+        |               FROM wc GROUP BY 1),
+        |total AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_c FROM per_source),
+        |dev AS (
+        |  SELECT source, word, c_sw, n_s, c_w, n_c,
+        |    abs(CAST(c_sw AS HUGEINT) * n_c - CAST(c_w AS HUGEINT) * n_s)
+        |      AS dv
+        |  FROM wc JOIN corpus USING (word)
+        |    JOIN per_source USING (source), total),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY dv DESC, word) AS rnk
+        |      FROM dev)
+        |SELECT source, rnk, word, c_sw, n_s, c_w, n_c,
+        |  CAST(c_sw AS DOUBLE) * CAST(n_c AS DOUBLE)
+        |    / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE)) AS lift
+        |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     "ta_gopher" ->
       s"""SELECT doc_id, n_words, mean_wl, n_stop, top_ratio,
          | r_wc, r_mwl, r_stop, r_rep, r_wc * r_mwl * r_stop * r_rep AS keep

@@ -67,7 +67,12 @@ object Tables {
           hooked.remove(spark)
         }
       })
-    cache.computeIfAbsent((spark, dir, name), _ =>
+    // scan creation is serialized per session: the events branch flips a
+    // session conf around schema resolution, and a concurrent OTHER-table
+    // scan created inside that window would resolve its timestamps under
+    // the flipped setting (parallel test suites share the session). The
+    // lock spans only footer reads (~ms, once per (dir, table)).
+    cache.computeIfAbsent((spark, dir, name), _ => spark.synchronized {
       if (name == "events") {
         // µs-timestamp events data is parquet TIMESTAMP(MICROS,
         // isAdjustedToUTC=false); under the NTZ-inference default it would
@@ -86,7 +91,8 @@ object Tables {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)
         }
-      } else spark.read.parquet(s"$dir/$name.parquet"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
   }
 
   /** The events table with `ts_ns` (epoch nanoseconds at µs grain,

@@ -227,6 +227,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.toSeq === px.toSeq)
   }
 
+  test("animated GIF: frames round-trip in order and ImageIO sees every frame") {
+    val rnd = new scala.util.Random(7)
+    val (w, h) = (40, 24)
+    val frames = Seq.fill(5)(Array.fill(w * h)(rnd.nextInt(256)))
+    val bytes = Multimodal.encodeGifGrayAnimated(w, h, frames)
+    // our decoder: every frame, in order, bit-exact
+    val (bw, bh, back) = Multimodal.decodeGifGrayFrames(1L, bytes)
+    assert((bw, bh) === ((w, h)))
+    assert(back.length === 5)
+    frames.zip(back).zipWithIndex.foreach { case ((want, got), t) =>
+      assert(got.toSeq === want.toSeq, s"frame $t")
+    }
+    // independent reference: ImageIO's GIF plugin reads the same count
+    // and the same first frame (later frames go through ImageIO's
+    // disposal compositing, so frame 0 is the clean differential)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) === 5)
+    val img0 = reader.read(0)
+    val got0 = Array.tabulate(w * h)(k => img0.getRaster.getSample(k % w, k / w, 0))
+    assert(got0.toSeq === frames.head.toSeq, "frame 0 vs ImageIO")
+    // single-frame files still decode through the same walker
+    val single = Multimodal.decodeGifGray(2L,
+      Multimodal.encodeGifGray(w, h, frames.head))
+    assert(single._3.toSeq === frames.head.toSeq)
+  }
+
+  test("motion stats: planted static vs scrolling clips") {
+    // static clip: all frames identical -> zero motion everywhere
+    val base = Array.tabulate(40 * 24)(k => (k * 37) % 256)
+    val static = Multimodal.encodeGifGrayAnimated(40, 24, Seq.fill(4)(base))
+    val (_, _, fs) = Multimodal.decodeGifGrayFrames(3L, static)
+    assert(fs.length === 4 && fs.forall(_.toSeq == base.toSeq))
+    // hard-cut clip: frame 2 inverts -> one cut-grade transition pair
+    val inv = base.map(255 - _)
+    val cut = Seq(base, base, inv, inv)
+    val bytes = Multimodal.encodeGifGrayAnimated(40, 24, cut)
+    val (_, _, fc) = Multimodal.decodeGifGrayFrames(4L, bytes)
+    val diffs = fc.sliding(2).map { p =>
+      p(0).zip(p(1)).map { case (a, b) => math.abs(a - b).toLong }.sum
+    }.toSeq
+    assert(diffs(0) === 0L && diffs(2) === 0L)
+    assert(diffs(1) >= Multimodal.CutMeanDelta.toLong * 40 * 24,
+      "the inversion transition must be cut-grade")
+  }
+
   test("both image codecs agree with the JDK's independent ImageIO decoders") {
     // a matched encoder/decoder bug pair would survive our own round-trip
     // test; ImageIO is an independent reference implementation. Random
