@@ -126,11 +126,55 @@ object Sources {
         .csv(out))
   }
 
+  /** events → hive-partitioned parquet (partitionBy event_type) → PRUNED
+    * read-back, summarized per class. The 100 TB layout primitive: a
+    * reader filtering one class lists and scans ONLY that class's
+    * directory — the filter becomes PartitionFilters, zero data pages
+    * touched elsewhere (PlanSpec pins it). Partition values round-trip
+    * through directory NAMES, not data pages; their fidelity (plus the
+    * reordered column layout the writer produces) is this gate's point.
+    * The row checksum hashes only the integer columns — a double's
+    * to-string differs across engines, so `value` fidelity rides the
+    * exact-decimal sum instead.
+    */
+  def partitionedRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-part")
+    Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts_ns")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("ts_ns", LongType),
+      StructField("event_type", StringType)))
+    prunedSummary(spark.read.schema(schema).parquet(out))
+  }
+
+  /** The pruned-read summary over a partitioned events layout (factored
+    * so PlanSpec can pin PartitionFilters on the same frame the query
+    * publishes).
+    */
+  private[graft] def prunedSummary(back: DataFrame): DataFrame =
+    back.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("h", portableHash60(concat_ws("\u0001",
+        col("event_id"), col("user_id"), col("ts_ns"))))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
+          % lit(1000000007L)).cast("long").as("checksum_sum"))
+      .orderBy("event_type")
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl" -> ((s, d) => jsonlRoundTrip(s, d)),
     "src_csv" -> ((s, d) => csvRoundTrip(s, d)),
+    "src_partitioned" -> ((s, d) => partitionedRoundTrip(s, d)),
   )
 
   /** Both oracles ignore the format hop entirely: they decorate + summarize
@@ -159,5 +203,19 @@ object Sources {
   def oracle: Map[String, String] = Map(
     "src_jsonl" -> oracleSummary,
     "src_csv" -> oracleSummary,
+    // the oracle never sees the partitioned layout: it summarizes the
+    // filtered classes straight off the parquet — equal answers ⇔ the
+    // partitionBy write + pruned read changed nothing
+    "src_partitioned" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |      event_id, user_id, epoch_ns(ts))), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  bit_xor(h) AS checksum_xor,
+        |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

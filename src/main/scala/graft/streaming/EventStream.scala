@@ -125,6 +125,28 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("v"))
 
+  /** Streaming OHLC bars — the q83 resample computed INSIDE the stream.
+    * Window functions don't exist on streams, so open/close use the
+    * aggregate-only formulation: min_by/max_by on the total
+    * (ts_ns, event_id) key — deterministic because the key is unique,
+    * and exactly the first/last tick the batch row_number picks. Same
+    * exact-decimal volume; shares q83's oracle verbatim.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts_ns"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts_ns"), col("event_id"))).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("volume"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("open"), col("close"),
+        col("low"), col("high"), col("volume"))
+
   /** Stream-static join: enrich the event stream with the customer
     * dimension, then window-aggregate per market segment. The static side
     * is planned as a broadcast per micro-batch (no stream-side shuffle for
@@ -385,6 +407,11 @@ object EventStream {
         OutputMode.Complete)
       s.table("st_time_window_sink").orderBy("bucket", "event_type")
     }),
+    "st_ohlc" -> ((s, d) => {
+      runToMemory(ohlcBars(readEvents(s, d)), "st_ohlc_sink",
+        OutputMode.Complete)
+      s.table("st_ohlc_sink").orderBy("bucket", "event_type")
+    }),
     "st_enrich" -> ((s, d) => {
       runToMemory(
         enrichedWindowedCounts(readEvents(s, d),
@@ -551,6 +578,10 @@ object EventStream {
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    // the stream must reproduce the batch resample bit-for-bit: the
+    // aggregate-only open/close (min_by/max_by on the unique total key)
+    // equals the batch row_number pick, so q83's oracle serves unchanged
+    "st_ohlc" -> graft.queries.Relational.oracle("q83_ohlc_bars"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
     "st_upsert" ->

@@ -507,6 +507,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum(cast(value"), p)
   }
 
+  test("src_partitioned: the class filter prunes partitions at the scan") {
+    val df = graft.sources.Sources.partitionedRoundTrip(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the isin filter must reach the scan as PARTITION pruning (directory
+    // listing) with NO residual data filter over the row groups
+    assert("PartitionFilters: \\[event_type#\\d+ IN \\(click,purchase\\)\\]"
+      .r.findFirstIn(p).isDefined, p)
+    assert(p.contains("DataFilters: []"), p)
+  }
+
   test("q84 IVM join: customer broadcasts into both branches; merge is group-key sized") {
     val df = Relational.defs("q84_ivm_join")(spark, dir)
     df.collect()
