@@ -36,6 +36,15 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 content operators handle an empty corpus") {
+    import graft.operators.Multimodal
+    assert(Multimodal.edgeStats(noDocs).count() === 0)
+    assert(Multimodal.motionStats(noDocs).count() === 0)
+    assert(TextAnalysis.distinctiveWords(noDocs).count() === 0)
+    assert(Multimodal.audioAutocorr(
+      Multimodal.synthesizeMedia(noDocs)).count() === 0)
+  }
+
   test("dedup operators handle an empty corpus") {
     assert(Dedup.exact(noDocs).count() === 0)
     assert(Dedup.minhashLshPairs(noDocs).count() === 0)
