@@ -117,6 +117,7 @@ object Relational {
     "q82_kmv_setops" -> q82,
     "q83_ohlc_bars" -> q83,
     "q84_ivm_join" -> q84,
+    "q85_native_topk" -> q85,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2539,6 +2540,26 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Per-key top-k through the library's NATIVE physical operator
+    * ([[graft.plans.TopKPerKey]] — logical node + strategy + two-phase
+    * bounded-heap SparkPlan): each customer's 3 highest-value orders.
+    * The ordering is total (totalprice desc, orderkey asc), so the
+    * result equals the window row_number formulation the oracle runs —
+    * while the plan's exchange carries at most 3 × partitions rows per
+    * customer instead of every order (the q26 window shape sorts whole
+    * partitions; PlanSpec pins this plan has NO sort before the
+    * exchange and both exec phases present).
+    */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.plans.TopKPerKey.perKey(o,
+      keys = Seq("o_custkey"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+      k = 3)
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3483,6 +3504,15 @@ object Relational {
         |  min(value) AS low, max(value) AS high,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q85: the oracle is the WINDOW formulation — equality proves the
+    // native bounded-heap operator implements the same semantics
+    "q85_native_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     // q84: the oracle RECOMPUTES the view from scratch; the Spark side
     // maintains it incrementally (base + fact-side delta, merged) —
     // equality proves the IVM algebra

@@ -28,4 +28,13 @@ object GraftShims {
   def registerInjectedFunctions(ext: SparkSessionExtensions,
                                 registry: FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** Wrap a custom LogicalPlan as a DataFrame — `Dataset.ofRows` with the
+    * same private[sql] visibility; the entry point every library that
+    * contributes its own plan nodes needs.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -275,6 +275,39 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKPerKey equals the window formulation on skewed data; edge cases hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 80% of rows on one hot key + singleton keys + a key with fewer
+    // than k rows; unique id makes the ordering total
+    val rows = (0 until 4000).map { i =>
+      val key = if (i % 5 != 0) 7L else (i % 97).toLong
+      (i.toLong, key, (i * 2654435761L) % 1000)
+    }
+    val df = rows.toDF("id", "key", "score").repartition(13)
+    val got = graft.plans.TopKPerKey
+      .perKey(df, Seq("key"), Seq("score" -> false, "id" -> true), k = 5)
+      .select("id").as[Long].collect().toSet
+    val want = df.withColumn("rn", row_number().over(
+        Window.partitionBy("key")
+          .orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rn") <= 5).select("id").as[Long].collect().toSet
+    assert(got === want)
+    // k larger than any group: identity
+    val all = graft.plans.TopKPerKey
+      .perKey(df, Seq("key"), Seq("id" -> true), k = 100000)
+    assert(all.count() === 4000)
+    // empty input: empty result, schema intact
+    val none = graft.plans.TopKPerKey
+      .perKey(df.filter(lit(false)), Seq("key"), Seq("id" -> true), k = 3)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "key", "score"))
+    // unknown column fails loudly
+    val e = intercept[RuntimeException] {
+      graft.plans.TopKPerKey.perKey(df, Seq("nope"), Seq("id" -> true), 1)
+    }
+    assert(e.getMessage.contains("no column 'nope'"))
+  }
+
   test("signature store: parameter drift and missing _meta.json are rejected") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, TestSpark.sf0001, "documents")

@@ -507,6 +507,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum(cast(value"), p)
   }
 
+  test("q85 native top-k: two bounded-heap phases around one key exchange, zero sorts") {
+    val df = Relational.defs("q85_native_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // partial phase before the exchange, final after — the window
+    // formulation this replaces would sort whole partitions instead
+    assert("TopKPerKey .*, 3, true".r.findFirstIn(p).isDefined, p)
+    assert("TopKPerKey .*, 3, false".r.findFirstIn(p).isDefined, p)
+    assert("Exchange hashpartitioning\\(o_custkey".r.findFirstIn(p).isDefined, p)
+    // no Sort anywhere below the presentation orderBy, no Window at all
+    assert(!p.contains("Window"), p)
+    assert("Sort ".r.findAllMatchIn(p).size === 1, p) // the orderBy only
+    // column pruning survives the custom node
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
+  }
+
   test("src_partitioned: the class filter prunes partitions at the scan") {
     val df = graft.sources.Sources.partitionedRoundTrip(spark, dir)
     df.collect()
