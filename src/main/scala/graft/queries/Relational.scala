@@ -118,6 +118,7 @@ object Relational {
     "q83_ohlc_bars" -> q83,
     "q84_ivm_join" -> q84,
     "q85_native_topk" -> q85,
+    "q86_twap" -> q86,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2560,6 +2561,44 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-weighted average per hour per class — the irregular-sampling
+    * complement of q83's OHLC (a value that held for 50 minutes must
+    * outweigh one that held for 2 seconds; the row-mean both engines
+    * would naively compute is wrong whenever arrivals cluster). Each
+    * observation is weighted by its HOLDING TIME: the exact ns gap to
+    * the next event in the same (hour, class), the last one holding to
+    * the bucket's end. All weights are exact integers; value·dt
+    * accumulates in DECIMAL ((18,2) × a ≤3.6·10^12 ns gap stays far
+    * inside DECIMAL(38,2)); ONE IEEE division at the end.
+    *
+    * Scale: q83's exact shuffle envelope — one hash exchange on
+    * (bucket, class), the lead window and the aggregate reuse it.
+    */
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val ev = Tables.events(spark, dir)
+      .select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"),
+        (unix_micros(date_trunc("hour", col("ts"))) * lit(1000L) + lit(hourNs))
+          .as("bucket_end_ns"),
+        col("event_type"), col("ts_ns"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("bucket"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    ev.withColumn("dt_ns",
+        coalesce(lead(col("ts_ns"), 1).over(w), col("bucket_end_ns"))
+          - col("ts_ns"))
+      .groupBy("bucket", "event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dt_ns")).as("covered_ns"),
+        (sum(d2(col("value")) * col("dt_ns")).cast("double")
+          / sum(col("dt_ns")).cast("double")).as("twap"),
+        (sum(d2(col("value"))).cast("double") / count(lit(1)))
+          .as("naive_mean"))
+      .orderBy("bucket", "event_type")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3513,6 +3552,27 @@ object Relational {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q86_twap" ->
+      """WITH e AS (
+        |  SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+        |           '%Y-%m-%d %H:%M:%S') AS bucket,
+        |    epoch_ns(time_bucket(INTERVAL '1 hour', ts)) + 3600000000000
+        |      AS bucket_end_ns,
+        |    event_type, epoch_ns(ts) AS ts_ns, event_id, value
+        |  FROM events),
+        |d AS (
+        |  SELECT bucket, event_type, value,
+        |    coalesce(lead(ts_ns, 1) OVER (
+        |        PARTITION BY bucket, event_type
+        |        ORDER BY ts_ns, event_id), bucket_end_ns) - ts_ns AS dt_ns
+        |  FROM e)
+        |SELECT bucket, event_type, count(*) AS n,
+        |  CAST(sum(dt_ns) AS BIGINT) AS covered_ns,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_ns) AS DOUBLE)
+        |    / CAST(sum(dt_ns) AS DOUBLE) AS twap,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS naive_mean
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q84: the oracle RECOMPUTES the view from scratch; the Spark side
     // maintains it incrementally (base + fact-side delta, merged) —
     // equality proves the IVM algebra

@@ -275,6 +275,27 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("PlanAudit flags cartesian joins, global windows, and wide scans; clean plans pass") {
+    import graft.tools.PlanAudit
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+    val o = Tables.load(spark, TestSpark.sf0001, "orders")
+    // deliberate scale-killers
+    val cart = li.limit(5).crossJoin(o.limit(5))
+    assert(PlanAudit.audit(cart).exists(f => f.rule == "cartesian" && f.error))
+    val gw = o.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_orderkey"))))
+    assert(PlanAudit.audit(gw).exists(f => f.rule == "global-window" && f.error))
+    val e = intercept[IllegalArgumentException] { PlanAudit.assertScaleSafe(gw) }
+    assert(e.getMessage.contains("global-window"))
+    // unpruned wide scan warns, pruned one doesn't
+    val wide = li.filter(col("l_quantity") > 0) // all 11 columns survive
+    assert(PlanAudit.audit(wide).exists(f => f.rule == "wide-scan" && !f.error))
+    // clean plans from the roster audit clean
+    for (q <- Seq("q44_tpch_q3", "q03_broadcast_join_agg", "q85_native_topk"))
+      PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
+  }
+
   test("TopKPerKey equals the window formulation on skewed data; edge cases hold") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
