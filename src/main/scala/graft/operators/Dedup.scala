@@ -93,6 +93,70 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** Prefix-filtering exact Jaccard join (AllPairs / PPJoin family,
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08): the EXACT similarity
+    * join whose candidate generation is bounded by rare-shingle
+    * collisions instead of a document-frequency cap.
+    *
+    * Shingles are globally ordered rarest-first (ascending df, ties by
+    * shingle text). A doc with n shingles exposes only its first
+    * p = n − ⌈τ·n⌉ + 1 shingles in that order as join keys: if
+    * J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and by pigeonhole any
+    * (|X| − t + 1)-prefix of X must contain an element of an
+    * intersection of size ≥ t — so every qualifying pair collides on
+    * some shared prefix shingle and candidate completeness holds. The
+    * ⌈τ·n⌉ is computed with a 1e-9 downward guard: an fp error can then
+    * only LENGTHEN the prefix (more candidates, never a miss), and the
+    * exact verify below makes the output correct for any superset of
+    * candidates anyway.
+    *
+    * Scale (100 TB): the join fans out on PREFIX occurrences only —
+    * rarest-first ordering puts boilerplate shingles (the df² hazard
+    * that forces [[ngramJaccardPairs]]'s dfCap) at the END of every
+    * doc's ordering, where the threshold excludes them from prefixes
+    * of any doc that isn't mostly boilerplate. Candidates then fan out
+    * as sum over PREFIX shingles of df², with prefixes skewed to
+    * df≈1 shingles — the standard exact-join scale path next to the
+    * approximate LSH one. Verification joins candidate pairs back to
+    * the full shingle sets keyed on (doc, shingle): candidate-bounded,
+    * never all-pairs. The df side is vocabulary-sized and
+    * shuffle-joined (never broadcast — Heaps' law).
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingles(docs)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val lists = sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p",
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+          .cast("int"))
+    val prefix = lists
+      .select(col("doc_id"),
+        explode(slice(col("toks"), lit(1), col("p"))).as("t"))
+      .select(col("doc_id"), col("t.s").as("s"))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("a_id"), col("s"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("s"))
+    val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val sizes = lists.select(col("doc_id"), col("n"))
+    inter
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+  }
+
   /** MinHash signatures, wide form: one row per doc with columns m1..mK.
     * K min-aggregates over the shingle hashes in a single groupBy — no
     * K-fold row explosion before the shuffle (the first cut cross-joined a
@@ -940,6 +1004,11 @@ object Dedup {
       exact(Tables.load(s, d, "documents")).orderBy("content_hash")),
     "dd_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(Tables.load(s, d, "documents"), 0.5).orderBy("a_id", "b_id")),
+    // exact Jaccard through prefix filtering: the oracle is the UNCAPPED
+    // full shared-shingle join — equality proves candidate completeness
+    "dd_prefix_join" -> ((s, d) =>
+      prefixJaccardPairs(Tables.load(s, d, "documents"), 0.5)
+        .orderBy("a_id", "b_id")),
     "dd_minhash_lsh" -> ((s, d) =>
       minhashLshPairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_simhash" -> ((s, d) =>
@@ -1194,6 +1263,18 @@ object Dedup {
     "dd_minhash_lsh" ->
       s"""WITH $PAIR_CTES
          |SELECT a_id, b_id FROM pairs ORDER BY 1, 2""".stripMargin,
+    "dd_prefix_join" ->
+      s"""WITH sh AS ($SH),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2)
+         |SELECT a_id, b_id, inter, sa.n + sb.n - inter AS uni,
+         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
     "dd_simhash" ->
       s"""WITH sh AS ($SH),
          |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h

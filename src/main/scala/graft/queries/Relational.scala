@@ -119,6 +119,7 @@ object Relational {
     "q84_ivm_join" -> q84,
     "q85_native_topk" -> q85,
     "q86_twap" -> q86,
+    "q87_skyline" -> q87,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2599,6 +2600,69 @@ object Relational {
       .orderBy("bucket", "event_type")
   }
 
+  /** 2-D skyline (Pareto frontier) kernel: rows not dominated by any
+    * other row — q dominates p iff q.x ≥ p.x AND q.y ≥ p.y with at
+    * least one strict. Duplicated points survive together (neither
+    * strictly dominates its twin), matching the oracle's NOT EXISTS.
+    *
+    * The naive formulation is an O(n²) NOT-EXISTS self-join (that IS
+    * the oracle — the differential proves this plan). Here the frontier
+    * is a cummax recurrence: group by distinct x, keep a group iff its
+    * max-y strictly exceeds the running max-y over all HIGHER x, then
+    * join back the rows at (x, ymax). The running max is two-level (the
+    * ta_pack prefix-sum discipline): x is range-bucketed by an
+    * order-PRESERVING width, the only partition-less window runs over
+    * BUCKET MAXIMA (row count bounded by the value range over the
+    * bucket width, never by the table), and the per-x pass is
+    * partitioned by bucket. Dominance across buckets is exact because
+    * bucketing is monotone: x' > x ⟹ bucket' ≥ bucket.
+    */
+  private[graft] def skyline2d(pts: DataFrame, id: String, x: String,
+      y: String, bucketWidth: Long): DataFrame = {
+    val g = pts.groupBy(col(x)).agg(max(col(y)).as("ymax"))
+      .withColumn("bucket", floor(col(x) / bucketWidth))
+    val bmax = g.groupBy("bucket").agg(max(col("ymax")).as("by"))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bprev = bmax.withColumn("prev_b", max(col("by")).over(wb)).drop("by")
+    val wi = Window.partitionBy(col("bucket")).orderBy(col(x).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = g.join(bprev, "bucket")
+      .withColumn("prev_in", max(col("ymax")).over(wi))
+      .withColumn("prev", greatest(col("prev_b"), col("prev_in")))
+      .filter(col("prev").isNull || col("ymax") > col("prev"))
+      .select(col(x).as("f_x"), col("ymax"))
+    pts.join(frontier,
+        col(x) === col("f_x") && col(y) === col("ymax"))
+      .select(col(id), col(x), col(y))
+  }
+
+  /** Customer skyline on (lifetime spend, account balance): the Pareto
+    * frontier nobody beats on both axes — the recommendation/outlier
+    * shape behind "best tradeoff" queries. Spend is the exact-decimal
+    * order-value sum (customers without orders enter at 0 and can still
+    * make the frontier on balance alone); both axes publish as DOUBLE
+    * (exact cents). Oracle is the quadratic NOT-EXISTS dominance
+    * self-join — equality proves the O(n log n) cummax plan computes
+    * the identical frontier, ties and duplicates included.
+    */
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal")
+    val o = Tables.load(spark, dir, "orders")
+    val spend = o.groupBy("o_custkey")
+      .agg(sum(d2(col("o_totalprice"))).as("sp"))
+    val pts = c.join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("sp"), lit(0).cast(D)).as("spend"),
+        col("c_acctbal").as("bal"))
+    skyline2d(pts, "c_custkey", "spend", "bal", bucketWidth = 10000L)
+      .select(col("c_custkey"),
+        col("spend").cast("double").as("spend"),
+        col("bal").cast("double").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3573,6 +3637,25 @@ object Relational {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    AS naive_mean
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q87: the oracle is the QUADRATIC dominance self-join — equality
+    // proves the cummax frontier plan
+    "q87_skyline" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    coalesce(s.sp, CAST(0 AS DECIMAL(18,2))) AS spend,
+        |    c_acctbal AS bal
+        |  FROM customer
+        |  LEFT JOIN (SELECT o_custkey,
+        |               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        |             FROM orders GROUP BY 1) s ON s.o_custkey = c_custkey)
+        |SELECT p.c_custkey, CAST(p.spend AS DOUBLE) AS spend,
+        |       CAST(p.bal AS DOUBLE) AS acctbal
+        |FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.spend >= p.spend AND q.bal >= p.bal
+        |    AND (q.spend > p.spend OR q.bal > p.bal))
+        |ORDER BY p.c_custkey""".stripMargin,
     // q84: the oracle RECOMPUTES the view from scratch; the Spark side
     // maintains it incrementally (base + fact-side delta, merged) —
     // equality proves the IVM algebra

@@ -58,6 +58,39 @@ class DedupSpec extends AnyFunSuite {
     assert(a === b, "default cap must be a no-op on the test corpus")
   }
 
+  test("prefix-filtering jaccard == exact all-pairs jaccard (candidate completeness)") {
+    // full-row equality (ids, counts, AND jaccard values), at a high and
+    // a low threshold: the prefix lemma must not miss a single pair
+    for (tau <- Seq(0.8, 0.3)) {
+      val exact = Dedup.ngramJaccardPairs(docs, tau, dfCap = Int.MaxValue)
+        .orderBy("a_id", "b_id").collect().toSeq
+      val viaPrefix = Dedup.prefixJaccardPairs(docs, tau)
+        .orderBy("a_id", "b_id").collect().toSeq
+      assert(exact.nonEmpty, s"tau=$tau should match planted pairs")
+      assert(viaPrefix === exact, s"tau=$tau prefix join diverged")
+    }
+  }
+
+  test("prefix-filtering jaccard: boilerplate shingles stay out of prefixes") {
+    import spark.implicits._
+    // one df-12 boilerplate shingle, one true content pair. Suffixes are
+    // LETTERS (digits would be stripped by the non-letter tokenizer,
+    // collapsing docs 2..11 into exact duplicates). At tau=0.5 every
+    // doc's prefix is its RAREST shingles, so the hot shingle generates
+    // no candidates and only the content pair survives — without any
+    // frequency cap.
+    val tiny = (0 until 12).map { i =>
+      val t = ('a' + i).toChar
+      val unique =
+        if (i <= 1) "alpha beta gamma delta epsilon zeta"
+        else s"unique$t only$t words$t here$t now$t then$t"
+      (i.toLong, s"lorem ipsum dolor $unique")
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(tiny, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)), s"got $got")
+  }
+
   test("LSH-prefiltered jaccard verify == exact all-pairs jaccard on planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -275,6 +275,31 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline2d == brute-force dominance on ties, duplicates, and negatives") {
+    // adversarial frame: duplicate frontier points (both must survive),
+    // a point dominated only through equal-x (strict y), a point
+    // dominated only through equal-y (strict x), negative y values, and
+    // x values straddling bucket boundaries of the two-level cummax
+    val pts = Seq(
+      (1L, 100L, 50L), (2L, 100L, 50L),   // duplicates on the frontier?
+      (3L, 100L, 40L),                     // same x, lower y -> dominated
+      (4L, 90L, 50L),                      // same y, lower x -> dominated
+      (5L, 250L, -10L), (6L, 251L, -10L),  // eq-y pair across a boundary
+      (7L, 0L, 99L), (8L, 10_050L, 1L),    // far buckets
+      (9L, 10_050L, 1L), (10L, 9_999L, 2L),
+    ).toDF("id", "x", "y")
+    val got = graft.queries.Relational.skyline2d(pts, "id", "x", "y", 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rows = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.map(_._1).toSet
+    assert(got === want, s"got $got want $want")
+    assert(Set(1L, 2L).subsetOf(got), "duplicate frontier points must both survive")
+    assert(!got.contains(3L) && !got.contains(4L) && !got.contains(5L))
+  }
+
   test("PlanAudit flags cartesian joins, global windows, and wide scans; clean plans pass") {
     import graft.tools.PlanAudit
     import org.apache.spark.sql.expressions.Window
