@@ -870,7 +870,8 @@ object Multimodal {
                               n_px: Int, sum_px: Long, sum_sq: Long,
                               min_px: Int, max_px: Int,
                               sum_dx: Long, sum_dy: Long,
-                              max_grad: Int, n_edges: Long)
+                              max_grad: Int, n_edges: Long,
+                              hist: Array[Long])
 
   /** ONE decode pass per image serves every image consumer: synthesize
     * the thumbnail (PNG or GIF), decode the REAL bytes back (chunk walk +
@@ -888,9 +889,11 @@ object Multimodal {
         val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
         val (hash, ones) = averageHash60(w, h, px)
         var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
+        val bins = new Array[Long](8) // 8 equal-width gray-level bins
         while (i < px.length) {
           val v = px(i); s += v; s2 += v.toLong * v
           if (v < mn) mn = v; if (v > mx) mx = v
+          bins(v >> 5) += 1L
           i += 1
         }
         // first-difference gradients over the same pixel array (the
@@ -916,7 +919,7 @@ object Multimodal {
           y += 1
         }
         ImageStats(f.doc_id, hash, ones, px.length, s, s2, mn, mx,
-          dx, dy, mg, ne)
+          dx, dy, mg, ne, bins)
       }).toDF()
     // the image table is a shared intermediate exactly like the MinHash
     // signatures (pairs self-join reads it twice; st_phash probes it as
@@ -955,6 +958,18 @@ object Multimodal {
   def pixelStats(docs: DataFrame): DataFrame =
     imageTable(docs).select("doc_id", "n_px", "sum_px", "sum_sq",
       "min_px", "max_px")
+
+  /** 8-bin equal-width gray-level histogram over the DECODED pixels —
+    * the exposure/contrast distribution an image-curation gate reads
+    * (a blown-out or crushed image concentrates mass in the end bins;
+    * [[pixelStats]]' mean/range can't see bimodality). Counted in the
+    * shared [[imageTable]] decode loop (bin = v >> 5, exact integers),
+    * published as flat columns; one more projection of the one decode
+    * pass, zero extra shuffles.
+    */
+  def pixelHistogram(docs: DataFrame): DataFrame =
+    imageTable(docs).select(col("doc_id") +:
+      (0 until 8).map(i => element_at(col("hist"), i + 1).as(s"h$i")): _*)
 
   /** Strong-edge threshold for [[edgeStats]]: a first-difference of at
     * least this many gray levels counts as an edge.
@@ -1083,6 +1098,8 @@ object Multimodal {
         .orderBy("a_id", "b_id")),
     "mm_pixel_stats" -> ((s, d) =>
       pixelStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_hist" -> ((s, d) =>
+      pixelHistogram(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_edge_stats" -> ((s, d) =>
       edgeStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_motion_stats" -> ((s, d) =>
@@ -1217,6 +1234,18 @@ object Multimodal {
          |  CAST(sum(g * g) AS BIGINT) AS sum_sq,
          |  CAST(min(g) AS INTEGER) AS min_px,
          |  CAST(max(g) AS INTEGER) AS max_px
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pixel-recipe replay, binned: the Spark side bins REAL decoded bytes
+    "mm_hist" ->
+      s"""WITH r AS ($R),
+         |px AS (
+         |  SELECT doc_id,
+         |         (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y))
+         |SELECT doc_id,
+         |${(0 until 8).map(i =>
+              s"  CAST(sum(CASE WHEN g // 32 = $i THEN 1 ELSE 0 END) AS BIGINT) AS h$i")
+             .mkString(",\n")}
          |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     // pixel-recipe replay + first-difference arithmetic: the Spark side
     // differences REAL decoded bytes; the oracle differences the recipe

@@ -120,6 +120,7 @@ object Relational {
     "q85_native_topk" -> q85,
     "q86_twap" -> q86,
     "q87_skyline" -> q87,
+    "q88_interval_join" -> q88,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2663,6 +2664,60 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Interval-overlap self-join via MONOTONE TIME BUCKETING — the
+    * scalable plan for "which pairs of intervals overlap": each interval
+    * [s, e] is exploded into the calendar months it spans (transit
+    * windows span 1–2), the self-join runs on (key, month) — an EQUI
+    * join Spark hash-partitions — and a pair is counted exactly once by
+    * the CANONICAL-BUCKET rule: only in the month of the LATER START
+    * (that month lies inside both intervals whenever they overlap, so
+    * the pair is guaranteed present there and nowhere counted twice).
+    * The naive formulation is a θ-join on s ≤ e' ∧ s' ≤ e — a
+    * nested-loop cartesian per key that detonates at scale; that IS the
+    * oracle, so equality proves the bucketed decomposition exact.
+    *
+    * The query: per supplier, how many pairs of its heavy shipments
+    * (l_quantity ≥ 48) were simultaneously in transit, plus total and
+    * max overlap days — the fleet-utilization/concurrency shape. This
+    * schema carries no receipt date, so the transit window is the
+    * deterministic [l_shipdate, l_shipdate + l_quantity days] (both
+    * engines derive it identically). Pair identity is the
+    * (orderkey, linenumber) struct order, exact integer day arithmetic.
+    *
+    * Scale: join fan-out is bounded by per-(supplier, month) interval
+    * counts (salt the month key further if one month is hot); no
+    * cross join, no global sort, aggregate output is supplier-sized.
+    */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_suppkey").as("sk"),
+        struct(col("l_orderkey"), col("l_linenumber")).as("iid"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")), col("l_quantity").cast("int"))
+          .as("e"))
+    val bucketed = iv.withColumn("bucket",
+      explode(expr("sequence(trunc(s, 'MM'), trunc(e, 'MM'), interval 1 month)")))
+    val a = bucketed.select(col("sk"), col("bucket"), col("iid").as("a_iid"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = bucketed.select(col("sk"), col("bucket"), col("iid").as("b_iid"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    a.join(b, Seq("sk", "bucket"))
+      .filter(col("a_iid") < col("b_iid")
+        && col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+        && col("bucket") === trunc(greatest(col("a_s"), col("b_s")), "MM"))
+      .select(col("sk"),
+        (datediff(least(col("a_e"), col("b_e")),
+          greatest(col("a_s"), col("b_s"))) + 1).as("ov"))
+      .groupBy("sk")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ov")).as("total_overlap_days"),
+        max(col("ov")).as("max_overlap_days"))
+      .select(col("sk").as("l_suppkey"), col("n_pairs"),
+        col("total_overlap_days"), col("max_overlap_days"))
+      .orderBy("l_suppkey")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3656,6 +3711,25 @@ object Relational {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin,
+    // q88: the oracle is the NAIVE θ-join per supplier — equality proves
+    // the canonical-bucket decomposition counts every overlapping pair
+    // exactly once
+    "q88_interval_join" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS sk, l_orderkey AS ok, l_linenumber AS ln,
+        |         CAST(l_shipdate AS DATE) AS s,
+        |         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS e
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |p AS (
+        |  SELECT a.sk,
+        |    CAST(least(a.e, b.e) - greatest(a.s, b.s) + 1 AS INTEGER) AS ov
+        |  FROM iv a JOIN iv b
+        |    ON a.sk = b.sk AND (a.ok, a.ln) < (b.ok, b.ln)
+        |   AND a.s <= b.e AND b.s <= a.e)
+        |SELECT sk AS l_suppkey, count(*) AS n_pairs,
+        |  CAST(sum(ov) AS BIGINT) AS total_overlap_days,
+        |  CAST(max(ov) AS INTEGER) AS max_overlap_days
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // q84: the oracle RECOMPUTES the view from scratch; the Spark side
     // maintains it incrementally (base + fact-side delta, merged) —
     // equality proves the IVM algebra

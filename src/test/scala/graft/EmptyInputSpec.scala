@@ -98,6 +98,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Multimodal.phash(noDocs).count() === 0)
     assert(Multimodal.phashPairs(noDocs).count() === 0)
     assert(Multimodal.pixelStats(noDocs).count() === 0)
+    assert(Multimodal.pixelHistogram(noDocs).count() === 0)
     assert(Dedup.hammingPairs60(
       Multimodal.phash(noDocs), "phash60", 2).count() === 0)
   }

@@ -3,6 +3,7 @@ package graft
 import graft.operators.Multimodal
 import graft.operators.Multimodal.{HeaderDecoder, HeaderMeta, MediaFile}
 import graft.tables.Tables
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Header-decoder spec. The fixtures below are REAL container bytes
@@ -182,6 +183,25 @@ class MultimodalSpec extends AnyFunSuite {
           Some(r.wavSampleRate), Some(r.wavSamples))
       }
       assert(got(id) === expect, s"doc $id")
+    }
+  }
+
+  test("pixel histogram bins partition the pixels exactly") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents").limit(40)
+    val binSum = (0 until 8).map(i => col(s"h$i")).reduce(_ + _)
+    val joined = Multimodal.pixelHistogram(docs)
+      .join(Multimodal.pixelStats(docs), "doc_id")
+      .select(col("doc_id"), binSum.as("bs"), col("n_px"),
+        col("min_px"), col("max_px"), col("h0"), col("h7"))
+      .collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) {
+      assert(r.getAs[Long]("bs") === r.getAs[Int]("n_px").toLong,
+        s"doc ${r.getLong(0)}: bins must sum to the pixel count")
+      // bin/range consistency: a populated end bin implies the range
+      // reaches into it and vice versa
+      assert((r.getAs[Long]("h0") > 0) === (r.getAs[Int]("min_px") < 32))
+      assert((r.getAs[Long]("h7") > 0) === (r.getAs[Int]("max_px") >= 224))
     }
   }
 
