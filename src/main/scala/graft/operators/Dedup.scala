@@ -73,7 +73,20 @@ object Dedup {
     * [[ngramJaccardPairsViaLsh]] remains the scale path.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-                        dfCap: Int = 100): DataFrame = {
+                        dfCap: Int = 100): DataFrame =
+    cappedPairStats(docs, dfCap)
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "inter", "uni", "jaccard")
+
+  /** Capped shared-shingle pair statistics (a_id, b_id, inter, na, nb)
+    * over the dfCap-filtered shingle space — the shared kernel of the
+    * exact Jaccard and containment joins (one definition of the
+    * intersection exchange; the consumers differ only in the similarity
+    * functional applied on top).
+    */
+  private def cappedPairStats(docs: DataFrame, dfCap: Int): DataFrame = {
     val shAll = shingles(docs)
     val kept = shAll.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("s")
@@ -87,11 +100,36 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
+
+  /** Asymmetric CONTAINMENT join (Broder's containment coefficient):
+    * C = |A∩B| / min(|A|, |B|) — the subset-duplicate signal Jaccard
+    * structurally misses. A short document quoted whole inside a long
+    * one has J ≈ |A|/|B| (arbitrarily low) but C ≈ 1; a curation
+    * pipeline needs this to catch embedded copies, boilerplate-wrapped
+    * reposts, and excerpt spam. Emits (contained, container) ordered by
+    * set size (ties → the smaller doc_id plays contained, a total
+    * rule), with the exact intersection and both set sizes alongside.
+    *
+    * Same capped shared-shingle kernel and scale envelope as
+    * [[ngramJaccardPairs]] ([[cappedPairStats]]): df-capped fan-out,
+    * vocabulary-sized df side shuffle-joined, never all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       dfCap: Int = 100): DataFrame =
+    cappedPairStats(docs, dfCap)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("na") <= col("nb"), col("a_id")).otherwise(col("b_id"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("b_id")).otherwise(col("a_id"))
+          .as("container_id"),
+        col("inter"),
+        least(col("na"), col("nb")).as("n_contained"),
+        greatest(col("na"), col("nb")).as("n_container"),
+        col("containment"))
 
   /** Prefix-filtering exact Jaccard join (AllPairs / PPJoin family,
     * Bayardo et al. WWW'07, Xiao et al. WWW'08): the EXACT similarity
@@ -1009,6 +1047,9 @@ object Dedup {
     "dd_prefix_join" -> ((s, d) =>
       prefixJaccardPairs(Tables.load(s, d, "documents"), 0.5)
         .orderBy("a_id", "b_id")),
+    "dd_containment" -> ((s, d) =>
+      containmentPairs(Tables.load(s, d, "documents"), 0.8)
+        .orderBy("contained_id", "container_id")),
     "dd_minhash_lsh" -> ((s, d) =>
       minhashLshPairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_simhash" -> ((s, d) =>
@@ -1263,6 +1304,26 @@ object Dedup {
     "dd_minhash_lsh" ->
       s"""WITH $PAIR_CTES
          |SELECT a_id, b_id FROM pairs ORDER BY 1, 2""".stripMargin,
+    "dd_containment" ->
+      s"""WITH sh_all AS ($SH),
+         |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)
+         |         WHERE df <= 100),
+         |sh AS (SELECT sh_all.* FROM sh_all JOIN kept USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |j AS (SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
+         |      FROM inter JOIN sizes sa ON a_id = sa.doc_id
+         |                 JOIN sizes sb ON b_id = sb.doc_id)
+         |SELECT CASE WHEN na <= nb THEN a_id ELSE b_id END AS contained_id,
+         |       CASE WHEN na <= nb THEN b_id ELSE a_id END AS container_id,
+         |       inter, least(na, nb) AS n_contained,
+         |       greatest(na, nb) AS n_container,
+         |       CAST(inter AS DOUBLE) / least(na, nb) AS containment
+         |FROM j WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
     "dd_prefix_join" ->
       s"""WITH sh AS ($SH),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -37,6 +37,11 @@ object EventStream {
 
   final case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
 
+  /** Per-shard Misra–Gries summary for the streaming heavy-hitter sketch:
+    * tokens seen so far in the shard + the capacity-bounded count map.
+    */
+  final case class MgState(seen: Long, counts: Map[String, Long])
+
   final case class FunnelOut(user_id: Long, t_signup: Option[Long],
                              t_view: Option[Long], t_click: Option[Long],
                              t_purchase: Option[Long], stage_reached: Int)
@@ -574,10 +579,75 @@ object EventStream {
         graft.operators.TextAnalysis.curation(readDocuments(s, d)),
         "st_curation_sink", OutputMode.Append)
       s.table("st_curation_sink").orderBy("doc_id")
+    }),
+    // streaming Misra–Gries heavy hitters: q81's two-pass sketch with the
+    // SKETCH PHASE inside the stream. Tokens are hash-sharded so each
+    // word's whole count lives in exactly one shard's state; each shard
+    // keeps a capacity-2048 MG summary in mapGroupsWithState — the
+    // decrement-all eviction preserves the count > N_shard/(cap+1)
+    // survival guarantee under ANY micro-batch split, because MG is a
+    // one-pass stream algorithm to begin with. Update-mode emissions are
+    // reconciled by the strictly increasing per-shard `seen` counter (the
+    // st_upsert convention); the exact-verify top-25 over the corpus
+    // makes the output independent of sketch internals, so it shares
+    // q81's oracle verbatim.
+    "st_heavy" -> ((s, d) => {
+      import s.implicits._
+      val cap = 2048
+      val toks = readDocuments(s, d)
+        .select(explode(
+          graft.operators.TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .select(pmod(hash(col("word")), lit(64)).as("shard"), col("word"))
+        .as[(Int, String)]
+      def upd(shard: Int, it: Iterator[(Int, String)],
+              st: GroupState[MgState]): (Int, Long, Seq[String]) = {
+        import scala.jdk.CollectionConverters._
+        val m = new java.util.HashMap[String, java.lang.Long](cap * 2)
+        var seen = 0L
+        st.getOption.foreach { prev =>
+          seen = prev.seen
+          prev.counts.foreach { case (k, v) => m.put(k, v) }
+        }
+        it.foreach { case (_, w) =>
+          seen += 1
+          val cur = m.get(w)
+          if (cur != null) m.put(w, cur + 1L)
+          else if (m.size < cap) m.put(w, 1L)
+          else {
+            // decrement-all: the Misra–Gries eviction step
+            val iter = m.entrySet.iterator
+            while (iter.hasNext) {
+              val e = iter.next()
+              if (e.getValue == 1L) iter.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        st.update(MgState(seen,
+          m.asScala.map { case (k, v) => k -> v.longValue }.toMap))
+        (shard, seen, m.keySet.iterator.asScala.toSeq)
+      }
+      runToMemory(
+        toks.groupByKey(_._1)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout)(upd)
+          .toDF("shard", "seen", "cands"),
+        "st_heavy_sink", OutputMode.Update)
+      val latest = s.table("st_heavy_sink")
+        .groupBy("shard").agg(max_by(col("cands"), col("seen")).as("cands"))
+      val cands = latest.select(explode(col("cands")).as("word")).distinct()
+      graft.tables.Tables.load(s, d, "documents")
+        .select(explode(
+          graft.operators.TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .join(broadcast(cands), "word")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(25)
     }))
 
   def oracle: Map[String, String] = Map(
     "st_time_window" -> graft.queries.Relational.oracle("q17_time_window"),
+    // the streamed sketch + exact verify must reproduce the batch
+    // two-pass heavy hitters exactly
+    "st_heavy" -> graft.queries.Relational.oracle("q81_heavy_hitters"),
     // the stream must reproduce the batch resample bit-for-bit: the
     // aggregate-only open/close (min_by/max_by on the unique total key)
     // equals the batch row_number pick, so q83's oracle serves unchanged

@@ -91,6 +91,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((0L, 1L)), s"got $got")
   }
 
+  test("containment catches subset duplicates jaccard misses") {
+    import spark.implicits._
+    // doc 1 is the first 12 words of doc 0 quoted whole: J ~ 10/58 (far
+    // below any dedup threshold) but C = 1.0 — the embedded-copy signal
+    val words = (0 until 60).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}word")
+    val df = Seq(
+      (0L, words.mkString(" ")),
+      (1L, words.take(12).mkString(" ")),
+      (2L, "completely unrelated text about other things entirely here"),
+    ).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(df, 0.5).count() === 0,
+      "jaccard must NOT flag the subset pair")
+    val got = Dedup.containmentPairs(df, 0.9).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("contained_id") === 1L)
+    assert(r.getAs[Long]("container_id") === 0L)
+    assert(r.getAs[Double]("containment") === 1.0)
+  }
+
   test("LSH-prefiltered jaccard verify == exact all-pairs jaccard on planted dups") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
