@@ -121,6 +121,8 @@ object Relational {
     "q86_twap" -> q86,
     "q87_skyline" -> q87,
     "q88_interval_join" -> q88,
+    "q89_equidepth_hist" -> q89,
+    "q90_mode" -> q90,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2718,6 +2720,72 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /** EQUI-DEPTH histogram (the quantile complement of q40's equi-width
+    * buckets) with EXACT distributed quantiles and zero interpolation:
+    * the quartile boundary q_p is DEFINED as the smallest value v with
+    * count(x ≤ v) ≥ ⌈p·n⌉ — pure integer comparisons (cum·4 ≥ n etc.),
+    * no float percentile semantics to disagree across engines. The
+    * cumulative counts run over the per-group DISTINCT-VALUE
+    * distribution (a per-flag window over value counts, never over raw
+    * rows — the ta_tfidf vocabulary envelope), then rows bucket by ≤
+    * against the three boundaries via a broadcast-sized boundary table.
+    *
+    * Scale: two partial-agg exchanges (value counts, totals) + one
+    * groups×distinct-values window partitioned BY GROUP + one boundary
+    * join (groups-sized, broadcast); the raw table never sorts
+    * globally. Equi-depth is the histogram a query optimizer or drift
+    * monitor actually wants — equal mass per bucket, so bucket
+    * boundaries track the distribution.
+    */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        d2(col("l_extendedprice")).as("v"))
+    val vc = t.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+    val tot = t.groupBy("flag").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = vc.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, "flag")
+      .groupBy("flag")
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+    t.join(broadcast(q), "flag")
+      .withColumn("bucket",
+        when(col("v") <= col("q1"), 0)
+          .when(col("v") <= col("q2"), 1)
+          .when(col("v") <= col("q3"), 2)
+          .otherwise(3))
+      .groupBy("flag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"))
+      .orderBy("flag", "bucket")
+  }
+
+  /** MODE (most frequent value) per group with a total tie rule
+    * (ties → smallest value) — the one SQL:2023 aggregate the surface
+    * lacked; native `mode()` is non-deterministic under ties on BOTH
+    * engines, so the query states the rule explicitly: value counts →
+    * per-group max count → min value among the argmax set. Three
+    * partial-agg exchanges, no windows, output group-sized.
+    */
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"),
+        col("l_quantity").cast("int").as("qty"))
+      .agg(count(lit(1)).as("c"))
+    val best = counts.groupBy("flag", "status").agg(max(col("c")).as("mc"))
+    counts.join(best, Seq("flag", "status"))
+      .filter(col("c") === col("mc"))
+      .groupBy("flag", "status")
+      .agg(min(col("qty")).as("mode_qty"), max(col("mc")).as("mode_count"))
+      .orderBy("flag", "status")
+  }
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3711,6 +3779,41 @@ object Relational {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin,
+    // q89: same integer quantile definition spelled out — no engine
+    // percentile function is trusted across engines
+    "q89_equidepth_hist" ->
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |           FROM lineitem),
+        |vc AS (SELECT flag, v, count(*) AS c FROM t GROUP BY 1, 2),
+        |tot AS (SELECT flag, count(*) AS n FROM t GROUP BY 1),
+        |rc AS (SELECT vc.flag, v,
+        |         sum(c) OVER (PARTITION BY vc.flag ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum, n
+        |       FROM vc JOIN tot ON vc.flag = tot.flag),
+        |q AS (SELECT flag,
+        |        min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |        min(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+        |        min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |      FROM rc GROUP BY 1)
+        |SELECT t.flag, CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1
+        |                    WHEN v <= q3 THEN 2 ELSE 3 END AS bucket,
+        |  count(*) AS n, CAST(min(v) AS DOUBLE) AS lo,
+        |  CAST(max(v) AS DOUBLE) AS hi
+        |FROM t JOIN q ON t.flag = q.flag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q90: mode with the tie rule stated explicitly on both engines
+    "q90_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS status,
+        |         CAST(l_quantity AS INTEGER) AS qty, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |m AS (SELECT flag, status, max(c) AS mc FROM c GROUP BY 1, 2)
+        |SELECT c.flag, c.status, min(qty) AS mode_qty,
+        |  CAST(max(m.mc) AS BIGINT) AS mode_count
+        |FROM c JOIN m ON c.flag = m.flag AND c.status = m.status
+        |WHERE c.c = m.mc
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q88: the oracle is the NAIVE θ-join per supplier — equality proves
     // the canonical-bucket decomposition counts every overlapping pair
     // exactly once
