@@ -2669,7 +2669,7 @@ object Relational {
   /** Interval-overlap self-join via MONOTONE TIME BUCKETING — the
     * scalable plan for "which pairs of intervals overlap": each interval
     * [s, e] is exploded into the calendar months it spans (transit
-    * windows span 1–2), the self-join runs on (key, month) — an EQUI
+    * windows here span 2–3), the self-join runs on (key, month) — an EQUI
     * join Spark hash-partitions — and a pair is counted exactly once by
     * the CANONICAL-BUCKET rule: only in the month of the LATER START
     * (that month lies inside both intervals whenever they overlap, so
@@ -2742,7 +2742,9 @@ object Relational {
       .select(col("l_returnflag").as("flag"),
         d2(col("l_extendedprice")).as("v"))
     val vc = t.groupBy("flag", "v").agg(count(lit(1)).as("c"))
-    val tot = t.groupBy("flag").agg(count(lit(1)).as("n"))
+    // totals derived FROM the value counts: no third scan of the raw
+    // table, and the second aggregate rides the vc exchange
+    val tot = vc.groupBy("flag").agg(sum(col("c")).as("n"))
     val w = Window.partitionBy("flag").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val q = vc.withColumn("cum", sum(col("c")).over(w))

@@ -48,6 +48,7 @@ class EmptyInputSpec extends AnyFunSuite {
   test("dedup operators handle an empty corpus") {
     assert(Dedup.exact(noDocs).count() === 0)
     assert(Dedup.prefixJaccardPairs(noDocs, 0.5).count() === 0)
+    assert(Dedup.containmentPairs(noDocs, 0.8).count() === 0)
     assert(Dedup.minhashLshPairs(noDocs).count() === 0)
     assert(Dedup.simhashPairs(noDocs).count() === 0)
     assert(Dedup.duplicateClusters(noDocs).count() === 0)
