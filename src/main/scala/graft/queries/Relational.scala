@@ -123,6 +123,8 @@ object Relational {
     "q88_interval_join" -> q88,
     "q89_equidepth_hist" -> q89,
     "q90_mode" -> q90,
+    "q91_join_fanout" -> q91,
+    "q92_winsorize" -> q92,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2788,6 +2790,130 @@ object Relational {
       .orderBy("flag", "status")
   }
 
+  /** JOIN-FANOUT AUDIT: exact join cardinality and skew, predicted from
+    * per-key count histograms WITHOUT executing the join — the plan
+    * primitive behind "can we afford this join / does it need salting".
+    * For each FK edge, |A ⋈ B| = Σ_k c_A(k)·c_B(k), computed by joining
+    * the two KEY-COUNT tables (each a partial-agg groupBy, key-space
+    * sized — never the raw-row join whose size is being predicted).
+    * Also reports the hottest key's contribution and its share of the
+    * join: the number q29's salting decision actually reads. Per-key
+    * products accumulate in DECIMAL (c_A·c_B can pass 2^63 at 100 TB on
+    * a hot key), published modulo nothing as BIGINT at test scale.
+    *
+    * q77 audits REFERENTIAL integrity of the same edges; this audits
+    * their CARDINALITY — complementary halves of a pre-join check.
+    */
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    def edge(label: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val c1 = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("ca"))
+      val c2 = parent.groupBy(col(pk).as("k")).agg(count(lit(1)).as("cb"))
+      c1.join(c2, "k")
+        .select(col("k"),
+          (col("ca").cast(DecimalType(38, 0)) * col("cb")).as("prod"),
+          col("ca"), col("cb"))
+        .agg(
+          count(lit(1)).as("matched_keys"),
+          sum(col("prod")).cast("long").as("join_rows"),
+          max(struct(col("prod"), col("k"))).as("hot"))
+        .select(lit(label).as("relationship"), col("matched_keys"),
+          col("join_rows"),
+          col("hot.k").as("hottest_key"),
+          col("hot.prod").cast("long").as("hottest_rows"),
+          (col("hot.prod").cast("double") / col("join_rows"))
+            .as("hottest_share"))
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    edge("lineitem-orders", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(edge("lineitem-part", li, "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"))
+      .unionAll(edge("lineitem-supplier", li, "l_suppkey",
+        Tables.load(spark, dir, "supplier"), "s_suppkey"))
+      .unionAll(edge("orders-customer", o, "o_custkey",
+        Tables.load(spark, dir, "customer"), "c_custkey"))
+      .orderBy("relationship")
+  }
+
+  /** WINSORIZED robust statistics per group: values clipped at the
+    * [p05, p95] boundaries — q76's MAD flags outliers, this NEUTRALIZES
+    * them in the aggregate, the robust-mean shape feature pipelines
+    * normalize with. Boundaries use q89's integer quantile rule
+    * (smallest v with cum·20 ≥ n / cum·20 ≥ 19·n — no percentile
+    * function trusted cross-engine), clipping and both means are exact
+    * decimal with ONE IEEE division each at the boundary.
+    */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        d2(col("l_extendedprice")).as("v"))
+    val vc = t.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+    val tot = vc.groupBy("flag").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = vc.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, "flag")
+      .groupBy("flag")
+      .agg(
+        min(when(col("cum") * 20 >= col("n"), col("v"))).as("p05"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("v"))).as("p95"))
+    // clip via CASE, not greatest/least: DuckDB's variadic greatest
+    // promotes DECIMAL to DOUBLE, which would make the clipped sum
+    // IEEE-order-dependent; the CASE keeps both engines in exact decimal
+    t.join(broadcast(q), "flag")
+      .withColumn("w",
+        when(col("v") < col("p05"), col("p05"))
+          .when(col("v") > col("p95"), col("p95"))
+          .otherwise(col("v")))
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("v") < col("p05")).cast("long")).as("n_clipped_lo"),
+        sum((col("v") > col("p95")).cast("long")).as("n_clipped_hi"),
+        max(col("p05")).cast("double").as("p05"),
+        max(col("p95")).cast("double").as("p95"),
+        (sum(col("v")).cast("double") / count(lit(1))).as("raw_mean"),
+        (sum(col("w")).cast("double") / count(lit(1))).as("wins_mean"))
+      .orderBy("flag")
+  }
+
+  /** One UNION-ALL block of the q91 oracle: the key-count histogram
+    * join replayed in SQL, with q91's tie rule (hottest key = largest
+    * key among max-product ties) spelled out.
+    */
+  private def fanoutOneSql(label: String, child: String, fk: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$label' AS relationship, mk AS matched_keys,
+       |  CAST(jr AS BIGINT) AS join_rows, hk AS hottest_key,
+       |  CAST(mp AS BIGINT) AS hottest_rows,
+       |  CAST(mp AS DOUBLE) / CAST(jr AS DOUBLE) AS hottest_share
+       |FROM (
+       |  SELECT count(*) AS mk, sum(prod) AS jr, max(prod) AS mp
+       |  FROM (SELECT ca.k, CAST(ca.ca AS DECIMAL(38,0)) * cb.cb AS prod
+       |        FROM (SELECT $fk AS k, count(*) AS ca FROM $child GROUP BY 1) ca
+       |        JOIN (SELECT $pk AS k, count(*) AS cb FROM $parent GROUP BY 1) cb
+       |          ON ca.k = cb.k)) s,
+       |LATERAL (
+       |  SELECT max(k) AS hk
+       |  FROM (SELECT ca.k, CAST(ca.ca AS DECIMAL(38,0)) * cb.cb AS prod
+       |        FROM (SELECT $fk AS k, count(*) AS ca FROM $child GROUP BY 1) ca
+       |        JOIN (SELECT $pk AS k, count(*) AS cb FROM $parent GROUP BY 1) cb
+       |          ON ca.k = cb.k)
+       |  WHERE prod = s.mp) h""".stripMargin
+
+  private val q91Sql: String =
+    "SELECT * FROM (\n" + Seq(
+      fanoutOneSql("lineitem-orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      fanoutOneSql("lineitem-part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      fanoutOneSql("lineitem-supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      fanoutOneSql("orders-customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+    ).mkString("\nUNION ALL\n") + "\n) ORDER BY relationship"
+
   /** One UNION-ALL block of the q77 oracle — replays [[auditOne]]'s
     * full-outer-join kernel in SQL (sums cast back to BIGINT: DuckDB
     * widens BIGINT sums to HUGEINT).
@@ -3781,6 +3907,35 @@ object Relational {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin,
+    // q91: key-histogram join replay; equality proves the cardinality
+    // prediction exact without ever executing the predicted join
+    "q91_join_fanout" -> q91Sql,
+    // q92: q89's integer quantile rule at p05/p95 + decimal clipping
+    "q92_winsorize" ->
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |           FROM lineitem),
+        |vc AS (SELECT flag, v, count(*) AS c FROM t GROUP BY 1, 2),
+        |tot AS (SELECT flag, sum(c) AS n FROM vc GROUP BY 1),
+        |rc AS (SELECT vc.flag, v,
+        |         sum(c) OVER (PARTITION BY vc.flag ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum, n
+        |       FROM vc JOIN tot ON vc.flag = tot.flag),
+        |q AS (SELECT flag,
+        |        min(CASE WHEN cum * 20 >= n THEN v END) AS p05,
+        |        min(CASE WHEN cum * 20 >= n * 19 THEN v END) AS p95
+        |      FROM rc GROUP BY 1)
+        |SELECT t.flag, count(*) AS n,
+        |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(max(p05) AS DOUBLE) AS p05, CAST(max(p95) AS DOUBLE) AS p95,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS raw_mean,
+        |  CAST(sum(CASE WHEN v < p05 THEN p05 WHEN v > p95 THEN p95
+        |                ELSE v END) AS DOUBLE) / count(*) AS wins_mean
+        |FROM t JOIN q ON t.flag = q.flag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q89: same integer quantile definition spelled out — no engine
     // percentile function is trusted across engines
     "q89_equidepth_hist" ->
