@@ -195,6 +195,58 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** SORTED-NEIGHBORHOOD blocking (Hernández–Stolfo SNM): docs sorted by
+    * a normalized block key, each compared only to its `window` nearest
+    * successors in the GLOBAL order, candidates verified by portable
+    * edit-distance similarity. The classic entity-resolution blocking
+    * family — complements the set-similarity paths (shingle/LSH/prefix)
+    * with an order-based one that catches short-text near-dups whose
+    * shingle sets are too small to join on.
+    *
+    * The global rank is TWO-LEVEL (the ta_pack prefix-sum discipline):
+    * bucket by the key's first character (order-preserving, so
+    * (bucket, key, doc_id) order == (key, doc_id) order), per-bucket
+    * counts roll into cumulative offsets through the only
+    * partition-less window — over ≤ alphabet-many bucket rows — and
+    * rank = offset + intra-bucket row_number. Neighbor pairs are then
+    * an EQUI join on rank+j (j ≤ window) — no global sort of the
+    * corpus, no adjacency stitching, and the verify joins texts for
+    * candidate pairs only (O(docs × window) of them).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
+                              minSim: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => SqlWindow}
+    val keyed = docs.select(col("doc_id"),
+      substring(
+        concat_ws(" ", TextAnalysis.tokens(lower(col("text")))), 1, 12)
+        .as("bk"))
+    val b = keyed.withColumn("bucket", substring(col("bk"), 1, 1))
+    val counts = b.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val woff = SqlWindow.orderBy("bucket")
+      .rowsBetween(SqlWindow.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(woff), lit(0L)))
+    val win = SqlWindow.partitionBy("bucket").orderBy(col("bk"), col("doc_id"))
+    val ranked = b.withColumn("lr", row_number().over(win))
+      .join(broadcast(offs.select("bucket", "off")), "bucket")
+      .select(col("doc_id"), (col("off") + col("lr")).as("rank"))
+    val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(window))))
+      .select((col("rank") + col("j")).as("rank"), col("a_id"), col("j"))
+    val pairs = probes
+      .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
+    val txt = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.toDF("a_id", "ta"), "a_id")
+      .join(txt.toDF("b_id", "tb"), "b_id")
+      .withColumn("edit_sim",
+        lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+          / greatest(length(col("ta")), length(col("tb"))))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("a_id"), col("b_id"), col("j").as("rank_dist"),
+        col("edit_sim"))
+  }
+
   /** MinHash signatures, wide form: one row per doc with columns m1..mK.
     * K min-aggregates over the shingle hashes in a single groupBy — no
     * K-fold row explosion before the shuffle (the first cut cross-joined a
@@ -1050,6 +1102,9 @@ object Dedup {
     "dd_containment" -> ((s, d) =>
       containmentPairs(Tables.load(s, d, "documents"), 0.8)
         .orderBy("contained_id", "container_id")),
+    "dd_snm" -> ((s, d) =>
+      sortedNeighborhoodPairs(Tables.load(s, d, "documents"))
+        .orderBy("a_id", "b_id")),
     "dd_minhash_lsh" -> ((s, d) =>
       minhashLshPairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_simhash" -> ((s, d) =>
@@ -1304,6 +1359,27 @@ object Dedup {
     "dd_minhash_lsh" ->
       s"""WITH $PAIR_CTES
          |SELECT a_id, b_id FROM pairs ORDER BY 1, 2""".stripMargin,
+    // dd_snm: the oracle sorts GLOBALLY with row_number — equality
+    // proves the two-level bucket rank reproduces the global order
+    "dd_snm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    substr(array_to_string(
+         |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |  FROM documents),
+         |r AS (SELECT doc_id, text, bk,
+         |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        b.rank - a.rank AS rank_dist, a.text AS ta, b.text AS tb
+         |      FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 4)
+         |SELECT a_id, b_id, CAST(rank_dist AS INTEGER) AS rank_dist,
+         |  1 - CAST(levenshtein(ta, tb) AS DOUBLE)
+         |      / greatest(length(ta), length(tb)) AS edit_sim
+         |FROM p
+         |WHERE 1 - CAST(levenshtein(ta, tb) AS DOUBLE)
+         |      / greatest(length(ta), length(tb)) >= 0.8
+         |ORDER BY a_id, b_id""".stripMargin,
     "dd_containment" ->
       s"""WITH sh_all AS ($SH),
          |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)

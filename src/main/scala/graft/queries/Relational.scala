@@ -125,6 +125,7 @@ object Relational {
     "q90_mode" -> q90,
     "q91_join_fanout" -> q91,
     "q92_winsorize" -> q92,
+    "q93_attribution" -> q93,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2878,6 +2879,43 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** LAST-TOUCH ATTRIBUTION with a bounded lookback: each purchase is
+    * credited to the user's most recent click no older than 7 days —
+    * the marketing-analytics shape behind "which touch drove the
+    * conversion". The carried click is a running max of click
+    * timestamps over the per-user event-time order (one window in
+    * q16's per-user shuffle envelope — no self-join of purchases
+    * against clicks, which would re-shuffle the fact twice); the
+    * horizon test and lag are exact ns integers; attributed revenue is
+    * exact decimal. Day-level aggregate output; avg lag guarded NULL
+    * when a day has no attributed purchases (the q77 0/0 lesson).
+    */
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    val horizonNs = 7L * 24 * 3600 * 1000000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("ts_ns"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("lct",
+        max(when(col("event_type") === "click", col("ts_ns"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attr",
+        (col("lct").isNotNull &&
+          col("ts_ns") - col("lct") <= horizonNs).cast("int"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("attr")).cast("long").as("n_attributed"),
+        sum(when(col("attr") === 1, d2(col("value")))
+          .otherwise(lit(0).cast(D))).cast("double").as("attributed_value"),
+        when(sum(col("attr")) > 0,
+          sum(when(col("attr") === 1, col("ts_ns") - col("lct")))
+            .cast("double") / sum(col("attr")))
+          .as("avg_lag_ns"))
+      .orderBy("day")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -3907,6 +3945,33 @@ object Relational {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin,
+    // q93: same running-max window frame replayed; avg lag NULL on days
+    // with no attributed purchase on BOTH engines
+    "q93_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, epoch_ns(ts) AS ts_ns, event_id,
+        |         CAST(value AS DECIMAL(18,2)) AS value
+        |  FROM events),
+        |c AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN ts_ns END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS lct
+        |  FROM e),
+        |p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CASE WHEN lct IS NOT NULL
+        |          AND ts_ns - lct <= 604800000000000 THEN 1 ELSE 0 END AS attr,
+        |    value, ts_ns - lct AS lag_ns
+        |  FROM c WHERE event_type = 'purchase')
+        |SELECT day, count(*) AS n_purchases,
+        |  CAST(sum(attr) AS BIGINT) AS n_attributed,
+        |  CAST(sum(CASE WHEN attr = 1 THEN value
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS attributed_value,
+        |  CASE WHEN sum(attr) > 0 THEN
+        |    CAST(sum(CASE WHEN attr = 1 THEN lag_ns END) AS DOUBLE)
+        |      / sum(attr) END AS avg_lag_ns
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // q91: key-histogram join replay; equality proves the cardinality
     // prediction exact without ever executing the predicted join
     "q91_join_fanout" -> q91Sql,

@@ -91,6 +91,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((0L, 1L)), s"got $got")
   }
 
+  test("sorted-neighborhood pairs are window-bounded in the global order") {
+    import spark.implicits._
+    // 8 identical docs sort rank-adjacent: SNM must emit exactly the
+    // pairs within rank distance <= 4 — sum_{d=1..4} (8-d) = 22 — and
+    // nothing beyond the window even though all 8 are identical
+    val df = (0 until 8).map(i => (i.toLong, "identical text body here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(df, window = 4, minSim = 0.9)
+      .collect()
+    assert(got.length === 22, s"got ${got.length} pairs")
+    assert(got.forall(_.getAs[Double]("edit_sim") === 1.0))
+    assert(got.forall(r => r.getAs[Int]("rank_dist") >= 1
+      && r.getAs[Int]("rank_dist") <= 4))
+  }
+
   test("containment catches subset duplicates jaccard misses") {
     import spark.implicits._
     // doc 1 is the first 12 words of doc 0 quoted whole: J ~ 10/58 (far
