@@ -236,11 +236,27 @@ object Dedup {
     val pairs = probes
       .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
     val txt = docs.select(col("doc_id"), col("text"))
+    // two EXACT accelerations of the verify (results provably unchanged):
+    //  - length gate: dist >= |len_a - len_b|, so sim >= minSim requires
+    //    |Δlen| <= (1-minSim)·maxlen — kills most random-neighbor pairs
+    //    before any O(n·m) work;
+    //  - banded levenshtein: corpus-wide threshold k = ⌈(1-minSim)·max
+    //    text length⌉ (one 1-row collect, the k-bounded convention);
+    //    dist > k returns -1, and k >= every pair's own admission bound,
+    //    so -1 rows are exactly the rows the sim filter would drop.
+    val maxLenRow = docs.agg(max(length(col("text")))).head()
+    val k = if (maxLenRow.isNullAt(0)) 0
+      else math.ceil((1.0 - minSim) * maxLenRow.getInt(0)).toInt
     pairs
       .join(txt.toDF("a_id", "ta"), "a_id")
       .join(txt.toDF("b_id", "tb"), "b_id")
+      .filter(abs(length(col("ta")) - length(col("tb")))
+        <= (lit(1.0) - lit(minSim))
+          * greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k))
+      .filter(col("dist") >= 0)
       .withColumn("edit_sim",
-        lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+        lit(1.0) - col("dist").cast("double")
           / greatest(length(col("ta")), length(col("tb"))))
       .filter(col("edit_sim") >= minSim)
       .select(col("a_id"), col("b_id"), col("j").as("rank_dist"),

@@ -42,6 +42,14 @@ object EventStream {
     */
   final case class MgState(seen: Long, counts: Map[String, Long])
 
+  /** Last-click carry for streaming attribution (boolean guard, not a
+    * sentinel — the funnelState pre-epoch lesson).
+    */
+  final case class AttribState(hasClick: Boolean, lastClickNs: Long)
+
+  final case class AttribOut(ts_ns: Long, attr: Int, value: Double,
+                             lag_ns: Option[Long])
+
   final case class FunnelOut(user_id: Long, t_signup: Option[Long],
                              t_view: Option[Long], t_click: Option[Long],
                              t_purchase: Option[Long], stage_reached: Int)
@@ -315,6 +323,43 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming last-touch attribution — the stateful twin of batch q93:
+    * per user the state carries only the LATEST click timestamp; each
+    * purchase is emitted ONCE, in the batch it arrives, credited iff the
+    * carried click is within the 7-day horizon (exact ns integers, the
+    * identical rule). Events fold in (ts, event_id) order within each
+    * batch; across batches the carried click makes the result exact
+    * under per-key event-time-ordered arrival (the keyed-log guarantee,
+    * documented as in [[funnelState]]). flatMapGroupsWithState in Append
+    * mode — pure per-purchase emission, no sink-side reconciliation
+    * needed because nothing is re-emitted.
+    *
+    * Scale shape: state is O(users) × (bool, long); no event buffering.
+    */
+  def attributionState(events: Dataset[Event]): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    val horizonNs = 7L * 24 * 3600 * 1000000000L
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[AttribState]): Iterator[AttribOut] = {
+      var st = state.getOption.getOrElse(AttribState(false, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttribOut]
+      for (e <- it.toSeq.sortBy(e => (e.ts_ns, e.event_id))) {
+        e.event_type match {
+          case "click" => st = AttribState(hasClick = true, e.ts_ns)
+          case "purchase" =>
+            val ok = st.hasClick && e.ts_ns - st.lastClickNs <= horizonNs
+            out += AttribOut(e.ts_ns, if (ok) 1 else 0, e.value,
+              if (ok) Some(e.ts_ns - st.lastClickNs) else None)
+          case _ =>
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming anomaly monitor — the foreachBatch surface: a Complete-mode
     * hourly aggregation streams into a batch function that applies the
     * SAME exact-integer 3σ test as batch q41 (shared
@@ -580,6 +625,30 @@ object EventStream {
         "st_curation_sink", OutputMode.Append)
       s.table("st_curation_sink").orderBy("doc_id")
     }),
+    // streaming last-touch attribution: per-purchase rows from the state
+    // machine, aggregated to q93's day-level output with the IDENTICAL
+    // exact arithmetic (decimal revenue, integer lag, NULL-guarded mean);
+    // shares q93's oracle verbatim
+    "st_attribution" -> ((s, d) => {
+      import s.implicits._
+      val ev = readEvents(s, d)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value").as[Event]
+      runToMemory(attributionState(ev).toDF(),
+        "st_attribution_sink", OutputMode.Append)
+      s.table("st_attribution_sink")
+        .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(col("attr")).cast("long").as("n_attributed"),
+          sum(when(col("attr") === 1, col("value").cast(DecimalType(18, 2)))
+            .otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("attributed_value"),
+          when(sum(col("attr")) > 0,
+            sum(col("lag_ns")).cast("double") / sum(col("attr")))
+            .as("avg_lag_ns"))
+        .orderBy("day")
+    }),
     // streaming Misra–Gries heavy hitters: q81's two-pass sketch with the
     // SKETCH PHASE inside the stream. Tokens are hash-sharded so each
     // word's whole count lives in exactly one shard's state; each shard
@@ -648,6 +717,8 @@ object EventStream {
     // the streamed sketch + exact verify must reproduce the batch
     // two-pass heavy hitters exactly
     "st_heavy" -> graft.queries.Relational.oracle("q81_heavy_hitters"),
+    // the state machine + day rollup must reproduce batch q93 exactly
+    "st_attribution" -> graft.queries.Relational.oracle("q93_attribution"),
     // the stream must reproduce the batch resample bit-for-bit: the
     // aggregate-only open/close (min_by/max_by on the unique total key)
     // equals the batch row_number pick, so q83's oracle serves unchanged

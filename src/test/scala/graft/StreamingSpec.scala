@@ -207,6 +207,37 @@ class StreamingSpec extends AnyFunSuite {
       s"user 2: ${got(2L)}")
   }
 
+  test("attribution state carries the last click across ordered batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 24L * 3600 * 1000000000L
+    def e(id: Long, ns: Long, u: Long, t: String, v: Double = 10.0) =
+      EventStream.Event(id, ns, u, t, v)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.attributionState(input.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_ms").start()
+    try {
+      // user 1: click in batch 1, purchase in batch 2 (within horizon)
+      // -> attributed ACROSS the split; user 2: purchase with no click
+      // ever; user 3: click then a purchase 8 days later -> NOT credited
+      input.addData(e(1, 1L * day, 1, "click"),
+        e(2, 1L * day, 3, "click"), e(3, 2L * day, 2, "purchase"))
+      q.processAllAvailable()
+      input.addData(e(4, 3L * day, 1, "purchase"),
+        e(5, 9L * day + 1, 3, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_ms")
+      .select("ts_ns", "attr", "lag_ns").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(2L * day) === ((0, -1L)), "no click ever -> unattributed")
+    assert(got(3L * day) === ((1, 2L * day)), "cross-batch click credited")
+    assert(got(9L * day + 1) === ((0, -1L)), "horizon exceeded -> unattributed")
+  }
+
   test("foreachBatch anomaly monitor == batch q41 flags") {
     val out = graft.operators.Dedup.tempSigStore("graft-test-anomaly")
     EventStream.anomalyMonitor(spark, dir, out)
