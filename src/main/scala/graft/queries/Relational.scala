@@ -126,6 +126,8 @@ object Relational {
     "q91_join_fanout" -> q91,
     "q92_winsorize" -> q92,
     "q93_attribution" -> q93,
+    "q94_pit_join" -> q94,
+    "q95_drift" -> q95,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2916,6 +2918,122 @@ object Relational {
       .orderBy("day")
   }
 
+  /** POINT-IN-TIME (SCD2) dimension join: each purchase enriched with
+    * the dimension version VALID AT ITS TIMESTAMP — the warehouse
+    * pattern q79 builds the versions for. The dimension here is the
+    * user's activity state (q79's validity runs over the NON-purchase
+    * events); the fact side is the purchases; the PIT condition is
+    * from ≤ ts < to (to = next version's from, so versions PARTITION
+    * the timeline — each purchase matches at most one, purchases
+    * before a user's first activity match none and surface as
+    * 'none'). Exact µs integers; group-sized rollup output.
+    *
+    * Scale: the version build is one per-user window (q16's envelope);
+    * the PIT join is an EQUI join on user_id with the interval filter
+    * applied post-join — per-user version lists are run-length-bounded,
+    * so the fan-out is per-user versions, never a θ-join.
+    */
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val act = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val dim = act
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTime).isNull ||
+          lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_seq",
+        sum(col("chg")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_seq")
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts_us")).as("from_us"))
+      .withColumn("to_us",
+        lead(col("from_us"), 1)
+          .over(Window.partitionBy("user_id").orderBy("run_seq")))
+      .select("user_id", "state", "from_us", "to_us")
+    val fact = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("pts_us"),
+        col("value"))
+    fact.join(dim,
+        fact("user_id") === dim("user_id")
+          && col("pts_us") >= col("from_us")
+          && (col("to_us").isNull || col("pts_us") < col("to_us")),
+        "left")
+      .select(fact("user_id"),
+        coalesce(col("state"), lit("none")).as("state"), col("value"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(fact("user_id")).as("n_users"),
+        sum(d2(col("value"))).cast("double").as("revenue"))
+      .orderBy("state")
+  }
+
+  /** DISTRIBUTION DRIFT between a reference and a new slice of the same
+    * column — the monitoring primitive behind "did the data change
+    * under the model": lineitem split at a shipdate cutoff, the
+    * REFERENCE half defines q89-rule quartile boundaries, BOTH halves
+    * bucket by those reference boundaries, and the drift score is the
+    * TOTAL VARIATION distance Σ|p_ref − p_new|/2 — computed log-free
+    * (unlike PSI/KL, which never bit-match across engines) as exact
+    * cross-multiplied integers Σ|c_ref·n_new − c_new·n_ref| in DECIMAL
+    * with ONE final IEEE division by 2·n_ref·n_new. Buckets empty on
+    * one side still contribute (full-outer grid, zero-coalesced).
+    *
+    * Scale: q89's boundary machinery on the reference + two
+    * partial-agg bucket counts + a buckets×groups-sized merge.
+    */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1996-01-01"
+    val t = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        d2(col("l_extendedprice")).as("v"),
+        (col("l_shipdate") < lit(cutoff)).as("is_ref"))
+    val ref = t.filter(col("is_ref"))
+    val vc = ref.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+    val tot = vc.groupBy("flag").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = vc.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, "flag")
+      .groupBy("flag")
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+    val bucketed = t.join(broadcast(q), "flag")
+      .withColumn("bucket",
+        when(col("v") <= col("q1"), 0)
+          .when(col("v") <= col("q2"), 1)
+          .when(col("v") <= col("q3"), 2)
+          .otherwise(3))
+    val cr = bucketed.filter(col("is_ref"))
+      .groupBy("flag", "bucket").agg(count(lit(1)).as("cr"))
+    val cn = bucketed.filter(!col("is_ref"))
+      .groupBy("flag", "bucket").agg(count(lit(1)).as("cn"))
+    val grid = cr.join(cn, Seq("flag", "bucket"), "full_outer")
+      .select(col("flag"), col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val totals = grid.groupBy("flag")
+      .agg(sum(col("cr")).as("nr"), sum(col("cn")).as("nn"))
+    grid.join(totals, "flag")
+      .groupBy("flag")
+      .agg(
+        max(col("nr")).as("n_ref"), max(col("nn")).as("n_new"),
+        when(max(col("nr")) > 0 && max(col("nn")) > 0,
+          sum(abs(col("cr").cast(DecimalType(38, 0)) * col("nn")
+            - col("cn").cast(DecimalType(38, 0)) * col("nr")))
+            .cast("double")
+            / (lit(2.0) * max(col("nr")) * max(col("nn"))))
+          .as("tv_distance"))
+      .orderBy("flag")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -3945,6 +4063,83 @@ object Relational {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin,
+    // q94: q79's run construction restricted to activity events, PIT
+    // condition from <= ts < to replayed with the same left join
+    "q94_pit_join" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+        |  FROM c),
+        |g AS (SELECT user_id, run_seq, min(event_type) AS state,
+        |        min(ts_us) AS from_us
+        |      FROM r GROUP BY 1, 2),
+        |dim AS (SELECT user_id, state, from_us,
+        |          lead(from_us) OVER (PARTITION BY user_id ORDER BY run_seq)
+        |            AS to_us
+        |        FROM g),
+        |f AS (SELECT user_id, epoch_us(ts) AS pts_us,
+        |        CAST(value AS DECIMAL(18,2)) AS value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT f.user_id, coalesce(d.state, 'none') AS state, f.value
+        |      FROM f LEFT JOIN dim d
+        |        ON f.user_id = d.user_id AND f.pts_us >= d.from_us
+        |       AND (d.to_us IS NULL OR f.pts_us < d.to_us))
+        |SELECT state, count(*) AS n_purchases,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(value) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q95: reference-half boundaries, both halves bucketed by them, TV
+    // distance as exact cross-multiplied integers
+    "q95_drift" ->
+      """WITH t AS (SELECT l_returnflag AS flag,
+        |             CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |             l_shipdate < '1996-01-01' AS is_ref
+        |           FROM lineitem),
+        |ref AS (SELECT * FROM t WHERE is_ref),
+        |vc AS (SELECT flag, v, count(*) AS c FROM ref GROUP BY 1, 2),
+        |tot AS (SELECT flag, sum(c) AS n FROM vc GROUP BY 1),
+        |rc AS (SELECT vc.flag, v,
+        |         sum(c) OVER (PARTITION BY vc.flag ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum, n
+        |       FROM vc JOIN tot ON vc.flag = tot.flag),
+        |q AS (SELECT flag,
+        |        min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |        min(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+        |        min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |      FROM rc GROUP BY 1),
+        |b AS (SELECT t.flag,
+        |        CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1
+        |             WHEN v <= q3 THEN 2 ELSE 3 END AS bucket, is_ref
+        |      FROM t JOIN q ON t.flag = q.flag),
+        |cr AS (SELECT flag, bucket, count(*) AS cr FROM b
+        |       WHERE is_ref GROUP BY 1, 2),
+        |cn AS (SELECT flag, bucket, count(*) AS cn FROM b
+        |       WHERE NOT is_ref GROUP BY 1, 2),
+        |grid AS (SELECT coalesce(cr.flag, cn.flag) AS flag,
+        |           coalesce(cr.bucket, cn.bucket) AS bucket,
+        |           coalesce(cr.cr, 0) AS cr, coalesce(cn.cn, 0) AS cn
+        |         FROM cr FULL OUTER JOIN cn
+        |           ON cr.flag = cn.flag AND cr.bucket = cn.bucket),
+        |tt AS (SELECT flag, sum(cr) AS nr, sum(cn) AS nn
+        |       FROM grid GROUP BY 1)
+        |SELECT g.flag, CAST(max(nr) AS BIGINT) AS n_ref,
+        |  CAST(max(nn) AS BIGINT) AS n_new,
+        |  CASE WHEN max(nr) > 0 AND max(nn) > 0 THEN
+        |    CAST(sum(abs(CAST(cr AS DECIMAL(38,0)) * CAST(nn AS BIGINT)
+        |                 - CAST(cn AS DECIMAL(38,0)) * CAST(nr AS BIGINT)))
+        |         AS DOUBLE)
+        |      / (2.0 * max(nr) * max(nn)) END AS tv_distance
+        |FROM grid g JOIN tt ON g.flag = tt.flag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q93: same running-max window frame replayed; avg lag NULL on days
     // with no attributed purchase on BOTH engines
     "q93_attribution" ->

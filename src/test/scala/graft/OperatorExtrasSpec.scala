@@ -321,7 +321,8 @@ class OperatorExtrasSpec extends AnyFunSuite {
     // the value range over the bucket width, which the audit can't size)
     for (q <- Seq("q44_tpch_q3", "q03_broadcast_join_agg", "q85_native_topk",
         "q88_interval_join", "q89_equidepth_hist", "q90_mode",
-        "q91_join_fanout", "q92_winsorize", "q93_attribution"))
+        "q91_join_fanout", "q92_winsorize", "q93_attribution",
+        "q94_pit_join", "q95_drift"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
