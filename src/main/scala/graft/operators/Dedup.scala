@@ -1121,6 +1121,23 @@ object Dedup {
     "dd_snm" -> ((s, d) =>
       sortedNeighborhoodPairs(Tables.load(s, d, "documents"))
         .orderBy("a_id", "b_id")),
+    // cross-modal dedup verdict: the TEXT near-dup pairs (MinHash-LSH)
+    // full-outer-merged with the IMAGE near-dup pairs (banded phash,
+    // hamming <= 2) into one evidence table — a pair caught by either
+    // signal surfaces with flags for both, the multi-evidence view a
+    // curation pipeline resolves on. Both sides read their memoized
+    // stores (signatures / phashes), so the composition adds only the
+    // pair merge.
+    "dd_cross_modal" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val txt = minhashLshPairs(docs).select("a_id", "b_id")
+        .withColumn("text_dup", lit(1))
+      val img = Multimodal.phashPairs(docs, maxHamming = 2)
+        .select("a_id", "b_id").withColumn("image_dup", lit(1))
+      txt.join(img, Seq("a_id", "b_id"), "full_outer")
+        .na.fill(0, Seq("text_dup", "image_dup"))
+        .orderBy("a_id", "b_id")
+    }),
     "dd_minhash_lsh" -> ((s, d) =>
       minhashLshPairs(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")),
     "dd_simhash" -> ((s, d) =>
@@ -1375,6 +1392,21 @@ object Dedup {
     "dd_minhash_lsh" ->
       s"""WITH $PAIR_CTES
          |SELECT a_id, b_id FROM pairs ORDER BY 1, 2""".stripMargin,
+    // dd_cross_modal: the LSH pair CTEs and the phash pixel-recipe CTEs
+    // composed (disjoint CTE names), merged by the same full outer join
+    "dd_cross_modal" ->
+      s"""WITH $PAIR_CTES,
+         |${Multimodal.phashOracleCtes},
+         |ip AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |       FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.phash60, b.phash60)) <= 2)
+         |SELECT coalesce(p.a_id, ip.a_id) AS a_id,
+         |       coalesce(p.b_id, ip.b_id) AS b_id,
+         |       CAST(p.a_id IS NOT NULL AS INTEGER) AS text_dup,
+         |       CAST(ip.a_id IS NOT NULL AS INTEGER) AS image_dup
+         |FROM pairs p FULL OUTER JOIN ip
+         |  ON p.a_id = ip.a_id AND p.b_id = ip.b_id
+         |ORDER BY 1, 2""".stripMargin,
     // dd_snm: the oracle sorts GLOBALLY with row_number — equality
     // proves the two-level bucket rank reproduces the global order
     "dd_snm" ->

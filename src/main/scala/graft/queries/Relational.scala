@@ -128,6 +128,7 @@ object Relational {
     "q93_attribution" -> q93,
     "q94_pit_join" -> q94,
     "q95_drift" -> q95,
+    "q96_decile_lift" -> q96,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3034,6 +3035,56 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** DECILE LIFT (gain chart) per market: customers ranked by lifetime
+    * spend within their nation, cut into VALUE-rule deciles (q89's
+    * integer quantile definition at tenths — value-bucketing keeps
+    * ties together deterministically where rank-based ntile breaks
+    * them arbitrarily and unportably), then each decile's revenue and
+    * the cumulative revenue share — "the top decile holds X% of the
+    * business", the concentration read behind sampling and
+    * prioritization decisions. Exact decimal sums; each share is ONE
+    * IEEE division of exactly-summed decimals.
+    *
+    * Scale: q89's machinery per nation (all windows nation-
+    * partitioned, PlanAudit-clean); only customers WITH orders rank
+    * (lift over purchasers, documented).
+    */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+    val pts = o.groupBy("o_custkey")
+      .agg(sum(d2(col("o_totalprice"))).as("spend"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"), col("spend").as("v"))
+    val vc = pts.groupBy("nation", "v").agg(count(lit(1)).as("c"))
+    val tot = vc.groupBy("nation").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("nation").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bs = (1 to 9).map(d =>
+      min(when(col("cum") * 10 >= col("n") * d, col("v"))).as(s"b$d"))
+    val q = vc.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, "nation")
+      .groupBy("nation")
+      .agg(bs.head, bs.tail: _*)
+    val bucket = (1 to 9).foldLeft(lit(9)) { (acc, d) =>
+      when(col("v") <= col(s"b${10 - d}"), 10 - d - 1).otherwise(acc)
+    }
+    val g = pts.join(broadcast(q), "nation")
+      .withColumn("decile", bucket)
+      .groupBy("nation", "decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("v")).as("rev"))
+    val wc = Window.partitionBy("nation").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("nation")
+    g.withColumn("cum_share",
+        sum(col("rev")).over(wc).cast("double")
+          / sum(col("rev")).over(wt).cast("double"))
+      .select(col("nation"), col("decile"), col("n_customers"),
+        col("rev").cast("double").as("revenue"), col("cum_share"))
+      .orderBy("nation", "decile")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -4063,6 +4114,42 @@ object Relational {
         |  WHERE q.spend >= p.spend AND q.bal >= p.bal
         |    AND (q.spend > p.spend OR q.bal > p.bal))
         |ORDER BY p.c_custkey""".stripMargin,
+    // q96: identical tenth-rule boundaries and CASE evaluation order
+    "q96_decile_lift" ->
+      ("""WITH pts AS (
+        |  SELECT c_nationkey AS nation,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1, o_custkey),
+        |vc AS (SELECT nation, v, count(*) AS c FROM pts GROUP BY 1, 2),
+        |tot AS (SELECT nation, sum(c) AS n FROM vc GROUP BY 1),
+        |rc AS (SELECT vc.nation, v,
+        |         sum(c) OVER (PARTITION BY vc.nation ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum, n
+        |       FROM vc JOIN tot ON vc.nation = tot.nation),
+        |q AS (SELECT nation,
+        |""" +
+        (1 to 9).map(d =>
+          s"        min(CASE WHEN cum * 10 >= n * $d THEN v END) AS b$d")
+          .mkString(",\n") +
+        """
+        |      FROM rc GROUP BY 1),
+        |g AS (SELECT pts.nation,
+        |        CASE WHEN v <= b1 THEN 0 WHEN v <= b2 THEN 1
+        |             WHEN v <= b3 THEN 2 WHEN v <= b4 THEN 3
+        |             WHEN v <= b5 THEN 4 WHEN v <= b6 THEN 5
+        |             WHEN v <= b7 THEN 6 WHEN v <= b8 THEN 7
+        |             WHEN v <= b9 THEN 8 ELSE 9 END AS decile, v
+        |      FROM pts JOIN q ON pts.nation = q.nation),
+        |gg AS (SELECT nation, decile, count(*) AS n_customers,
+        |         sum(v) AS rev
+        |       FROM g GROUP BY 1, 2)
+        |SELECT nation, decile, n_customers, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(sum(rev) OVER (PARTITION BY nation ORDER BY decile
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(sum(rev) OVER (PARTITION BY nation) AS DOUBLE)
+        |    AS cum_share
+        |FROM gg ORDER BY 1, 2""").stripMargin,
     // q94: q79's run construction restricted to activity events, PIT
     // condition from <= ts < to replayed with the same left join
     "q94_pit_join" ->

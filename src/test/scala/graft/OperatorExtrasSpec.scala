@@ -322,7 +322,7 @@ class OperatorExtrasSpec extends AnyFunSuite {
     for (q <- Seq("q44_tpch_q3", "q03_broadcast_join_agg", "q85_native_topk",
         "q88_interval_join", "q89_equidepth_hist", "q90_mode",
         "q91_join_fanout", "q92_winsorize", "q93_attribution",
-        "q94_pit_join", "q95_drift"))
+        "q94_pit_join", "q95_drift", "q96_decile_lift"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
