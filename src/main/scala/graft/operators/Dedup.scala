@@ -213,8 +213,16 @@ object Dedup {
     * corpus, no adjacency stitching, and the verify joins texts for
     * candidate pairs only (O(docs × window) of them).
     */
-  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
-                              minSim: Double = 0.8): DataFrame = {
+  /** The SNM GLOBAL sort rank, computed two-level so no partition-less
+    * window ever sees more than ~alphabet rows: docs bucket by the first
+    * character of the normalized block key (order-preserving), cumulative
+    * bucket offsets run through the only global window (over bucket
+    * COUNTS), and rank = offset + intra-bucket row_number. Shared by the
+    * plain-Levenshtein SNM verify ([[sortedNeighborhoodPairs]]) and the
+    * Damerau–Levenshtein variant (`dd_damerau`) — both oracles sort
+    * globally with row_number, so equality proves this decomposition.
+    */
+  private[graft] def snmRanked(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => SqlWindow}
     val keyed = docs.select(col("doc_id"),
       substring(
@@ -227,9 +235,46 @@ object Dedup {
     val offs = counts
       .withColumn("off", coalesce(sum(col("c")).over(woff), lit(0L)))
     val win = SqlWindow.partitionBy("bucket").orderBy(col("bk"), col("doc_id"))
-    val ranked = b.withColumn("lr", row_number().over(win))
+    b.withColumn("lr", row_number().over(win))
       .join(broadcast(offs.select("bucket", "off")), "bucket")
       .select(col("doc_id"), (col("off") + col("lr")).as("rank"))
+  }
+
+  /** Transposition-aware edit distance over the SNM neighbor candidates:
+    * every rank-adjacent pair (window 2 — the tight neighborhood) scored
+    * with BOTH plain Levenshtein and the unrestricted Damerau–Levenshtein
+    * ([[graft.functions.EditDist.damerau]], a native codegen'd
+    * expression), publishing the distances and the transposition gain
+    * lev − dl ≥ 0. The gain is the signal plain edit-distance dedup
+    * misses: swapped-word / swapped-char near-duplicates (OCR, human
+    * transcription) whose Levenshtein cost is 2 per swap but true edit
+    * cost is 1.
+    *
+    * No banding: the DL transposition recurrence reads arbitrarily far
+    * back in the matrix (see EditDist scaladoc), so each pair pays the
+    * full O(n·m) DP — which is exactly why it runs over the LINEAR-sized
+    * SNM candidate set (window·N pairs), never all pairs.
+    */
+  def damerauPairs(docs: DataFrame, window: Int = 2): DataFrame = {
+    import graft.functions.editdist.damerauLevenshtein
+    val ranked = snmRanked(docs)
+    val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(window))))
+      .select((col("rank") + col("j")).as("rank"), col("a_id"))
+    val txt = docs.select(col("doc_id"), col("text"))
+    probes
+      .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
+      .join(txt.toDF("a_id", "ta"), "a_id")
+      .join(txt.toDF("b_id", "tb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).as("lev_dist"),
+        damerauLevenshtein(col("ta"), col("tb")).as("dl_dist"))
+      .withColumn("transposition_gain", col("lev_dist") - col("dl_dist"))
+  }
+
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
+                              minSim: Double = 0.8): DataFrame = {
+    val ranked = snmRanked(docs)
     val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
       .withColumn("j", explode(sequence(lit(1), lit(window))))
       .select((col("rank") + col("j")).as("rank"), col("a_id"), col("j"))
@@ -1121,6 +1166,9 @@ object Dedup {
     "dd_snm" -> ((s, d) =>
       sortedNeighborhoodPairs(Tables.load(s, d, "documents"))
         .orderBy("a_id", "b_id")),
+    "dd_damerau" -> ((s, d) =>
+      damerauPairs(Tables.load(s, d, "documents"))
+        .orderBy("a_id", "b_id")),
     // cross-modal dedup verdict: the TEXT near-dup pairs (MinHash-LSH)
     // full-outer-merged with the IMAGE near-dup pairs (banded phash,
     // hamming <= 2) into one evidence table — a pair caught by either
@@ -1428,6 +1476,27 @@ object Dedup {
          |WHERE 1 - CAST(levenshtein(ta, tb) AS DOUBLE)
          |      / greatest(length(ta), length(tb)) >= 0.8
          |ORDER BY a_id, b_id""".stripMargin,
+    // dd_damerau: same global-sort pair derivation as dd_snm (window 2),
+    // verify metric is DuckDB's own damerau_levenshtein — the native
+    // expression must agree on every candidate pair
+    "dd_damerau" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    substr(array_to_string(
+         |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |  FROM documents),
+         |r AS (SELECT doc_id, text, bk,
+         |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.text AS ta, b.text AS tb
+         |      FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2)
+         |SELECT a_id, b_id,
+         |  CAST(levenshtein(ta, tb) AS INTEGER) AS lev_dist,
+         |  CAST(damerau_levenshtein(ta, tb) AS INTEGER) AS dl_dist,
+         |  CAST(levenshtein(ta, tb) - damerau_levenshtein(ta, tb)
+         |    AS INTEGER) AS transposition_gain
+         |FROM p ORDER BY a_id, b_id""".stripMargin,
     "dd_containment" ->
       s"""WITH sh_all AS ($SH),
          |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)

@@ -129,6 +129,8 @@ object Relational {
     "q94_pit_join" -> q94,
     "q95_drift" -> q95,
     "q96_decile_lift" -> q96,
+    "q97_ema" -> q97,
+    "q98_linear_attribution" -> q98,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3085,6 +3087,95 @@ object Relational {
       .orderBy("nation", "decile")
   }
 
+  /** Exponential smoothing with EXACT dyadic weights — the recursive
+    * EMA_t = α·x_t + (1−α)·EMA_{t−1} is inherently sequential and its
+    * floating accumulation never bit-matches across engines, so this is
+    * the 8-term truncation at α = 1/2: weights 128,64,…,1 over the
+    * current row and its 7 predecessors (per event_type, event-time
+    * order). Truncated tail mass is 2⁻⁸ ≈ 0.4% and the truncation is
+    * made EXACT by renormalizing over the weights actually present
+    * (series heads use only their available lags). All accumulation is
+    * integer-weighted DECIMAL — one IEEE division at the output.
+    *
+    * Scale: one window per event_type partition (8 lag reads share one
+    * sort — Spark collapses same-window functions into a single
+    * WindowExec), no self-join; output is row-sized like any smoothing
+    * signal. Partition-less only in the sense of per-type — type
+    * cardinality bounds parallelism, so a single-series corpus would
+    * re-key by (series, day) first.
+    */
+  private def q97(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val terms = (0 to 7).map { i =>
+      val wt = 1L << (7 - i)
+      val v = if (i == 0) d2(col("value")) else lag(d2(col("value")), i).over(w)
+      (v, wt)
+    }
+    val num = terms.map { case (v, wt) =>
+      coalesce(v * lit(wt.toInt), lit(0).cast(DecimalType(20, 2)))
+    }.reduce(_ + _)
+    val den = terms.map { case (v, wt) =>
+      when(v.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("t"),
+        col("event_id"), col("ts_ns"), col("value"))
+      .withColumn("wsum", den.cast("int"))
+      .withColumn("ema", num.cast("double") / den.cast("double"))
+      .select(col("event_type"), col("t"), col("event_id"),
+        col("value"), col("wsum"), col("ema"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Multi-touch LINEAR attribution with EXACT cent conservation — the
+    * complement of q93's last-touch rule: each purchase's revenue is
+    * split across ALL of the user's clicks in the 7-day horizon
+    * (click ts ∈ [purchase − 7d, purchase], inclusive both ends). The
+    * split is integer cents with the LARGEST-REMAINDER rule — each click
+    * gets ⌊cents/n⌋ and the `cents mod n` leftover cents go one each to
+    * the MOST RECENT clicks — so Σ credits ≡ purchase revenue exactly
+    * (the invariant IEEE division cannot give; the oracle equality
+    * proves conservation end-to-end). Purchases with no horizon click
+    * carry no credit here (q93 reports the attribution rate).
+    *
+    * Scale: the purchase×click pair join is EQUI on user_id with the
+    * horizon filter post-join — fan-out is clicks-per-user-week, the
+    * same run-length-bounded shape as q94's PIT join, never a θ-join.
+    * The per-purchase index window partitions by purchase event_id
+    * (pair-sized exchange), the rollup is day-sized.
+    */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    val horizonNs = 7L * 24 * 3600 * 1000000000L
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("ts_ns").as("c_ts_ns"), col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ts_ns"),
+        col("event_id").as("p_id"),
+        (d2(col("value")) * 100).cast("long").as("cents"))
+    val pairs = purchases.join(clicks, "user_id")
+      .filter(col("c_ts_ns") <= col("p_ts_ns")
+        && col("c_ts_ns") >= col("p_ts_ns") - horizonNs)
+    val wp = Window.partitionBy("p_id")
+      .orderBy(col("c_ts_ns").desc, col("c_id").desc)
+    pairs
+      .withColumn("idx", row_number().over(wp))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("credit_cents",
+        expr("cents div n")
+          + when(col("idx") <= col("cents") % col("n"), 1L).otherwise(0L))
+      .groupBy(date_format(col("c_ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_credits"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        (sum(col("credit_cents")).cast("double") / 100.0)
+          .as("attributed_revenue"))
+      .orderBy("day")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -4150,6 +4241,68 @@ object Relational {
         |    / CAST(sum(rev) OVER (PARTITION BY nation) AS DOUBLE)
         |    AS cum_share
         |FROM gg ORDER BY 1, 2""").stripMargin,
+    // q97: identical 8-term dyadic weights; lag of the DECIMAL cast so a
+    // NULL source value drops out of numerator AND weight sum on both
+    // engines the same way
+    "q97_ema" ->
+      ("""WITH e AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+        |    event_id, epoch_ns(ts) AS ts_ns, value,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, t, event_id, value, v AS v0,
+        |""" +
+        (1 to 7).map(i => s"        lag(v, $i) OVER w AS v$i")
+          .mkString(",\n") +
+        """
+        |  FROM e WINDOW w AS (PARTITION BY event_type
+        |                      ORDER BY ts_ns, event_id))
+        |SELECT event_type, t, event_id, value,
+        |  CAST(""" +
+        (0 to 7).map(i =>
+          s"CASE WHEN v$i IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END")
+          .mkString("\n        |      + ") +
+        """ AS INTEGER) AS wsum,
+        |  CAST(""" +
+        (0 to 7).map(i => s"coalesce(v$i * ${1L << (7 - i)}, 0)")
+          .mkString("\n        |      + ") +
+        """ AS DOUBLE)
+        |  / CAST(""" +
+        (0 to 7).map(i =>
+          s"CASE WHEN v$i IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END")
+          .mkString("\n        |      + ") +
+        """ AS DOUBLE) AS ema
+        |FROM l ORDER BY event_type, event_id""").stripMargin,
+    // q98: the same pair join, recency index and largest-remainder cent
+    // split — // is DuckDB integer division, div is Spark's
+    "q98_linear_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS c_ts, epoch_ns(ts) AS c_ts_ns,
+        |    event_id AS c_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_ns(ts) AS p_ts_ns, event_id AS p_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.p_id, p.cents, c.c_ts, c.c_ts_ns, c.c_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts_ns <= p.p_ts_ns
+        |    AND c.c_ts_ns >= p.p_ts_ns - 604800000000000),
+        |k AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY c_ts_ns DESC, c_id DESC) AS idx,
+        |    count(*) OVER (PARTITION BY p_id) AS n
+        |  FROM j)
+        |SELECT strftime(c_ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n_credits,
+        |  count(DISTINCT p_id) AS n_purchases,
+        |  CAST(sum(cents // n
+        |    + CASE WHEN idx <= cents % n THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 100.0 AS attributed_revenue
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // q94: q79's run construction restricted to activity events, PIT
     // condition from <= ts < to replayed with the same left join
     "q94_pit_join" ->

@@ -50,6 +50,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.prefixJaccardPairs(noDocs, 0.5).count() === 0)
     assert(Dedup.containmentPairs(noDocs, 0.8).count() === 0)
     assert(Dedup.sortedNeighborhoodPairs(noDocs).count() === 0)
+    assert(Dedup.damerauPairs(noDocs).count() === 0)
     assert(Dedup.minhashLshPairs(noDocs).count() === 0)
     assert(Dedup.simhashPairs(noDocs).count() === 0)
     assert(Dedup.duplicateClusters(noDocs).count() === 0)

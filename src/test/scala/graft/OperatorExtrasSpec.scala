@@ -322,7 +322,8 @@ class OperatorExtrasSpec extends AnyFunSuite {
     for (q <- Seq("q44_tpch_q3", "q03_broadcast_join_agg", "q85_native_topk",
         "q88_interval_join", "q89_equidepth_hist", "q90_mode",
         "q91_join_fanout", "q92_winsorize", "q93_attribution",
-        "q94_pit_join", "q95_drift", "q96_decile_lift"))
+        "q94_pit_join", "q95_drift", "q96_decile_lift",
+        "q97_ema", "q98_linear_attribution"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -386,5 +387,77 @@ class OperatorExtrasSpec extends AnyFunSuite {
       Dedup.incrementalLshPairs(spark, store, batch)
     }
     assert(missing.getMessage.contains(Dedup.StoreMetaFile), missing.getMessage)
+  }
+
+  test("unrestricted Damerau-Levenshtein: known vectors, variant identity, bounds") {
+    import graft.functions.EditDist
+    import org.apache.spark.unsafe.types.UTF8String
+    def dl(a: String, b: String): Int =
+      EditDist.damerau(UTF8String.fromString(a), UTF8String.fromString(b))
+    // the OSA-disagreement vectors (probed against DuckDB's
+    // damerau_levenshtein — these are what pin the UNRESTRICTED variant:
+    // OSA would say 3 and 4)
+    assert(dl("ca", "abc") === 2)
+    assert(dl("a cat", "an abct") === 3)
+    // classics
+    assert(dl("kitten", "sitting") === 3)
+    assert(dl("ab", "ba") === 1)
+    assert(dl("abcd", "acbd") === 1)
+    assert(dl("", "abc") === 3 && dl("abc", "") === 3 && dl("", "") === 0)
+    assert(dl("same", "same") === 0)
+    // properties on pseudorandom strings: symmetry, dl <= levenshtein,
+    // triangle-ish lower bound |len difference|
+    val rnd = new scala.util.Random(42)
+    def randStr() = (0 until 1 + rnd.nextInt(12))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 300) {
+      val (a, b) = (randStr(), randStr())
+      val d = dl(a, b)
+      assert(d === dl(b, a))
+      assert(d >= math.abs(a.length - b.length))
+      val lev = spark.range(1).select(
+        levenshtein(lit(a), lit(b))).head().getInt(0)
+      assert(d <= lev, s"dl($a,$b)=$d > lev=$lev")
+    }
+  }
+
+  test("q98 linear attribution conserves cents exactly") {
+    import org.apache.spark.sql.types.DecimalType
+    val sf = TestSpark.sf0001
+    val horizonNs = 7L * 24 * 3600 * 1000000000L
+    val out = Relational.defs("q98_linear_attribution")(spark, sf)
+    val credited = out.agg(
+      sum(round(col("attributed_revenue") * 100).cast("long"))).head().getLong(0)
+    // ground truth: Σ cents over purchases having >= 1 click in horizon
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns").as("c_ts_ns"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ts_ns"),
+        col("event_id").as("p_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .join(clicks, "user_id")
+      .filter(col("c_ts_ns") <= col("p_ts_ns")
+        && col("c_ts_ns") >= col("p_ts_ns") - horizonNs)
+      .select("p_id", "cents").distinct()
+      .agg(sum("cents")).head().getLong(0)
+    assert(credited === want,
+      s"credited $credited cents != attributed purchase revenue $want")
+  }
+
+  test("q97 ema: head renormalization masses and the single-term fixed point") {
+    val out = Relational.defs("q97_ema")(spark, TestSpark.sf0001).cache()
+    val nTypes = out.select("event_type").distinct().count()
+    // each series head contributes exactly one row at each partial weight
+    // mass 128, 192, 224, ..., 254 (order-free statement of "the first 7
+    // rows renormalize over the lags present"); everything else is 255
+    val partials = Seq(128, 192, 224, 240, 248, 252, 254)
+    for (m <- partials)
+      assert(out.filter(col("wsum") === m).count() === nTypes, s"mass $m")
+    assert(out.filter(!col("wsum").isin(255 +: partials: _*)).count() === 0)
+    // a wsum=128 row has only its own term: ema == value exactly
+    assert(out.filter(col("wsum") === 128)
+      .filter(abs(col("ema") - col("value")) > 1e-9).count() === 0)
+    out.unpersist()
   }
 }
