@@ -131,6 +131,10 @@ object Relational {
     "q96_decile_lift" -> q96,
     "q97_ema" -> q97,
     "q98_linear_attribution" -> q98,
+    "q99_qdigest" -> q99,
+    "q100_sssp" -> q100,
+    "q101_benford" -> q101,
+    "q102_markov" -> q102,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3176,6 +3180,162 @@ object Relational {
       .orderBy("day")
   }
 
+  /** q-digest quantile sketch, END-TO-END VERIFIED: per return flag, a
+    * [[graft.functions.QDigest]] (L=24 over price cents, k=2000) is
+    * built through Spark's partial aggregation (typed Aggregator —
+    * map-side sketches, merge at the exchange), queried at 7
+    * percentiles, and each estimate is then checked against the EXACT
+    * ranks of the same data in one broadcast-joined pass. Published
+    * facts are the order-invariant ones — the sketch contents depend on
+    * Spark's nondeterministic merge order, but (a) n is conserved
+    * exactly, (b) nodes ≤ 3k, and (c) every estimate's exact rank
+    * window intersects target ± L·⌊n/k⌋ are THEOREMS (SenSys'04 +
+    * PODS'12 mergeability), so the oracle asserts them as constants.
+    * Integer rank targets ((p·n+99) div 100) on both the sketch query
+    * and the acceptance check keep the boundary IEEE-free.
+    *
+    * Scale: the sketch is O(k) per group regardless of n; the verify
+    * pass broadcasts 21 rows and re-scans once. A production pipeline
+    * would ship the serialized bytes (the portable HLL/KMV convention)
+    * and skip the verify scan.
+    */
+  private def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.QDigest
+    val L = 24
+    val kk = 2000
+    val pcts = Seq(1, 5, 25, 50, 75, 95, 99)
+    val cents = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (d2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val sk = cents.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(QDigest.aggregator(L, kk).toColumn.name("sk"))
+    val est = sk.flatMap { case (flag, bytes) =>
+      val qd = QDigest.deserialize(bytes)
+      pcts.map { p =>
+        val target = (p * qd.n + 99) / 100
+        (flag, p, qd.quantileAtRank(target), qd.n, qd.nodes)
+      }
+    }.toDF("l_returnflag", "pct", "est", "sk_n", "sk_nodes")
+    cents.join(broadcast(est), "l_returnflag")
+      .groupBy("l_returnflag", "pct", "est", "sk_n", "sk_nodes")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("est"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("cents") <= col("est"), 1L).otherwise(0L)).as("hi"))
+      .select(col("l_returnflag"), col("pct"), col("n"),
+        (col("sk_n") === col("n")).as("n_exact"),
+        (col("sk_nodes") <= 3 * kk).as("compact"),
+        (col("lo") <= expr("(pct * n + 99) div 100") + lit(L) * expr(s"n div $kk")
+          && col("hi") >= expr("(pct * n + 99) div 100") - lit(L) * expr(s"n div $kk"))
+          .as("within_eps"))
+      .orderBy("l_returnflag", "pct")
+  }
+
+  /** WEIGHTED single-source shortest paths — q78's BFS upgraded to
+    * Bellman–Ford: the trade graph's edges carry an exact integer weight
+    * (the minimum line quantity ever shipped across that
+    * customer–supplier pair), and six FULL relaxation rounds compute
+    * d_i(v) = min(d_{i−1}(v), min_u d_{i−1}(u) + w(u,v)) — after round
+    * i, d_i is exactly the shortest distance using ≤ i edges, which is
+    * the same finite semantics the oracle's six chained relaxation CTEs
+    * define (a recursive path-enumeration CTE would explode; full
+    * relaxation is nodes-sized per level on both engines). Unreached
+    * nodes surface as NULL (the st_funnel lesson).
+    *
+    * Scale: each round is one dist ⋈ edges shuffle (O(E)) plus a
+    * node-sized min — the textbook distributed Bellman–Ford; dist is
+    * localCheckpointed per round so lineage doesn't nest six joins.
+    * Integer distances make the result engine-exact.
+    */
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val pw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .agg(min(col("l_quantity").cast("long")).as("wt"))
+    val edges = pw.select(col("c").as("src"), col("s").as("dst"), col("wt"))
+      .unionByName(pw.select(col("s").as("src"), col("c").as("dst"), col("wt")))
+      .localCheckpoint(true)
+    val srcRow = edges.agg(min(col("src"))).first()
+    require(!srcRow.isNullAt(0),
+      "q100_sssp: the trade graph is empty — no source node")
+    val source = srcRow.getLong(0)
+    var dist = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      dist = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("wt")).as("dist"))
+        .unionByName(dist.select("node", "dist"))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    edges.select(col("src").as("node")).distinct()
+      .join(dist, Seq("node"), "left_outer")
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("dist"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** Benford first-digit audit — the fraud/data-quality screen: the
+    * leading significant digit of every order total, its exact count and
+    * share, against the Benford expectation log10(1 + 1/d). The
+    * expectations are EMBEDDED LITERALS (the same nine doubles in the
+    * Spark plan and the oracle SQL — log10 is libm territory and never
+    * assumed to bit-match across engines; a literal parses to the
+    * identical IEEE double everywhere). share and deviation are each one
+    * IEEE operation on exact-integer operands.
+    *
+    * Scale: one partial-agg groupBy over a 9-value key; the totals join
+    * is a 1-row broadcast.
+    */
+  private def q101(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "orders")
+      .select(substring((d2(col("o_totalprice")) * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    val p = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("digit") === d, lit(math.log10(1.0 + 1.0 / d))).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("tot").cast("double"))
+      .withColumn("benford_p", p)
+      .withColumn("deviation", col("share") - col("benford_p"))
+      .select("digit", "n", "share", "benford_p", "deviation")
+      .orderBy("digit")
+  }
+
+  /** First-order Markov transition matrix over user journeys — the
+    * path-analysis primitive behind attribution modeling and funnel
+    * simulation: per user in event-time order, each consecutive
+    * (from → to) event-type pair counted, plus the row-normalized
+    * transition probability (one IEEE division of exact counts). The
+    * lag window is q79's exact envelope (per-user sort, event_id
+    * tie-break).
+    */
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(byTime))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+    trans.join(broadcast(totals), "from_type")
+      .withColumn("p", col("n").cast("double") / col("row_n").cast("double"))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -4303,6 +4463,79 @@ object Relational {
         |    + CASE WHEN idx <= cents % n THEN 1 ELSE 0 END) AS DOUBLE)
         |    / 100.0 AS attributed_revenue
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q99: the sketch's guarantees are theorems, so the oracle states
+    // them as constants over the exact group counts — the Spark side
+    // EARNS each boolean from real sketch estimates vs exact ranks
+    "q99_qdigest" ->
+      """SELECT l_returnflag, pct, n,
+        |  true AS n_exact, true AS compact, true AS within_eps
+        |FROM (SELECT l_returnflag, count(*) AS n
+        |      FROM lineitem GROUP BY 1)
+        |CROSS JOIN (VALUES (1),(5),(25),(50),(75),(95),(99)) t(pct)
+        |ORDER BY 1, 2""".stripMargin,
+    // q100: six chained full-relaxation CTEs — the finite Bellman-Ford
+    // semantics both engines share (a recursive path CTE would explode)
+    "q100_sssp" ->
+      ("""WITH pe AS (
+        |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+        |         min(CAST(l_quantity AS BIGINT)) AS wt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT c AS src, s AS dst, wt FROM pe
+        |      UNION ALL SELECT s AS src, c AS dst, wt FROM pe),
+        |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+        |""".stripMargin +
+        (1 to 6).map(i =>
+          s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, d${i - 1}.dist + e.wt AS dist
+             |  FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node) GROUP BY 1)"""
+            .stripMargin).mkString(",\n") +
+        """
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |       node // 2 AS node_id, dist
+        |FROM (SELECT DISTINCT src AS node FROM e) n
+        |LEFT JOIN d6 USING (node)
+        |ORDER BY 1, 2""".stripMargin),
+    // q101: the nine Benford expectations are literals printed from the
+    // SAME doubles the Spark plan embeds (Double.toString round-trips)
+    "q101_benford" ->
+      ("""WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |p AS (
+        |""".stripMargin +
+        // string-quoted so DuckDB parses straight to DOUBLE — a bare
+        // literal goes through DECIMAL and can land one ulp off
+        (1 to 9).map(i =>
+          s"  SELECT $i AS digit, " +
+            s"CAST('${math.log10(1.0 + 1.0 / i)}' AS DOUBLE) AS benford_p")
+          .mkString("\n  UNION ALL\n") +
+        """)
+        |SELECT c.digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  benford_p,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford_p AS deviation
+        |FROM c CROSS JOIN t JOIN p ON p.digit = c.digit
+        |ORDER BY 1""".stripMargin),
+    "q102_markov" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS row_n FROM c GROUP BY 1)
+        |SELECT c.from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY 1, 2""".stripMargin,
     // q94: q79's run construction restricted to activity events, PIT
     // condition from <= ts < to replayed with the same left join
     "q94_pit_join" ->

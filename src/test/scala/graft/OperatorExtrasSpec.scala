@@ -323,7 +323,7 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q88_interval_join", "q89_equidepth_hist", "q90_mode",
         "q91_join_fanout", "q92_winsorize", "q93_attribution",
         "q94_pit_join", "q95_drift", "q96_decile_lift",
-        "q97_ema", "q98_linear_attribution"))
+        "q97_ema", "q98_linear_attribution", "q102_markov"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -443,6 +443,42 @@ class OperatorExtrasSpec extends AnyFunSuite {
       .agg(sum("cents")).head().getLong(0)
     assert(credited === want,
       s"credited $credited cents != attributed purchase revenue $want")
+  }
+
+  test("q100 weighted sssp agrees with q78 bfs on reachability; source at 0") {
+    val sssp = Relational.defs("q100_sssp")(spark, TestSpark.sf0001)
+    val bfs = Relational.defs("q78_bfs_hops")(spark, TestSpark.sf0001)
+    val dReach = sssp.filter(col("dist").isNotNull)
+      .select("node_type", "node_id").collect().map(_.toSeq).toSet
+    val bReach = bfs.filter(col("hops").isNotNull)
+      .select("node_type", "node_id").collect().map(_.toSeq).toSet
+    // 6 weighted relaxation rounds reach exactly the <=6-edge set; BFS
+    // caps at 8 hops but this graph's diameter is ~4, so the sets match
+    assert(dReach === bReach)
+    assert(sssp.filter(col("dist") === 0).count() === 1, "exactly one source")
+    // weighted dist >= hops (every edge weight >= 1)
+    val joined = sssp.join(bfs, Seq("node_type", "node_id"))
+      .filter(col("dist").isNotNull)
+    assert(joined.filter(col("dist") < col("hops")).count() === 0)
+  }
+
+  test("q101 benford: all nine digits, shares sum to one") {
+    val out = Relational.defs("q101_benford")(spark, TestSpark.sf0001).collect()
+    assert(out.map(_.getInt(0)).toSet === (1 to 9).toSet)
+    val s = out.map(_.getDouble(2)).sum
+    assert(math.abs(s - 1.0) < 1e-9, s"shares sum to $s")
+  }
+
+  test("q102 markov: rows normalize to one; transition count identity") {
+    val out = Relational.defs("q102_markov")(spark, TestSpark.sf0001).cache()
+    val rowSums = out.groupBy("from_type").agg(sum(col("p")).as("s"))
+    assert(rowSums.filter(abs(col("s") - 1.0) > 1e-9).count() === 0)
+    // Σ transitions = Σ_users (events_u - 1)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val want = ev.groupBy("user_id").agg((count(lit(1)) - 1).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(out.agg(sum("n")).head().getLong(0) === want)
+    out.unpersist()
   }
 
   test("q97 ema: head renormalization masses and the single-term fixed point") {
