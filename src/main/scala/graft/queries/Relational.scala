@@ -135,6 +135,8 @@ object Relational {
     "q100_sssp" -> q100,
     "q101_benford" -> q101,
     "q102_markov" -> q102,
+    "q103_ams" -> q103,
+    "q104_cusum" -> q104,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3336,6 +3338,107 @@ object Relational {
       .orderBy("from_type", "to_type")
   }
 
+  /** AMS "tug-of-war" sketch (Alon–Matias–Szegedy STOC'96) for the second
+    * frequency moment F2 = Σ_u f_u² — the self-join size — of user_id per
+    * event class, VERIFIED against the exact F2 in the same result. 15
+    * deterministic ±1 sign hashes (md5-parity of "ams<j>:<user>", the
+    * [[portableHash60]] construction, so the oracle rebuilds identical
+    * signs) accumulate as 15 plain sums in ONE scan — each counter's
+    * square is an unbiased F2 estimate; median of 5 groups of 3 gives
+    * the classic median-of-means concentration. All arithmetic is exact
+    * integers until the single ÷3 at publish: group sums of squares stay
+    * DECIMAL(38,0) (a counter is ≤ n, so c² overflows BIGINT past
+    * n ≈ 3·10⁹ — a 100 TB class exceeds that), and the 5-way median is
+    * an ELEMENT (odd count), never an average.
+    *
+    * Scale: the sketch is 15 columns of map-side partial sums — the
+    * shuffle carries classes×15 numbers regardless of corpus size; the
+    * exact-F2 pass (one (class,user) partial agg) is the verification
+    * luxury a production run would drop, leaving a pure scan-and-fold.
+    * This is the moment-sketch complement of q36/q53 (distinct) and
+    * q38 (point frequency): join-size estimation before running q91's
+    * exact audit.
+    */
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val nSigns = 15
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val signCols = (1 to nSigns).map { j =>
+      sum(when(portableHash60(
+        concat(lit(s"ams$j:"), col("user_id").cast("string"))) % 2 === 1,
+        lit(1L)).otherwise(lit(-1L))).as(s"c$j")
+    }
+    val counters = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), signCols: _*)
+    val big = DecimalType(38, 0)
+    def sq(j: Int): Column = col(s"c$j").cast(big) * col(s"c$j").cast(big)
+    val groups = (0 until 5).map { g =>
+      (sq(3 * g + 1) + sq(3 * g + 2) + sq(3 * g + 3)).as(s"g$g")
+    }
+    val est3 = element_at(
+      array_sort(array((0 until 5).map(g => col(s"g$g")): _*)), 3)
+    val exact = ev.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("f"))
+      .groupBy("event_type")
+      .agg(sum(col("f").cast(big) * col("f").cast(big)).as("f2"))
+    counters.select(col("event_type") +: col("n") +: groups: _*)
+      .withColumn("est3", est3)
+      .join(broadcast(exact), "event_type")
+      .select(col("event_type"), col("n"),
+        col("f2").cast("double").as("exact_f2"),
+        (col("est3").cast("double") / 3.0).as("ams_est"),
+        (col("est3").cast("double") / 3.0 / col("f2").cast("double"))
+          .as("est_ratio"))
+      .orderBy("event_type")
+  }
+
+  /** CUSUM changepoint detection over the per-class daily event series,
+    * in EXACT cross-multiplied integers: with prefix_i = Σ_{j≤i} x_j and
+    * total T over n days, the centered cumulative sum S_i = prefix_i −
+    * i·T/n is scaled by n to D_i = n·prefix_i − i·T — exact BIGINTs —
+    * and the changepoint is argmax |D_i| (ties → earliest day; D_n = 0
+    * by construction so the argmax is interior whenever any drift
+    * exists). Published means (before/after the change) are each ONE
+    * IEEE division of exact integers, with the q77 0/0 guard on the
+    * degenerate n = 1 series. The same cross-multiplication discipline
+    * as q95's total-variation drift — a floating CUSUM recurrence would
+    * never bit-match across engines.
+    *
+    * Scale: one (class, day) partial agg, then windows over the
+    * DAY-GRAIN series (rows = classes × days — thousands at any corpus
+    * size, the q74 resample envelope); the raw events never hit a
+    * window.
+    */
+  private def q104(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val whole = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("prefix", sum(col("x")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("t", sum(col("x")).over(whole))
+      .withColumn("d", col("n") * col("prefix") - col("i") * col("t"))
+    val best = Window.partitionBy("event_type")
+      .orderBy(abs(col("d")).desc, col("day").asc)
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_days"), col("t").as("total"),
+        col("day").as("change_day"),
+        (abs(col("d")).cast("double") / col("n").cast("double"))
+          .as("max_cusum"),
+        (col("prefix").cast("double") / col("i").cast("double"))
+          .as("mean_before"),
+        when(col("n") > col("i"),
+          (col("t") - col("prefix")).cast("double")
+            / (col("n") - col("i")).cast("double"))
+          .as("mean_after"))
+      .orderBy("event_type")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -4536,6 +4639,67 @@ object Relational {
         |  CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY 1, 2""".stripMargin,
+    // q103: the 15 sign hashes are the identical md5-parity construction;
+    // list_sort + [3] picks the exact 5-way median element
+    "q103_ams" ->
+      ("""WITH s AS (
+        |  SELECT event_type,
+        |""".stripMargin +
+        (1 to 15).map(j =>
+          s"    CASE WHEN CAST(concat('0x', substr(md5('ams$j:' || user_id)," +
+            s" 1, 15)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s$j")
+          .mkString(",\n") +
+        """
+        |  FROM events),
+        |c AS (SELECT event_type, count(*) AS n,
+        |""".stripMargin +
+        (1 to 15).map(j => s"    sum(s$j) AS c$j").mkString(",\n") +
+        """
+        |  FROM s GROUP BY 1),
+        |g AS (SELECT event_type, n,
+        |""".stripMargin +
+        (0 until 5).map { g =>
+          val t = (1 to 3).map(o => s"CAST(c${3 * g + o} AS DECIMAL(38,0))" +
+            s" * c${3 * g + o}").mkString(" + ")
+          s"    $t AS g$g"
+        }.mkString(",\n") +
+        """
+        |  FROM c),
+        |m AS (SELECT event_type, n,
+        |        list_sort([g0, g1, g2, g3, g4])[3] AS est3 FROM g),
+        |f AS (SELECT event_type, sum(CAST(f AS DECIMAL(38,0)) * f) AS f2
+        |      FROM (SELECT event_type, user_id, count(*) AS f
+        |            FROM events GROUP BY 1, 2) GROUP BY 1)
+        |SELECT event_type, n, CAST(f2 AS DOUBLE) AS exact_f2,
+        |  CAST(est3 AS DOUBLE) / 3.0 AS ams_est,
+        |  CAST(est3 AS DOUBLE) / 3.0 / CAST(f2 AS DOUBLE) AS est_ratio
+        |FROM m JOIN f USING (event_type)
+        |ORDER BY 1""".stripMargin),
+    "q104_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER w AS i,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS t
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |d AS (SELECT *, n * prefix - i * t AS dd FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(dd) DESC, day ASC) AS rk FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(t AS BIGINT) AS total, day AS change_day,
+        |  CAST(abs(dd) AS DOUBLE) / CAST(n AS DOUBLE) AS max_cusum,
+        |  CAST(prefix AS DOUBLE) / CAST(i AS DOUBLE) AS mean_before,
+        |  CASE WHEN n > i THEN
+        |    CAST(t - prefix AS DOUBLE) / CAST(n - i AS DOUBLE) END
+        |    AS mean_after
+        |FROM r WHERE rk = 1
+        |ORDER BY 1""".stripMargin,
     // q94: q79's run construction restricted to activity events, PIT
     // condition from <= ts < to replayed with the same left join
     "q94_pit_join" ->

@@ -126,6 +126,21 @@ object Sources {
         .csv(out))
   }
 
+  /** documents → ORC → documents, summarized. The second columnar format
+    * (parquet is the table substrate): ORC is splittable, stripe-indexed
+    * and predicate-pushdown-capable, so a 100 TB corpus written this way
+    * scans with the same parallelism and pruning as parquet — the gate
+    * proves the string/long round-trip is byte-lossless through ORC's
+    * dictionary + RLE encodings on the SAME adversarial decoration the
+    * text formats face (embedded newlines, quotes, commas, non-ASCII).
+    */
+  def orcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-orc")
+    decorate(Tables.load(spark, sfDir, "documents"))
+      .write.mode("overwrite").orc(out)
+    fidelitySummary(spark.read.schema(docSchema).orc(out))
+  }
+
   /** events → hive-partitioned parquet (partitionBy event_type) → PRUNED
     * read-back, summarized per class. The 100 TB layout primitive: a
     * reader filtering one class lists and scans ONLY that class's
@@ -174,6 +189,7 @@ object Sources {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl" -> ((s, d) => jsonlRoundTrip(s, d)),
     "src_csv" -> ((s, d) => csvRoundTrip(s, d)),
+    "src_orc" -> ((s, d) => orcRoundTrip(s, d)),
     "src_partitioned" -> ((s, d) => partitionedRoundTrip(s, d)),
   )
 
@@ -203,6 +219,7 @@ object Sources {
   def oracle: Map[String, String] = Map(
     "src_jsonl" -> oracleSummary,
     "src_csv" -> oracleSummary,
+    "src_orc" -> oracleSummary,
     // the oracle never sees the partitioned layout: it summarizes the
     // filtered classes straight off the parquet — equal answers ⇔ the
     // partitionBy write + pruned read changed nothing

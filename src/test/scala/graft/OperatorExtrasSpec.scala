@@ -323,7 +323,8 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q88_interval_join", "q89_equidepth_hist", "q90_mode",
         "q91_join_fanout", "q92_winsorize", "q93_attribution",
         "q94_pit_join", "q95_drift", "q96_decile_lift",
-        "q97_ema", "q98_linear_attribution", "q102_markov"))
+        "q97_ema", "q98_linear_attribution", "q102_markov",
+        "q103_ams", "q104_cusum"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -494,6 +495,52 @@ class OperatorExtrasSpec extends AnyFunSuite {
     // a wsum=128 row has only its own term: ema == value exactly
     assert(out.filter(col("wsum") === 128)
       .filter(abs(col("ema") - col("value")) > 1e-9).count() === 0)
+    out.unpersist()
+  }
+
+  test("q103 ams: exact F2 cross-checked; estimator is a positive finite value") {
+    val out = Relational.defs("q103_ams")(spark, TestSpark.sf0001).cache()
+    // exact_f2 recomputed independently from the raw events
+    val want = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type", "user_id").count()
+      .groupBy("event_type")
+      .agg(sum(col("count") * col("count")).as("f2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- out.collect()) {
+      val (et, n, f2, est) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(f2 === want(et).toDouble, s"$et exact F2")
+      // F2 bounds: n <= F2 <= n^2; the estimator is a sum of squares / 3
+      assert(f2 >= n && f2 <= n.toDouble * n, s"$et F2 out of bounds")
+      assert(est >= 0 && java.lang.Double.isFinite(est), s"$et estimate")
+      // median-of-means with 15 fixed signs: sanity envelope, not a
+      // probabilistic claim — the hash is deterministic so this is stable
+      assert(est / f2 > 0.05 && est / f2 < 20.0, s"$et ratio ${est / f2}")
+    }
+    out.unpersist()
+  }
+
+  test("q104 cusum: weighted mean identity and changepoint day membership") {
+    val out = Relational.defs("q104_cusum")(spark, TestSpark.sf0001).cache()
+    val days = Tables.events(spark, TestSpark.sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().collect().map(_.getString(0)).toSet
+    for (r <- out.collect()) {
+      val (nDays, total, day) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(days.contains(day), s"change day $day not in data")
+      assert(r.getDouble(4) >= 0.0, "max_cusum >= 0")
+      // i*mean_before + (n-i)*mean_after == total (exact integers under
+      // the two divisions, so equality holds to float tolerance)
+      if (!r.isNullAt(6)) {
+        val before = r.getDouble(5); val after = r.getDouble(6)
+        // recover i from the two means: before*i + after*(n-i) = total
+        val i = math.round((total - after * nDays) / (before - after + 1e-300))
+        if (math.abs(before - after) > 1e-9) {
+          assert(i >= 1 && i < nDays, s"interior changepoint index $i")
+          assert(math.abs(before * i + after * (nDays - i) - total) < 1e-6)
+        }
+      }
+    }
     out.unpersist()
   }
 }

@@ -41,4 +41,9 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq === direct())
   }
 
+  test("ORC round-trip is lossless under newlines/quotes/commas/unicode") {
+    assert(Sources.orcRoundTrip(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq === direct())
+  }
+
 }
