@@ -397,6 +397,45 @@ object Multimodal {
     })
   }
 
+  final case class AudioSilence(doc_id: Long, n_samples: Long,
+                                n_silent: Long, n_runs: Long,
+                                longest_run: Long)
+
+  /** Silence segmentation over the decoded PCM stream — the
+    * speech-pipeline primitive behind VAD trimming and clip splitting:
+    * a sample is silent when |v| < 10000, a RUN is a maximal silent
+    * stretch, and a run counts when it spans ≥ 4 samples. Reported per
+    * clip: total silent samples, qualifying runs, and the longest run
+    * (of any length — the VAD split decision reads all three). One
+    * sequential pass inside the same scan-stage mapPartitions as
+    * [[audioSampleStats]]; the oracle replays the byte pairing and runs
+    * the gaps-and-islands construction (q52's machinery) over the
+    * sample index.
+    */
+  def audioSilence(media: Dataset[MediaFile]): Dataset[AudioSilence] = {
+    import media.sparkSession.implicits._
+    val thresh = 10000
+    val minRun = 4
+    media.mapPartitions(_.flatMap { f =>
+      wavPcm(f.payload).map { v =>
+        var silent = 0L; var runs = 0L; var longest = 0L; var cur = 0L
+        var i = 0
+        while (i < v.length) {
+          if (math.abs(v(i)) < thresh) { cur += 1; silent += 1 }
+          else {
+            if (cur >= minRun) runs += 1
+            if (cur > longest) longest = cur
+            cur = 0
+          }
+          i += 1
+        }
+        if (cur >= minRun) runs += 1
+        if (cur > longest) longest = cur
+        AudioSilence(f.doc_id, v.length.toLong, silent, runs, longest)
+      }
+    })
+  }
+
   /** RIFF chunk walk + int16 LE decode shared by the signal-level audio
     * operators: the data chunk's available bytes (declared size capped by
     * what is present) as signed samples; None for non-RIFF payloads.
@@ -1109,6 +1148,11 @@ object Multimodal {
       audioAutocorr(synthesizeMedia(Tables.load(s, d, "documents")))
         .toDF().orderBy("doc_id")
     }),
+    "mm_silence" -> ((s, d) => {
+      import s.implicits._
+      audioSilence(synthesizeMedia(Tables.load(s, d, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
   )
 
   /** The phash pixel-recipe replay as oracle CTEs ending in
@@ -1329,6 +1373,39 @@ object Multimodal {
          |  coalesce(r0, 0) AS r0, coalesce(r1, 0) AS r1,
          |  coalesce(r2, 0) AS r2, coalesce(r4, 0) AS r4,
          |  coalesce(r8, 0) AS r8
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    // the same byte-pair replay, then q52's gaps-and-islands over the
+    // sample index: i - row_number() groups consecutive silent samples
+    "mm_silence" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |    least(CAST((1000 + h % 9000) * ((1 + h % 2) * 2) AS BIGINT),
+         |          CAST(length(text) AS BIGINT)) // 2 AS np
+         |  FROM ($R) JOIN documents USING (doc_id) WHERE fmt = 3),
+         |v AS (SELECT doc_id, unnest(range(0, np)) AS i, text FROM p),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+         |  FROM (SELECT doc_id, i,
+         |          ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+         |          + 256 * ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1))
+         |            AS raw
+         |        FROM v)),
+         |f AS (SELECT doc_id, i FROM s WHERE abs(val) < 10000),
+         |g AS (SELECT doc_id, i,
+         |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+         |          AS grp FROM f),
+         |runs AS (SELECT doc_id, grp, count(*) AS len FROM g GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_silent,
+         |          CAST(sum(CASE WHEN len >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_runs,
+         |          CAST(max(len) AS BIGINT) AS longest
+         |        FROM runs GROUP BY 1)
+         |SELECT p.doc_id, np AS n_samples,
+         |  coalesce(n_silent, 0) AS n_silent,
+         |  coalesce(n_runs, 0) AS n_runs,
+         |  coalesce(longest, 0) AS longest_run
          |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
          |ORDER BY p.doc_id""".stripMargin,
   )

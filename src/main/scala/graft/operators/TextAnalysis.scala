@@ -1082,6 +1082,50 @@ object TextAnalysis {
         .as("e"))
       .select(col("doc_id"), col("e.bucket"), col("e.tf"))
 
+  /** Flesch-style readability per source — the curation signal that
+    * separates legalese from children's prose. The three raw counts are
+    * exact integers with regex conventions BOTH engines state
+    * identically: words = [[tokens]] (non-letter splits); sentences =
+    * maximal [.!?]+ runs, floored at 1 per doc; syllables = maximal
+    * [aeiouy]+ vowel groups of the lowercased text (the standard
+    * heuristic; lower() emits no literal 'V', so marking groups with
+    * 'V' and counting survivors is alias-free). The published score is
+    * IEEE arithmetic over the two ratios in a FIXED expression order —
+    * 206.835 − 1.015·wps − 84.6·spw, constants embedded as the same
+    * doubles on both sides (the q101 string-quoting lesson) — so the
+    * result is bit-identical, never "approximately Flesch".
+    *
+    * Scale: pure scan-stage per-doc arithmetic folded by one
+    * sources-sized partial agg — no joins, no windows, no explode (the
+    * vowel-group count is a length difference, not a token
+    * materialization).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val sentMark = regexp_replace(col("text"), "[.!?]+", "\u0002")
+    val vowelMark = regexp_replace(lower(col("text")), "[aeiouy]+", "V")
+    val perDoc = docs.select(
+      col("source"),
+      size(tokens(col("text"))).cast("long").as("words"),
+      greatest(lit(1L),
+        (length(sentMark) - length(translate(sentMark, "\u0002", "")))
+          .cast("long")).as("sents"),
+      (length(vowelMark) - length(translate(vowelMark, "V", "")))
+        .cast("long").as("sylls"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("n_words"),
+        sum("sents").as("n_sentences"), sum("sylls").as("n_syllables"))
+      .withColumn("words_per_sentence",
+        col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("syllables_per_word",
+        when(col("n_words") > 0,
+          col("n_syllables").cast("double") / col("n_words").cast("double")))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          lit(206.835) - lit(1.015) * col("words_per_sentence")
+            - lit(84.6) * col("syllables_per_word")))
+      .orderBy("source")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bm25" -> ((s, d) =>
       bm25TopDocs(Tables.load(s, d, "documents"))),
@@ -1137,6 +1181,8 @@ object TextAnalysis {
       qualityModelScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_langid" -> ((s, d) =>
       langId(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_readability" -> ((s, d) =>
+      readability(Tables.load(s, d, "documents"))),
     "ta_fingerprint" -> ((s, d) =>
       fingerprints(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_tfidf" -> ((s, d) =>
@@ -1588,6 +1634,41 @@ object TextAnalysis {
          | CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text) AS space_ratio
          |FROM (SELECT doc_id, text, $W AS w FROM documents)
          |WHERE len(w) > 0 ORDER BY doc_id""".stripMargin,
+    // readability: identical regex conventions, identical expression
+    // order on the score — chr(2) is the same marker the Spark side uses
+    "ta_readability" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len($W) AS BIGINT) AS words,
+         |    greatest(CAST(1 AS BIGINT), CAST(
+         |      length(regexp_replace(text, '[.!?]+', chr(2), 'g'))
+         |      - length(replace(regexp_replace(text, '[.!?]+', chr(2), 'g'),
+         |                       chr(2), '')) AS BIGINT)) AS sents,
+         |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+         |      - length(replace(regexp_replace(lower(text), '[aeiouy]+',
+         |                                      'V', 'g'), 'V', ''))
+         |      AS BIGINT) AS sylls
+         |  FROM documents),
+         |a AS (
+         |  SELECT source, count(*) AS n_docs, sum(words) AS n_words,
+         |    sum(sents) AS n_sentences, sum(sylls) AS n_syllables
+         |  FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT *, CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+         |      AS words_per_sentence,
+         |    CASE WHEN n_words > 0 THEN
+         |      CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) END
+         |      AS syllables_per_word
+         |  FROM a)
+         |SELECT source, n_docs, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_sentences AS BIGINT) AS n_sentences,
+         |  CAST(n_syllables AS BIGINT) AS n_syllables,
+         |  words_per_sentence, syllables_per_word,
+         |  CASE WHEN n_words > 0 THEN
+         |    CAST('206.835' AS DOUBLE)
+         |      - CAST('1.015' AS DOUBLE) * words_per_sentence
+         |      - CAST('84.6' AS DOUBLE) * syllables_per_word END AS flesch
+         |FROM r ORDER BY source""".stripMargin,
     "ta_langid" -> {
       val w = "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '')"
       val scores = markers.map { case (l, ms) =>

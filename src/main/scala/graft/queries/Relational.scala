@@ -137,6 +137,8 @@ object Relational {
     "q102_markov" -> q102,
     "q103_ams" -> q103,
     "q104_cusum" -> q104,
+    "q105_stratified" -> q105,
+    "q106_basket_rules" -> q106,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3439,6 +3441,109 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Stratified sampling with EXACT proportional allocation — the
+    * curation primitive behind "sample 1M docs preserving the source
+    * mix". Allocation is the largest-remainder rule over integer
+    * arithmetic only (base = ⌊m·cnt_s/N⌋; the m − Σbase leftovers go to
+    * the largest exact remainders (m·cnt_s mod N), ties → stratum name
+    * asc — q98's cent-conservation discipline, so Σalloc = m exactly),
+    * and membership is rank-under-allocation in the portable-hash order
+    * (h(key), key) — deterministic, reproducible, and joinable across
+    * engines, the q27 fixed-point convention. Published facts: population
+    * and sample sizes per stratum plus the exact-decimal spend sum and a
+    * key-XOR checksum — the oracle matching proves the SAMPLE SET is
+    * identical, not just its size.
+    *
+    * Scale: one partial-agg for counts, a 5-row broadcast of the
+    * allocation, one per-stratum window over the data (partitioned —
+    * never global), zero driver actions. The only global window runs
+    * over the 5-row allocation table (bounded by the stratum alphabet,
+    * q87's bucket-maxima argument).
+    */
+  private def q105(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1000L
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("strat"), col("o_orderkey"),
+        d2(col("o_totalprice")).as("price"),
+        portableHash60(concat(lit("strat:"), col("o_orderkey").cast("string")))
+          .as("h"))
+    val cnts = o.groupBy("strat").agg(count(lit(1)).as("cnt"))
+    val withTot = cnts.crossJoin(broadcast(cnts.agg(sum("cnt").as("n_tot"))))
+      .withColumn("base", expr(s"($m * cnt) div n_tot"))
+      .withColumn("frac", expr(s"($m * cnt) % n_tot"))
+    val alloc = withTot
+      .crossJoin(broadcast(withTot.agg(sum("base").as("sum_base"))))
+      .withColumn("xr",
+        row_number().over(Window.orderBy(col("frac").desc, col("strat").asc)))
+      .withColumn("alloc",
+        col("base") + when(col("xr") <= lit(m) - col("sum_base"), 1L)
+          .otherwise(0L))
+      .select("strat", "cnt", "alloc")
+    val byHash = Window.partitionBy("strat").orderBy(col("h"), col("o_orderkey"))
+    o.join(broadcast(alloc), "strat")
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= col("alloc"))
+      .groupBy("strat")
+      .agg(max(col("cnt")).as("n_pop"), max(col("alloc")).as("alloc_out"),
+        count(lit(1)).as("n_sampled"),
+        sum(col("price")).cast("double").as("sum_price"),
+        expr("bit_xor(h)").as("key_xor"))
+      .select(col("strat"), col("n_pop"), col("alloc_out").as("alloc"),
+        col("n_sampled"), col("sum_price"), col("key_xor"))
+      .orderBy("strat")
+  }
+
+  /** Frequent-itemset / association rules over order baskets (Agrawal
+    * VLDB'94's support-confidence-lift frame at the pair level): each
+    * order's DISTINCT part brands form the basket, co-occurrence counts
+    * come from the within-order pair join (a < b), and every published
+    * ratio is ONE IEEE division of exact cross-multiplied integers —
+    * lift = N·supp_ab / (supp_a·supp_b) with the product in the
+    * numerator/denominator BEFORE the division, never a ratio of
+    * ratios. Support threshold is absolute (≥ 10 co-orders) so the rule
+    * set is deterministic at any SF.
+    *
+    * Scale: the pair generation is WITHIN-ORDER (baskets are bounded by
+    * lines-per-order ≤ 7, so fan-out ≤ C(7,2) per order — linear in
+    * orders, never brand² across the corpus); the rule aggregation
+    * lands on ≤ brands² keys, a few hundred rows. The shape survives
+    * 100× because basket size is a schema property, not a data-volume
+    * one.
+    */
+  private def q106(spark: SparkSession, dir: String): DataFrame = {
+    val minSupp = 10L
+    val baskets = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand")).distinct()
+      .localCheckpoint(true)
+    val nOrders = baskets.select(countDistinct(col("ok")).as("n_orders"))
+    val supp = baskets.groupBy("p_brand").agg(count(lit(1)).as("supp"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"), col("a.ok") === col("b.ok")
+        && col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupp)
+    pairs
+      .join(broadcast(supp.withColumnRenamed("p_brand", "brand_a")
+        .withColumnRenamed("supp", "supp_a")), "brand_a")
+      .join(broadcast(supp.withColumnRenamed("p_brand", "brand_b")
+        .withColumnRenamed("supp", "supp_b")), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("supp_ab"),
+        col("supp_a"), col("supp_b"),
+        (col("supp_ab").cast("double") / col("supp_a").cast("double"))
+          .as("conf_a_to_b"),
+        (col("supp_ab").cast("double") / col("supp_b").cast("double"))
+          .as("conf_b_to_a"),
+        ((col("n_orders") * col("supp_ab")).cast("double")
+          / (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
     * join replayed in SQL, with q91's tie rule (hottest key = largest
     * key among max-product ties) spelled out.
@@ -4700,6 +4805,55 @@ object Relational {
         |    AS mean_after
         |FROM r WHERE rk = 1
         |ORDER BY 1""".stripMargin,
+    // q105: largest-remainder allocation + hash-order rank membership,
+    // replayed step for step — sample-set equality, not just size
+    "q105_stratified" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS strat, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(concat('0x', substr(md5('strat:' || o_orderkey), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM orders),
+        |c AS (SELECT strat, count(*) AS cnt FROM o GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n_tot FROM c),
+        |a AS (SELECT strat, cnt, (1000 * cnt) // n_tot AS base,
+        |        (1000 * cnt) % n_tot AS frac
+        |      FROM c CROSS JOIN t),
+        |sb AS (SELECT sum(base) AS sum_base FROM a),
+        |al AS (SELECT strat, cnt,
+        |         base + CASE WHEN row_number() OVER
+        |             (ORDER BY frac DESC, strat ASC) <= 1000 - sum_base
+        |           THEN 1 ELSE 0 END AS alloc
+        |       FROM a CROSS JOIN sb),
+        |r AS (SELECT o.strat, o.h, o.price, al.cnt, al.alloc,
+        |        row_number() OVER (PARTITION BY o.strat
+        |          ORDER BY o.h, o.o_orderkey) AS rn
+        |      FROM o JOIN al USING (strat))
+        |SELECT strat, CAST(max(cnt) AS BIGINT) AS n_pop,
+        |  CAST(max(alloc) AS BIGINT) AS alloc, count(*) AS n_sampled,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price, bit_xor(h) AS key_xor
+        |FROM r WHERE rn <= alloc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_basket_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+        |s AS (SELECT p_brand, count(*) AS supp FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.p_brand AS brand_a, bb.p_brand AS brand_b,
+        |         count(*) AS supp_ab
+        |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.p_brand < bb.p_brand
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT brand_a, brand_b, supp_ab, sa.supp AS supp_a,
+        |  sb.supp AS supp_b,
+        |  CAST(supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS conf_a_to_b,
+        |  CAST(supp_ab AS DOUBLE) / CAST(sb.supp AS DOUBLE) AS conf_b_to_a,
+        |  CAST(n_orders * supp_ab AS DOUBLE)
+        |    / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+        |FROM p JOIN s sa ON sa.p_brand = brand_a
+        |       JOIN s sb ON sb.p_brand = brand_b
+        |       CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
     // q94: q79's run construction restricted to activity events, PIT
     // condition from <= ts < to replayed with the same left join
     "q94_pit_join" ->

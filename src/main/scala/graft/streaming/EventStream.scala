@@ -42,6 +42,11 @@ object EventStream {
     */
   final case class MgState(seen: Long, counts: Map[String, Long])
 
+  /** Bounded top-k heap per key for the streaming top-k: events seen so
+    * far in the key + the k best (cents, event_id) pairs in rank order.
+    */
+  final case class TopKState(seen: Long, top: Seq[(Long, Long)])
+
   /** Last-click carry for streaming attribution (boolean guard, not a
     * sentinel — the funnelState pre-epoch lesson).
     */
@@ -442,6 +447,33 @@ object EventStream {
     * top of the operator itself — bench numbers for st_* queries include
     * that harness overhead by design.
     */
+  /** The streaming top-k heap: rows are (key, id, cents); each key's
+    * state carries its k best (cents, id) pairs — a bounded insert per
+    * event, so state is O(keys × k) for any stream length — and the
+    * emission is (key, seen, ids-in-rank-order) with the monotone seen
+    * counter for Update-mode reconciliation. Rank order is (cents DESC,
+    * id ASC), the q85 total order.
+    */
+  def topKState(ev: Dataset[(String, Long, Long)], k: Int): DataFrame = {
+    import ev.sparkSession.implicits._
+    def upd(key: String, it: Iterator[(String, Long, Long)],
+            st: GroupState[TopKState]): (String, Long, Seq[Long]) = {
+      var seen = 0L
+      var top = List.empty[(Long, Long)]
+      st.getOption.foreach { p => seen = p.seen; top = p.top.toList }
+      it.foreach { case (_, eid, cents) =>
+        seen += 1
+        top = ((cents, eid) :: top)
+          .sortBy { case (c, e) => (-c, e) }.take(k)
+      }
+      st.update(TopKState(seen, top))
+      (key, seen, top.map(_._2))
+    }
+    ev.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(upd)
+      .toDF("event_type", "seen", "ids")
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit =
     runDrained(df.sparkSession) {
       df.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -710,6 +742,41 @@ object EventStream {
         .join(broadcast(cands), "word")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(25)
+    }),
+    // streaming per-key top-k: q85's bounded-heap semantics with the heap
+    // IN THE STREAM STATE — each key carries its k best (cents, event_id)
+    // pairs through mapGroupsWithState (a bounded insert per event, so
+    // state is O(keys × k) no matter the stream length), Update emissions
+    // reconciled by the monotone seen counter (the st_upsert convention).
+    // The final candidates join back to the batch table for published
+    // values, and the rank is recomputed over the ≤ keys×k survivors —
+    // equality with the full-table window oracle proves the streamed heap
+    // retained exactly the true top-k.
+    "st_topk" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = readEvents(s, d)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"))
+        .as[(String, Long, Long)]
+      runToMemory(topKState(ev, k = 5), "st_topk_sink", OutputMode.Update)
+      val latest = s.table("st_topk_sink")
+        .groupBy("event_type").agg(max_by(col("ids"), col("seen")).as("ids"))
+      val cand = latest
+        .select(col("event_type"), explode(col("ids")).as("event_id"))
+      val batch = graft.tables.Tables.load(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          col("value"))
+      batch.join(broadcast(cand), Seq("event_type", "event_id"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("value").cast(DecimalType(18, 2)).desc,
+              col("event_id"))))
+        .select(col("event_type"), col("rank"), col("event_id"),
+          col("user_id"),
+          col("value").cast(DecimalType(18, 2)).cast("double").as("value"))
+        .orderBy("event_type", "rank")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -717,6 +784,16 @@ object EventStream {
     // the streamed sketch + exact verify must reproduce the batch
     // two-pass heavy hitters exactly
     "st_heavy" -> graft.queries.Relational.oracle("q81_heavy_hitters"),
+    // the streamed bounded heap must retain exactly the true top-k —
+    // the oracle is the full-table window form
+    "st_topk" ->
+      """SELECT event_type, rank, event_id, user_id, value FROM (
+        |  SELECT event_type, event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id) AS rank
+        |  FROM events)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     // the state machine + day rollup must reproduce batch q93 exactly
     "st_attribution" -> graft.queries.Relational.oracle("q93_attribution"),
     // the stream must reproduce the batch resample bit-for-bit: the

@@ -121,6 +121,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.r1 === 0L && r.r8 === 12L * a * a)
   }
 
+  test("silence segmentation: planted runs count, cap, and threshold edges") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // loud(L)=20000, silent(s)=5 — layout: L s s s s L s s s L s s s s s
+    // run lengths 4 (counts), 3 (too short), 5-at-tail (counts)
+    val vals = Array(20000, 5, 5, 5, 5, 20000, 5, 5, 5, 20000, 5, 5, 5, 5, 5)
+    // 9999 is silent, 10000 is not (strict |v| < 10000); negatives count
+    val edge = Array(9999, -9999, 10000, -10000)
+    def wav(id: Long, vs: Array[Int]) = {
+      val pcm = vs.flatMap(v => le16(v & 0xffff))
+      Multimodal.MediaFile(id,
+        Array.concat("RIFF".getBytes, le32(36 + pcm.length), "WAVE".getBytes,
+          "fmt ".getBytes, le32(16), le16(1), le16(1), le32(8000),
+          le32(16000), le16(2), le16(16),
+          "data".getBytes, le32(pcm.length), pcm))
+    }
+    val got = Multimodal.audioSilence(Seq(wav(1L, vals), wav(2L, edge)).toDS())
+      .collect().map(a =>
+        a.doc_id -> ((a.n_samples, a.n_silent, a.n_runs, a.longest_run))).toMap
+    assert(got(1L) === ((15L, 12L, 2L, 5L)))
+    assert(got(2L) === ((4L, 2L, 0L, 2L)))
+  }
+
   test("edge stats: planted flat vs textured images order by gradient mass") {
     // recipe-synthesized thumbnails are textured by construction; assert
     // the invariants the curation filter relies on: every gradient field

@@ -520,6 +520,36 @@ class OperatorExtrasSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q105 stratified: allocation conserves the target and respects strata") {
+    val out = Relational.defs("q105_stratified")(spark, TestSpark.sf0001).cache()
+    // largest-remainder conservation: Σalloc == 1000 exactly
+    assert(out.agg(sum("alloc")).head().getLong(0) === 1000L)
+    // the sample fills its allocation (population >= alloc per stratum)
+    assert(out.filter(col("n_sampled") =!= col("alloc")).count() === 0)
+    assert(out.filter(col("alloc") > col("n_pop")).count() === 0)
+    // proportionality: |alloc - 1000*pop/N| < 1 by construction
+    val n = out.agg(sum("n_pop")).head().getLong(0)
+    for (r <- out.collect()) {
+      val ideal = 1000.0 * r.getLong(1) / n
+      assert(math.abs(r.getLong(2) - ideal) < 1.0,
+        s"${r.getString(0)}: alloc ${r.getLong(2)} vs ideal $ideal")
+    }
+    out.unpersist()
+  }
+
+  test("q106 basket rules: support bounds and the lift cross-identity") {
+    val out = Relational.defs("q106_basket_rules")(spark, TestSpark.sf0001)
+      .cache()
+    assert(out.count() > 0, "no rules above support at sf0.001")
+    assert(out.filter(col("supp_ab") > col("supp_a")
+      || col("supp_ab") > col("supp_b")).count() === 0)
+    assert(out.filter(col("conf_a_to_b") <= 0 || col("conf_a_to_b") > 1
+      || col("conf_b_to_a") <= 0 || col("conf_b_to_a") > 1).count() === 0)
+    // ordered-pair canonical form: a < b always
+    assert(out.filter(col("brand_a") >= col("brand_b")).count() === 0)
+    out.unpersist()
+  }
+
   test("q104 cusum: weighted mean identity and changepoint day membership") {
     val out = Relational.defs("q104_cusum")(spark, TestSpark.sf0001).cache()
     val days = Tables.events(spark, TestSpark.sf0001)

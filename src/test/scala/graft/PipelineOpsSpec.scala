@@ -14,6 +14,25 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("readability: planted simple vs complex prose order by flesch") {
+    import spark.implicits._
+    val docs = Seq(
+      // short words, short sentences -> high flesch
+      (1L, "The cat sat. The dog ran. It was fun.", "en", "simple", 0L),
+      // polysyllabic words, one long sentence -> low flesch
+      (2L, "Incomprehensibility characterizes institutionalization of " +
+        "multidimensional organizational infrastructures.", "en", "hard", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("simple").getLong(3) === 3L, "three sentences")
+    assert(out("hard").getLong(3) === 1L, "one sentence")
+    assert(out("simple").getDouble(7) > out("hard").getDouble(7),
+      "simple prose must score higher")
+    // vowel-group syllables: "The cat sat" etc. — 9 words, 9 groups
+    assert(out("simple").getLong(4) === 9L)
+  }
+
   test("piiScrub redacts emails, IPs and phone numbers, and counts them") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or +14155551234 now"),

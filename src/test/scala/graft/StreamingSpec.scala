@@ -238,6 +238,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(9L * day + 1) === ((0, -1L)), "horizon exceeded -> unattributed")
   }
 
+  test("top-k heap state carries and evicts correctly across batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)] // (key, id, cents)
+    val q = EventStream.topKState(input.toDS(), k = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_ms").start()
+    try {
+      // batch 1: ids 1..4 with cents 40,10,30,20 — top3 = 1,3,4
+      input.addData(("a", 1L, 40L), ("a", 2L, 10L), ("a", 3L, 30L),
+        ("a", 4L, 20L))
+      q.processAllAvailable()
+      // batch 2: 50 takes first, 25 evicts 20; a tie (30) ranks by id
+      input.addData(("a", 5L, 50L), ("a", 6L, 25L), ("a", 7L, 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("topk_ms")
+      .groupBy("event_type").agg(max_by(col("ids"), col("seen")).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // (50,#5) (40,#1) (30,#3 beats #7 by id) — 25 and the tie loser out
+    assert(fin("a") === Seq(5L, 1L, 3L))
+  }
+
   test("foreachBatch anomaly monitor == batch q41 flags") {
     val out = graft.operators.Dedup.tempSigStore("graft-test-anomaly")
     EventStream.anomalyMonitor(spark, dir, out)
