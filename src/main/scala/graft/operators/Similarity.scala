@@ -160,6 +160,85 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein SIGIR'98) —
+    * DIVERSIFIED top-k retrieval, the selection rule a training-data
+    * pipeline uses to pick examples that are relevant but not
+    * redundant: greedily take argmax of λ·rel(q,c) − (1−λ)·max_{s∈S}
+    * sim(c,s) over the remaining candidates. Runs entirely in the
+    * int8-quantized space ([[quantized]] — THE one quantization
+    * source): rel and all pairwise sims are [[Embeddings.exactScos2]]
+    * over exact integer dots, λ-arithmetic is a fixed IEEE expression
+    * order, and every tie breaks to the smaller neighbor_id — fully
+    * deterministic, so the oracle replays the greedy loop as chained
+    * SQL CTEs and hash-matches.
+    *
+    * Scale: the candidate pool is the exact top-`nCand` per query
+    * (one broadcast-query pass over the corpus, the bruteForceTopK
+    * envelope); the greedy selection runs driver-side over the
+    * COLLECTED pool — nQueries × nCand rows, bounded by the
+    * PARAMETERS, never by the corpus (the ivf-codebook collect
+    * convention). A larger deployment would push selection into one
+    * task per query via mapGroups; the arithmetic is identical.
+    */
+  def mmrTopK(emb: DataFrame, nQueries: Int = 8, nCand: Int = 24,
+              k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qc = quantized(emb, "neighbor_id")
+    val qq = quantized(emb.filter(col("vec_id") < nQueries), "query_id")
+    val scored = broadcast(qq.select(col("query_id"), col("q").as("qa")))
+      .join(qc, col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", vecDot(col("qa"), col("q")).cast("long"))
+      .withColumn("na", vecDot(col("qa"), col("qa")).cast("long"))
+      .withColumn("nb", vecDot(col("q"), col("q")).cast("long"))
+      .withColumn("rel",
+        Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= nCand)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("q"))
+    // parameter-bounded collect: nQueries × nCand rows
+    val pool = cand.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).map(_.toLong).toArray)
+    }
+    // exact-integer scos2, the SQL twin of $SCOS2 (dot ≤ 127²·dim keeps
+    // dot² inside int64)
+    def scos2(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val num = if (dot < 0) -(dot * dot) else dot * dot
+      num.toDouble / (na * nb).toDouble
+    }
+    val out = pool.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      var remaining = cs.map(c => (c._2, c._3, c._4)).toList
+      val maxsim = scala.collection.mutable.Map(
+        remaining.map(c => c._1 -> 0.0): _*)
+      (1 to k).flatMap { r =>
+        if (remaining.isEmpty) None
+        else {
+          val pick = remaining
+            .map(c => (0.7 * c._2 - 0.3 * maxsim(c._1), c))
+            .reduceLeft { (x, y) =>
+              if (y._1 > x._1 || (y._1 == x._1 && y._2._1 < x._2._1)) y
+              else x
+            }
+          remaining = remaining.filterNot(_._1 == pick._2._1)
+          remaining.foreach { c =>
+            val s = scos2(pick._2._3, c._3)
+            if (s > maxsim(c._1)) maxsim(c._1) = s
+          }
+          Some((qid, r, pick._2._1, pick._1))
+        }
+      }
+    }
+    out.toDF("query_id", "sel_rank", "neighbor_id", "mmr")
+      .orderBy("query_id", "sel_rank")
+  }
+
   /** In-row nearest-centroid assignment: [[graft.functions.TopCentroids]],
     * a native codegen'd expression holding the k × dim centroid matrix as
     * ONE reference object. Round 5 expressed the same semantics as k
@@ -484,6 +563,8 @@ object Similarity {
       ivfPqTopK(e.filter(col("vec_id") < 20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
+    "ann_mmr" -> ((s, d) =>
+      mmrTopK(Tables.load(s, d, "embeddings"))),
   )
 
   /** Shared oracle prelude: int8 quantization (the [[Embeddings
@@ -731,6 +812,59 @@ object Similarity {
          |      ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // the greedy MMR loop as 8 chained pick/update CTE pairs over the
+    // exact top-24 pool — identical λ-arithmetic and tie rules
+    "ann_mmr" -> {
+      val steps = (1 to 8).map { j =>
+        s"""p$j AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY mmr DESC, neighbor_id) AS rn
+           |  FROM (SELECT *, CAST('0.7' AS DOUBLE) * rel
+           |          - CAST('0.3' AS DOUBLE) * maxsim AS mmr FROM s${j - 1})),
+           |sel$j AS (SELECT query_id, neighbor_id, mmr FROM p$j WHERE rn = 1),
+           |s$j AS (
+           |  SELECT s.query_id, s.neighbor_id, s.rel,
+           |    greatest(s.maxsim, coalesce(ps.sim, CAST('-2' AS DOUBLE)))
+           |      AS maxsim
+           |  FROM s${j - 1} s
+           |  JOIN sel$j t ON s.query_id = t.query_id
+           |    AND s.neighbor_id <> t.neighbor_id
+           |  LEFT JOIN ps ON ps.query_id = s.query_id
+           |    AND ps.a = t.neighbor_id AND ps.b = s.neighbor_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      val finalSel = (1 to 8).map(j =>
+        s"SELECT query_id, CAST($j AS INTEGER) AS sel_rank, neighbor_id, " +
+          s"mmr FROM sel$j").mkString("\nUNION ALL\n")
+      s"""WITH $QQ,
+         |qs AS (SELECT vec_id AS query_id, q FROM qq WHERE vec_id < 8),
+         |relall AS (
+         |  SELECT query_id, neighbor_id, $SCOS2 AS rel
+         |  FROM (SELECT qs.query_id, c.vec_id AS neighbor_id,
+         |          CAST(list_dot_product(qs.q, c.q) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(qs.q, qs.q) AS BIGINT) AS na,
+         |          CAST(list_dot_product(c.q, c.q) AS BIGINT) AS nb
+         |        FROM qs JOIN qq c ON c.vec_id <> qs.query_id)),
+         |cand AS (SELECT query_id, neighbor_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) AS rank FROM relall)
+         |  WHERE rank <= 24),
+         |ps AS (
+         |  SELECT query_id, a, b, $SCOS2 AS sim
+         |  FROM (SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+         |          CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(qa.q, qa.q) AS BIGINT) AS na,
+         |          CAST(list_dot_product(qb.q, qb.q) AS BIGINT) AS nb
+         |        FROM cand a
+         |        JOIN cand b ON b.query_id = a.query_id
+         |          AND b.neighbor_id <> a.neighbor_id
+         |        JOIN qq qa ON qa.vec_id = a.neighbor_id
+         |        JOIN qq qb ON qb.vec_id = b.neighbor_id)),
+         |s0 AS (SELECT query_id, neighbor_id, rel,
+         |         CAST('0' AS DOUBLE) AS maxsim FROM cand),
+         |$steps
+         |$finalSel
+         |ORDER BY query_id, sel_rank""".stripMargin
     },
   )
 }

@@ -139,6 +139,8 @@ object Relational {
     "q104_cusum" -> q104,
     "q105_stratified" -> q105,
     "q106_basket_rules" -> q106,
+    "q107_concomp" -> q107,
+    "q108_rfm" -> q108,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3441,6 +3443,124 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Connected components over the trade graph — q100's Bellman–Ford
+    * skeleton carrying MIN-LABEL propagation instead of distances:
+    * label_v starts at v's own encoded id and six full rounds of
+    * label_v := min(label_v, min_u label_u over neighbors) make every
+    * label the minimum id within ≤ 6 hops — the component minimum once
+    * the diameter is covered (the q100 fixed-point spec pins
+    * sufficiency). The component id is therefore CANONICAL (smallest
+    * encoded node id), not an arbitrary propagation artifact, and the
+    * oracle's six chained relaxation CTEs share the identical finite
+    * semantics. Per-node rows carry the component size via one
+    * component-keyed partial agg.
+    *
+    * Scale: each round is one labels ⋈ edges shuffle (O(E)) + a
+    * node-sized min — identical envelope to q100; the label table is
+    * localCheckpointed per round so lineage stays flat. This completes
+    * the graph family: reachability (q78), weighted paths (q100),
+    * centrality (q39/q48), triangles (q54), components (here).
+    */
+  private def q107(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pw.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pw.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      labels = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+        .unionByName(labels.select("node", "label"))
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "label")
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("label").as("component"),
+        col("comp_size"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer with q89's INTEGER quantile rule (boundary q_d = smallest
+    * v with cum·5 ≥ n·d — no interpolation, no ntile tie-splitting), a
+    * named-segment CASE in a fixed order, and cell-level rollup. All
+    * three metrics reduce to exact integers first (days since epoch,
+    * order count, spend cents), are unpivoted to (metric, value) rows,
+    * and share ONE boundary computation partitioned by metric — the
+    * same vc-exchange reuse as q89, three partitions instead of a
+    * global window.
+    *
+    * Scale: per-customer aggregates are one partial-agg shuffle; the
+    * boundary windows run over DISTINCT (metric, value) rows (≪
+    * customers); scores join back via a 12-row broadcast. Cell output
+    * is ≤ 5³ rows.
+    */
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(max(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("r"),
+        count(lit(1)).as("f"),
+        (sum(d2(col("o_totalprice"))) * 100).cast("long").as("m"))
+      .localCheckpoint(true)
+    val unpiv = perCust.select(col("o_custkey"), lit("r").as("metric"),
+        col("r").as("v"))
+      .unionByName(perCust.select(col("o_custkey"), lit("f").as("metric"),
+        col("f").as("v")))
+      .unionByName(perCust.select(col("o_custkey"), lit("m").as("metric"),
+        col("m").as("v")))
+    val vc = unpiv.groupBy("metric", "v").agg(count(lit(1)).as("c"))
+    val tot = vc.groupBy("metric").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("metric").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = vc.withColumn("cum", sum(col("c")).over(w))
+      .join(tot, "metric")
+      .groupBy("metric")
+      .agg(
+        min(when(col("cum") * 5 >= col("n"), col("v"))).as("b1"),
+        min(when(col("cum") * 5 >= col("n") * 2, col("v"))).as("b2"),
+        min(when(col("cum") * 5 >= col("n") * 3, col("v"))).as("b3"),
+        min(when(col("cum") * 5 >= col("n") * 4, col("v"))).as("b4"))
+    val scored = unpiv.join(broadcast(bounds), "metric")
+      .withColumn("score",
+        when(col("v") <= col("b1"), 1).when(col("v") <= col("b2"), 2)
+          .when(col("v") <= col("b3"), 3).when(col("v") <= col("b4"), 4)
+          .otherwise(5))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("metric") === "r", col("score"))).as("r_score"),
+        max(when(col("metric") === "f", col("score"))).as("f_score"),
+        max(when(col("metric") === "m", col("score"))).as("m_score"),
+        max(when(col("metric") === "m", col("v"))).as("cents"))
+    scored
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4
+          && col("m_score") >= 4, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "frequent_lapsed")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("regular"))
+      .groupBy("r_score", "f_score", "m_score", "segment")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents")).cast("double") / 100.0).as("total_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Stratified sampling with EXACT proportional allocation — the
     * curation primitive behind "sample 1M docs preserving the source
     * mix". Allocation is the largest-remainder rule over integer
@@ -4805,6 +4925,85 @@ object Relational {
         |    AS mean_after
         |FROM r WHERE rk = 1
         |ORDER BY 1""".stripMargin,
+    // q107: six chained min-label relaxation CTEs — the q100 finite
+    // semantics with min(label) in place of min(dist + w)
+    "q107_concomp" ->
+      ("""WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pe
+        |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |""".stripMargin +
+        (1 to 6).map(i =>
+          s"""l$i AS (SELECT node, min(label) AS label FROM (
+             |  SELECT node, label FROM l${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, l${i - 1}.label AS label
+             |  FROM l${i - 1} JOIN e ON e.src = l${i - 1}.node) GROUP BY 1)"""
+            .stripMargin).mkString(",\n") +
+        """,
+        |sz AS (SELECT label, count(*) AS comp_size FROM l6 GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |       node // 2 AS node_id, label AS component, comp_size
+        |FROM l6 JOIN sz USING (label)
+        |ORDER BY 1, 2""".stripMargin),
+    // q108: the q89 integer quantile rule per metric, the same CASE
+    // order for scores and segments
+    "q108_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', max(o_orderdate))
+        |      AS BIGINT) AS r,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS m
+        |  FROM orders GROUP BY 1),
+        |up AS (
+        |  SELECT o_custkey, 'r' AS metric, r AS v FROM pc
+        |  UNION ALL SELECT o_custkey, 'f', f FROM pc
+        |  UNION ALL SELECT o_custkey, 'm', m FROM pc),
+        |vc AS (SELECT metric, v, count(*) AS c FROM up GROUP BY 1, 2),
+        |tot AS (SELECT metric, sum(c) AS n FROM vc GROUP BY 1),
+        |cums AS (
+        |  SELECT metric, v, sum(c) OVER (PARTITION BY metric ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc),
+        |b AS (
+        |  SELECT cums.metric,
+        |    min(CASE WHEN cum * 5 >= n THEN v END) AS b1,
+        |    min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS b2,
+        |    min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS b3,
+        |    min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS b4
+        |  FROM cums JOIN tot ON tot.metric = cums.metric GROUP BY 1),
+        |sc AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN up.metric = 'r' THEN s END) AS r_score,
+        |    max(CASE WHEN up.metric = 'f' THEN s END) AS f_score,
+        |    max(CASE WHEN up.metric = 'm' THEN s END) AS m_score,
+        |    max(CASE WHEN up.metric = 'm' THEN v END) AS cents
+        |  FROM (SELECT up.*, CASE WHEN v <= b1 THEN 1 WHEN v <= b2 THEN 2
+        |          WHEN v <= b3 THEN 3 WHEN v <= b4 THEN 4 ELSE 5 END AS s
+        |        FROM up JOIN b ON b.metric = up.metric) up
+        |  GROUP BY 1),
+        |seg AS (
+        |  SELECT *, CASE
+        |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+        |    WHEN r_score >= 4 THEN 'recent'
+        |    WHEN f_score >= 4 THEN 'frequent_lapsed'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |  FROM sc)
+        |SELECT CAST(r_score AS INTEGER) AS r_score,
+        |  CAST(f_score AS INTEGER) AS f_score,
+        |  CAST(m_score AS INTEGER) AS m_score, segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total_spend
+        |FROM seg GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2, 3""".stripMargin,
     // q105: largest-remainder allocation + hash-order rank membership,
     // replayed step for step — sample-set equality, not just size
     "q105_stratified" ->

@@ -520,6 +520,69 @@ class OperatorExtrasSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q107 concomp: six rounds reach the fixed point; q78 reachability agrees") {
+    val comp = Relational.defs("q107_concomp")(spark, TestSpark.sf0001).cache()
+    // canonical labels: every component's id is one of its member nodes
+    val enc = comp.withColumn("enc",
+      when(col("node_type") === "customer", col("node_id") * 2)
+        .otherwise(col("node_id") * 2 + 1))
+    assert(enc.filter(col("component") > col("enc")).count() === 0,
+      "component id must be the minimum member")
+    // the BFS source's component == its reachable set (diameter < 6)
+    val bfs = Relational.defs("q78_bfs_hops")(spark, TestSpark.sf0001)
+    val reach = bfs.filter(col("hops").isNotNull)
+      .select("node_type", "node_id").collect().map(_.toSeq).toSet
+    val srcComp = enc.orderBy("enc").select("component").first().getLong(0)
+    val inComp = comp.filter(col("component") === srcComp)
+      .select("node_type", "node_id").collect().map(_.toSeq).toSet
+    assert(inComp === reach, "source component must equal BFS reachable set")
+    // comp_size sums back to the node count
+    assert(comp.agg(sum(lit(1))).head().getLong(0) ===
+      comp.select("component", "comp_size").distinct()
+        .agg(sum("comp_size")).head().getLong(0))
+    comp.unpersist()
+  }
+
+  test("q108 rfm: quintile scores in range, customers conserved") {
+    val out = Relational.defs("q108_rfm")(spark, TestSpark.sf0001).cache()
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(out.filter(col(c) < 1 || col(c) > 5).count() === 0, c)
+    val nCust = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(out.agg(sum("n_customers")).head().getLong(0) === nCust)
+    // every cell's segment matches the stated CASE order
+    for (r <- out.collect()) {
+      val (rs, fs, ms) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      val want =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 4 && fs >= 3) "loyal"
+        else if (rs >= 4) "recent"
+        else if (fs >= 4) "frequent_lapsed"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(r.getString(3) === want, s"cell ($rs,$fs,$ms)")
+    }
+    out.unpersist()
+  }
+
+  test("ann_mmr: greedy invariants — top-rel first, distinct, non-increasing") {
+    import graft.operators.Similarity
+    val out = Similarity.mmrTopK(
+      Tables.load(spark, TestSpark.sf0001, "embeddings")).cache()
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getLong(2)).distinct.length === sorted.length,
+        s"query $q: duplicate selections")
+      // the mmr of successive picks never increases (maxsim only grows)
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-12 },
+        s"query $q: mmr must be non-increasing, got ${scores.toSeq}")
+    }
+    out.unpersist()
+  }
+
   test("q105 stratified: allocation conserves the target and respects strata") {
     val out = Relational.defs("q105_stratified")(spark, TestSpark.sf0001).cache()
     // largest-remainder conservation: Σalloc == 1000 exactly
