@@ -1148,6 +1148,85 @@ object Dedup {
       emb.filter(col("vec_id") < nQueries), emb, k = 1)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"))
 
+  /** Content-defined chunking (the restic/borgbackup/LBFS dedup
+    * primitive — Muthitacharoen SOSP'01): chunk boundaries fall where a
+    * W=8-char Rabin–Karp window hash ≡ 0 (mod 64), so an insertion or
+    * deletion only reshapes the chunks AROUND the edit — every chunk
+    * whose content window is untouched keeps its identity, which is
+    * exactly what fixed-size blocks and fixed shingles cannot do. The
+    * rolling fold is the [[graft.functions.hashes.poly31Hash]]
+    * base/modulus ((a·31 + cp) mod 1e9+7) advanced in O(1) per char;
+    * chunk identities are [[portableHash60]] of the chunk text. No
+    * min/max chunk-size clamps: a clamp makes boundaries depend on
+    * PRIOR boundaries (state), which would break the stateless SQL
+    * replay — documented trade: pathological inputs can emit 1-char
+    * chunks.
+    *
+    * Published per doc: chunk count, distinct chunks, an order-free
+    * chunk-identity XOR, and how many of the doc's distinct chunks
+    * appear in ANY other doc (the dedup savings estimate). The chunk-df
+    * join is hash-keyed and chunk-cardinality-bounded — never all-pairs.
+    *
+    * Scale: chunking is scan-stage mapPartitions (one O(n) pass per
+    * doc, zero shuffle); the summary is two partial-agg exchanges over
+    * chunk rows (O(chunks), ~n/64 per doc).
+    */
+  def cdcChunkSummary(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.FnvHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val W = 8
+    val P = 1000000007L
+    val chunks = docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val n = text.length
+        val out = List.newBuilder[(Long, Long)]
+        def emit(s: Int, e: Int): Unit = out += ((id,
+          FnvHash.md5Prefix60(UTF8String.fromString(text.substring(s, e)))))
+        var start = 0
+        if (n >= W) {
+          var pow = 1L // 31^(W-1) mod P
+          var t = 0
+          while (t < W - 1) { pow = pow * 31 % P; t += 1 }
+          var h = 0L
+          var j = 0
+          while (j < W) { h = (h * 31 + text.charAt(j)) % P; j += 1 }
+          var end = W - 1 // window covers [end-W+1, end]
+          var cont = true
+          while (cont) {
+            if (h % 64 == 0) { emit(start, end + 1); start = end + 1 }
+            if (end + 1 < n) {
+              val cOut = text.charAt(end - W + 1).toLong
+              val tmp = (h - cOut * pow % P + P) % P
+              h = (tmp * 31 + text.charAt(end + 1)) % P
+              end += 1
+            } else cont = false
+          }
+        }
+        if (start < n) emit(start, n)
+        out.result()
+      }).toDF("doc_id", "h60")
+      .localCheckpoint(true) // three consumers below share one chunking pass
+    val df = chunks.groupBy("h60")
+      .agg(countDistinct(col("doc_id")).as("docs"))
+    val per = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h60")).as("distinct_chunks"),
+        expr("bit_xor(h60)").as("chunk_xor"))
+    val shared = chunks.join(df.filter(col("docs") >= 2), "h60")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h60")).as("shared_chunks"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("distinct_chunks"), lit(0L)).as("distinct_chunks"),
+        coalesce(col("chunk_xor"), lit(0L)).as("chunk_xor"),
+        coalesce(col("shared_chunks"), lit(0L)).as("shared_chunks"))
+      .orderBy("doc_id")
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1194,6 +1273,8 @@ object Dedup {
       cosineTop1(Tables.load(s, d, "embeddings"), 100).orderBy("vec_id")),
     "dd_semdedup" -> ((s, d) =>
       semanticDedup(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
+    "dd_cdc_chunks" -> ((s, d) =>
+      cdcChunkSummary(Tables.load(s, d, "documents"))),
     "dd_winnow" -> ((s, d) =>
       winnowFingerprints(Tables.load(s, d, "documents"))
         .orderBy("doc_id", "pos")),
@@ -1362,6 +1443,49 @@ object Dedup {
          |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
          |  min(doc_id) AS first_doc
          |FROM spans GROUP BY span HAVING count(*) >= 2 ORDER BY span""".stripMargin,
+    // dd_cdc: the rolling-window boundary rule replayed per END POSITION
+    // (the O(n·W) stateless form of the JVM's O(n) rolling fold), chunks
+    // reassembled with gaps-and-islands over the boundary set
+    "dd_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+         |  FROM documents),
+         |pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i
+         |        FROM d WHERE n >= 8),
+         |hh AS (SELECT doc_id, i,
+         |         ${polyFold("substr(text, CAST(i - 7 AS INTEGER), 8)")} AS h
+         |       FROM pos),
+         |b AS (SELECT doc_id, i FROM hh WHERE h % 64 = 0),
+         |cb AS (SELECT doc_id,
+         |         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+         |           + 1 AS s,
+         |         i AS e
+         |       FROM b),
+         |tail AS (SELECT d.doc_id, coalesce(max(b.i), 0) + 1 AS s, d.n AS e
+         |         FROM d LEFT JOIN b USING (doc_id)
+         |         GROUP BY d.doc_id, d.n
+         |         HAVING coalesce(max(b.i), 0) < d.n AND d.n > 0),
+         |allc AS (SELECT * FROM cb UNION ALL SELECT * FROM tail),
+         |ch AS (SELECT a.doc_id,
+         |         CAST(concat('0x', substr(md5(substr(d.text,
+         |           CAST(a.s AS INTEGER), CAST(a.e - a.s + 1 AS INTEGER))),
+         |           1, 15)) AS BIGINT) AS h60
+         |       FROM allc a JOIN d ON d.doc_id = a.doc_id),
+         |df AS (SELECT h60, count(DISTINCT doc_id) AS docs
+         |       FROM ch GROUP BY 1),
+         |per AS (SELECT doc_id, count(*) AS n_chunks,
+         |          count(DISTINCT h60) AS distinct_chunks,
+         |          bit_xor(h60) AS chunk_xor
+         |        FROM ch GROUP BY 1),
+         |sh AS (SELECT ch.doc_id, count(DISTINCT ch.h60) AS shared
+         |       FROM ch JOIN df USING (h60) WHERE df.docs >= 2 GROUP BY 1)
+         |SELECT d.doc_id, n AS n_chars,
+         |  coalesce(n_chunks, 0) AS n_chunks,
+         |  coalesce(distinct_chunks, 0) AS distinct_chunks,
+         |  coalesce(chunk_xor, 0) AS chunk_xor,
+         |  coalesce(sh.shared, 0) AS shared_chunks
+         |FROM d LEFT JOIN per USING (doc_id) LEFT JOIN sh USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dd_winnow" ->
       s"""WITH hs AS (
          |  SELECT doc_id,

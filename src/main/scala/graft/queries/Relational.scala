@@ -141,6 +141,8 @@ object Relational {
     "q106_basket_rules" -> q106,
     "q107_concomp" -> q107,
     "q108_rfm" -> q108,
+    "q109_capped_cumsum" -> q109,
+    "q110_topk_rewrite" -> q110,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3443,6 +3445,68 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** The q85 top-k written the way a USER writes it — the row_number
+    * window idiom — and planned natively by [[graft.plans.TopKRewrite]]:
+    * the optimizer rule recognizes `Filter(rn <= k)` over a sole
+    * row_number Window whose rank is not published and swaps in the
+    * two-phase bounded-heap [[graft.plans.TopKPerKeyPlan]], stripping
+    * the redundant WindowGroupLimit. Same declarative source, the plan
+    * you'd want at 100 TB: no full-table exchange, no partition sort,
+    * no WindowExec (PlanSpec pins all three); the oracle gate is q85's
+    * verbatim, so the rewrite is END-TO-END proven equal to the window
+    * semantics, not just plan-shaped.
+    */
+  private def q110(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKRewrite.install(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Capped (floored-at-zero) running balance per user — the inventory /
+    * wallet / rate-limiter recurrence b_i = max(0, b_{i−1} + δ_i) that
+    * plain SQL windows CANNOT express (the clamp makes each prefix
+    * depend on every earlier clamp): the extension ladder's (d) rung,
+    * genuine per-group imperative logic via typed mapGroups with an
+    * in-group sort on the total (ts_ns, event_id) order. Deltas are
+    * exact integer cents (+purchase, −click); published facts are the
+    * final balance, the running maximum, and the clamp count. The
+    * oracle is a genuine RECURSIVE CTE stepping rn → rn+1 per user —
+    * two different execution strategies, one recurrence, hash-equal.
+    *
+    * Scale: state per group is O(1); the only memory bound is one
+    * user's event list in a task (the st_* sessionization envelope —
+    * bounded by per-user activity, not corpus size; a pathological user
+    * would call for the two-level rank + scan composition instead).
+    * The shuffle is ONE hash exchange on user_id.
+    */
+  private def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        when(col("event_type") === "purchase",
+          (d2(col("value")) * 100).cast("long"))
+          .when(col("event_type") === "click",
+            -(d2(col("value")) * 100).cast("long"))
+          .otherwise(lit(0L)).as("delta"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._1).mapGroups { (u, it) =>
+      val rows = it.toArray.sortBy(r => (r._2, r._3))
+      var b = 0L; var mx = 0L; var hits = 0L
+      rows.foreach { r =>
+        val nb = b + r._4
+        if (nb < 0) { hits += 1; b = 0L } else b = nb
+        if (b > mx) mx = b
+      }
+      (u, rows.length.toLong, b, mx, hits)
+    }.toDF("user_id", "n_events", "final_cents", "max_cents", "floor_hits")
+      .orderBy("user_id")
+  }
+
   /** Connected components over the trade graph — q100's Bellman–Ford
     * skeleton carrying MIN-LABEL propagation instead of distances:
     * label_v starts at v's own encoded id and six full rounds of
@@ -4924,6 +4988,49 @@ object Relational {
         |    CAST(t - prefix AS DOUBLE) / CAST(n - i AS DOUBLE) END
         |    AS mean_after
         |FROM r WHERE rk = 1
+        |ORDER BY 1""".stripMargin,
+    // q110: the rewrite must be invisible to results — q85's oracle
+    // verbatim (the window form IS the semantics being planned natively)
+    "q110_topk_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // q109: the clamp recurrence as a true RECURSIVE CTE — a different
+    // execution strategy computing the identical integer sequence
+    "q109_capped_cumsum" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn,
+        |    CASE event_type
+        |      WHEN 'purchase' THEN cents
+        |      WHEN 'click' THEN -cents
+        |      ELSE CAST(0 AS BIGINT) END AS delta
+        |  FROM (SELECT *,
+        |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |        FROM events)),
+        |cnt AS (SELECT user_id, count(*) AS n FROM ev GROUP BY 1),
+        |bal AS (
+        |  SELECT user_id, rn,
+        |    greatest(CAST(0 AS BIGINT), delta) AS b,
+        |    greatest(CAST(0 AS BIGINT), delta) AS mx,
+        |    CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS hits
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    greatest(CAST(0 AS BIGINT), bal.b + e.delta),
+        |    greatest(bal.mx, greatest(CAST(0 AS BIGINT), bal.b + e.delta)),
+        |    bal.hits + CASE WHEN bal.b + e.delta < 0 THEN 1 ELSE 0 END
+        |  FROM bal JOIN ev e ON e.user_id = bal.user_id
+        |    AND e.rn = bal.rn + 1)
+        |SELECT bal.user_id, cnt.n AS n_events, b AS final_cents,
+        |  mx AS max_cents, hits AS floor_hits
+        |FROM bal JOIN cnt ON cnt.user_id = bal.user_id
+        |WHERE bal.rn = cnt.n
         |ORDER BY 1""".stripMargin,
     // q107: six chained min-label relaxation CTEs — the q100 finite
     // semantics with min(label) in place of min(dist + w)

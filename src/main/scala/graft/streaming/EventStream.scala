@@ -47,6 +47,9 @@ object EventStream {
     */
   final case class TopKState(seen: Long, top: Seq[(Long, Long)])
 
+  /** Last event type per user for the streaming transition matrix. */
+  final case class MarkovState(lastType: String)
+
   /** Last-click carry for streaming attribution (boolean guard, not a
     * sentinel — the funnelState pre-epoch lesson).
     */
@@ -474,6 +477,32 @@ object EventStream {
       .toDF("event_type", "seen", "ids")
   }
 
+  /** Streaming first-order transitions: state carries only the user's
+    * LAST event type, each arriving event emits exactly one (from, to)
+    * row in its batch (Append — no sink-side reconciliation needed),
+    * in-batch events are sorted on the total (ts_ns, event_id) order
+    * and the carried state bridges ordered batch splits (the
+    * st_attribution arrival convention). Aggregating the emitted
+    * transitions reproduces the batch q102 matrix exactly.
+    */
+  def markovState(events: Dataset[Event]): Dataset[(Long, String, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], st: GroupState[MarkovState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          var last = st.getOption.map(_.lastType)
+          val out = Seq.newBuilder[(Long, String, String)]
+          for (e <- sorted) {
+            last.foreach(f => out += ((u, f, e.event_type)))
+            last = Some(e.event_type)
+          }
+          last.foreach(t => st.update(MarkovState(t)))
+          out.result().iterator
+      }
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit =
     runDrained(df.sparkSession) {
       df.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -743,6 +772,39 @@ object EventStream {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(25)
     }),
+    // streaming audio curation: the scan-stage silence segmentation
+    // applied unchanged to the document stream (stateless — the
+    // st_curation shape for the audio modality); same oracle as the
+    // batch mm_silence
+    "st_silence" -> ((s, d) => {
+      import s.implicits._
+      runToMemory(
+        graft.operators.Multimodal.audioSilence(
+          graft.operators.Multimodal.synthesizeMedia(
+            readDocuments(s, d))).toDF(),
+        "st_silence_sink", OutputMode.Append)
+      s.table("st_silence_sink").orderBy("doc_id")
+    }),
+    // streaming transition matrix: q102's lag() replaced by carried
+    // per-user state; each event emits its one transition in Append
+    // mode, the sink aggregate reproduces the batch matrix exactly
+    "st_markov" -> ((s, d) => {
+      import s.implicits._
+      val ev = readEvents(s, d)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value").as[Event]
+      runToMemory(markovState(ev).toDF("user_id", "from_type", "to_type"),
+        "st_markov_sink", OutputMode.Append)
+      // localCheckpoint: a MemoryPlan self-join (trans ⋈ totals-from-
+      // trans) fails attribute dedup; the matrix is ≤ types² rows anyway
+      val trans = s.table("st_markov_sink")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val totals = trans.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+      trans.join(broadcast(totals), "from_type")
+        .withColumn("p", col("n").cast("double") / col("row_n").cast("double"))
+        .select("from_type", "to_type", "n", "p")
+        .orderBy("from_type", "to_type")
+    }),
     // streaming per-key top-k: q85's bounded-heap semantics with the heap
     // IN THE STREAM STATE — each key carries its k best (cents, event_id)
     // pairs through mapGroupsWithState (a bounded insert per event, so
@@ -784,6 +846,11 @@ object EventStream {
     // the streamed sketch + exact verify must reproduce the batch
     // two-pass heavy hitters exactly
     "st_heavy" -> graft.queries.Relational.oracle("q81_heavy_hitters"),
+    // the streamed per-user state machine must reproduce the batch
+    // transition matrix verbatim
+    "st_markov" -> graft.queries.Relational.oracle("q102_markov"),
+    // the stream is stateless scan compute — byte-identical to batch
+    "st_silence" -> graft.operators.Multimodal.oracle("mm_silence"),
     // the streamed bounded heap must retain exactly the true top-k —
     // the oracle is the full-table window form
     "st_topk" ->

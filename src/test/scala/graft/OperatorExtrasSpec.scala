@@ -520,6 +520,36 @@ class OperatorExtrasSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q109 capped cumsum == independent driver-side replay of the recurrence") {
+    val out = Relational.defs("q109_capped_cumsum")(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "ts_ns", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+      .groupBy(_._1).map { case (u, evs) =>
+        var b = 0L; var mx = 0L; var hits = 0L
+        for (e <- evs.sortBy(x => (x._2, x._3))) {
+          val cents = new java.math.BigDecimal(e._5)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact()
+          val delta = e._4 match {
+            case "purchase" => cents
+            case "click" => -cents
+            case _ => 0L
+          }
+          val nb = b + delta
+          if (nb < 0) { hits += 1; b = 0L } else b = nb
+          if (b > mx) mx = b
+        }
+        u -> ((evs.length.toLong, b, mx, hits))
+      }
+    assert(out === want)
+  }
+
   test("q107 concomp: six rounds reach the fixed point; q78 reachability agrees") {
     val comp = Relational.defs("q107_concomp")(spark, TestSpark.sf0001).cache()
     // canonical labels: every component's id is one of its member nodes

@@ -523,6 +523,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
   }
 
+  test("q110: the row_number idiom is REWRITTEN to the native top-k plan") {
+    val df = Relational.defs("q110_topk_rewrite")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // both heap phases present, no WindowExec, no WindowGroupLimit,
+    // only the presentation sort — the user wrote a window query
+    assert("TopKPerKey .*, 3, true".r.findFirstIn(p).isDefined, p)
+    assert("TopKPerKey .*, 3, false".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Window"), p)
+    assert("Sort ".r.findAllMatchIn(p).size === 1, p)
+    // pruning survives: the rank column never reaches the scan
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
+  }
+
+  test("TopKRewrite declines unsafe shapes: published rank, rank(), conjuncts") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKRewrite.install(spark)
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rank published -> the window must survive
+    val withRank = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("o_orderkey", "rn")
+    assert(withRank.queryExecution.executedPlan.toString.contains("Window"))
+    // rank() (ties past k) must NOT be rewritten
+    val rk = o.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3).select("o_orderkey")
+    assert(rk.queryExecution.executedPlan.toString.contains("Window"))
+    // extra conjunct -> untouched
+    val conj = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("o_orderkey") > 0)
+      .select("o_orderkey")
+    assert(conj.queryExecution.executedPlan.toString.contains("Window"))
+    // and the rewritten result equals the window result on real data
+    val viaWindow = withRank.select("o_orderkey").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val viaRewrite = Relational.defs("q110_topk_rewrite")(spark, dir)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaRewrite === viaWindow)
+  }
+
   test("src_partitioned: the class filter prunes partitions at the scan") {
     val df = graft.sources.Sources.partitionedRoundTrip(spark, dir)
     df.collect()

@@ -238,6 +238,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(9L * day + 1) === ((0, -1L)), "horizon exceeded -> unattributed")
   }
 
+  test("markov state bridges ordered batch splits; first event emits nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(id: Long, ns: Long, u: Long, t: String) =
+      EventStream.Event(id, ns, u, t, 0.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.markovState(input.toDS())
+      .toDF("user_id", "from_type", "to_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("markov_ms").start()
+    try {
+      // batch 1 arrives out of order in-batch; the sort fixes it
+      input.addData(e(2, 2000L, 1, "view"), e(1, 1000L, 1, "signup"))
+      q.processAllAvailable()
+      // batch 2: the carried 'view' must produce view -> click
+      input.addData(e(3, 3000L, 1, "click"), e(4, 1000L, 2, "signup"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("markov_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "signup", "view"), (1L, "view", "click")),
+      s"got $got")
+  }
+
   test("top-k heap state carries and evicts correctly across batch splits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
