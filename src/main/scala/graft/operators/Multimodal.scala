@@ -436,6 +436,35 @@ object Multimodal {
     })
   }
 
+  final case class AudioZcr(doc_id: Long, n_samples: Long,
+                            n_crossings: Long, sum_abs: Long,
+                            mean_abs: Option[Double])
+
+  /** Zero-crossing rate + mean absolute amplitude — the two cheapest
+    * speech/music discriminators (voiced speech crosses zero rarely;
+    * fricatives and noise constantly): a crossing is a strict sign flip
+    * (v_i · v_{i+1} < 0 — zeros break a crossing, the rule the oracle's
+    * LEAD replays verbatim), amplitude is Σ|v| in exact int64
+    * (|v| ≤ 2^15 ⇒ no overflow at any clip length that fits memory),
+    * and mean_abs is the ONE IEEE division at publish. Same scan-stage
+    * mapPartitions as [[audioSampleStats]], zero shuffle.
+    */
+  def audioZcr(media: Dataset[MediaFile]): Dataset[AudioZcr] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { f =>
+      wavPcm(f.payload).map { v =>
+        var zc = 0L; var sa = 0L; var i = 0
+        while (i < v.length) {
+          sa += math.abs(v(i))
+          if (i + 1 < v.length && v(i).toLong * v(i + 1) < 0) zc += 1
+          i += 1
+        }
+        AudioZcr(f.doc_id, v.length.toLong, zc, sa,
+          if (v.length > 0) Some(sa.toDouble / v.length) else None)
+      }
+    })
+  }
+
   /** RIFF chunk walk + int16 LE decode shared by the signal-level audio
     * operators: the data chunk's available bytes (declared size capped by
     * what is present) as signed samples; None for non-RIFF payloads.
@@ -833,7 +862,10 @@ object Multimodal {
     * every block holds the same 16 pixels) so the comparison is exact
     * integer, bit-identical in any engine.
     */
-  def averageHash60(w: Int, h: Int, px: Array[Int]): (Long, Int) = {
+  /** 10×6 grid of 4×4-block pixel sums — the shared reduction both
+    * perceptual hashes read (index = cx + 10·cy).
+    */
+  def blockSums(w: Int, h: Int, px: Array[Int]): Array[Long] = {
     require(w == PW && h == PH, s"phash expects ${PW}x$PH thumbnails, got ${w}x$h")
     val bs = new Array[Long](60)
     var y = 0
@@ -845,11 +877,41 @@ object Multimodal {
       }
       y += 1
     }
+    bs
+  }
+
+  def averageHash60(w: Int, h: Int, px: Array[Int]): (Long, Int) = {
+    val bs = blockSums(w, h, px)
     val total = bs.sum
     var hash = 0L; var ones = 0; var b = 0
     while (b < 60) {
       if (bs(b) * 60 > total) { hash |= (1L << b); ones += 1 }
       b += 1
+    }
+    (hash, ones)
+  }
+
+  /** 54-bit DIFFERENCE hash over the same block grid: bit (cx + 9·cy)
+    * set when block (cx, cy) is STRICTLY brighter than its right
+    * neighbor (cx+1, cy) — 9 comparisons × 6 rows. dHash keys on local
+    * gradient structure where [[averageHash60]] keys on global
+    * brightness, so a uniform exposure shift flips aHash bits but
+    * leaves dHash intact — the complementary member of the perceptual
+    * hash family (both survive re-encoding; the banded Hamming join
+    * machinery applies unchanged).
+    */
+  def diffHash54(bs: Array[Long]): (Long, Int) = {
+    var hash = 0L; var ones = 0
+    var cy = 0
+    while (cy < 6) {
+      var cx = 0
+      while (cx < 9) {
+        if (bs(cx + 10 * cy) > bs(cx + 1 + 10 * cy)) {
+          hash |= (1L << (cx + 9 * cy)); ones += 1
+        }
+        cx += 1
+      }
+      cy += 1
     }
     (hash, ones)
   }
@@ -906,6 +968,7 @@ object Multimodal {
   }
 
   final case class ImageStats(doc_id: Long, phash60: Long, n_ones: Int,
+                              dhash54: Long, d_ones: Int,
                               n_px: Int, sum_px: Long, sum_sq: Long,
                               min_px: Int, max_px: Int,
                               sum_dx: Long, sum_dy: Long,
@@ -926,7 +989,14 @@ object Multimodal {
     def build: DataFrame =
       synthesizeThumbnails(docs).mapPartitions(_.map { f =>
         val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
-        val (hash, ones) = averageHash60(w, h, px)
+        val bs = blockSums(w, h, px)
+        val total = bs.sum
+        var hash = 0L; var ones = 0; var b = 0
+        while (b < 60) {
+          if (bs(b) * 60 > total) { hash |= (1L << b); ones += 1 }
+          b += 1
+        }
+        val (dh, dOnes) = diffHash54(bs)
         var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
         val bins = new Array[Long](8) // 8 equal-width gray-level bins
         while (i < px.length) {
@@ -957,7 +1027,7 @@ object Multimodal {
           }
           y += 1
         }
-        ImageStats(f.doc_id, hash, ones, px.length, s, s2, mn, mx,
+        ImageStats(f.doc_id, hash, ones, dh, dOnes, px.length, s, s2, mn, mx,
           dx, dy, mg, ne, bins)
       }).toDF()
     // the image table is a shared intermediate exactly like the MinHash
@@ -975,6 +1045,14 @@ object Multimodal {
     */
   def phash(docs: DataFrame): DataFrame =
     imageTable(docs).select("doc_id", "phash60", "n_ones")
+
+  /** Difference hash per document — [[diffHash54]] over the shared
+    * decode pass (one more projection of [[imageTable]], zero extra
+    * codec work). Oracle replays the block-sum recipe and the strict
+    * right-neighbor comparison in SQL.
+    */
+  def dhash(docs: DataFrame): DataFrame =
+    imageTable(docs).select("doc_id", "dhash54", "d_ones")
 
   /** Near-duplicate IMAGE pairs: the banded Hamming join over perceptual
     * hashes — the cross-modal analog of [[graft.operators.Dedup
@@ -1132,6 +1210,8 @@ object Multimodal {
     }),
     "mm_phash" -> ((s, d) =>
       phash(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_dhash" -> ((s, d) =>
+      dhash(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_phash_pairs" -> ((s, d) =>
       phashPairs(Tables.load(s, d, "documents"), maxHamming = 2)
         .orderBy("a_id", "b_id")),
@@ -1151,6 +1231,11 @@ object Multimodal {
     "mm_silence" -> ((s, d) => {
       import s.implicits._
       audioSilence(synthesizeMedia(Tables.load(s, d, "documents")))
+        .toDF().orderBy("doc_id")
+    }),
+    "mm_zcr" -> ((s, d) => {
+      import s.implicits._
+      audioZcr(synthesizeMedia(Tables.load(s, d, "documents")))
         .toDF().orderBy("doc_id")
     }),
   )
@@ -1258,6 +1343,23 @@ object Multimodal {
     "mm_phash" ->
       s"""WITH $phashOracleCtes
          |SELECT doc_id, phash60, n_ones FROM ph ORDER BY 1""".stripMargin,
+    // the same blk CTE; bit (cx + 9·cy) set on a STRICT right-neighbor
+    // win — b2.b = a.b + 1 within the row (a.b % 10 < 9)
+    "mm_dhash" ->
+      s"""WITH $phashOracleCtes,
+         |dh AS (
+         |  SELECT a.doc_id,
+         |    CAST(sum(CASE WHEN a.bs > b2.bs
+         |      THEN (CAST(1 AS BIGINT)
+         |            << CAST((a.b % 10) + 9 * (a.b // 10) AS INTEGER))
+         |      ELSE 0 END) AS BIGINT) AS dhash54,
+         |    CAST(sum(CASE WHEN a.bs > b2.bs THEN 1 ELSE 0 END) AS INTEGER)
+         |      AS d_ones
+         |  FROM blk a JOIN blk b2
+         |    ON a.doc_id = b2.doc_id AND b2.b = a.b + 1
+         |  WHERE a.b % 10 < 9
+         |  GROUP BY 1)
+         |SELECT doc_id, dhash54, d_ones FROM dh ORDER BY doc_id""".stripMargin,
     // brute-force all-pairs verify of the banded join (pigeonhole recall
     // within maxHamming is exact, so the two formulations agree)
     "mm_phash_pairs" ->
@@ -1406,6 +1508,40 @@ object Multimodal {
          |  coalesce(n_silent, 0) AS n_silent,
          |  coalesce(n_runs, 0) AS n_runs,
          |  coalesce(longest, 0) AS longest_run
+         |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
+    // the same byte-pair replay; a crossing is val * lead(val) < 0 —
+    // NULL past the end makes the predicate false, matching the
+    // i+1 < n loop bound; mean_abs is the one IEEE division
+    "mm_zcr" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |    least(CAST((1000 + h % 9000) * ((1 + h % 2) * 2) AS BIGINT),
+         |          CAST(length(text) AS BIGINT)) // 2 AS np
+         |  FROM ($R) JOIN documents USING (doc_id) WHERE fmt = 3),
+         |v AS (SELECT doc_id, unnest(range(0, np)) AS i, text FROM p),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS val
+         |  FROM (SELECT doc_id, i,
+         |          ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+         |          + 256 * ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1))
+         |            AS raw
+         |        FROM v)),
+         |w AS (
+         |  SELECT doc_id, val, lead(val, 1) OVER win AS v1
+         |  FROM s WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN val * v1 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zc,
+         |    CAST(sum(abs(val)) AS BIGINT) AS sa
+         |  FROM w GROUP BY 1)
+         |SELECT p.doc_id, np AS n_samples,
+         |  coalesce(zc, 0) AS n_crossings, coalesce(sa, 0) AS sum_abs,
+         |  CASE WHEN np > 0 THEN
+         |    CAST(coalesce(sa, 0) AS DOUBLE) / CAST(np AS DOUBLE) END
+         |    AS mean_abs
          |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
          |ORDER BY p.doc_id""".stripMargin,
   )

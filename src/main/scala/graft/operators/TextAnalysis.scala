@@ -1054,6 +1054,53 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Term burstiness (Church–Gale): mean occurrences per CONTAINING
+    * document for the top-k vocabulary — a bursty term (high
+    * occurrences over few documents) is topical; an evenly-spread one
+    * is functional. The signal df alone can't see, and a standard
+    * feature in stopword induction and keyword weighting. One
+    * division of exact counts per row; TakeOrdered top-k by
+    * (occurrences DESC, token).
+    */
+  def burstiness(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_occur"), countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("t").as("token"), col("n_occur"), col("n_docs"),
+        (col("n_occur").cast("double") / col("n_docs").cast("double"))
+          .as("burstiness"))
+      .orderBy(col("n_occur").desc, col("token"))
+      .limit(k)
+
+  /** Zipf rank-frequency profile — the corpus-health audit behind
+    * vocabulary-distribution checks (a crawled corpus whose head
+    * diverges from rank·freq ≈ const is dominated by boilerplate; a
+    * truncated tail signals over-aggressive dedup): the top-k vocabulary
+    * by (count DESC, token) with each token's EXACT rank·freq product
+    * (Zipf's law says it is ~constant) and its ratio to the rank-1
+    * frequency (one IEEE division of exact integers — a log-log
+    * regression would be libm-bound and never bit-match).
+    *
+    * Scale: one partial-agg shuffle over the open vocabulary, TakeOrdered
+    * top-k (never a global sort), and a k-bounded driver collect (the
+    * ivf-codebook convention) to assign ranks — the corpus itself is
+    * scanned once.
+    */
+  def zipfProfile(docs: DataFrame, k: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val top = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t")).limit(k)
+      .collect()
+    val c1 = top.headOption.map(_.getLong(1)).getOrElse(1L)
+    top.toSeq.zipWithIndex.map { case (r, i) =>
+      val rank = (i + 1).toLong
+      val f = r.getLong(1)
+      (rank, r.getString(0), f, rank * f, (rank * f).toDouble / c1.toDouble)
+    }.toDF("rank", "token", "freq", "rf", "rf_norm")
+  }
+
   /** Hashed term-frequency features (the HashingTF / feature-hashing
     * vectorizer of Weinberger et al.): each term maps to one of `nBuckets`
     * buckets by portable hash, and each document becomes its sparse
@@ -1131,6 +1178,10 @@ object TextAnalysis {
       bm25TopDocs(Tables.load(s, d, "documents"))),
     "ta_colloc" -> ((s, d) =>
       collocations(Tables.load(s, d, "documents"))),
+    "ta_zipf" -> ((s, d) =>
+      zipfProfile(Tables.load(s, d, "documents")).orderBy("rank")),
+    "ta_burstiness" -> ((s, d) =>
+      burstiness(Tables.load(s, d, "documents"))),
     "ta_diversity" -> ((s, d) =>
       diversityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_dsir" -> ((s, d) =>
@@ -1403,6 +1454,28 @@ object TextAnalysis {
          |FROM bi JOIN uni ux ON bi.x = ux.t
          |        JOIN uni uy ON bi.y = uy.t, tot
          |ORDER BY lift DESC, x, y LIMIT 50""".stripMargin,
+    // the same uni CTE; rank by (count DESC, token), rf exact, rf_norm
+    // one division by the rank-1 frequency (= max count)
+    "ta_zipf" ->
+      s"""WITH d AS (SELECT $W AS w FROM documents),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+         |rk AS (SELECT t, c,
+         |         row_number() OVER (ORDER BY c DESC, t) AS rank FROM uni),
+         |f1 AS (SELECT CAST(max(c) AS BIGINT) AS c1 FROM uni)
+         |SELECT CAST(rank AS BIGINT) AS rank, t AS token, c AS freq,
+         |  CAST(rank * c AS BIGINT) AS rf,
+         |  CAST(rank * c AS DOUBLE) / CAST(c1 AS DOUBLE) AS rf_norm
+         |FROM rk, f1 WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // burstiness: one division of the two exact counts per token
+    "ta_burstiness" ->
+      s"""WITH u AS (SELECT doc_id, unnest($W) AS t FROM documents)
+         |SELECT t AS token, count(*) AS n_occur,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE)
+         |    AS burstiness
+         |FROM u GROUP BY 1 ORDER BY n_occur DESC, token LIMIT 50"""
+        .stripMargin,
     "ta_hashing_tf" ->
       s"""SELECT doc_id, CAST(b AS INTEGER) AS bucket,
          |  CAST(count(*) AS BIGINT) AS tf

@@ -143,6 +143,16 @@ object Relational {
     "q108_rfm" -> q108,
     "q109_capped_cumsum" -> q109,
     "q110_topk_rewrite" -> q110,
+    "q111_regression" -> q111,
+    "q112_kcore" -> q112,
+    "q113_fd_audit" -> q113,
+    "q114_bitmap_index" -> q114,
+    "q115_item_similarity" -> q115,
+    "q116_seq_mining" -> q116,
+    "q117_moving_median" -> q117,
+    "q118_binary_seg" -> q118,
+    "q119_interpolate" -> q119,
+    "q120_weighted_median" -> q120,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3365,16 +3375,23 @@ object Relational {
     * q38 (point frequency): join-size estimation before running q91's
     * exact audit.
     */
-  private def q103(spark: SparkSession, dir: String): DataFrame = {
-    val nSigns = 15
-    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
-    val signCols = (1 to nSigns).map { j =>
+  /** q103's ±1 sign-counter exprs — 15 commutative sums, which is what
+    * makes the sketch STREAMABLE bit-for-bit (st_ams folds the same
+    * columns inside a streaming aggregate and shares q103's oracle).
+    */
+  private[graft] def amsSignCols: Seq[Column] =
+    (1 to 15).map { j =>
       sum(when(portableHash60(
         concat(lit(s"ams$j:"), col("user_id").cast("string"))) % 2 === 1,
         lit(1L)).otherwise(lit(-1L))).as(s"c$j")
     }
-    val counters = ev.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), signCols: _*)
+
+  /** q103's counters → estimate finalization (squares in DECIMAL(38,0),
+    * median-of-5-groups-of-3 as an array ELEMENT, exact-F2 verify from
+    * the batch events table) — shared verbatim by batch q103 and the
+    * streaming twin st_ams.
+    */
+  private[graft] def amsFinalize(counters: DataFrame, ev: DataFrame): DataFrame = {
     val big = DecimalType(38, 0)
     def sq(j: Int): Column = col(s"c$j").cast(big) * col(s"c$j").cast(big)
     val groups = (0 until 5).map { g =>
@@ -3395,6 +3412,13 @@ object Relational {
         (col("est3").cast("double") / 3.0 / col("f2").cast("double"))
           .as("est_ratio"))
       .orderBy("event_type")
+  }
+
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val counters = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), amsSignCols: _*)
+    amsFinalize(counters, ev)
   }
 
   /** CUSUM changepoint detection over the per-class daily event series,
@@ -3726,6 +3750,466 @@ object Relational {
         ((col("n_orders") * col("supp_ab")).cast("double")
           / (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
       .orderBy("brand_a", "brand_b")
+  }
+
+  /** The q111 moment rollup over a (event_type, day, y) day-grain table —
+    * shared verbatim by batch q111 and the streaming twin st_regression
+    * (the day grain is computed in-stream there; this rollup is the
+    * stateless classes-sized finalization).
+    */
+  private[graft] def olsFromDaily(daily: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    def dec(c: Column): Column = c.cast(big)
+    val m = daily
+      .withColumn("x",
+        datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
+          .cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      .withColumn("num", dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .withColumn("deny", dec(col("n")) * col("syy") - col("sy") * col("sy"))
+    m.select(
+      col("event_type"), col("n").as("n_days"),
+      when(col("den") > 0,
+        col("num").cast("double") / col("den").cast("double")).as("slope"),
+      when(col("den") > 0,
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / col("den").cast("double")).as("intercept"),
+      when(col("den") > 0 && col("deny") > 0,
+        (col("num").cast("double") / col("den").cast("double"))
+          * (col("num").cast("double") / col("deny").cast("double")))
+        .as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Group-wise ordinary least squares — the TREND complement of q104's
+    * changepoint: per event class, the daily event count regressed on
+    * the day's epoch-day index. Every moment (n, Σx, Σy, Σxy, Σx², Σy²)
+    * is an exact integer accumulated in DECIMAL(38,0) — products are
+    * taken AFTER the decimal widening so y² cannot overflow a BIGINT at
+    * any corpus size — and sums are commutative, so the fit is
+    * bit-identical in any execution/merge order (which is what makes it
+    * STREAMABLE: st_regression shares this oracle verbatim). Published
+    * coefficients are FIXED IEEE expressions over exact operands:
+    * slope = num/den (num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²),
+    * intercept = (Σy·Σx² − Σx·Σxy)/den (the exact cross-multiplied
+    * rational — one division), r² = (num/den)·(num/deny) with
+    * deny = n·Σy² − (Σy)². Degenerate groups (a single day, zero x or y
+    * variance) publish NULL, not NaN (the q77 0/0 lesson).
+    *
+    * Scale: ONE partial-agg shuffle to the bounded (class, day) grain,
+    * then a classes-sized moment rollup — the sufficient-statistics
+    * shape: no window, no sort, no second scan.
+    */
+  private def q111(spark: SparkSession, dir: String): DataFrame =
+    olsFromDaily(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("y")))
+
+  /** k-core decomposition — the graph-density screen (community cores,
+    * spam-farm detection) completing the graph family (reachability
+    * q78, weighted paths q100, components q107, centrality q39/q48,
+    * triangles q54): iterative peeling removes nodes whose degree among
+    * SURVIVORS is < k, six rounds per k ∈ {2, 3} (the q100 finite
+    * semantics — after round i both engines have applied exactly i
+    * peels, and the oracle's chained CTEs define the same sequence).
+    * Output per node: its initial degree and 2-core / 3-core survival.
+    *
+    * Scale: each round is two semi-joins (edges ⋈ survivors) plus a
+    * node-sized degree count — O(E) per round, localCheckpointed so
+    * lineage doesn't nest twelve joins; no windows, no collects.
+    */
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pw.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pw.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    val deg0 = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    def core(k: Int): DataFrame = {
+      var alive = deg0.select("node")
+      for (_ <- 1 to 6) {
+        alive = edges
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("node")
+          .localCheckpoint(true)
+      }
+      alive
+    }
+    val c2 = core(2).withColumn("in_2core", lit(true))
+    val c3 = core(3).withColumn("in_3core", lit(true))
+    deg0.join(c2, Seq("node"), "left_outer")
+      .join(c3, Seq("node"), "left_outer")
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("degree"),
+        coalesce(col("in_2core"), lit(false)).as("in_2core"),
+        coalesce(col("in_3core"), lit(false)).as("in_3core"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** One candidate of the q113 functional-dependency audit: does lhs
+    * determine rhs in df? Exact counts — distinct lhs, distinct
+    * (lhs, rhs) pairs, lhs values with > 1 rhs — and the verdict
+    * holds ⟺ max distinct-rhs per lhs is 1.
+    */
+  private def fdOne(label: String, df: DataFrame,
+      lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("k"))
+      .agg(count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"),
+        sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+        (max(col("k")) === 1).as("holds"))
+      .select(lit(label).as("fd"), col("n_lhs"), col("n_pairs"),
+        col("n_violating"), col("holds"))
+
+  /** Functional-dependency discovery — the schema-profiling op behind
+    * normalization audits and join-key inference (the metadata
+    * complement of q40's value profile and q77's referential audit):
+    * for a fixed candidate list, does the left column DETERMINE the
+    * right one? Exact verdict per candidate — distinct lhs count,
+    * distinct (lhs, rhs) pair count, number of violating lhs values —
+    * with holds ⟺ no lhs maps to two rhs values. Key-led candidates
+    * prove the method (a primary key determines everything); the
+    * data-led ones report genuine violations.
+    *
+    * Scale: each candidate is one partial-agg pass over its table's two
+    * columns (countDistinct = one more exchange on the lhs grain); the
+    * union is candidate-count rows. No candidate enumeration explosion —
+    * the list is declared, the classic lattice search being a driver
+    * concern, not a data-plane one.
+    */
+  private def q113(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val cust = Tables.load(spark, dir, "customer")
+    val part = Tables.load(spark, dir, "part")
+    val orders = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    val docs = Tables.load(spark, dir, "documents")
+    fdOne("nation:n_nationkey->n_regionkey", nation, "n_nationkey", "n_regionkey")
+      .unionByName(fdOne("customer:c_nationkey->c_mktsegment", cust,
+        "c_nationkey", "c_mktsegment"))
+      .unionByName(fdOne("part:p_brand->p_type", part, "p_brand", "p_type"))
+      .unionByName(fdOne("orders:o_custkey->o_orderpriority", orders,
+        "o_custkey", "o_orderpriority"))
+      .unionByName(fdOne("lineitem:l_partkey->l_suppkey", li,
+        "l_partkey", "l_suppkey"))
+      .unionByName(fdOne("documents:source->lang", docs, "source", "lang"))
+      .orderBy("fd")
+  }
+
+  /** Bitmap membership summaries — the bitmap-index / Bloom-filter
+    * building block with its precision MEASURED exactly: per event
+    * class, a 60-slot occupancy mask (bitwise OR of 1 << user_id mod 60
+    * — OR is commutative and idempotent, so the mask is order-free and
+    * mergeable, the sketch-algebra property q82's KMV union relies on),
+    * then every DISTINCT user tested against every class mask (the
+    * masks are a classes-row broadcast) counting exact members vs mask
+    * passers; the false-positive share is ONE IEEE division of exact
+    * counts. This is the evaluation a filter-pushdown planner reads
+    * before trusting a small-bitmap prefilter.
+    *
+    * Scale: mask build is one partial-agg fold (classes × 1 long); the
+    * test pass is a scan-stage broadcast filter over the distinct-user
+    * grain — no corpus shuffle beyond the distinct.
+    */
+  /** q114's per-row bitmap slot — 1 << (user_id mod 60), shared with
+    * the streaming twin st_bitmap.
+    */
+  private[graft] def bitmapSlot: Column =
+    expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))")
+
+  /** q114's masks → precision-evaluation finalization (distinct-member
+    * counts, mask test over the distinct-user grain, one-division fp
+    * share) — shared verbatim by batch q114 and st_bitmap (the OR fold
+    * is commutative AND idempotent, so the streamed mask is
+    * bit-identical to the batch one by algebra).
+    */
+  private[graft] def bitmapFinalize(masks: DataFrame, ev: DataFrame): DataFrame = {
+    val members = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_members"))
+    val tested = ev.select("user_id").distinct()
+      .crossJoin(broadcast(masks))
+      .filter(col("mask").bitwiseAND(bitmapSlot) =!= 0)
+      .groupBy("event_type").agg(count(lit(1)).as("n_pass"))
+    masks.join(broadcast(members), "event_type").join(tested, "event_type")
+      .select(col("event_type"), col("mask"),
+        bit_count(col("mask")).as("n_bits"),
+        col("n_members"), col("n_pass"),
+        ((col("n_pass") - col("n_members")).cast("double")
+          / col("n_pass").cast("double")).as("fp_share"))
+      .orderBy("event_type")
+  }
+
+  private def q114(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    bitmapFinalize(
+      ev.groupBy("event_type").agg(bit_or(bitmapSlot).as("mask")), ev)
+  }
+
+  /** Item-item similarity from co-occurrence — the collaborative-
+    * filtering primitive (Sarwar WWW'01 item-kNN / SimRank's 1-hop):
+    * suppliers are similar when their CUSTOMER NEIGHBORHOODS overlap.
+    * Pair generation is the shared-customer equi join (the
+    * dd_ngram_jaccard kernel on graph data), with the SAME df-cap
+    * discipline: customers with more than 50 distinct suppliers are
+    * excluded from pair generation ON BOTH ENGINES (the cap is live at
+    * sf0.01 — the gated branch, not dormant hygiene), so the join
+    * fan-out is ≤ cap² per customer — linear in customers, never
+    * supplier² across the corpus. Jaccard and containment are each ONE
+    * IEEE division of exact integer set sizes; support floor ≥ 3 keeps
+    * the pair set deterministic.
+    *
+    * Scale: neighborhood sizes (the denominators) come from the
+    * UNCAPPED edge set — the cap bounds only who GENERATES pairs; a
+    * hot customer contributes its suppliers' degrees but not its d²
+    * pairs (exactly dd_ngram's df-cap trade, documented there).
+    */
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 50L
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = pw.groupBy("supp").agg(count(lit(1)).as("n"))
+    val keep = pw.groupBy("cust").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= cap).select("cust")
+    val capped = pw.join(keep, Seq("cust"), "left_semi")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+      .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 3)
+    pairs
+      .join(broadcast(deg.select(col("supp").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(deg.select(col("supp").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("common"), col("n1"), col("n2"),
+        (col("common").cast("double")
+          / (col("n1") + col("n2") - col("common")).cast("double"))
+          .as("jaccard"),
+        (col("common").cast("double")
+          / least(col("n1"), col("n2")).cast("double")).as("containment"))
+      .orderBy("s1", "s2")
+  }
+
+  /** Frequent contiguous event-type trigrams — fixed-length sequence
+    * mining (the SPADE/PrefixSpan family at the pattern length a funnel
+    * designer actually reads): per user in the total (ts_ns, event_id)
+    * order, every 3-event window becomes a pattern; support = DISTINCT
+    * users containing it (the sequence-mining support definition),
+    * alongside raw occurrences; floor ≥ 5 users, top-25 by
+    * (support DESC, occurrences DESC, pattern).
+    *
+    * Scale: the lead window runs per user (q79's envelope); patterns
+    * aggregate on a ≤ classes³ key space; TakeOrdered top-k.
+    */
+  private def q116(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(byTime))
+      .withColumn("e3", lead(col("event_type"), 2).over(byTime))
+      .filter(col("e3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("e2"), col("e3")).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_occur"), countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") >= 5)
+      .orderBy(col("n_users").desc, col("n_occur").desc, col("pattern"))
+      .limit(25)
+  }
+
+  /** 7-day moving MEDIAN of the per-class daily counts — the robust
+    * trend smoother (q97's EMA follows spikes; the median ignores
+    * them), computed with the EXACT integer rule: the trailing window's
+    * values are collected, sorted, and the lower median (element
+    * ⌈n/2⌉) published as an exact BIGINT — no interpolation, no IEEE
+    * anywhere. Windows run over the bounded day grain only (the q104
+    * envelope), and the collected window is ≤ 7 elements by
+    * construction — a rowsBetween frame, never a corpus-sized list.
+    */
+  private def q117(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("win", array_sort(collect_list(col("x")).over(w)))
+      .select(col("event_type"), col("day"), col("x"),
+        size(col("win")).as("w_n"),
+        element_at(col("win"),
+          expr("CAST((size(win) + 1) div 2 AS INT)")).as("moving_median"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Binary segmentation (depth 2) — the standard MULTI-changepoint
+    * method (Scott–Knott / binary segmentation): q104's exact-integer
+    * CUSUM finds the root changepoint, the series splits there, and the
+    * same argmax |n'·prefix'_i − i·T'| rule runs INSIDE each half with
+    * its own local totals — every D value an exact BIGINT, ties to the
+    * earliest day, one IEEE division per published row. Segments with
+    * fewer than 2 days publish nothing (both engines).
+    *
+    * Scale: the second level is the SAME bounded day-grain window work
+    * partitioned by (class, segment) — still classes × days rows.
+    */
+  private def q118(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    def cusum(df: DataFrame, part: Seq[String]): DataFrame = {
+      val byDay = Window.partitionBy(part.map(col): _*).orderBy("day")
+      val whole = Window.partitionBy(part.map(col): _*)
+      val scored = df
+        .withColumn("i", row_number().over(byDay))
+        .withColumn("prefix", sum(col("x")).over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("t", sum(col("x")).over(whole))
+        .withColumn("d", col("n") * col("prefix") - col("i") * col("t"))
+      val best = Window.partitionBy(part.map(col): _*)
+        .orderBy(abs(col("d")).desc, col("day").asc)
+      scored.withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
+    }
+    val root = cusum(daily, Seq("event_type")).localCheckpoint(true)
+    val withSeg = daily
+      .join(root.select(col("event_type"), col("day").as("cday")),
+        "event_type")
+      .withColumn("segment",
+        when(col("day") <= col("cday"), lit("left")).otherwise(lit("right")))
+      .select("event_type", "segment", "day", "x")
+    val halves = cusum(withSeg, Seq("event_type", "segment"))
+      .filter(col("n") >= 2)
+    val out = root
+      .select(col("event_type"), lit("root").as("segment"),
+        col("n").as("seg_days"), col("day").as("change_day"),
+        (abs(col("d")).cast("double") / col("n").cast("double"))
+          .as("max_cusum"))
+      .unionByName(halves.select(col("event_type"), col("segment"),
+        col("n").as("seg_days"), col("day").as("change_day"),
+        (abs(col("d")).cast("double") / col("n").cast("double"))
+          .as("max_cusum")))
+    out.orderBy("event_type", "segment")
+  }
+
+  /** Linear interpolation with SELF-VALIDATED reconstruction — the
+    * gap-filling complement of q74's forward fill, with the
+    * interpolation branch kept LIVE at every SF by deterministic
+    * decimation: every third calendar day (day_idx ≡ 0 mod 3) is
+    * masked, rebuilt as the exact linear blend of its nearest KEPT
+    * neighbors — (y_prev·(d_next − d) + y_next·(d − d_prev)) /
+    * (d_next − d_prev), exact integer numerator, ONE IEEE division —
+    * and scored against the held-out truth (|filled − raw|, the
+    * reconstruction error a downsampling/outage-recovery decision
+    * reads). Masked boundary days with no neighbor on one side
+    * propagate NULL identically on both engines.
+    *
+    * Scale: the grid is classes × days (bounded); the neighbor windows
+    * run over that grain with ignoreNulls running extremes — no
+    * self-join, no per-gap scan.
+    */
+  private def q119(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = Tables.events(spark, dir)
+      .select(expr(s"ts_ns div $dayNs").as("d"), col("event_type"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("y"))
+    val grid = daily.groupBy("event_type")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val joined = grid.join(daily, Seq("event_type", "d"), "left_outer")
+      .withColumn("kept", col("y").isNotNull && col("d") % 3 =!= 0)
+      .withColumn("yk", when(col("kept"), col("y")))
+    val back = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("py", last(col("yk"), ignoreNulls = true).over(back))
+      .withColumn("pd",
+        last(when(col("yk").isNotNull, col("d")), ignoreNulls = true).over(back))
+      .withColumn("ny", first(col("yk"), ignoreNulls = true).over(fwd))
+      .withColumn("nd",
+        first(when(col("yk").isNotNull, col("d")), ignoreNulls = true).over(fwd))
+      .withColumn("filled",
+        when(col("kept"), col("y").cast("double"))
+          .otherwise(
+            (col("py") * (col("nd") - col("d"))
+              + col("ny") * (col("d") - col("pd"))).cast("double")
+              / (col("nd") - col("pd")).cast("double")))
+      .select(col("event_type"), col("d").as("day_idx"),
+        col("kept").cast("int").as("is_kept"),
+        col("y").as("y_raw"), col("filled").as("y_filled"),
+        when(!col("kept") && col("y").isNotNull,
+          abs(col("filled") - col("y").cast("double"))).as("recon_err"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  /** Weighted median by the EXACT integer rule — per nation, the
+    * customer-balance cents at which half the ORDER mass sits below
+    * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
+    * customer's order count), next to the unweighted q89-rule median of
+    * the same values. No interpolation, no IEEE anywhere — both medians
+    * are exact BIGINT cents. The weighted-quantile primitive behind
+    * volume-weighted pricing and sampling-design checks.
+    *
+    * Scale: one customer-grain partial agg, value-count windows over
+    * DISTINCT (nation, cents) rows — the q89 vc-exchange shape.
+    */
+  private def q120(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"),
+        (d2(col("c_acctbal")) * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("w"))
+    val vc = perCust.groupBy("c_nationkey", "cents")
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("c"))
+    val byV = Window.partitionBy("c_nationkey").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("c_nationkey")
+    vc
+      .withColumn("cumw", sum(col("wsum")).over(byV))
+      .withColumn("cumc", sum(col("c")).over(byV))
+      .withColumn("totw", sum(col("wsum")).over(whole))
+      .withColumn("totc", sum(col("c")).over(whole))
+      .groupBy("c_nationkey")
+      .agg(
+        max(col("totc")).as("n_customers"),
+        max(col("totw")).as("total_orders"),
+        min(when(col("cumw") * 2 >= col("totw"), col("cents")))
+          .as("weighted_median_cents"),
+        min(when(col("cumc") * 2 >= col("totc"), col("cents")))
+          .as("median_cents"))
+      .orderBy("c_nationkey")
   }
 
   /** One UNION-ALL block of the q91 oracle: the key-count histogram
@@ -5356,5 +5840,282 @@ object Relational {
         |    AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q111: every moment exact in HUGEINT (Spark: DECIMAL(38,0)),
+    // published coefficients the SAME fixed IEEE expression trees —
+    // num/den, (sy·sxx − sx·sxy)/den, (num/den)·(num/deny)
+    "q111_regression" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(day AS DATE)) AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(day AS DATE)) AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(day AS DATE)) AS HUGEINT)
+        |        * date_diff('day', DATE '1970-01-01', CAST(day AS DATE)))
+        |      AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT *, CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS den,
+        |    CAST(n AS HUGEINT) * syy - sy * sy AS deny
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(den AS DOUBLE) END
+        |    AS intercept,
+        |  CASE WHEN den > 0 AND deny > 0 THEN
+        |    (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |      * (CAST(num AS DOUBLE) / CAST(deny AS DOUBLE)) END AS r2
+        |FROM c ORDER BY 1""".stripMargin,
+    // q112: six chained peel CTEs per k — the q107 finite semantics
+    // with a HAVING degree >= k in place of min-label propagation
+    "q112_kcore" ->
+      ("""WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pe
+        |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+        |d0 AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY 1),
+        |a20 AS (SELECT node FROM d0),
+        |a30 AS (SELECT node FROM d0),
+        |""".stripMargin +
+        (1 to 6).flatMap(i => Seq(
+          s"""a2$i AS (SELECT e.src AS node FROM e
+             |  JOIN a2${i - 1} s ON e.src = s.node
+             |  JOIN a2${i - 1} d ON e.dst = d.node
+             |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin,
+          s"""a3$i AS (SELECT e.src AS node FROM e
+             |  JOIN a3${i - 1} s ON e.src = s.node
+             |  JOIN a3${i - 1} d ON e.dst = d.node
+             |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin))
+          .mkString(",\n") +
+        """
+        |SELECT CASE WHEN d0.node % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |  d0.node // 2 AS node_id, CAST(degree AS BIGINT) AS degree,
+        |  a26.node IS NOT NULL AS in_2core,
+        |  a36.node IS NOT NULL AS in_3core
+        |FROM d0 LEFT JOIN a26 ON d0.node = a26.node
+        |        LEFT JOIN a36 ON d0.node = a36.node
+        |ORDER BY 1, 2""".stripMargin),
+    // q113: per candidate, one distinct-rhs-per-lhs aggregate; the
+    // verdict is max(k) = 1 on both engines
+    "q113_fd_audit" -> ("SELECT * FROM (\n" + Seq(
+      ("nation:n_nationkey->n_regionkey", "nation", "n_nationkey",
+        "n_regionkey"),
+      ("customer:c_nationkey->c_mktsegment", "customer", "c_nationkey",
+        "c_mktsegment"),
+      ("part:p_brand->p_type", "part", "p_brand", "p_type"),
+      ("orders:o_custkey->o_orderpriority", "orders", "o_custkey",
+        "o_orderpriority"),
+      ("lineitem:l_partkey->l_suppkey", "lineitem", "l_partkey",
+        "l_suppkey"),
+      ("documents:source->lang", "documents", "source", "lang"),
+    ).map { case (label, t, lhs, rhs) =>
+      s"""SELECT '$label' AS fd, count(*) AS n_lhs,
+         |  CAST(sum(k) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  max(k) = 1 AS holds
+         |FROM (SELECT $lhs, count(DISTINCT $rhs) AS k FROM $t GROUP BY 1)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n") + "\n) ORDER BY fd"),
+    // q114: the same OR-fold and the same membership test on both
+    // engines; fp_share one division of exact counts
+    "q114_bitmap_index" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INTEGER))
+        |      AS mask,
+        |    count(DISTINCT user_id) AS n_members
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (
+        |  SELECT event_type, count(*) AS n_pass
+        |  FROM u, m
+        |  WHERE (mask & (CAST(1 AS BIGINT)
+        |          << CAST(user_id % 60 AS INTEGER))) <> 0
+        |  GROUP BY 1)
+        |SELECT m.event_type, mask,
+        |  CAST(bit_count(mask) AS INTEGER) AS n_bits, n_members, n_pass,
+        |  CAST(n_pass - n_members AS DOUBLE) / CAST(n_pass AS DOUBLE)
+        |    AS fp_share
+        |FROM m JOIN t USING (event_type) ORDER BY 1""".stripMargin,
+    // q115: the same capped shared-customer kernel and the same two
+    // one-division similarities
+    "q115_item_similarity" ->
+      """WITH pw AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |deg AS (SELECT supp, count(*) AS n FROM pw GROUP BY 1),
+        |keep AS (SELECT cust FROM pw GROUP BY cust HAVING count(*) <= 50),
+        |cp AS (SELECT pw.cust, pw.supp FROM pw JOIN keep USING (cust)),
+        |p AS (
+        |  SELECT a.supp AS s1, b.supp AS s2, count(*) AS common
+        |  FROM cp a JOIN cp b ON a.cust = b.cust AND a.supp < b.supp
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT s1, s2, common, d1.n AS n1, d2.n AS n2,
+        |  CAST(common AS DOUBLE) / CAST(d1.n + d2.n - common AS DOUBLE)
+        |    AS jaccard,
+        |  CAST(common AS DOUBLE) / CAST(least(d1.n, d2.n) AS DOUBLE)
+        |    AS containment
+        |FROM p JOIN deg d1 ON d1.supp = s1 JOIN deg d2 ON d2.supp = s2
+        |ORDER BY 1, 2""".stripMargin,
+    // q116: leads over the q79 per-user total order; support counts
+    // DISTINCT users, the sequence-mining definition
+    "q116_seq_mining" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+        |p AS (
+        |  SELECT user_id, event_type || '>' || e2 || '>' || e3 AS pattern
+        |  FROM e WHERE e3 IS NOT NULL)
+        |SELECT pattern, count(*) AS n_occur,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM p GROUP BY 1 HAVING count(DISTINCT user_id) >= 5
+        |ORDER BY n_users DESC, n_occur DESC, pattern LIMIT 25""".stripMargin,
+    // q118: q104's CTE chain, root pick, then the SAME windows
+    // partitioned by (event_type, segment) for the second level
+    "q118_binary_seg" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, x, row_number() OVER w AS i,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS t
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |d AS (SELECT *, n * prefix - i * t AS dd FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(dd) DESC, day ASC) AS rk FROM d),
+        |root AS (SELECT * FROM r WHERE rk = 1),
+        |seg AS (
+        |  SELECT daily.event_type,
+        |    CASE WHEN daily.day <= root.day THEN 'left' ELSE 'right' END
+        |      AS segment,
+        |    daily.day, daily.x
+        |  FROM daily JOIN root ON daily.event_type = root.event_type),
+        |s2 AS (
+        |  SELECT event_type, segment, day, x, row_number() OVER w2 AS i,
+        |    sum(x) OVER (PARTITION BY event_type, segment ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+        |    count(*) OVER (PARTITION BY event_type, segment) AS n,
+        |    sum(x) OVER (PARTITION BY event_type, segment) AS t
+        |  FROM seg
+        |  WINDOW w2 AS (PARTITION BY event_type, segment ORDER BY day)),
+        |d2 AS (SELECT *, n * prefix - i * t AS dd FROM s2),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type,
+        |        segment ORDER BY abs(dd) DESC, day ASC) AS rk FROM d2),
+        |halves AS (SELECT * FROM r2 WHERE rk = 1 AND n >= 2)
+        |SELECT * FROM (
+        |  SELECT event_type, 'root' AS segment, CAST(n AS BIGINT)
+        |      AS seg_days, day AS change_day,
+        |    CAST(abs(dd) AS DOUBLE) / CAST(n AS DOUBLE) AS max_cusum
+        |  FROM root
+        |  UNION ALL
+        |  SELECT event_type, segment, CAST(n AS BIGINT), day,
+        |    CAST(abs(dd) AS DOUBLE) / CAST(n AS DOUBLE)
+        |  FROM halves)
+        |ORDER BY 1, 2""".stripMargin,
+    // q119: the same grid explode, mod-3 decimation, ignore-nulls
+    // neighbor windows; the blend is an exact integer numerator over
+    // one division and NULL propagates identically at masked edges
+    "q119_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, unnest(range(d0, d1 + 1)) AS d
+        |  FROM (SELECT event_type, min(d) AS d0, max(d) AS d1
+        |        FROM daily GROUP BY 1)),
+        |j AS (
+        |  SELECT g.event_type, g.d, daily.y,
+        |    daily.y IS NOT NULL AND g.d % 3 <> 0 AS kept,
+        |    CASE WHEN daily.y IS NOT NULL AND g.d % 3 <> 0
+        |      THEN daily.y END AS yk
+        |  FROM g LEFT JOIN daily
+        |    ON daily.event_type = g.event_type AND daily.d = g.d),
+        |w AS (
+        |  SELECT event_type, d, y, kept, yk,
+        |    last_value(yk IGNORE NULLS) OVER wb AS py,
+        |    last_value(CASE WHEN yk IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    first_value(yk IGNORE NULLS) OVER wf AS ny,
+        |    first_value(CASE WHEN yk IS NOT NULL THEN d END IGNORE NULLS)
+        |      OVER wf AS nd
+        |  FROM j WINDOW
+        |    wb AS (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |f AS (
+        |  SELECT event_type, d, y, kept,
+        |    CASE WHEN kept THEN CAST(y AS DOUBLE)
+        |         ELSE CAST(py * (nd - d) + ny * (d - pd) AS DOUBLE)
+        |              / CAST(nd - pd AS DOUBLE) END AS filled
+        |  FROM w)
+        |SELECT event_type, d AS day_idx,
+        |  CASE WHEN kept THEN 1 ELSE 0 END AS is_kept,
+        |  y AS y_raw, filled AS y_filled,
+        |  CASE WHEN NOT kept AND y IS NOT NULL
+        |    THEN abs(filled - CAST(y AS DOUBLE)) END AS recon_err
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    // q120: the q89 integer rule on cumulative WEIGHT next to
+    // cumulative count — both medians exact BIGINT cents
+    "q120_weighted_median" ->
+      """WITH pc AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    count(*) AS w
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3),
+        |vc AS (SELECT c_nationkey, cents, sum(w) AS wsum, count(*) AS c
+        |       FROM pc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_nationkey, cents,
+        |    sum(wsum) OVER wv AS cumw, sum(c) OVER wv AS cumc,
+        |    sum(wsum) OVER (PARTITION BY c_nationkey) AS totw,
+        |    sum(c) OVER (PARTITION BY c_nationkey) AS totc
+        |  FROM vc WINDOW wv AS (PARTITION BY c_nationkey ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT c_nationkey, CAST(max(totc) AS BIGINT) AS n_customers,
+        |  CAST(max(totw) AS BIGINT) AS total_orders,
+        |  min(CASE WHEN cumw * 2 >= totw THEN cents END)
+        |    AS weighted_median_cents,
+        |  min(CASE WHEN cumc * 2 >= totc THEN cents END) AS median_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q117: the same trailing frame, the same sorted-list lower-median
+    // element rule — exact integers, no interpolation anywhere
+    "q117_moving_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM daily)
+        |SELECT event_type, day, x, CAST(len(win) AS INTEGER) AS w_n,
+        |  CAST(win[CAST((len(win) + 1) // 2 AS INTEGER)] AS BIGINT)
+        |    AS moving_median
+        |FROM w ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -141,6 +141,21 @@ object Sources {
     fidelitySummary(spark.read.schema(docSchema).orc(out))
   }
 
+  /** documents → zstd-compressed parquet → documents, summarized. The
+    * compression-codec gate: codec choice is a first-order 100 TB lever
+    * (zstd typically halves storage + scan I/O vs snappy at similar CPU),
+    * and the pages must decompress byte-identical — same adversarial
+    * decoration, same lossless-summary gate as the format round-trips.
+    * zstd pages stay splittable (parquet splits on row groups, the codec
+    * is per-page), so read parallelism is unchanged.
+    */
+  def zstdRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-zstd")
+    decorate(Tables.load(spark, sfDir, "documents"))
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+    fidelitySummary(spark.read.schema(docSchema).parquet(out))
+  }
+
   /** events → hive-partitioned parquet (partitionBy event_type) → PRUNED
     * read-back, summarized per class. The 100 TB layout primitive: a
     * reader filtering one class lists and scans ONLY that class's
@@ -190,6 +205,7 @@ object Sources {
     "src_jsonl" -> ((s, d) => jsonlRoundTrip(s, d)),
     "src_csv" -> ((s, d) => csvRoundTrip(s, d)),
     "src_orc" -> ((s, d) => orcRoundTrip(s, d)),
+    "src_zstd" -> ((s, d) => zstdRoundTrip(s, d)),
     "src_partitioned" -> ((s, d) => partitionedRoundTrip(s, d)),
   )
 
@@ -220,6 +236,7 @@ object Sources {
     "src_jsonl" -> oracleSummary,
     "src_csv" -> oracleSummary,
     "src_orc" -> oracleSummary,
+    "src_zstd" -> oracleSummary,
     // the oracle never sees the partitioned layout: it summarizes the
     // filtered classes straight off the parquet — equal answers ⇔ the
     // partitionBy write + pruned read changed nothing

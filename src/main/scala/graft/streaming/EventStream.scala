@@ -523,6 +523,67 @@ object EventStream {
         OutputMode.Complete)
       s.table("st_ohlc_sink").orderBy("bucket", "event_type")
     }),
+    // Streaming AMS F2 sketch: q103's 15 ±1 sign counters are plain
+    // commutative sums, so the tug-of-war sketch folds inside a
+    // streaming aggregate with NO extra state machinery — the
+    // order-independence that makes the estimate bit-identical to batch
+    // (and lets a 100 TB deployment fold arriving shards into the same
+    // counters forever). Squares/median/exact-F2 verify finalize
+    // sink-side over classes×16 numbers; shares q103's oracle verbatim.
+    "st_ams" -> ((s, d) => {
+      val aggs = count(lit(1)).as("n") +:
+        graft.queries.Relational.amsSignCols
+      runToMemory(
+        readEvents(s, d)
+          .select(col("event_type"), col("user_id"))
+          .groupBy(col("event_type"))
+          .agg(aggs.head, aggs.tail: _*),
+        "st_ams_sink", OutputMode.Complete)
+      graft.queries.Relational.amsFinalize(
+        s.table("st_ams_sink"),
+        graft.tables.Tables.events(s, d)
+          .select(col("event_type"), col("user_id")))
+    }),
+    // Streaming bitmap fold: q114's occupancy mask is a bitwise OR —
+    // commutative AND idempotent, the strongest streamability property
+    // of all (even replayed/duplicated events cannot change the mask),
+    // so the fold runs as a plain streaming aggregate; the precision
+    // evaluation (distinct members vs mask passers) finalizes
+    // batch-side over the classes-row masks. Shares q114's oracle
+    // verbatim.
+    "st_bitmap" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(col("event_type"), col("user_id"))
+          .groupBy(col("event_type"))
+          .agg(bit_or(graft.queries.Relational.bitmapSlot).as("mask")),
+        "st_bitmap_sink", OutputMode.Complete)
+      // the finalize consumes the masks TWICE (members join + test
+      // crossJoin); a MemoryPlan self-join fails attribute dedup (the
+      // st_markov lesson), so the classes-row sink is localCheckpointed
+      graft.queries.Relational.bitmapFinalize(
+        s.table("st_bitmap_sink").localCheckpoint(true),
+        graft.tables.Tables.events(s, d)
+          .select(col("event_type"), col("user_id")))
+    }),
+    // Streaming OLS trend: q111's moments are COMMUTATIVE exact-integer
+    // sums, which is precisely what makes regression streamable — the
+    // unbounded-cardinality reduction (events → day grain) runs in the
+    // stream as a 1-day windowed count; the classes-sized moment rollup
+    // is the stateless sink-side finalization (the st_heavy convention:
+    // sketch in stream, finalize batch-side). Shares q111's oracle
+    // verbatim — merge order provably cannot change a single bit.
+    "st_regression" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("y"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("y")),
+        "st_regression_sink", OutputMode.Complete)
+      graft.queries.Relational.olsFromDaily(s.table("st_regression_sink"))
+    }),
     "st_enrich" -> ((s, d) => {
       runToMemory(
         enrichedWindowedCounts(readEvents(s, d),
@@ -867,6 +928,9 @@ object EventStream {
     // aggregate-only open/close (min_by/max_by on the unique total key)
     // equals the batch row_number pick, so q83's oracle serves unchanged
     "st_ohlc" -> graft.queries.Relational.oracle("q83_ohlc_bars"),
+    "st_regression" -> graft.queries.Relational.oracle("q111_regression"),
+    "st_ams" -> graft.queries.Relational.oracle("q103_ams"),
+    "st_bitmap" -> graft.queries.Relational.oracle("q114_bitmap_index"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
     "st_upsert" ->

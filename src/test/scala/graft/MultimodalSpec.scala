@@ -145,6 +145,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L) === ((4L, 2L, 0L, 2L)))
   }
 
+  test("zero-crossing rate: strict sign flips only; zeros break a crossing") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def wav(id: Long, vs: Array[Int]) = {
+      val pcm = vs.flatMap(v => le16(v & 0xffff))
+      Multimodal.MediaFile(id,
+        Array.concat("RIFF".getBytes, le32(36 + pcm.length), "WAVE".getBytes,
+          "fmt ".getBytes, le32(16), le16(1), le16(1), le32(8000),
+          le32(16000), le16(2), le16(16),
+          "data".getBytes, le32(pcm.length), pcm))
+    }
+    // alternating ±a: every adjacent pair crosses (7 crossings / 8 samples)
+    val alt = Array(5, -5, 5, -5, 5, -5, 5, -5)
+    // zeros interposed: v·next = 0 is NOT a crossing (the strict rule)
+    val zeros = Array(5, 0, -5, 0, 5)
+    val got = Multimodal.audioZcr(Seq(wav(1L, alt), wav(2L, zeros)).toDS())
+      .collect().map(a =>
+        a.doc_id -> ((a.n_samples, a.n_crossings, a.sum_abs, a.mean_abs))).toMap
+    assert(got(1L) === ((8L, 7L, 40L, Some(5.0))))
+    assert(got(2L) === ((5L, 0L, 15L, Some(3.0))))
+  }
+
+  test("dhash is exposure-invariant where ahash is not; strict comparisons") {
+    // block grid: ascending then flat — known comparison outcomes
+    val bs = Array.tabulate(60)(i => ((i % 10) match {
+      case c if c < 5 => 100 * (c + 1) // strictly ascending: right wins
+      case _ => 500 // flat: strict rule gives 0 bits
+    }).toLong)
+    val (dh, ones) = Multimodal.diffHash54(bs)
+    // per row: cx in 0..8 — bits set only where bs[cx] > bs[cx+1]: the
+    // ascending half rises (never >), the flat half ties (never >) → 0
+    assert(dh === 0L && ones === 0)
+    val desc = Array.tabulate(60)(i => (60 - (i % 10)).toLong)
+    val (dh2, ones2) = Multimodal.diffHash54(desc)
+    assert(ones2 === 54, "strictly descending rows set every bit")
+    assert(dh2 === (1L << 54) - 1)
+    // exposure shift: +c on every block leaves every comparison intact
+    val shifted = desc.map(_ + 1000L)
+    assert(Multimodal.diffHash54(shifted) === ((dh2, ones2)))
+  }
+
   test("edge stats: planted flat vs textured images order by gradient mass") {
     // recipe-synthesized thumbnails are textured by construction; assert
     // the invariants the curation filter relies on: every gradient field

@@ -324,7 +324,9 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q91_join_fanout", "q92_winsorize", "q93_attribution",
         "q94_pit_join", "q95_drift", "q96_decile_lift",
         "q97_ema", "q98_linear_attribution", "q102_markov",
-        "q103_ams", "q104_cusum"))
+        "q103_ams", "q104_cusum", "q111_regression", "q113_fd_audit",
+        "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
+        "q119_interpolate", "q120_weighted_median"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -665,5 +667,275 @@ class OperatorExtrasSpec extends AnyFunSuite {
       }
     }
     out.unpersist()
+  }
+
+  test("q111 regression == independent driver-side OLS over the day grain") {
+    val out = Relational.defs("q111_regression")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val daily = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay.toDouble,
+        r.getLong(2).toDouble))
+      .groupBy(_._1)
+    for ((cls, pts) <- daily) {
+      val r = out(cls)
+      assert(r.getLong(1) === pts.size.toLong)
+      val n = pts.size.toDouble
+      val sx = pts.map(_._2).sum; val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val syy = pts.map(p => p._3 * p._3).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      if (den > 0) {
+        assert(math.abs(r.getDouble(2) - num / den) < 1e-9 * (1 + math.abs(num / den)))
+        val ic = (sy * sxx - sx * sxy) / den
+        assert(math.abs(r.getDouble(3) - ic) < 1e-6 * (1 + math.abs(ic)))
+        if (deny > 0) {
+          val r2 = r.getDouble(4)
+          assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"r2 in [0,1]: $r2")
+          assert(math.abs(r2 - (num / den) * (num / deny)) < 1e-9)
+        }
+      } else assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+    }
+  }
+
+  test("q112 k-core: 3-core nests in 2-core; survivors verified by re-peeling") {
+    val out = Relational.defs("q112_kcore")(spark, TestSpark.sf0001).cache()
+    assert(out.filter(col("in_3core") && !col("in_2core")).count() === 0,
+      "3-core must be a subset of the 2-core")
+    // independent driver-side peel over the collected edge list
+    val o = Tables.load(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val und = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    def peel(k: Int): Set[Long] = {
+      var alive = und.flatMap(e => Seq(e._1, e._2)).toSet
+      for (_ <- 1 to 6) {
+        val deg = und.filter(e => alive(e._1) && alive(e._2))
+          .flatMap(e => Seq(e._1, e._2)).groupBy(identity).map { case (n, xs) => n -> xs.size }
+        alive = deg.filter(_._2 >= k).keySet.toSet
+      }
+      alive
+    }
+    val want2 = peel(2); val want3 = peel(3)
+    val got = out.collect().map { r =>
+      val node = r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0)
+      (node, r.getBoolean(3), r.getBoolean(4))
+    }
+    assert(got.count(_._2) === want2.size)
+    assert(got.count(_._3) === want3.size)
+    got.foreach { case (n, c2, c3) =>
+      assert(c2 === want2(n), s"2-core membership of node $n")
+      assert(c3 === want3(n), s"3-core membership of node $n")
+    }
+    out.unpersist()
+  }
+
+  test("ta_zipf: dense ranks, non-increasing freqs, normalized head") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.zipfProfile(
+      Tables.load(spark, TestSpark.sf0001, "documents")).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === (i + 1).toLong, "dense 1-based rank")
+      assert(r.getLong(3) === r.getLong(0) * r.getLong(2), "rf = rank·freq")
+    }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) >= b.getLong(2),
+        "freq non-increasing down the ranks")
+      case _ =>
+    }
+    assert(out.head.getDouble(4) === 1.0, "rank-1 rf_norm is exactly 1")
+  }
+
+  test("q114 bitmap: pass set contains members; bit count bounded") {
+    val rows = Relational.defs("q114_bitmap_index")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mask, bits, members, pass, fp) =
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(bits === java.lang.Long.bitCount(mask))
+      assert(bits >= 1 && bits <= 60)
+      assert(pass >= members, "the bitmap can never miss a member")
+      assert(fp >= 0.0 && fp < 1.0)
+      assert(math.abs(fp - (pass - members).toDouble / pass) < 1e-15)
+    }
+  }
+
+  test("q115 item similarity == independent replay; similarity bounds hold") {
+    val out = Relational.defs("q115_item_similarity")(spark, TestSpark.sf0001)
+      .collect()
+    // independent driver-side replay over the collected bipartite edges
+    val pw = Tables.load(spark, TestSpark.sf0001, "orders")
+      .join(Tables.load(spark, TestSpark.sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = pw.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val keep = pw.groupBy(_._1).filter(_._2.length <= 50).keySet
+    val byCappedSupp = pw.filter(e => keep(e._1))
+      .groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).toSet }
+    val want = (for {
+      (s1, c1) <- byCappedSupp; (s2, c2) <- byCappedSupp
+      if s1 < s2
+      common = (c1 & c2).size if common >= 3
+    } yield (s1, s2) -> common).toMap
+    assert(out.length === want.size)
+    out.foreach { r =>
+      val (s1, s2, common, n1, n2) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(want((s1, s2)) === common)
+      assert(n1 === bySupp(s1).size && n2 === bySupp(s2).size,
+        "denominators come from the UNCAPPED neighborhoods")
+      val (j, c) = (r.getDouble(5), r.getDouble(6))
+      assert(j > 0 && j <= c && c <= 1.0)
+      assert(math.abs(j - common.toDouble / (n1 + n2 - common)) < 1e-15)
+    }
+  }
+
+  test("q116 sequence mining: 3-part patterns, support bounds, ordered head") {
+    val out = Relational.defs("q116_seq_mining")(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.nonEmpty && out.length <= 25)
+    out.foreach { r =>
+      assert(r.getString(0).split(">").length === 3)
+      assert(r.getLong(1) >= r.getLong(2), "occurrences >= supporting users")
+      assert(r.getLong(2) >= 5L)
+    }
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2)
+          || (a.getLong(2) === b.getLong(2) && (a.getLong(1) > b.getLong(1)
+            || (a.getLong(1) === b.getLong(1)
+              && a.getString(0) < b.getString(0)))),
+          "total (support, occur, pattern) order")
+      case _ =>
+    }
+  }
+
+  test("q117 moving median: window bounds and element membership") {
+    val out = Relational.defs("q117_moving_median")(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val byClass = out.groupBy(_.getString(0))
+    for ((_, rows) <- byClass) {
+      val ordered = rows.sortBy(_.getString(1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val (x, wn, med) = (r.getLong(2), r.getInt(3), r.getLong(4))
+        assert(wn === math.min(i + 1, 7), "trailing frame width")
+        if (i == 0) assert(med === x, "1-wide window: median is the value")
+        // the median is an actual element of the trailing window
+        val window = ordered.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
+        assert(window.contains(med))
+        assert(med === window.sorted.apply((window.length + 1) / 2 - 1),
+          "lower-median element rule")
+      }
+    }
+  }
+
+  test("q118 binary segmentation: halves partition the root series") {
+    val out = Relational.defs("q118_binary_seg")(spark, TestSpark.sf0001)
+      .collect()
+    val byClass = out.groupBy(_.getString(0))
+    for ((cls, rows) <- byClass) {
+      val bySeg = rows.map(r => r.getString(1) -> r).toMap
+      assert(bySeg.contains("root"), s"$cls has a root changepoint")
+      val rootDays = bySeg("root").getLong(2)
+      val halfDays = Seq("left", "right").flatMap(bySeg.get).map(_.getLong(2))
+      if (halfDays.size == 2)
+        assert(halfDays.sum === rootDays,
+          s"$cls halves partition the ${rootDays}-day series")
+      rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+    }
+  }
+
+  test("q119 interpolation: kept days pass through; masked days blend neighbors") {
+    val out = Relational.defs("q119_interpolate")(spark, TestSpark.sf0001)
+      .collect()
+    val byClass = out.groupBy(_.getString(0))
+    for ((_, rows) <- byClass) {
+      val ordered = rows.sortBy(_.getLong(1))
+      val raw = ordered.flatMap(r =>
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+      ordered.foreach { r =>
+        if (r.getInt(2) == 1) {
+          assert(r.getDouble(4) === r.getLong(3).toDouble,
+            "kept day passes through exactly")
+          assert(r.isNullAt(5), "kept day has no reconstruction error")
+        } else if (!r.isNullAt(4)) {
+          // interpolated values stay inside the kept-value envelope
+          assert(r.getDouble(4) >= raw.min.toDouble - 1e-9
+            && r.getDouble(4) <= raw.max.toDouble + 1e-9)
+          if (!r.isNullAt(3))
+            assert(math.abs(r.getDouble(5)
+              - math.abs(r.getDouble(4) - r.getLong(3))) < 1e-9)
+        }
+      }
+      // the decimation really fires: some masked day was reconstructed
+      assert(ordered.exists(r => r.getInt(2) == 0 && !r.isNullAt(5)),
+        "interpolation branch is live")
+    }
+  }
+
+  test("q120 weighted median == independent replay of the integer rule") {
+    val out = Relational.defs("q120_weighted_median")(spark, TestSpark.sf0001)
+      .collect()
+    val pc = Tables.load(spark, TestSpark.sf0001, "customer")
+      .join(Tables.load(spark, TestSpark.sf0001, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    val byNation = pc.groupBy(_._1)
+    assert(out.length === byNation.size)
+    out.foreach { r =>
+      val xs = byNation(r.getInt(0)).sortBy(_._2)
+      val totw = xs.map(_._3).sum
+      var cum = 0L
+      val wm = xs.find { x => cum += x._3; cum * 2 >= totw }.get._2
+      assert(r.getLong(3) === wm, s"nation ${r.getInt(0)} weighted median")
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === totw)
+    }
+  }
+
+  test("ta_burstiness: bounds and head ordering") {
+    val out = graft.operators.TextAnalysis.burstiness(
+      Tables.load(spark, TestSpark.sf0001, "documents")).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "occurrences >= containing docs")
+      assert(r.getDouble(3) >= 1.0, "burstiness is a per-doc mean >= 1")
+    }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) > b.getLong(1)
+        || (a.getLong(1) === b.getLong(1) && a.getString(0) < b.getString(0)))
+      case _ =>
+    }
+  }
+
+  test("q113 FD audit: key-led FDs hold; verdict is consistent with counts") {
+    val rows = Relational.defs("q113_fd_audit")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.length === 6)
+    val byFd = rows.map(r => r.getString(0) -> r).toMap
+    // a primary key determines everything
+    assert(byFd("nation:n_nationkey->n_regionkey").getBoolean(4))
+    rows.foreach { r =>
+      val (nLhs, nPairs, nViol, holds) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(nPairs >= nLhs)
+      assert(holds === (nViol === 0L), s"${r.getString(0)} verdict")
+      assert(holds === (nPairs === nLhs), s"${r.getString(0)} pair identity")
+    }
   }
 }

@@ -46,4 +46,22 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq === direct())
   }
 
+  test("zstd parquet round-trip is lossless AND actually used the codec") {
+    assert(Sources.zstdRoundTrip(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq === direct())
+    // tripwire: the data files must really be zstd pages, not a silently
+    // ignored option falling back to snappy
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd-probe")
+    Tables.load(spark, TestSpark.sf0001, "documents").limit(5)
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(dir.toString)
+    val parts = java.nio.file.Files.list(dir).filter(
+      _.getFileName.toString.endsWith(".parquet"))
+      .map[String](_.getFileName.toString)
+      .toArray(new Array[String](_))
+    assert(parts.nonEmpty && parts.forall(_.contains("zstd")),
+      s"data files carry the zstd codec suffix: ${parts.mkString(",")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
 }
