@@ -308,6 +308,73 @@ object Dedup {
         col("edit_sim"))
   }
 
+  /** Blocking-quality evaluation — the standard entity-resolution
+    * metrics for a blocking scheme (Christen's pairs completeness =
+    * RECALL, and reduction ratio), measured EXACTLY for the SNM
+    * blocking: the ground truth is the all-pairs edit-similarity
+    * verdict on a DETERMINISTIC hash sample (portable md5-prefix mod —
+    * both engines draw the identical sample), recall is the share of
+    * true sample matches the corpus-wide SNM window retains, and the
+    * blocking share is candidate pairs over N(N−1)/2 — each ratio ONE
+    * IEEE division of exact integers. This is the measurement that
+    * justifies (or indicts) a blocking window before a production run.
+    *
+    * Scale: the quadratic truth computation touches ONLY the sample
+    * (a parameter — the evaluation-budget knob); the blocking side is
+    * the linear SNM candidate set. The sample all-pairs verify uses
+    * dd_snm's two EXACT accelerations (length gate + corpus-threshold
+    * banded levenshtein) — result-identical to the oracle's plain
+    * levenshtein by the same argument.
+    */
+  def blockingEval(docs: DataFrame, window: Int = 4, minSim: Double = 0.8,
+                   sampleMod: Int = 10): DataFrame = {
+    val ranked = snmRanked(docs)
+    val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(window))))
+      .select((col("rank") + col("j")).as("rank"), col("a_id"))
+    val bp = probes
+      .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .localCheckpoint(true) // consumed twice: count + the semi join
+    val smp = docs
+      .filter(portableHash60(
+        concat(lit("beval:"), col("doc_id").cast("string")))
+        % sampleMod === 0)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // sample-sized; consumed three times
+    val maxLenRow = smp.agg(max(length(col("text")))).head()
+    val k = if (maxLenRow.isNullAt(0)) 0
+      else math.ceil((1.0 - minSim) * maxLenRow.getInt(0)).toInt
+    val truth = smp.toDF("a_id", "ta")
+      .join(smp.toDF("b_id", "tb"), col("a_id") < col("b_id"))
+      .filter(abs(length(col("ta")) - length(col("tb")))
+        <= (lit(1.0) - lit(minSim))
+          * greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k))
+      .filter(col("dist") >= 0)
+      .filter(lit(1.0) - col("dist").cast("double")
+        / greatest(length(col("ta")), length(col("tb"))) >= minSim)
+      .select("a_id", "b_id")
+      .localCheckpoint(true)
+    val caught = truth.join(bp, Seq("a_id", "b_id"), "left_semi")
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(smp.agg(count(lit(1)).as("n_sample")))
+      .crossJoin(bp.agg(count(lit(1)).as("blocking_pairs")))
+      .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
+      .crossJoin(caught.agg(count(lit(1)).as("caught_pairs")))
+      .select(col("n_docs"), col("n_sample"), col("blocking_pairs"),
+        col("truth_pairs"), col("caught_pairs"),
+        when(col("truth_pairs") > 0,
+          col("caught_pairs").cast("double")
+            / col("truth_pairs").cast("double")).as("recall"),
+        when(col("n_docs") > 1,
+          (col("blocking_pairs").cast(big) * 2).cast("double")
+            / (col("n_docs").cast(big) * (col("n_docs") - 1)).cast("double"))
+          .as("blocking_share"))
+  }
+
   /** MinHash signatures, wide form: one row per doc with columns m1..mK.
     * K min-aggregates over the shingle hashes in a single groupBy — no
     * K-fold row explosion before the shuffle (the first cut cross-joined a
@@ -1248,6 +1315,8 @@ object Dedup {
     "dd_damerau" -> ((s, d) =>
       damerauPairs(Tables.load(s, d, "documents"))
         .orderBy("a_id", "b_id")),
+    "dd_blocking_eval" -> ((s, d) =>
+      blockingEval(Tables.load(s, d, "documents"))),
     // cross-modal dedup verdict: the TEXT near-dup pairs (MinHash-LSH)
     // full-outer-merged with the IMAGE near-dup pairs (banded phash,
     // hamming <= 2) into one evidence table — a pair caught by either
@@ -1621,6 +1690,47 @@ object Dedup {
          |  CAST(levenshtein(ta, tb) - damerau_levenshtein(ta, tb)
          |    AS INTEGER) AS transposition_gain
          |FROM p ORDER BY a_id, b_id""".stripMargin,
+    // dd_blocking_eval: the same SNM rank derivation; truth is the
+    // PLAIN all-pairs levenshtein on the identical md5-mod sample (the
+    // Spark side's length gate + banded levenshtein are result-equal)
+    "dd_blocking_eval" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    substr(array_to_string(
+         |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |  FROM documents),
+         |r AS (SELECT doc_id, bk,
+         |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
+         |bp AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |         greatest(a.doc_id, b.doc_id) AS b_id
+         |       FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 4),
+         |smp AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE CAST(concat('0x',
+         |      substr(md5('beval:' || doc_id), 1, 15)) AS BIGINT) % 10 = 0),
+         |tp AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id
+         |  WHERE 1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |        / greatest(length(a.text), length(b.text)) >= 0.8),
+         |c AS (SELECT count(*) AS caught FROM tp
+         |      WHERE EXISTS (SELECT 1 FROM bp
+         |        WHERE bp.a_id = tp.a_id AND bp.b_id = tp.b_id)),
+         |n1 AS (SELECT count(*) AS n_docs FROM documents),
+         |n2 AS (SELECT count(*) AS n_sample FROM smp),
+         |n3 AS (SELECT count(*) AS blocking_pairs FROM bp),
+         |n4 AS (SELECT count(*) AS truth_pairs FROM tp)
+         |SELECT n_docs, n_sample, blocking_pairs, truth_pairs,
+         |  caught AS caught_pairs,
+         |  CASE WHEN truth_pairs > 0 THEN
+         |    CAST(caught AS DOUBLE) / CAST(truth_pairs AS DOUBLE) END
+         |    AS recall,
+         |  CASE WHEN n_docs > 1 THEN
+         |    CAST(2 * CAST(blocking_pairs AS HUGEINT) AS DOUBLE)
+         |    / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS DOUBLE) END
+         |    AS blocking_share
+         |FROM n1, n2, n3, n4, c""".stripMargin,
     "dd_containment" ->
       s"""WITH sh_all AS ($SH),
          |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)

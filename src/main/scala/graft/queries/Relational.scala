@@ -153,6 +153,8 @@ object Relational {
     "q118_binary_seg" -> q118,
     "q119_interpolate" -> q119,
     "q120_weighted_median" -> q120,
+    "q121_moving_mad" -> q121,
+    "q122_drawdown" -> q122,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4141,6 +4143,15 @@ object Relational {
     val daily = Tables.events(spark, dir)
       .select(expr(s"ts_ns div $dayNs").as("d"), col("event_type"))
       .groupBy("event_type", "d").agg(count(lit(1)).as("y"))
+    interpolateDaily(daily)
+  }
+
+  /** q119's decimate-and-rebuild finalization over a (event_type, d, y)
+    * day-grain table — shared verbatim by batch q119 and the streaming
+    * twin st_interpolate (the day-grain reduction is the only unbounded
+    * part; this grid work is classes × days).
+    */
+  private[graft] def interpolateDaily(daily: DataFrame): DataFrame = {
     val grid = daily.groupBy("event_type")
       .agg(min("d").as("d0"), max("d").as("d1"))
       .select(col("event_type"),
@@ -4171,6 +4182,77 @@ object Relational {
         when(!col("kept") && col("y").isNotNull,
           abs(col("filled") - col("y").cast("double"))).as("recon_err"))
       .orderBy("event_type", "day_idx")
+  }
+
+  /** Moving MAD bands — q117's trailing window upgraded to a robust
+    * volatility screen: over the same 7-day frame, the lower-median
+    * element AND the median absolute deviation (the lower-median
+    * element of |x − med| over the same frame) are both EXACT integers
+    * via in-row array arithmetic on the ≤ 7 collected values — the
+    * anomaly flag |x − med| > 3·MAD is then an exact integer
+    * comparison, no IEEE anywhere (the robust complement of q41's
+    * mean/stddev z-score flags, which a single spike corrupts).
+    *
+    * Scale: identical to q117 — windows over the bounded day grain,
+    * frames ≤ 7 elements by construction.
+    */
+  private def q121(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("win", array_sort(collect_list(col("x")).over(w)))
+      .withColumn("med", element_at(col("win"),
+        expr("CAST((size(win) + 1) div 2 AS INT)")))
+      .withColumn("devs",
+        array_sort(transform(col("win"), v => abs(v - col("med")))))
+      .select(col("event_type"), col("day"), col("x"),
+        col("med").as("moving_median"),
+        element_at(col("devs"),
+          expr("CAST((size(devs) + 1) div 2 AS INT)")).as("moving_mad"))
+      .withColumn("is_outlier",
+        abs(col("x") - col("moving_median")) > lit(3) * col("moving_mad"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Maximum drawdown — the peak-to-trough risk metric every
+    * equity-curve / KPI-regression monitor reads: per class, the daily
+    * purchase-revenue cents accumulate into a running total, the
+    * running MAXIMUM of that prefix is the high-water mark, and the
+    * drawdown on each day is mark − prefix — all exact BIGINT cents
+    * through plain windows (the recurrence-free formulation: cummax of
+    * a cumsum — where q109's clamp genuinely needed mapGroups, this
+    * one provably does not). Published: the deepest drawdown, its
+    * EARLIEST trough day (tie rule), the high-water mark, and the
+    * final balance.
+    *
+    * Scale: one partial-agg to the day grain, windows over
+    * classes × days rows.
+    */
+  private def q122(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((d2(col("value")) * 100).cast("long")).as("cents"))
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("equity", sum(col("cents")).over(byDay))
+      .withColumn("mark", max(col("equity")).over(byDay))
+      .withColumn("dd", col("mark") - col("equity"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val best = Window.orderBy(col("dd").desc, col("day").asc)
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(
+        col("n").as("n_days"),
+        col("day").as("trough_day"),
+        col("dd").as("max_drawdown_cents"),
+        col("mark").as("high_water_cents"),
+        col("equity").as("trough_equity_cents"))
   }
 
   /** Weighted median by the EXACT integer rule — per nation, the
@@ -6101,6 +6183,55 @@ object Relational {
         |    AS weighted_median_cents,
         |  min(CASE WHEN cumc * 2 >= totc THEN cents END) AS median_cents
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q121: q117's frame with the second sorted-element pass for MAD;
+    // the outlier flag is an exact integer comparison on both engines
+    "q121_moving_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM daily),
+        |m AS (SELECT *, win[CAST((len(win) + 1) // 2 AS INTEGER)] AS med
+        |      FROM w),
+        |d AS (SELECT *,
+        |        list_sort(list_transform(win, v -> abs(v - med))) AS devs
+        |      FROM m),
+        |f AS (SELECT *, devs[CAST((len(devs) + 1) // 2 AS INTEGER)] AS mad
+        |      FROM d)
+        |SELECT event_type, day, x, CAST(med AS BIGINT) AS moving_median,
+        |  CAST(mad AS BIGINT) AS moving_mad,
+        |  abs(x - med) > 3 * mad AS is_outlier
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    // q122: cummax of a cumsum in two CTE levels; deepest drawdown,
+    // earliest trough day on ties
+    "q122_drawdown" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |s AS (
+        |  SELECT day, sum(cents) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+        |  FROM daily),
+        |s2 AS (
+        |  SELECT *, max(equity) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mark,
+        |    count(*) OVER () AS n
+        |  FROM s),
+        |s3 AS (
+        |  SELECT *, mark - equity AS dd,
+        |    row_number() OVER (ORDER BY mark - equity DESC, day) AS rk
+        |  FROM s2)
+        |SELECT CAST(n AS BIGINT) AS n_days, day AS trough_day,
+        |  CAST(dd AS BIGINT) AS max_drawdown_cents,
+        |  CAST(mark AS BIGINT) AS high_water_cents,
+        |  CAST(equity AS BIGINT) AS trough_equity_cents
+        |FROM s3 WHERE rk = 1""".stripMargin,
     // q117: the same trailing frame, the same sorted-list lower-median
     // element rule — exact integers, no interpolation anywhere
     "q117_moving_median" ->

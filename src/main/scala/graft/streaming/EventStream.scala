@@ -566,6 +566,23 @@ object EventStream {
         graft.tables.Tables.events(s, d)
           .select(col("event_type"), col("user_id")))
     }),
+    // Streaming interpolation: the day-grain count (the only
+    // corpus-sized reduction in q119) folds in-stream; the
+    // decimate-and-rebuild grid work is classes×days and finalizes
+    // sink-side. Shares q119's oracle verbatim.
+    "st_interpolate" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(col("event_type"),
+            expr("ts_ns div 86400000000000").as("d"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("y")),
+        "st_interpolate_sink", OutputMode.Complete)
+      // the grid derivation self-joins the day table (the st_markov
+      // MemoryPlan lesson) — localCheckpoint the classes×days sink
+      graft.queries.Relational.interpolateDaily(
+        s.table("st_interpolate_sink").localCheckpoint(true))
+    }),
     // Streaming OLS trend: q111's moments are COMMUTATIVE exact-integer
     // sums, which is precisely what makes regression streamable — the
     // unbounded-cardinality reduction (events → day grain) runs in the
@@ -931,6 +948,7 @@ object EventStream {
     "st_regression" -> graft.queries.Relational.oracle("q111_regression"),
     "st_ams" -> graft.queries.Relational.oracle("q103_ams"),
     "st_bitmap" -> graft.queries.Relational.oracle("q114_bitmap_index"),
+    "st_interpolate" -> graft.queries.Relational.oracle("q119_interpolate"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
     "st_upsert" ->

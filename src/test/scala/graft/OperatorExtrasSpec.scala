@@ -326,7 +326,7 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q97_ema", "q98_linear_attribution", "q102_markov",
         "q103_ams", "q104_cusum", "q111_regression", "q113_fd_audit",
         "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
-        "q119_interpolate", "q120_weighted_median"))
+        "q119_interpolate", "q120_weighted_median", "q121_moving_mad"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -921,6 +921,70 @@ class OperatorExtrasSpec extends AnyFunSuite {
         || (a.getLong(1) === b.getLong(1) && a.getString(0) < b.getString(0)))
       case _ =>
     }
+  }
+
+  test("q121 moving MAD: element rules replayed; flag is integer-exact") {
+    val out = Relational.defs("q121_moving_mad")(spark, TestSpark.sf0001)
+      .collect()
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      val ordered = rows.sortBy(_.getString(1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val win = ordered.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
+          .sorted
+        val med = win((win.length + 1) / 2 - 1)
+        val devs = win.map(v => math.abs(v - med)).sorted
+        val mad = devs((devs.length + 1) / 2 - 1)
+        assert(r.getLong(3) === med)
+        assert(r.getLong(4) === mad)
+        assert(r.getBoolean(5) === (math.abs(r.getLong(2) - med) > 3 * mad))
+      }
+    }
+  }
+
+  test("q122 drawdown == independent replay over the purchase equity curve") {
+    val out = Relational.defs("q122_drawdown")(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    val daily = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).sortBy(_._1)
+    var eq = 0L; var mark = 0L; var dd = 0L; var trough = ""
+    var markAt = 0L; var eqAt = 0L
+    daily.foreach { case (day, c) =>
+      eq += c; if (eq > mark) mark = eq
+      if (mark - eq > dd) { dd = mark - eq; trough = day; markAt = mark; eqAt = eq }
+    }
+    if (dd == 0) { trough = daily.head._1 } // all-ascending: rk-1 row is day 1
+    assert(r.getLong(0) === daily.length.toLong)
+    assert(r.getLong(2) === dd)
+    if (dd > 0) {
+      assert(r.getString(1) === trough)
+      assert(r.getLong(3) === markAt && r.getLong(4) === eqAt)
+    }
+    assert(r.getLong(3) - r.getLong(4) === r.getLong(2))
+  }
+
+  test("dd_blocking_eval: count identities and ratio bounds") {
+    val r = graft.operators.Dedup.blockingEval(
+      Tables.load(spark, TestSpark.sf0001, "documents")).collect().head
+    val (nDocs, nSample, bp, tp, caught) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nSample <= nDocs && nSample > 0)
+    assert(caught <= tp)
+    assert(tp <= nSample * (nSample - 1) / 2)
+    if (tp > 0) {
+      val rec = r.getDouble(5)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - caught.toDouble / tp) < 1e-15)
+    } else assert(r.isNullAt(5))
+    val share = r.getDouble(6)
+    assert(share > 0.0 && share < 1.0,
+      "blocking must be a strict reduction over all-pairs")
+    assert(bp <= nDocs * 4, "SNM candidates are linear in the corpus")
   }
 
   test("q113 FD audit: key-led FDs hold; verdict is consistent with counts") {
