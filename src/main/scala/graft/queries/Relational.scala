@@ -155,6 +155,9 @@ object Relational {
     "q120_weighted_median" -> q120,
     "q121_moving_mad" -> q121,
     "q122_drawdown" -> q122,
+    "q123_gini" -> q123,
+    "q124_hhi" -> q124,
+    "q125_seasonality" -> q125,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4255,6 +4258,114 @@ object Relational {
         col("equity").as("trough_equity_cents"))
   }
 
+  /** Gini coefficient — the inequality/concentration screen (how
+    * skewed is customer spend within each nation?) in its exact
+    * rank-moment form: over per-customer spend cents sorted ascending
+    * with rank i, G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) — numerator
+    * and denominator exact DECIMAL(38,0), ONE IEEE division. Rank ties
+    * (equal spends) cannot change Σ i·x_i (the i coefficients permute
+    * over equal x), so the statistic is deterministic without a
+    * tie-break — stated here because it is why the formula is
+    * hash-gateable at all.
+    *
+    * Scale: customer-grain partial agg, rank window partitioned by
+    * nation, nation-sized rollup.
+    */
+  private def q123(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val spend = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg((sum(d2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    spend.withColumn("i", row_number().over(w))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(big)).as("sx"),
+        sum(col("i").cast(big) * col("cents")).as("six"))
+      .select(col("c_nationkey"), col("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        when(col("sx") > 0,
+          (lit(2).cast(big) * col("six")
+            - (col("n_customers") + 1).cast(big) * col("sx")).cast("double")
+            / (col("n_customers").cast(big) * col("sx")).cast("double"))
+          .as("gini"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Herfindahl–Hirschman concentration index — the antitrust /
+    * source-mixing metric (is a nation's trade volume dominated by a
+    * few suppliers?): HHI = Σ x_i² / (Σ x_i)² over per-supplier volume
+    * cents, squares taken in DECIMAL(38,0) (x² overflows BIGINT past
+    * x ≈ 3·10⁹ cents), ONE division; the hottest supplier's share
+    * alongside (max/Σ, one more single division). The exact form of
+    * the concentration check a data-mixing pipeline runs on source
+    * shares (ta_mixture's cousin on value mass instead of doc counts).
+    *
+    * Scale: supplier-grain partial agg, nation-sized rollup.
+    */
+  private def q124(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val vol = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg((sum(d2(col("l_extendedprice"))) * 100).cast("long").as("cents"))
+    vol.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents").cast(big)).as("sx"),
+        sum(col("cents").cast(big) * col("cents")).as("sxx"),
+        max(col("cents")).as("mx"))
+      .select(col("s_nationkey"), col("n_suppliers"),
+        col("sx").cast("long").as("total_cents"),
+        when(col("sx") > 0,
+          col("sxx").cast("double")
+            / (col("sx") * col("sx")).cast("double")).as("hhi"),
+        when(col("sx") > 0,
+          col("mx").cast("double") / col("sx").cast("double"))
+          .as("top_share"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Seasonality detection — the mm_audio_autocorr machinery on
+    * business data: integer autocorrelation of each class's daily count
+    * series at lags 1/2/3/7 (the weekly-period probe). Lag products
+    * Σ x_i·x_{i+L} accumulate in DECIMAL(38,0) (a 100 TB class's daily
+    * count squares past BIGINT), published as ratios to the lag-0
+    * energy — each ONE IEEE division of exact integers. A ρ₇ peak over
+    * ρ₁..ρ₃ is the weekly-cycle verdict.
+    *
+    * Scale: lead windows over the bounded day grain; classes-sized
+    * rollup.
+    */
+  private def q125(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("x2", lead(col("x"), 2).over(w))
+      .withColumn("x3", lead(col("x"), 3).over(w))
+      .withColumn("x7", lead(col("x"), 7).over(w))
+    def r(c: String): Column = sum(col("x").cast(big) * col(c))
+    val m = lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(big) * col("x")).as("r0"),
+        r("x1").as("r1"), r("x2").as("r2"), r("x3").as("r3"),
+        r("x7").as("r7"))
+    def rho(c: String): Column =
+      when(col("r0") > 0, col(c).cast("double") / col("r0").cast("double"))
+    m.select(col("event_type"), col("n_days"),
+      col("r0").cast("double").as("energy"),
+      rho("r1").as("rho1"), rho("r2").as("rho2"),
+      rho("r3").as("rho3"), rho("r7").as("rho7"))
+      .orderBy("event_type")
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -6183,6 +6294,88 @@ object Relational {
         |    AS weighted_median_cents,
         |  min(CASE WHEN cumc * 2 >= totc THEN cents END) AS median_cents
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q123: rank-moment Gini in HUGEINT, one division; tie-invariance
+    // of Σ i·x makes the rank window deterministic without a tie-break
+    "q123_gini" ->
+      """WITH sp AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_nationkey, cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents, c_custkey) AS i
+        |  FROM sp),
+        |m AS (
+        |  SELECT c_nationkey, count(*) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(CAST(i AS HUGEINT) * cents) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT c_nationkey, n AS n_customers, CAST(sx AS BIGINT)
+        |    AS total_cents,
+        |  CASE WHEN sx > 0 THEN
+        |    CAST(CAST(2 * six - (n + 1) * sx AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+        |    END AS gini
+        |FROM m ORDER BY 1""".stripMargin,
+    // q124: exact HUGEINT squares, two single divisions
+    "q124_hhi" ->
+      """WITH v AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT s_nationkey, count(*) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS sxx,
+        |    max(cents) AS mx
+        |  FROM v GROUP BY 1)
+        |SELECT s_nationkey, n AS n_suppliers, CAST(sx AS BIGINT)
+        |    AS total_cents,
+        |  -- VARCHAR-mediated conversion: DuckDB's direct HUGEINT->DOUBLE
+        |  -- double-rounds past 2^53 (reproduced: ...649801 lands one ulp
+        |  -- high); the string path is correctly rounded, matching Spark's
+        |  -- BigDecimal.doubleValue
+        |  CASE WHEN sx > 0 THEN
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sx * sx AS VARCHAR) AS DOUBLE) END AS hhi,
+        |  CASE WHEN sx > 0 THEN
+        |    CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE) END AS top_share
+        |FROM m ORDER BY 1""".stripMargin,
+    // q125: the audio-autocorr LEAD replay on the day grain; ratios to
+    // lag-0 energy, each one division
+    "q125_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lead(x, 1) OVER w AS x1, lead(x, 2) OVER w AS x2,
+        |    lead(x, 3) OVER w AS x3, lead(x, 7) OVER w AS x7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS HUGEINT) * x) AS r0,
+        |    sum(CAST(x AS HUGEINT) * x1) AS r1,
+        |    sum(CAST(x AS HUGEINT) * x2) AS r2,
+        |    sum(CAST(x AS HUGEINT) * x3) AS r3,
+        |    sum(CAST(x AS HUGEINT) * x7) AS r7
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n AS n_days, CAST(r0 AS DOUBLE) AS energy,
+        |  CASE WHEN r0 > 0 THEN CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE)
+        |    END AS rho1,
+        |  CASE WHEN r0 > 0 THEN CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE)
+        |    END AS rho2,
+        |  CASE WHEN r0 > 0 THEN CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE)
+        |    END AS rho3,
+        |  CASE WHEN r0 > 0 THEN CAST(r7 AS DOUBLE) / CAST(r0 AS DOUBLE)
+        |    END AS rho7
+        |FROM m ORDER BY 1""".stripMargin,
     // q121: q117's frame with the second sorted-element pass for MAD;
     // the outlier flag is an exact integer comparison on both engines
     "q121_moving_mad" ->

@@ -50,6 +50,11 @@ object EventStream {
   /** Last event type per user for the streaming transition matrix. */
   final case class MarkovState(lastType: String)
 
+  /** Last TWO event types per user for the streaming trigram miner —
+    * [[MarkovState]] at order 2.
+    */
+  final case class Seq2State(last1: String, last2: String)
+
   /** Last-click carry for streaming attribution (boolean guard, not a
     * sentinel — the funnelState pre-epoch lesson).
     */
@@ -503,6 +508,40 @@ object EventStream {
       }
   }
 
+  /** Streaming trigram extraction: [[markovState]] at order 2 — state
+    * carries the user's last TWO event types, each arriving event with
+    * two predecessors emits exactly one (user, pattern) row in its
+    * batch (Append, no sink reconciliation); in-batch total-order sort
+    * + carried state bridge ordered batch splits. Aggregating the
+    * emissions reproduces batch q116's pattern counts exactly; support
+    * (DISTINCT users) and the top-25 rank finalize sink-side.
+    */
+  def seq2State(events: Dataset[Event]): Dataset[(Long, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (u: Long, it: Iterator[Event], st: GroupState[Seq2State]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          // nulls in stored state mean "fewer than two events seen yet"
+          var prev2 = st.getOption.flatMap(s => Option(s.last1))
+          var prev = st.getOption.flatMap(s => Option(s.last2))
+          val out = Seq.newBuilder[(Long, String)]
+          for (e <- sorted) {
+            (prev2, prev) match {
+              case (Some(a), Some(b)) =>
+                out += ((u, s"$a>$b>${e.event_type}"))
+              case _ =>
+            }
+            prev2 = prev
+            prev = Some(e.event_type)
+          }
+          if (prev.isDefined)
+            st.update(Seq2State(prev2.orNull, prev.orNull))
+          out.result().iterator
+      }
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit =
     runDrained(df.sparkSession) {
       df.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -883,6 +922,23 @@ object EventStream {
         .select("from_type", "to_type", "n", "p")
         .orderBy("from_type", "to_type")
     }),
+    // streaming trigram mining: q116's pattern extraction with the two
+    // predecessors carried in state (markovState at order 2); support
+    // (DISTINCT users) and the top-25 rank finalize over the sink
+    "st_seqmine" -> ((s, d) => {
+      import s.implicits._
+      val ev = readEvents(s, d)
+        .select("event_id", "ts_ns", "user_id", "event_type", "value").as[Event]
+      runToMemory(seq2State(ev).toDF("user_id", "pattern"),
+        "st_seqmine_sink", OutputMode.Append)
+      s.table("st_seqmine_sink")
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("n_occur"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 5)
+        .orderBy(col("n_users").desc, col("n_occur").desc, col("pattern"))
+        .limit(25)
+    }),
     // streaming per-key top-k: q85's bounded-heap semantics with the heap
     // IN THE STREAM STATE — each key carries its k best (cents, event_id)
     // pairs through mapGroupsWithState (a bounded insert per event, so
@@ -949,6 +1005,7 @@ object EventStream {
     "st_ams" -> graft.queries.Relational.oracle("q103_ams"),
     "st_bitmap" -> graft.queries.Relational.oracle("q114_bitmap_index"),
     "st_interpolate" -> graft.queries.Relational.oracle("q119_interpolate"),
+    "st_seqmine" -> graft.queries.Relational.oracle("q116_seq_mining"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
     "st_upsert" ->

@@ -45,6 +45,23 @@ class EmptyInputSpec extends AnyFunSuite {
       Multimodal.synthesizeMedia(noDocs)).count() === 0)
   }
 
+  test("fifth-session operators handle an empty corpus") {
+    import graft.operators.Multimodal
+    // audio/image features over an empty media set
+    assert(Multimodal.audioZcr(
+      Multimodal.synthesizeMedia(noDocs)).count() === 0)
+    assert(Multimodal.dhash(noDocs).count() === 0)
+    // corpus profiles produce empty (not crashing) heads
+    assert(TextAnalysis.zipfProfile(noDocs).count() === 0)
+    assert(TextAnalysis.burstiness(noDocs).count() === 0)
+    // the blocking evaluation degenerates to one all-zero row with the
+    // NULL-guarded ratios, never a division error
+    val r = Dedup.blockingEval(noDocs).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 0L && r.head.isNullAt(5)
+      && r.head.isNullAt(6))
+  }
+
   test("dedup operators handle an empty corpus") {
     assert(Dedup.exact(noDocs).count() === 0)
     assert(Dedup.prefixJaccardPairs(noDocs, 0.5).count() === 0)

@@ -326,7 +326,8 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q97_ema", "q98_linear_attribution", "q102_markov",
         "q103_ams", "q104_cusum", "q111_regression", "q113_fd_audit",
         "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
-        "q119_interpolate", "q120_weighted_median", "q121_moving_mad"))
+        "q119_interpolate", "q120_weighted_median", "q121_moving_mad",
+        "q123_gini", "q124_hhi", "q125_seasonality"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -985,6 +986,64 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(share > 0.0 && share < 1.0,
       "blocking must be a strict reduction over all-pairs")
     assert(bp <= nDocs * 4, "SNM candidates are linear in the corpus")
+  }
+
+  test("q123 gini == independent rank-moment replay; bounds hold") {
+    val out = Relational.defs("q123_gini")(spark, TestSpark.sf0001).collect()
+    val spend = Tables.load(spark, TestSpark.sf0001, "customer")
+      .join(Tables.load(spark, TestSpark.sf0001, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.length === spend.size)
+    out.foreach { r =>
+      val xs = spend(r.getInt(0)).map(_._2).sorted
+      val n = xs.length
+      val sx = xs.map(BigInt(_)).sum
+      val six = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val g = (BigDecimal(2 * six - BigInt(n + 1) * sx)
+        / BigDecimal(BigInt(n) * sx)).toDouble
+      assert(r.getLong(1) === n.toLong)
+      assert(math.abs(r.getDouble(3) - g) < 1e-12)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+    }
+  }
+
+  test("q124 hhi: lower bound 1/n, upper bound top_share") {
+    val out = Relational.defs("q124_hhi")(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      val (hhi, top) = (r.getDouble(3), r.getDouble(4))
+      assert(hhi >= 1.0 / n - 1e-12, "equal shares minimize HHI at 1/n")
+      assert(hhi <= top + 1e-12, "sum(x^2) <= max(x) * sum(x)")
+      assert(top <= 1.0 && hhi <= 1.0)
+    }
+  }
+
+  test("q125 seasonality == independent lag-product replay") {
+    val out = Relational.defs("q125_seasonality")(spark, TestSpark.sf0001)
+      .collect()
+    val daily = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val xs = daily(r.getString(0)).sortBy(_._2).map(_._3)
+      def lagp(l: Int): Double =
+        xs.indices.collect { case i if i + l < xs.length =>
+          BigInt(xs(i)) * xs(i + l) }.sum.toDouble
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(math.abs(r.getDouble(2) - lagp(0)) < 1e-6)
+      Seq(1, 2, 3, 7).zipWithIndex.foreach { case (l, k) =>
+        assert(math.abs(r.getDouble(3 + k) - lagp(l) / lagp(0)) < 1e-12,
+          s"rho$l")
+      }
+    }
   }
 
   test("q113 FD audit: key-led FDs hold; verdict is consistent with counts") {

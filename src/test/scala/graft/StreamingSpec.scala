@@ -263,6 +263,34 @@ class StreamingSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("seq2 state bridges batch splits; first two events emit nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(id: Long, ns: Long, u: Long, t: String) =
+      EventStream.Event(id, ns, u, t, 0.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.seq2State(input.toDS())
+      .toDF("user_id", "pattern")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("seq2_ms").start()
+    try {
+      // batch 1: one event only — parked in state, nothing emitted
+      input.addData(e(1, 1000L, 1, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("seq2_ms").count() === 0)
+      // batch 2 (out of order in-batch): completes two trigrams across
+      // the split — signup>view>click and view>click>purchase
+      input.addData(e(3, 3000L, 1, "click"), e(2, 2000L, 1, "view"),
+        e(4, 4000L, 1, "purchase"), e(5, 1000L, 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("seq2_ms").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "signup>view>click"), (1L, "view>click>purchase")),
+      s"got $got")
+  }
+
   test("top-k heap state carries and evicts correctly across batch splits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
