@@ -310,24 +310,23 @@ object Dedup {
 
   /** Blocking-quality evaluation — the standard entity-resolution
     * metrics for a blocking scheme (Christen's pairs completeness =
-    * RECALL, and reduction ratio), measured EXACTLY for the SNM
-    * blocking: the ground truth is the all-pairs edit-similarity
-    * verdict on a DETERMINISTIC hash sample (portable md5-prefix mod —
-    * both engines draw the identical sample), recall is the share of
-    * true sample matches the corpus-wide SNM window retains, and the
-    * blocking share is candidate pairs over N(N−1)/2 — each ratio ONE
-    * IEEE division of exact integers. This is the measurement that
-    * justifies (or indicts) a blocking window before a production run.
+    * RECALL, and the reduction over all-pairs): how many of the
+    * SILVER-STANDARD true near-dup pairs (MinHash-LSH candidates
+    * verified by exact shingle Jaccard ≥ 0.5 — the library's own
+    * highest-recall verified pair set, the standard way ER evaluations
+    * bootstrap a truth set at corpus scale) does the CHEAP
+    * sorted-neighborhood window also catch, and at what candidate
+    * budget? recall = caught/truth and blocking share =
+    * 2·candidates/N(N−1) are each ONE IEEE division of exact integers.
+    * This is the scheme-comparison measurement that justifies (or
+    * indicts) a blocking window before a production run.
     *
-    * Scale: the quadratic truth computation touches ONLY the sample
-    * (a parameter — the evaluation-budget knob); the blocking side is
-    * the linear SNM candidate set. The sample all-pairs verify uses
-    * dd_snm's two EXACT accelerations (length gate + corpus-threshold
-    * banded levenshtein) — result-identical to the oracle's plain
-    * levenshtein by the same argument.
+    * Scale: both pair sets are the library's linear-sized machinery
+    * (banded LSH + window adjacency) — no quadratic work anywhere; the
+    * truth side reuses the memoized signature store.
     */
-  def blockingEval(docs: DataFrame, window: Int = 4, minSim: Double = 0.8,
-                   sampleMod: Int = 10): DataFrame = {
+  def blockingEval(docs: DataFrame, window: Int = 4,
+                   truthJaccard: Double = 0.5): DataFrame = {
     val ranked = snmRanked(docs)
     val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
       .withColumn("j", explode(sequence(lit(1), lit(window))))
@@ -337,34 +336,16 @@ object Dedup {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .localCheckpoint(true) // consumed twice: count + the semi join
-    val smp = docs
-      .filter(portableHash60(
-        concat(lit("beval:"), col("doc_id").cast("string")))
-        % sampleMod === 0)
-      .select(col("doc_id"), col("text"))
-      .localCheckpoint(true) // sample-sized; consumed three times
-    val maxLenRow = smp.agg(max(length(col("text")))).head()
-    val k = if (maxLenRow.isNullAt(0)) 0
-      else math.ceil((1.0 - minSim) * maxLenRow.getInt(0)).toInt
-    val truth = smp.toDF("a_id", "ta")
-      .join(smp.toDF("b_id", "tb"), col("a_id") < col("b_id"))
-      .filter(abs(length(col("ta")) - length(col("tb")))
-        <= (lit(1.0) - lit(minSim))
-          * greatest(length(col("ta")), length(col("tb"))))
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), k))
-      .filter(col("dist") >= 0)
-      .filter(lit(1.0) - col("dist").cast("double")
-        / greatest(length(col("ta")), length(col("tb"))) >= minSim)
+    val truth = ngramJaccardPairsViaLsh(docs, truthJaccard)
       .select("a_id", "b_id")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // truth-sized; consumed twice
     val caught = truth.join(bp, Seq("a_id", "b_id"), "left_semi")
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
     docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(smp.agg(count(lit(1)).as("n_sample")))
       .crossJoin(bp.agg(count(lit(1)).as("blocking_pairs")))
       .crossJoin(truth.agg(count(lit(1)).as("truth_pairs")))
       .crossJoin(caught.agg(count(lit(1)).as("caught_pairs")))
-      .select(col("n_docs"), col("n_sample"), col("blocking_pairs"),
+      .select(col("n_docs"), col("blocking_pairs"),
         col("truth_pairs"), col("caught_pairs"),
         when(col("truth_pairs") > 0,
           col("caught_pairs").cast("double")
@@ -1690,12 +1671,14 @@ object Dedup {
          |  CAST(levenshtein(ta, tb) - damerau_levenshtein(ta, tb)
          |    AS INTEGER) AS transposition_gain
          |FROM p ORDER BY a_id, b_id""".stripMargin,
-    // dd_blocking_eval: the same SNM rank derivation; truth is the
-    // PLAIN all-pairs levenshtein on the identical md5-mod sample (the
-    // Spark side's length gate + banded levenshtein are result-equal)
+    // dd_blocking_eval: the SNM rank derivation + the LSH pair CTEs
+    // with the exact shingle-Jaccard verify as the truth set; both
+    // ratios one division (HUGEINT products via VARCHAR — the q124
+    // correctly-rounded-cast lesson)
     "dd_blocking_eval" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text,
+      s"""WITH $PAIR_CTES,
+         |t AS (
+         |  SELECT doc_id,
          |    substr(array_to_string(
          |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
          |                  x -> x <> ''), ' '), 1, 12) AS bk
@@ -1705,32 +1688,36 @@ object Dedup {
          |bp AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
          |         greatest(a.doc_id, b.doc_id) AS b_id
          |       FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 4),
-         |smp AS (
-         |  SELECT doc_id, text FROM documents
-         |  WHERE CAST(concat('0x',
-         |      substr(md5('beval:' || doc_id), 1, 15)) AS BIGINT) % 10 = 0),
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |isect AS (
+         |  SELECT p.a_id, p.b_id, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN ds a ON a.doc_id = p.a_id
+         |  JOIN ds b ON b.doc_id = p.b_id AND b.s = a.s
+         |  GROUP BY 1, 2),
          |tp AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM smp a JOIN smp b ON a.doc_id < b.doc_id
-         |  WHERE 1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-         |        / greatest(length(a.text), length(b.text)) >= 0.8),
+         |  SELECT i.a_id, i.b_id
+         |  FROM isect i JOIN sizes na ON na.doc_id = i.a_id
+         |               JOIN sizes nb ON nb.doc_id = i.b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
          |c AS (SELECT count(*) AS caught FROM tp
          |      WHERE EXISTS (SELECT 1 FROM bp
          |        WHERE bp.a_id = tp.a_id AND bp.b_id = tp.b_id)),
          |n1 AS (SELECT count(*) AS n_docs FROM documents),
-         |n2 AS (SELECT count(*) AS n_sample FROM smp),
          |n3 AS (SELECT count(*) AS blocking_pairs FROM bp),
          |n4 AS (SELECT count(*) AS truth_pairs FROM tp)
-         |SELECT n_docs, n_sample, blocking_pairs, truth_pairs,
+         |SELECT n_docs, blocking_pairs, truth_pairs,
          |  caught AS caught_pairs,
          |  CASE WHEN truth_pairs > 0 THEN
          |    CAST(caught AS DOUBLE) / CAST(truth_pairs AS DOUBLE) END
          |    AS recall,
          |  CASE WHEN n_docs > 1 THEN
-         |    CAST(2 * CAST(blocking_pairs AS HUGEINT) AS DOUBLE)
-         |    / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS DOUBLE) END
-         |    AS blocking_share
-         |FROM n1, n2, n3, n4, c""".stripMargin,
+         |    CAST(CAST(2 * CAST(blocking_pairs AS HUGEINT) AS VARCHAR)
+         |      AS DOUBLE)
+         |    / CAST(CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS VARCHAR)
+         |      AS DOUBLE) END AS blocking_share
+         |FROM n1, n3, n4, c""".stripMargin,
     "dd_containment" ->
       s"""WITH sh_all AS ($SH),
          |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)

@@ -158,6 +158,7 @@ object Relational {
     "q123_gini" -> q123,
     "q124_hhi" -> q124,
     "q125_seasonality" -> q125,
+    "q126_lag_features" -> q126,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4366,6 +4367,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Lag-feature materialization — the feature-engineering pass an ML
+    * training pipeline runs before fitting a forecaster: per (class,
+    * day), the lag-1 and lag-7 counts, the day-over-day delta (exact
+    * integer), the week-over-week percent change and the trailing 7-day
+    * mean (each ONE IEEE division of exact integers, NULL where the lag
+    * does not exist — the q77 guard). The feature matrix q111/q125
+    * would consume; materializing it once is the point (recomputing
+    * lags per model is the anti-pattern).
+    *
+    * Scale: one partial agg to the day grain; lag windows and the
+    * trailing frame over classes × days rows.
+    */
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val trail = w.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("lag1", lag(col("x"), 1).over(w))
+      .withColumn("lag7", lag(col("x"), 7).over(w))
+      .withColumn("s7", sum(col("x")).over(trail))
+      .withColumn("n7", count(lit(1)).over(trail))
+      .select(col("event_type"), col("day"), col("x"),
+        col("lag1"), col("lag7"),
+        (col("x") - col("lag1")).as("delta1"),
+        when(col("lag7") > 0,
+          (col("x") - col("lag7")).cast("double")
+            / col("lag7").cast("double")).as("wow_change"),
+        (col("s7").cast("double") / col("n7").cast("double"))
+          .as("mean7"))
+      .orderBy("event_type", "day")
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -6376,6 +6412,28 @@ object Relational {
         |  CASE WHEN r0 > 0 THEN CAST(r7 AS DOUBLE) / CAST(r0 AS DOUBLE)
         |    END AS rho7
         |FROM m ORDER BY 1""".stripMargin,
+    // q126: the same lag windows and trailing frame; both ratios one
+    // division, NULL where the lag is absent
+    "q126_lag_features" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, day, x,
+        |    lag(x, 1) OVER w AS lag1, lag(x, 7) OVER w AS lag7,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, x, lag1, lag7,
+        |  x - lag1 AS delta1,
+        |  CASE WHEN lag7 > 0 THEN
+        |    CAST(x - lag7 AS DOUBLE) / CAST(lag7 AS DOUBLE) END
+        |    AS wow_change,
+        |  CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS mean7
+        |FROM l ORDER BY 1, 2""".stripMargin,
     // q121: q117's frame with the second sorted-element pass for MAD;
     // the outlier flag is an exact integer comparison on both engines
     "q121_moving_mad" ->

@@ -58,8 +58,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // NULL-guarded ratios, never a division error
     val r = Dedup.blockingEval(noDocs).collect()
     assert(r.length === 1)
-    assert(r.head.getLong(0) === 0L && r.head.isNullAt(5)
-      && r.head.isNullAt(6))
+    assert(r.head.getLong(0) === 0L && r.head.isNullAt(4)
+      && r.head.isNullAt(5))
   }
 
   test("dedup operators handle an empty corpus") {

@@ -327,7 +327,7 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q103_ams", "q104_cusum", "q111_regression", "q113_fd_audit",
         "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
         "q119_interpolate", "q120_weighted_median", "q121_moving_mad",
-        "q123_gini", "q124_hhi", "q125_seasonality"))
+        "q123_gini", "q124_hhi", "q125_seasonality", "q126_lag_features"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -969,20 +969,17 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(r.getLong(3) - r.getLong(4) === r.getLong(2))
   }
 
-  test("dd_blocking_eval: count identities and ratio bounds") {
+  test("dd_blocking_eval: count identities, live truth set, ratio bounds") {
     val r = graft.operators.Dedup.blockingEval(
       Tables.load(spark, TestSpark.sf0001, "documents")).collect().head
-    val (nDocs, nSample, bp, tp, caught) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-    assert(nSample <= nDocs && nSample > 0)
+    val (nDocs, bp, tp, caught) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     assert(caught <= tp)
-    assert(tp <= nSample * (nSample - 1) / 2)
-    if (tp > 0) {
-      val rec = r.getDouble(5)
-      assert(rec >= 0.0 && rec <= 1.0)
-      assert(math.abs(rec - caught.toDouble / tp) < 1e-15)
-    } else assert(r.isNullAt(5))
-    val share = r.getDouble(6)
+    assert(tp > 0, "the silver-standard truth set must be LIVE at sf0.001")
+    val rec = r.getDouble(4)
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(math.abs(rec - caught.toDouble / tp) < 1e-15)
+    val share = r.getDouble(5)
     assert(share > 0.0 && share < 1.0,
       "blocking must be a strict reduction over all-pairs")
     assert(bp <= nDocs * 4, "SNM candidates are linear in the corpus")
@@ -1042,6 +1039,28 @@ class OperatorExtrasSpec extends AnyFunSuite {
       Seq(1, 2, 3, 7).zipWithIndex.foreach { case (l, k) =>
         assert(math.abs(r.getDouble(3 + k) - lagp(l) / lagp(0)) < 1e-12,
           s"rho$l")
+      }
+    }
+  }
+
+  test("q126 lag features: lags, deltas, and trailing mean replayed") {
+    val out = Relational.defs("q126_lag_features")(spark, TestSpark.sf0001)
+      .collect()
+    for ((_, rows) <- out.groupBy(_.getString(0))) {
+      val ordered = rows.sortBy(_.getString(1))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2)
+        if (i == 0) assert(r.isNullAt(3) && r.isNullAt(5),
+          "first row has no lag-1 or delta")
+        else {
+          assert(r.getLong(3) === ordered(i - 1).getLong(2), "lag1")
+          assert(r.getLong(5) === x - ordered(i - 1).getLong(2), "delta1")
+        }
+        if (i < 7) assert(r.isNullAt(4), "lag7 absent in the first week")
+        else assert(r.getLong(4) === ordered(i - 7).getLong(2), "lag7")
+        val win = ordered.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
+        assert(math.abs(r.getDouble(7) - win.sum.toDouble / win.length)
+          < 1e-12, "trailing 7-day mean")
       }
     }
   }
