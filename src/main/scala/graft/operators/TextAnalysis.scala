@@ -1072,6 +1072,36 @@ object TextAnalysis {
       .orderBy(col("n_occur").desc, col("token"))
       .limit(k)
 
+  /** Per-source percentile calibration — the score-normalization pass a
+    * curation pipeline runs before mixing sources: a raw quality proxy
+    * (here the exact token count) is replaced by its PERCENTILE WITHIN
+    * ITS SOURCE (share of the source's docs strictly below — one IEEE
+    * division of exact counts), so "keep the top 30%" means the same
+    * thing in every source regardless of scale differences (a threshold
+    * on the raw score silently keeps 5% of one source and 60% of
+    * another — the calibration bug this op exists to prevent).
+    *
+    * Scale: the value-count table is DISTINCT (source, score) rows (the
+    * q89 vc-exchange shape), windows run over it (never the corpus),
+    * and docs join back via broadcast.
+    */
+  def rankNormalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("score"))
+    val vc = scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("source")
+    val ranked = vc.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(whole))
+      .select(col("source"), col("score"),
+        ((col("cum") - col("c")).cast("double") / col("n").cast("double"))
+          .as("pct_below"))
+    scored.join(broadcast(ranked), Seq("source", "score"))
+      .select("doc_id", "source", "score", "pct_below")
+  }
+
   /** Zipf rank-frequency profile — the corpus-health audit behind
     * vocabulary-distribution checks (a crawled corpus whose head
     * diverges from rank·freq ≈ const is dominated by boilerplate; a
@@ -1182,6 +1212,8 @@ object TextAnalysis {
       zipfProfile(Tables.load(s, d, "documents")).orderBy("rank")),
     "ta_burstiness" -> ((s, d) =>
       burstiness(Tables.load(s, d, "documents"))),
+    "ta_rank_normalize" -> ((s, d) =>
+      rankNormalize(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_diversity" -> ((s, d) =>
       diversityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_dsir" -> ((s, d) =>
@@ -1467,6 +1499,24 @@ object TextAnalysis {
          |  CAST(rank * c AS BIGINT) AS rf,
          |  CAST(rank * c AS DOUBLE) / CAST(c1 AS DOUBLE) AS rf_norm
          |FROM rk, f1 WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // rank-normalize: the same vc windows; pct_below one division
+    "ta_rank_normalize" ->
+      s"""WITH sc AS (SELECT doc_id, source, CAST(len($W) AS INTEGER)
+         |              AS score
+         |            FROM documents),
+         |vc AS (SELECT source, score, count(*) AS c
+         |       FROM sc GROUP BY 1, 2),
+         |r AS (
+         |  SELECT source, score,
+         |    sum(c) OVER (PARTITION BY source ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+         |      AS below,
+         |    sum(c) OVER (PARTITION BY source) AS n
+         |  FROM vc)
+         |SELECT doc_id, sc.source, sc.score,
+         |  CAST(below AS DOUBLE) / CAST(n AS DOUBLE) AS pct_below
+         |FROM sc JOIN r ON sc.source = r.source AND sc.score = r.score
+         |ORDER BY doc_id""".stripMargin,
     // burstiness: one division of the two exact counts per token
     "ta_burstiness" ->
       s"""WITH u AS (SELECT doc_id, unnest($W) AS t FROM documents)

@@ -159,6 +159,8 @@ object Relational {
     "q124_hhi" -> q124,
     "q125_seasonality" -> q125,
     "q126_lag_features" -> q126,
+    "q127_spatial_join" -> q127,
+    "q128_active_users" -> q128,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4402,6 +4404,91 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** Grid-banded spatial proximity join — the geospatial family's
+    * entry, on deterministically derived coordinates (each customer
+    * gets an integer (x, y) in a 10000² grid from the portable
+    * md5-prefix hash — the synthesizeMedia convention: both engines
+    * derive identical points): pairs within Euclidean distance 150 are
+    * found by the 3×3 NEIGHBOR-CELL join (cell = coord div 250, so a
+    * qualifying pair can never be more than one cell apart — the
+    * pigeonhole argument of the banded Hamming joins in spatial form),
+    * then verified with EXACT integer squared distance. Never an
+    * all-pairs join: fan-out is 9 probes per point, candidates bounded
+    * by cell occupancy.
+    *
+    * Scale: the equi join on cell keys is the standard distributed
+    * spatial-bucketing shape (uniform grids ⇔ geohash prefixes); skewed
+    * cells would salt exactly like any hot key.
+    */
+  private def q127(spark: SparkSession, dir: String): DataFrame = {
+    val cell = 250
+    val pts = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("id"),
+        (portableHash60(concat(lit("gx:"), col("c_custkey").cast("string")))
+          % 10000).as("x"),
+        (portableHash60(concat(lit("gy:"), col("c_custkey").cast("string")))
+          % 10000).as("y"))
+      .localCheckpoint(true)
+    val homed = pts
+      .withColumn("cx", expr(s"x div $cell"))
+      .withColumn("cy", expr(s"y div $cell"))
+    val probes = homed
+      .withColumn("dx", explode(array((-1 to 1).map(lit): _*)))
+      .withColumn("dy", explode(array((-1 to 1).map(lit): _*)))
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    probes
+      .join(homed.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist_sq",
+        (col("ax") - col("bx")) * (col("ax") - col("bx"))
+          + (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("dist_sq") <= 150 * 150)
+      .select("a_id", "b_id", "dist_sq")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Active-user accounting — the DAU/WAU/new/cumulative growth panel
+    * every product dashboard opens with, all EXACT: per calendar day,
+    * the distinct actives (DAU), the 7-day rolling distinct actives
+    * (WAU — each user-day emits its 7-day visibility window and
+    * distinct (user, day) pairs are counted, the exact formulation a
+    * windowed countDistinct cannot express), first-time users, and the
+    * cumulative registered base (a running sum over the day grain).
+    *
+    * Scale: user-day dedup is one partial-agg exchange; the WAU
+    * explode is a bounded ×7 fan-out of the USER-DAY grain (not raw
+    * events); the panel itself is days-sized.
+    */
+  private def q128(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("d"))
+      .distinct()
+      .localCheckpoint(true)
+    val span = ud.agg(min("d").as("d0"), max("d").as("d1")).localCheckpoint(true)
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("k", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"), (col("d") + col("k")).as("d"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("d") <= col("d1"))
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    val firstSeen = ud.groupBy("user_id").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(wau, Seq("d"))
+      .join(firstSeen, Seq("d"), "left_outer")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("d").as("day_idx"), col("dau"), col("wau"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day_idx")
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -6412,6 +6499,49 @@ object Relational {
         |  CASE WHEN r0 > 0 THEN CAST(r7 AS DOUBLE) / CAST(r0 AS DOUBLE)
         |    END AS rho7
         |FROM m ORDER BY 1""".stripMargin,
+    // q127: identical hash-derived coordinates; the oracle is the
+    // NAIVE all-pairs θ-join — equality proves the 3×3 cell join finds
+    // every qualifying pair exactly once
+    "q127_spatial_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(concat('0x', substr(md5('gx:' || c_custkey), 1, 15))
+        |      AS BIGINT) % 10000 AS x,
+        |    CAST(concat('0x', substr(md5('gy:' || c_custkey), 1, 15))
+        |      AS BIGINT) % 10000 AS y
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS dist_sq
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 22500
+        |ORDER BY 1, 2""".stripMargin,
+    // q128: the same user-day dedup, ×7 visibility explode, and
+    // first-seen construction
+    "q128_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+        |  FROM events),
+        |span AS (SELECT max(d) AS d1 FROM ud),
+        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT d, count(*) AS wau FROM (
+        |    SELECT DISTINCT user_id, d + k AS d
+        |    FROM ud, range(0, 7) t(k)), span
+        |  WHERE d <= d1 GROUP BY 1),
+        |fs AS (
+        |  SELECT d, count(*) AS new_users
+        |  FROM (SELECT user_id, min(d) AS d FROM ud GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT dau.d AS day_idx, dau.dau, wau.wau,
+        |  coalesce(fs.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(fs.new_users, 0)) OVER (ORDER BY dau.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM dau JOIN wau ON dau.d = wau.d
+        |         LEFT JOIN fs ON fs.d = dau.d
+        |ORDER BY 1""".stripMargin,
     // q126: the same lag windows and trailing frame; both ratios one
     // division, NULL where the lag is absent
     "q126_lag_features" ->

@@ -327,7 +327,8 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q103_ams", "q104_cusum", "q111_regression", "q113_fd_audit",
         "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
         "q119_interpolate", "q120_weighted_median", "q121_moving_mad",
-        "q123_gini", "q124_hhi", "q125_seasonality", "q126_lag_features"))
+        "q123_gini", "q124_hhi", "q125_seasonality", "q126_lag_features",
+        "q127_spatial_join"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -1061,6 +1062,67 @@ class OperatorExtrasSpec extends AnyFunSuite {
         val win = ordered.slice(math.max(0, i - 6), i + 1).map(_.getLong(2))
         assert(math.abs(r.getDouble(7) - win.sum.toDouble / win.length)
           < 1e-12, "trailing 7-day mean")
+      }
+    }
+  }
+
+  test("q127 spatial join == naive all-pairs replay over the derived grid") {
+    import graft.functions.hashes.portableHash60
+    val out = Relational.defs("q127_spatial_join")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pts = Tables.load(spark, TestSpark.sf0001, "customer")
+      .select(col("c_custkey"),
+        (portableHash60(concat(lit("gx:"), col("c_custkey").cast("string")))
+          % 10000).as("x"),
+        (portableHash60(concat(lit("gy:"), col("c_custkey").cast("string")))
+          % 10000).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 22500
+    } yield (a._1, b._1) -> d2).toMap
+    assert(out === want, "cell-banded join finds every pair exactly once")
+    assert(want.nonEmpty, "proximity pairs exist at sf0.001")
+  }
+
+  test("q128 active users: panel invariants and first-day identity") {
+    val rows = Relational.defs("q128_active_users")(spark, TestSpark.sf0001)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "WAU >= DAU")
+      assert(r.getLong(3) <= r.getLong(1), "new users were active that day")
+    }
+    assert(rows.head.getLong(3) === rows.head.getLong(1),
+      "every first-day active is new")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(4) === a.getLong(4) + b.getLong(3),
+          "cumulative base accumulates exactly")
+      case _ =>
+    }
+  }
+
+  test("ta_rank_normalize: percentile bounds and per-source consistency") {
+    val out = graft.operators.TextAnalysis.rankNormalize(
+      Tables.load(spark, TestSpark.sf0001, "documents")).collect()
+    val bySrc = out.groupBy(_.getString(1))
+    for ((_, rows) <- bySrc) {
+      val n = rows.length
+      rows.foreach { r =>
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0)
+      }
+      val minScore = rows.map(_.getInt(2)).min
+      rows.filter(_.getInt(2) == minScore)
+        .foreach(r => assert(r.getDouble(3) === 0.0,
+          "the source minimum has nothing below it"))
+      // identical scores calibrate identically; percentile is the exact
+      // strictly-below share
+      for ((_, g) <- rows.groupBy(_.getInt(2))) {
+        assert(g.map(_.getDouble(3)).distinct.length === 1)
+        val below = rows.count(_.getInt(2) < g.head.getInt(2))
+        assert(math.abs(g.head.getDouble(3) - below.toDouble / n) < 1e-15)
       }
     }
   }
