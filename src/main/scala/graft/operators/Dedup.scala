@@ -356,6 +356,34 @@ object Dedup {
           .as("blocking_share"))
   }
 
+  /** Per-source dedup impact report — the before/after summary a
+    * curation run publishes: for each source, how many documents are a
+    * member of at least one VERIFIED near-dup pair (the silver-standard
+    * set of [[blockingEval]]: MinHash-LSH candidates + exact shingle
+    * Jaccard ≥ 0.5), and the share that dedup would touch — one
+    * division of exact counts. The per-source view is what a mixing
+    * decision reads (a source that is 40% near-dup mass contributes
+    * less unique signal than its row count suggests).
+    *
+    * Scale: pair machinery is the linear banded path (memoized store);
+    * the membership explode is 2 rows per pair; the report is
+    * sources-sized.
+    */
+  def dupReport(docs: DataFrame, truthJaccard: Double = 0.5): DataFrame = {
+    val members = ngramJaccardPairsViaLsh(docs, truthJaccard)
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    docs.select(col("doc_id"), col("source"))
+      .join(members.withColumn("is_dup", lit(1L)), Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_members"))
+      .select(col("source"), col("n_docs"), col("n_dup_members"),
+        (col("n_dup_members").cast("double") / col("n_docs").cast("double"))
+          .as("dup_share"))
+      .orderBy("source")
+  }
+
   /** MinHash signatures, wide form: one row per doc with columns m1..mK.
     * K min-aggregates over the shingle hashes in a single groupBy — no
     * K-fold row explosion before the shuffle (the first cut cross-joined a
@@ -1298,6 +1326,8 @@ object Dedup {
         .orderBy("a_id", "b_id")),
     "dd_blocking_eval" -> ((s, d) =>
       blockingEval(Tables.load(s, d, "documents"))),
+    "dd_dup_report" -> ((s, d) =>
+      dupReport(Tables.load(s, d, "documents"))),
     // cross-modal dedup verdict: the TEXT near-dup pairs (MinHash-LSH)
     // full-outer-merged with the IMAGE near-dup pairs (banded phash,
     // hamming <= 2) into one evidence table — a pair caught by either
@@ -1671,6 +1701,33 @@ object Dedup {
          |  CAST(levenshtein(ta, tb) - damerau_levenshtein(ta, tb)
          |    AS INTEGER) AS transposition_gain
          |FROM p ORDER BY a_id, b_id""".stripMargin,
+    // dd_dup_report: the same verified-pair truth CTEs; membership via
+    // pair-id union, per-source share one division
+    "dd_dup_report" ->
+      s"""WITH $PAIR_CTES,
+         |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         |isect AS (
+         |  SELECT p.a_id, p.b_id, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN ds a ON a.doc_id = p.a_id
+         |  JOIN ds b ON b.doc_id = p.b_id AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |tp AS (
+         |  SELECT i.a_id, i.b_id
+         |  FROM isect i JOIN sizes na ON na.doc_id = i.a_id
+         |               JOIN sizes nb ON nb.doc_id = i.b_id
+         |  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.5),
+         |mem AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT a_id AS doc_id FROM tp
+         |          UNION ALL SELECT b_id FROM tp))
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_members,
+         |  CAST(sum(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_share
+         |FROM documents d LEFT JOIN mem ON mem.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // dd_blocking_eval: the SNM rank derivation + the LSH pair CTEs
     // with the exact shingle-Jaccard verify as the truth set; both
     // ratios one division (HUGEINT products via VARCHAR — the q124

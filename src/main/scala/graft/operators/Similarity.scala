@@ -565,6 +565,38 @@ object Similarity {
     }),
     "ann_mmr" -> ((s, d) =>
       mmrTopK(Tables.load(s, d, "embeddings"))),
+    // Recall@5 of every approximate index vs the exact brute force —
+    // the quality claim the DedupSpec recall floors assert, made
+    // DRIVER-VISIBLE and hash-gated: all five methods are
+    // deterministic (integer-code bucketing + exact re-rank), so the
+    // caught-neighbor counts and the single-division recalls are exact
+    // reproducible numbers, not a statistical assertion. The evaluation
+    // a 100 TB deployment runs on a query sample before trusting an
+    // index.
+    "ann_recall" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      val bf = bruteForceTopK(q, e, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true) // consumed by every method + the total
+      val methods = Seq(
+        "ivf" -> ivfTopK(q, e, k = 5),
+        "ivfpq" -> ivfPqTopK(q, e, k = 5),
+        "lsh" -> lshTopK(q, e, k = 5),
+        "pq" -> pqTopK(q, e, k = 5))
+      val tot = bf.agg(count(lit(1)).as("total"))
+      methods.map { case (name, m) =>
+        m.select(col("query_id"), col("neighbor_id"))
+          .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("caught"))
+          .select(lit(name).as("method"), col("caught"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(tot))
+        .select(col("method"), col("caught"), col("total"),
+          (col("caught").cast("double") / col("total").cast("double"))
+            .as("recall"))
+        .orderBy("method")
+    }),
   )
 
   /** Shared oracle prelude: int8 quantization (the [[Embeddings
@@ -595,7 +627,8 @@ object Similarity {
   private def intCos(dot: String, na: String, nb: String): String =
     s"CAST($dot AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    val base: Map[String, String] = Map(
     // lexical CTEs shared verbatim with ta_bm25 (bm25OracleCtes); the
     // semantic side is the emb_knn_label scored shape with one query
     "ann_hybrid_rrf" ->
@@ -866,5 +899,33 @@ object Similarity {
          |$finalSel
          |ORDER BY query_id, sel_rank""".stripMargin
     },
-  )
+    )
+    // ann_recall: every component oracle embedded as a derived table
+    // (nested WITH is scoped to its subquery), semi-joined against the
+    // brute-force truth; one division per method
+    base + ("ann_recall" -> {
+      def sub(n: String) = "(" + base(n) + ")"
+      s"""WITH bf AS ${sub("ann_bruteforce")},
+         |tot AS (SELECT count(*) AS total FROM bf)
+         |SELECT method, caught, total,
+         |  CAST(caught AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+         |FROM (
+         |  SELECT 'ivf' AS method, (SELECT count(*) FROM ${sub("ann_ivf")} m
+         |    JOIN bf ON bf.query_id = m.query_id
+         |     AND bf.neighbor_id = m.neighbor_id) AS caught
+         |  UNION ALL
+         |  SELECT 'ivfpq', (SELECT count(*) FROM ${sub("ann_ivfpq")} m
+         |    JOIN bf ON bf.query_id = m.query_id
+         |     AND bf.neighbor_id = m.neighbor_id)
+         |  UNION ALL
+         |  SELECT 'lsh', (SELECT count(*) FROM ${sub("ann_lsh")} m
+         |    JOIN bf ON bf.query_id = m.query_id
+         |     AND bf.neighbor_id = m.neighbor_id)
+         |  UNION ALL
+         |  SELECT 'pq', (SELECT count(*) FROM ${sub("ann_pq")} m
+         |    JOIN bf ON bf.query_id = m.query_id
+         |     AND bf.neighbor_id = m.neighbor_id)), tot
+         |ORDER BY method""".stripMargin
+    })
+  }
 }

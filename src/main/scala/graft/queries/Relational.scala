@@ -161,6 +161,8 @@ object Relational {
     "q126_lag_features" -> q126,
     "q127_spatial_join" -> q127,
     "q128_active_users" -> q128,
+    "q129_concurrency" -> q129,
+    "q130_pareto" -> q130,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4489,6 +4491,87 @@ object Relational {
       .orderBy("day_idx")
   }
 
+  /** Session-concurrency heatmap — the capacity-planning read on q16's
+    * sessions: per calendar hour, how many sessions are IN FLIGHT
+    * (their [start, end] span overlaps the hour), how many start, how
+    * many end, and the distinct users active. Sessions explode into the
+    * hours they span (the q88 interval-decomposition discipline — a
+    * session is gap-bounded at 30 min, so the span is small by
+    * construction), and the heatmap aggregates on the bounded hour
+    * grain — no sweep-line global window, which would order ALL
+    * boundaries in one partition.
+    */
+  private def q129(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val gapNs = 1800L * 1000000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val gapped = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("is_new",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(w) > gapNs, 1)
+          .otherwise(0))
+    val bounds = gapped
+      .withColumn("sid", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts_ns")).as("s"), max(col("ts_ns")).as("e"))
+    bounds
+      .select(col("user_id"),
+        expr(s"s div $hourNs").as("h0"), expr(s"e div $hourNs").as("h1"))
+      .withColumn("h", explode(sequence(col("h0"), col("h1"))))
+      .groupBy("h")
+      .agg(count(lit(1)).as("active_sessions"),
+        sum(when(col("h0") === col("h"), 1L).otherwise(0L)).as("starting"),
+        sum(when(col("h1") === col("h"), 1L).otherwise(0L)).as("ending"),
+        countDistinct(col("user_id")).as("active_users"))
+      .select(col("h").as("hour_idx"), col("active_sessions"),
+        col("starting"), col("ending"), col("active_users"))
+      .orderBy("hour_idx")
+  }
+
+  /** Pareto (80/20) concentration count — q123's Gini made actionable:
+    * per nation, the SMALLEST number of customers whose spend covers
+    * 80% of revenue (rank descending, first rank where cum·5 ≥ 4·total
+    * — the q89 integer rule on cumulative mass), their head-count share
+    * and the exact revenue share they cover (each ONE division). The
+    * number an account-management or caching decision actually reads.
+    *
+    * Scale: q123's customer-grain agg + per-nation rank windows;
+    * nation-sized rollup.
+    */
+  private def q130(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val spend = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg((sum(d2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("cents").desc, col("c_custkey"))
+    val whole = Window.partitionBy("c_nationkey")
+    spend
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("cents")).over(whole))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy("c_nationkey")
+      .agg(max(col("n")).as("n_customers"),
+        max(col("tot")).cast("long").as("total_cents"),
+        min(when(col("cum").cast(big) * 5 >= col("tot").cast(big) * 4,
+          col("i").cast("long"))).as("top_k"),
+        min(when(col("cum").cast(big) * 5 >= col("tot").cast(big) * 4,
+          col("cum"))).as("cum_at_k"))
+      .select(col("c_nationkey"), col("n_customers"), col("total_cents"),
+        col("top_k"),
+        (col("top_k").cast("double") / col("n_customers").cast("double"))
+          .as("head_share"),
+        (col("cum_at_k").cast("double") / col("total_cents").cast("double"))
+          .as("revenue_share"))
+      .orderBy("c_nationkey")
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -6542,6 +6625,70 @@ object Relational {
         |FROM dau JOIN wau ON dau.d = wau.d
         |         LEFT JOIN fs ON fs.d = dau.d
         |ORDER BY 1""".stripMargin,
+    // q130: rank-desc cumulative mass, the integer 80% rule, two
+    // single divisions
+    "q130_pareto" ->
+      """WITH sp AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_nationkey, cents,
+        |    row_number() OVER w AS i,
+        |    sum(cents) OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cents) OVER (PARTITION BY c_nationkey) AS tot,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM sp
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |    ORDER BY cents DESC, c_custkey)),
+        |m AS (
+        |  SELECT c_nationkey, max(n) AS n_customers,
+        |    CAST(max(tot) AS BIGINT) AS total_cents,
+        |    min(CASE WHEN CAST(cum AS HUGEINT) * 5
+        |          >= CAST(tot AS HUGEINT) * 4 THEN i END) AS top_k,
+        |    CAST(min(CASE WHEN CAST(cum AS HUGEINT) * 5
+        |          >= CAST(tot AS HUGEINT) * 4 THEN cum END) AS BIGINT)
+        |      AS cum_at_k
+        |  FROM r GROUP BY 1)
+        |SELECT c_nationkey, CAST(n_customers AS BIGINT) AS n_customers,
+        |  total_cents, CAST(top_k AS BIGINT) AS top_k,
+        |  CAST(top_k AS DOUBLE) / CAST(n_customers AS DOUBLE)
+        |    AS head_share,
+        |  CAST(cum_at_k AS DOUBLE) / CAST(total_cents AS DOUBLE)
+        |    AS revenue_share
+        |FROM m ORDER BY 1""".stripMargin,
+    // q129: the q16 gap rule on the (ts_ns, event_id) total order, then
+    // the q88 hour decomposition; aggregates on the hour grain
+    "q129_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) AS ns, event_id,
+        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+        |           > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts),
+        |    event_id)),
+        |s AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |b AS (SELECT user_id, sid, min(ns) AS st, max(ns) AS en
+        |      FROM s GROUP BY 1, 2),
+        |sp AS (SELECT user_id, st // 3600000000000 AS h0,
+        |         en // 3600000000000 AS h1 FROM b),
+        |x AS (SELECT user_id, h0, h1, unnest(range(h0, h1 + 1)) AS h
+        |      FROM sp)
+        |SELECT h AS hour_idx, count(*) AS active_sessions,
+        |  CAST(sum(CASE WHEN h0 = h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS starting,
+        |  CAST(sum(CASE WHEN h1 = h THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ending,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // q126: the same lag windows and trailing frame; both ratios one
     // division, NULL where the lag is absent
     "q126_lag_features" ->

@@ -328,7 +328,7 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
         "q119_interpolate", "q120_weighted_median", "q121_moving_mad",
         "q123_gini", "q124_hhi", "q125_seasonality", "q126_lag_features",
-        "q127_spatial_join"))
+        "q127_spatial_join", "q129_concurrency", "q130_pareto"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -1125,6 +1125,80 @@ class OperatorExtrasSpec extends AnyFunSuite {
         assert(math.abs(g.head.getDouble(3) - below.toDouble / n) < 1e-15)
       }
     }
+  }
+
+  test("q129 concurrency: session conservation across the hour grid") {
+    val rows = Relational.defs("q129_concurrency")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val (starts, ends) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(starts === ends, "every session starts once and ends once")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(1) >= r.getLong(3),
+        "in-flight count includes the boundary sessions")
+      assert(r.getLong(4) <= r.getLong(1), "users bounded by sessions")
+      assert(r.getLong(4) >= 1L)
+    }
+    assert(rows.map(_.getLong(1)).sum >= starts,
+      "hour-span counting covers every session at least once")
+  }
+
+  test("dd_dup_report: membership counts reconcile with the pair set") {
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val rows = graft.operators.Dedup.dupReport(docs).collect()
+    val members = graft.operators.Dedup
+      .ngramJaccardPairsViaLsh(docs, 0.5)
+      .select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === members,
+      "per-source members sum to the distinct pair membership")
+    assert(members > 0, "the verified pair set is live at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - r.getLong(2).toDouble / r.getLong(1)) < 1e-15)
+    }
+  }
+
+  test("q130 pareto: minimal 80% head replayed per nation") {
+    val out = Relational.defs("q130_pareto")(spark, TestSpark.sf0001)
+      .collect()
+    val spend = Tables.load(spark, TestSpark.sf0001, "customer")
+      .join(Tables.load(spark, TestSpark.sf0001, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val xs = spend(r.getInt(0)).sortBy(x => (-x._3, x._2)).map(_._3)
+      val tot = xs.map(BigInt(_)).sum
+      val cums = xs.scanLeft(BigInt(0))(_ + _).tail
+      val k = cums.indexWhere(_ * 5 >= tot * 4) + 1
+      assert(r.getLong(3) === k.toLong, s"nation ${r.getInt(0)} top_k")
+      assert(r.getDouble(5) >= 0.8, "the head really covers 80%")
+      if (k > 1)
+        assert(cums(k - 2) * 5 < tot * 4, "top_k is MINIMAL")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("ann_recall: deterministic quality panel with the LSH floor") {
+    val rows = graft.operators.Similarity.defs("ann_recall")(
+      spark, TestSpark.sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet === Set("ivf", "ivfpq", "lsh", "pq"))
+    rows.values.foreach { case (caught, total, rec) =>
+      assert(caught <= total && total > 0)
+      assert(math.abs(rec - caught.toDouble / total) < 1e-15)
+    }
+    // the DedupSpec floors, now visible as exact published numbers
+    assert(rows("lsh")._3 >= 0.7, "multi-probe LSH recall floor")
+    assert(rows("ivf")._3 >= rows("ivfpq")._3,
+      "adding PQ compression can only lose recall vs plain IVF")
   }
 
   test("q113 FD audit: key-led FDs hold; verdict is consistent with counts") {
