@@ -1072,6 +1072,28 @@ object TextAnalysis {
       .orderBy(col("n_occur").desc, col("token"))
       .limit(k)
 
+  /** Language-ID evaluation — the confusion matrix of [[langId]]'s
+    * n-gram-marker heuristic against the labeled `lang` column, with
+    * per-actual-language row shares (one division of exact counts): the
+    * model-evaluation primitive that turns "we have a langid filter"
+    * into a measured quality claim (the ann_recall discipline for the
+    * text side). A production pipeline runs exactly this on a labeled
+    * sample before trusting the filter's keep/drop decisions.
+    */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val conf = langId(docs)
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy("lang_actual").agg(sum(col("n")).as("actual_total"))
+    conf.join(broadcast(tot), "lang_actual")
+      .select(col("lang_actual"), col("lang_pred"), col("n"),
+        col("actual_total"),
+        (col("n").cast("double") / col("actual_total").cast("double"))
+          .as("share"),
+        (col("lang_actual") === col("lang_pred")).as("is_correct"))
+      .orderBy("lang_actual", "lang_pred")
+  }
+
   /** Per-source percentile calibration — the score-normalization pass a
     * curation pipeline runs before mixing sources: a raw quality proxy
     * (here the exact token count) is replaced by its PERCENTILE WITHIN
@@ -1214,6 +1236,8 @@ object TextAnalysis {
       burstiness(Tables.load(s, d, "documents"))),
     "ta_rank_normalize" -> ((s, d) =>
       rankNormalize(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_langid_eval" -> ((s, d) =>
+      langIdEval(Tables.load(s, d, "documents"))),
     "ta_diversity" -> ((s, d) =>
       diversityScores(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_dsir" -> ((s, d) =>
@@ -1409,7 +1433,8 @@ object TextAnalysis {
        |                    * df_window AS DOUBLE) END) AS score
        |FROM t, s)""".stripMargin
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    val base: Map[String, String] = Map(
     // the same cleared-fraction BM25 algebra: 22·T·tf·N over
     // (10·T·tf + 3·T + 9·dl·N)·df per term, summed left-to-right in
     // fixed query order — each term ONE division of exact int64s
@@ -1853,5 +1878,20 @@ object TextAnalysis {
          |  (start_pos + n_tokens - 1) // 512 AS last_chunk,
          |  (start_pos + n_tokens - 1) // 512 - start_pos // 512 + 1 AS n_chunks
          |FROM p ORDER BY doc_id""".stripMargin,
-  )
+    )
+    // ta_langid_eval: the ta_langid oracle embedded as a derived table
+    // (the ann_recall composition), aggregated into the confusion matrix
+    base + ("ta_langid_eval" ->
+      s"""WITH pred AS (${base("ta_langid")}),
+         |conf AS (SELECT lang_actual, lang_pred, count(*) AS n
+         |         FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang_actual, sum(n) AS actual_total
+         |        FROM conf GROUP BY 1)
+         |SELECT conf.lang_actual, lang_pred, n,
+         |  CAST(actual_total AS BIGINT) AS actual_total,
+         |  CAST(n AS DOUBLE) / CAST(actual_total AS DOUBLE) AS share,
+         |  conf.lang_actual = lang_pred AS is_correct
+         |FROM conf JOIN tot ON conf.lang_actual = tot.lang_actual
+         |ORDER BY 1, 2""".stripMargin)
+  }
 }

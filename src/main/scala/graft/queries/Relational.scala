@@ -163,6 +163,7 @@ object Relational {
     "q128_active_users" -> q128,
     "q129_concurrency" -> q129,
     "q130_pareto" -> q130,
+    "q131_dup_payments" -> q131,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4572,6 +4573,32 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Duplicate-payment audit — the fraud/ops screen for near-identical
+    * transactions: order pairs from the SAME customer within 3 calendar
+    * days whose amounts differ by at most 5%, with the tolerance as
+    * EXACT integer cross-multiplication (|a − b|·20 ≤ max(a, b) — no
+    * float ratio, no boundary drift). Pair generation is the per-key
+    * self-join on customer (fan-out bounded by orders-per-customer, a
+    * schema property — the q106 basket argument; a pathological key
+    * would salt like any hot join key).
+    */
+  private def q131(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        (d2(col("o_totalprice")) * 100).cast("long").as("cents"),
+        col("o_orderdate").cast("date").as("dt"))
+    o.as("a").join(o.as("b"),
+        col("a.cust") === col("b.cust") && col("a.ok") < col("b.ok"))
+      .withColumn("day_gap", abs(datediff(col("b.dt"), col("a.dt"))))
+      .filter(col("day_gap") <= 3)
+      .filter(abs(col("a.cents") - col("b.cents")) * 20
+        <= greatest(col("a.cents"), col("b.cents")))
+      .select(col("a.cust").as("c_custkey"), col("a.ok").as("a_orderkey"),
+        col("b.ok").as("b_orderkey"), col("a.cents").as("a_cents"),
+        col("b.cents").as("b_cents"), col("day_gap"))
+      .orderBy("c_custkey", "a_orderkey", "b_orderkey")
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -6625,6 +6652,22 @@ object Relational {
         |FROM dau JOIN wau ON dau.d = wau.d
         |         LEFT JOIN fs ON fs.d = dau.d
         |ORDER BY 1""".stripMargin,
+    // q131: the same per-customer self-join, exact cross-multiplied
+    // 5% tolerance, 3-day calendar gap
+    "q131_dup_payments" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CAST(o_orderdate AS DATE) AS dt
+        |  FROM orders)
+        |SELECT a.cust AS c_custkey, a.ok AS a_orderkey,
+        |  b.ok AS b_orderkey, a.cents AS a_cents, b.cents AS b_cents,
+        |  CAST(abs(date_diff('day', a.dt, b.dt)) AS INTEGER) AS day_gap
+        |FROM o a JOIN o b ON a.cust = b.cust AND a.ok < b.ok
+        |WHERE abs(date_diff('day', a.dt, b.dt)) <= 3
+        |  AND abs(a.cents - b.cents) * 20 <= greatest(a.cents, b.cents)
+        |ORDER BY 1, 2, 3""".stripMargin,
     // q130: rank-desc cumulative mass, the integer 80% rule, two
     // single divisions
     "q130_pareto" ->

@@ -328,7 +328,8 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q115_item_similarity", "q116_seq_mining", "q117_moving_median",
         "q119_interpolate", "q120_weighted_median", "q121_moving_mad",
         "q123_gini", "q124_hhi", "q125_seasonality", "q126_lag_features",
-        "q127_spatial_join", "q129_concurrency", "q130_pareto"))
+        "q127_spatial_join", "q129_concurrency", "q130_pareto",
+        "q131_dup_payments"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
@@ -1199,6 +1200,34 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(rows("lsh")._3 >= 0.7, "multi-probe LSH recall floor")
     assert(rows("ivf")._3 >= rows("ivfpq")._3,
       "adding PQ compression can only lose recall vs plain IVF")
+  }
+
+  test("q131 dup payments: tolerance and gap bounds; live pair set") {
+    val rows = Relational.defs("q131_dup_payments")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty, "the 5% rule finds pairs at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "canonical orderkey order")
+      assert(r.getInt(5) >= 0 && r.getInt(5) <= 3)
+      val (a, b) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(a - b) * 20 <= math.max(a, b),
+        "amounts within the exact 5% tolerance")
+    }
+  }
+
+  test("ta_langid_eval: confusion matrix reconciles; shares sum to one") {
+    val rows = graft.operators.TextAnalysis.langIdEval(
+      Tables.load(spark, TestSpark.sf0001, "documents")).collect()
+    val n = Tables.load(spark, TestSpark.sf0001, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === n, "every doc lands in one cell")
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      assert(math.abs(g.map(_.getDouble(4)).sum - 1.0) < 1e-9,
+        "per-actual shares sum to 1")
+      assert(g.map(_.getLong(3)).distinct.length === 1)
+      assert(g.head.getLong(3) === g.map(_.getLong(2)).sum)
+    }
+    rows.foreach(r =>
+      assert(r.getBoolean(5) === (r.getString(0) == r.getString(1))))
   }
 
   test("q113 FD audit: key-led FDs hold; verdict is consistent with counts") {
