@@ -164,6 +164,7 @@ object Relational {
     "q129_concurrency" -> q129,
     "q130_pareto" -> q130,
     "q131_dup_payments" -> q131,
+    "q132_native_asof" -> q132,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4599,6 +4600,35 @@ object Relational {
       .orderBy("c_custkey", "a_orderkey", "b_orderkey")
   }
 
+  /** q18's as-of join planned NATIVELY — the extension ladder's
+    * custom-physical-operator rung for a BINARY join
+    * ([[graft.plans.AsOfJoin]]): purchases and clicks each hash-cluster
+    * on user and sort once, then ONE forward merge pass finds every
+    * purchase's last at-or-before click — where the window formulation
+    * unions both tables through a single WindowExec (full-union
+    * exchange + sort + running last()). Same declarative result:
+    * q132 shares q18's oracle verbatim, so the native operator is
+    * proven END-TO-END equal to the window semantics (the q85/q110
+    * convention); the tiebreak column makes the right order total and
+    * the match unique.
+    */
+  private def q132(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ns"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_ns").as("c_ts"))
+    graft.plans.AsOfJoin.asOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "ts_ns", rightTime = "c_ts",
+        rightTiebreak = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -4723,6 +4753,15 @@ object Relational {
       auditOneSql("nation.n_regionkey->region", "nation", "n_regionkey",
         "region", "r_regionkey"),
     ).mkString("\nUNION ALL\n") + "\n) ORDER BY relationship"
+
+  /** q18's ASOF oracle, shared verbatim by q132 (the native operator
+    * must be invisible to results). */
+  private val oracleQ18: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q79_scd2" ->
@@ -5539,12 +5578,7 @@ object Relational {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "q18_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY purchase_id""".stripMargin,
+    "q18_asof_join" -> oracleQ18,
     "q19_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('b0_low', 0.0, 100000.0), ('b1_mid', 100000.0, 250000.0),
@@ -6652,6 +6686,9 @@ object Relational {
         |FROM dau JOIN wau ON dau.d = wau.d
         |         LEFT JOIN fs ON fs.d = dau.d
         |ORDER BY 1""".stripMargin,
+    // q132: the rewrite must be invisible to results — q18's oracle
+    // verbatim (the window form IS the as-of semantics planned natively)
+    "q132_native_asof" -> oracleQ18,
     // q131: the same per-customer self-join, exact cross-multiplied
     // 5% tolerance, 3-day calendar gap
     "q131_dup_payments" ->

@@ -1230,6 +1230,57 @@ class OperatorExtrasSpec extends AnyFunSuite {
       assert(r.getBoolean(5) === (r.getString(0) == r.getString(1))))
   }
 
+  test("AsOfJoin equals the window formulation on adversarial data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // users: 1 = normal history; 2 = clicks only AFTER its purchase;
+    // 3 = no clicks at all; 4 = two clicks at the SAME time (tie by id)
+    // + a click exactly AT the purchase time (inclusive boundary)
+    val clicks = Seq(
+      (1L, 10L, 100L), (1L, 11L, 200L), (1L, 12L, 300L),
+      (2L, 20L, 900L),
+      (4L, 40L, 100L), (4L, 41L, 100L), (4L, 42L, 500L))
+      .toDF("c_user", "click_id", "c_ts").repartition(5)
+    val purchases = Seq(
+      (1L, 100L, 250L), (1L, 101L, 300L),
+      (2L, 200L, 500L), (3L, 300L, 500L), (4L, 400L, 500L),
+      (4L, 401L, 100L))
+      .toDF("user_id", "purchase_id", "ts_ns").repartition(3)
+    val native = graft.plans.AsOfJoin.asOf(purchases, clicks,
+        "user_id", "c_user", "ts_ns", "c_ts", Seq("click_id"))
+      .select("purchase_id", "user_id", "click_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(native === Set(
+      (100L, 1L, 11L), // last click at-or-before 250 is ts 200
+      (101L, 1L, 12L), // inclusive: the click AT 300 wins
+      (200L, 2L, -1L), // click exists but only later -> null
+      (300L, 3L, -1L), // no clicks at all -> null
+      (400L, 4L, 42L), // latest click wins over the same-ts pair
+      (401L, 4L, 41L)), // same-ts tie -> greatest click_id
+      s"got $native")
+    // and the window formulation agrees row-for-row
+    val tagged = clicks.select(col("c_user").as("user_id"),
+        col("click_id").as("event_id"), col("c_ts").as("ts_ns"),
+        lit(0).as("is_purchase"))
+      .unionByName(purchases.select(col("user_id"),
+        col("purchase_id").as("event_id"), col("ts_ns"),
+        lit(1).as("is_purchase")))
+    val w = W.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("is_purchase"), col("event_id"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val windowed = tagged
+      .withColumn("click_id", last(when(col("is_purchase") === 0,
+        col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(windowed === native)
+  }
+
   test("q113 FD audit: key-led FDs hold; verdict is consistent with counts") {
     val rows = Relational.defs("q113_fd_audit")(spark, TestSpark.sf0001)
       .collect()

@@ -523,6 +523,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"), p)
   }
 
+  test("q132 native as-of: merge join shape, per-side exchanges, no Window") {
+    val df = Relational.defs("q132_native_asof")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AsOfJoin"), p)
+    // both sides hash-cluster on their user key (the SMJ shape); the
+    // window formulation would push the UNION of both tables through
+    // one WindowExec instead
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+    assert("Exchange hashpartitioning\\(c_user".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Window ["), p)
+    // EnsureRequirements provides the per-side (key, time) sorts plus
+    // the presentation orderBy — and nothing more
+    assert("Sort ".r.findAllMatchIn(p).size === 3, p)
+  }
+
   test("q110: the row_number idiom is REWRITTEN to the native top-k plan") {
     val df = Relational.defs("q110_topk_rewrite")(spark, dir)
     df.collect()
