@@ -165,6 +165,7 @@ object Relational {
     "q130_pareto" -> q130,
     "q131_dup_payments" -> q131,
     "q132_native_asof" -> q132,
+    "q133_native_pit" -> q133,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2970,14 +2971,18 @@ object Relational {
     * applied post-join — per-user version lists are run-length-bounded,
     * so the fan-out is per-user versions, never a θ-join.
     */
-  private def q94(spark: SparkSession, dir: String): DataFrame = {
+  /** q94's SCD2 dimension — runs of non-purchase activity as
+    * (user, state, from_us, to_us) validity intervals — shared by the
+    * range-join formulation (q94) and the native as-of formulation
+    * (q133).
+    */
+  private def activityDim(spark: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
-    val act = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000").as("ts_us"), col("event_type"))
-    val dim = act
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTime).isNull ||
           lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
@@ -2992,6 +2997,10 @@ object Relational {
         lead(col("from_us"), 1)
           .over(Window.partitionBy("user_id").orderBy("run_seq")))
       .select("user_id", "state", "from_us", "to_us")
+  }
+
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val dim = activityDim(spark, dir)
     val fact = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts_ns div 1000").as("pts_us"),
@@ -4600,6 +4609,35 @@ object Relational {
       .orderBy("c_custkey", "a_orderkey", "b_orderkey")
   }
 
+  /** q94's point-in-time read through the NATIVE as-of operator — the
+    * composition proof that [[graft.plans.AsOfJoin]] slots into an
+    * existing workload unchanged: because the SCD2 validity intervals
+    * PARTITION each user's timeline (to = next from), "the version
+    * whose from ≤ ts < to" is exactly "the version with the greatest
+    * from at-or-before ts" — an as-of match, no range predicate, no
+    * to_us column needed at all. Unmatched purchases (before any
+    * activity) surface as NULL → 'none', identical to q94's left range
+    * join. Shares q94's oracle verbatim.
+    */
+  private def q133(spark: SparkSession, dir: String): DataFrame = {
+    val dim = activityDim(spark, dir)
+      .select(col("user_id").as("d_user"), col("state"), col("from_us"))
+    val fact = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("pts_us"),
+        col("value"))
+    graft.plans.AsOfJoin.asOf(fact, dim,
+        leftKey = "user_id", rightKey = "d_user",
+        leftTime = "pts_us", rightTime = "from_us")
+      .select(col("user_id"),
+        coalesce(col("state"), lit("none")).as("state"), col("value"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(d2(col("value"))).cast("double").as("revenue"))
+      .orderBy("state")
+  }
+
   /** q18's as-of join planned NATIVELY — the extension ladder's
     * custom-physical-operator rung for a BINARY join
     * ([[graft.plans.AsOfJoin]]): purchases and clicks each hash-cluster
@@ -4753,6 +4791,41 @@ object Relational {
       auditOneSql("nation.n_regionkey->region", "nation", "n_regionkey",
         "region", "r_regionkey"),
     ).mkString("\nUNION ALL\n") + "\n) ORDER BY relationship"
+
+  /** q94's PIT oracle, shared verbatim by q133 (the native as-of
+    * read must be invisible to results). */
+  private val oracle94: String =
+    """WITH a AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type
+        |            THEN 1 ELSE 0 END AS chg
+        |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+        |  FROM c),
+        |g AS (SELECT user_id, run_seq, min(event_type) AS state,
+        |        min(ts_us) AS from_us
+        |      FROM r GROUP BY 1, 2),
+        |dim AS (SELECT user_id, state, from_us,
+        |          lead(from_us) OVER (PARTITION BY user_id ORDER BY run_seq)
+        |            AS to_us
+        |        FROM g),
+        |f AS (SELECT user_id, epoch_us(ts) AS pts_us,
+        |        CAST(value AS DECIMAL(18,2)) AS value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT f.user_id, coalesce(d.state, 'none') AS state, f.value
+        |      FROM f LEFT JOIN dim d
+        |        ON f.user_id = d.user_id AND f.pts_us >= d.from_us
+        |       AND (d.to_us IS NULL OR f.pts_us < d.to_us))
+        |SELECT state, count(*) AS n_purchases,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(value) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q18's ASOF oracle, shared verbatim by q132 (the native operator
     * must be invisible to results). */
@@ -6106,38 +6179,7 @@ object Relational {
         |ORDER BY 1, 2""".stripMargin,
     // q94: q79's run construction restricted to activity events, PIT
     // condition from <= ts < to replayed with the same left join
-    "q94_pit_join" ->
-      """WITH a AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
-        |  FROM events WHERE event_type <> 'purchase'),
-        |c AS (
-        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-        |                   OR lag(event_type) OVER w <> event_type
-        |            THEN 1 ELSE 0 END AS chg
-        |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |r AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
-        |  FROM c),
-        |g AS (SELECT user_id, run_seq, min(event_type) AS state,
-        |        min(ts_us) AS from_us
-        |      FROM r GROUP BY 1, 2),
-        |dim AS (SELECT user_id, state, from_us,
-        |          lead(from_us) OVER (PARTITION BY user_id ORDER BY run_seq)
-        |            AS to_us
-        |        FROM g),
-        |f AS (SELECT user_id, epoch_us(ts) AS pts_us,
-        |        CAST(value AS DECIMAL(18,2)) AS value
-        |      FROM events WHERE event_type = 'purchase'),
-        |j AS (SELECT f.user_id, coalesce(d.state, 'none') AS state, f.value
-        |      FROM f LEFT JOIN dim d
-        |        ON f.user_id = d.user_id AND f.pts_us >= d.from_us
-        |       AND (d.to_us IS NULL OR f.pts_us < d.to_us))
-        |SELECT state, count(*) AS n_purchases,
-        |  count(DISTINCT user_id) AS n_users,
-        |  CAST(sum(value) AS DOUBLE) AS revenue
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_pit_join" -> oracle94,
     // q95: reference-half boundaries, both halves bucketed by them, TV
     // distance as exact cross-multiplied integers
     "q95_drift" ->
@@ -6689,6 +6731,8 @@ object Relational {
     // q132: the rewrite must be invisible to results — q18's oracle
     // verbatim (the window form IS the as-of semantics planned natively)
     "q132_native_asof" -> oracleQ18,
+    // q133: the native as-of read must be invisible — q94's oracle
+    "q133_native_pit" -> oracle94,
     // q131: the same per-customer self-join, exact cross-multiplied
     // 5% tolerance, 3-day calendar gap
     "q131_dup_payments" ->

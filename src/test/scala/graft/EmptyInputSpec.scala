@@ -62,6 +62,20 @@ class EmptyInputSpec extends AnyFunSuite {
       && r.head.isNullAt(5))
   }
 
+  test("native as-of join: empty sides degrade to outer-null / empty") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("user_id", "pid", "ts")
+    val right = Seq((1L, 20L, 50L)).toDF("r_user", "cid", "r_ts")
+    val emptyRight = right.filter(lit(false))
+    val emptyLeft = left.filter(lit(false))
+    val r1 = graft.plans.AsOfJoin.asOf(left, emptyRight,
+      "user_id", "r_user", "ts", "r_ts").collect()
+    assert(r1.length === 1 && r1.head.isNullAt(4),
+      "empty right keeps every left row with null right columns")
+    assert(graft.plans.AsOfJoin.asOf(emptyLeft, right,
+      "user_id", "r_user", "ts", "r_ts").count() === 0)
+  }
+
   test("dedup operators handle an empty corpus") {
     assert(Dedup.exact(noDocs).count() === 0)
     assert(Dedup.prefixJaccardPairs(noDocs, 0.5).count() === 0)
