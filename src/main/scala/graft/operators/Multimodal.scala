@@ -880,8 +880,16 @@ object Multimodal {
     bs
   }
 
-  def averageHash60(w: Int, h: Int, px: Array[Int]): (Long, Int) = {
-    val bs = blockSums(w, h, px)
+  def averageHash60(w: Int, h: Int, px: Array[Int]): (Long, Int) =
+    averageHash60(blockSums(w, h, px))
+
+  /** The threshold rule over precomputed block sums — the ONE
+    * definition both the production decode pass ([[imageTable]], which
+    * already has the sums) and the pixel-level entry point consume; a
+    * drift between them would keep the unit test green while shipping
+    * different hashes.
+    */
+  def averageHash60(bs: Array[Long]): (Long, Int) = {
     val total = bs.sum
     var hash = 0L; var ones = 0; var b = 0
     while (b < 60) {
@@ -990,12 +998,7 @@ object Multimodal {
       synthesizeThumbnails(docs).mapPartitions(_.map { f =>
         val (w, h, px) = decodeGrayImage(f.doc_id, f.payload)
         val bs = blockSums(w, h, px)
-        val total = bs.sum
-        var hash = 0L; var ones = 0; var b = 0
-        while (b < 60) {
-          if (bs(b) * 60 > total) { hash |= (1L << b); ones += 1 }
-          b += 1
-        }
+        val (hash, ones) = averageHash60(bs)
         val (dh, dOnes) = diffHash54(bs)
         var s = 0L; var s2 = 0L; var mn = 255; var mx = 0; var i = 0
         val bins = new Array[Long](8) // 8 equal-width gray-level bins

@@ -44,15 +44,35 @@ object AsOfJoin {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies ++= Seq(AsOfJoinStrategy)
+    // SQL null semantics, enforced here rather than half-implemented in
+    // the kernel: a right row with NULL key or NULL time can never be a
+    // legitimate match (an equi predicate and time ≤ t are both
+    // null-rejecting), so it is filtered out; a LEFT row with NULL key
+    // or time then simply finds nothing and emits unmatched (outer
+    // nulls) — without this filter the nulls-first sort would make a
+    // NULL right time "≤ everything" and match.
+    val cleanRight = right.filter(
+      org.apache.spark.sql.functions.col(rightKey).isNotNull &&
+        org.apache.spark.sql.functions.col(rightTime).isNotNull)
     val l = left.queryExecution.analyzed
-    val r = right.queryExecution.analyzed
+    val r = cleanRight.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(sys.error(
         s"AsOfJoin: no column '$n' in (${p.output.map(_.name).mkString(", ")})"))
+    val (lk, rk) = (attr(l, leftKey), attr(r, rightKey))
+    val (lt, rt) = (attr(l, leftTime), attr(r, rightTime))
+    // the kernel hash-clusters each side on its own key and compares
+    // keys/times with orderings built from the LEFT types — a dtype
+    // mismatch would silently mis-partition (int 5 and long 5 hash
+    // differently) or misread UnsafeRow slots, so refuse it loudly
+    require(lk.dataType == rk.dataType,
+      s"AsOfJoin: key types differ — $leftKey: ${lk.dataType} vs " +
+        s"$rightKey: ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"AsOfJoin: time types differ — $leftTime: ${lt.dataType} vs " +
+        s"$rightTime: ${rt.dataType}")
     GraftShims.ofRows(spark,
-      AsOfJoinPlan(attr(l, leftKey), attr(r, rightKey),
-        attr(l, leftTime), attr(r, rightTime),
-        rightTiebreak.map(attr(r, _)), l, r))
+      AsOfJoinPlan(lk, rk, lt, rt, rightTiebreak.map(attr(r, _)), l, r))
   }
 }
 

@@ -2996,7 +2996,7 @@ object Relational {
       .withColumn("to_us",
         lead(col("from_us"), 1)
           .over(Window.partitionBy("user_id").orderBy("run_seq")))
-      .select("user_id", "state", "from_us", "to_us")
+      .select("user_id", "run_seq", "state", "from_us", "to_us")
   }
 
   private def q94(spark: SparkSession, dir: String): DataFrame = {
@@ -4491,10 +4491,18 @@ object Relational {
       .groupBy("d").agg(count(lit(1)).as("wau"))
     val firstSeen = ud.groupBy("user_id").agg(min("d").as("d"))
       .groupBy("d").agg(count(lit(1)).as("new_users"))
+    // every calendar day in the span exists in the panel — an activity
+    // gap must read as DAU=0 rows, not as missing days (the inner-join
+    // cut silently dropped zero-DAU days whose WAU was still positive)
+    val grid = span.select(explode(sequence(col("d0"), col("d1"))).as("d"))
     val w = Window.orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dau.join(wau, Seq("d"))
+    grid
+      .join(dau, Seq("d"), "left_outer")
+      .join(wau, Seq("d"), "left_outer")
       .join(firstSeen, Seq("d"), "left_outer")
+      .withColumn("dau", coalesce(col("dau"), lit(0L)))
+      .withColumn("wau", coalesce(col("wau"), lit(0L)))
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
       .withColumn("cum_users", sum(col("new_users")).over(w))
       .select(col("d").as("day_idx"), col("dau"), col("wau"),
@@ -4620,15 +4628,23 @@ object Relational {
     * join. Shares q94's oracle verbatim.
     */
   private def q133(spark: SparkSession, dir: String): DataFrame = {
+    // run_seq as the tiebreak: two versions CAN share from_us (a state
+    // change within one µs makes the earlier interval zero-length), and
+    // the later run supersedes — exactly what the range join's
+    // from ≤ ts < to does by excluding the zero-length interval. The
+    // tiebreak makes the right order total (the operator's determinism
+    // contract, per its scaladoc).
     val dim = activityDim(spark, dir)
-      .select(col("user_id").as("d_user"), col("state"), col("from_us"))
+      .select(col("user_id").as("d_user"), col("run_seq").as("d_seq"),
+        col("state"), col("from_us"))
     val fact = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts_ns div 1000").as("pts_us"),
         col("value"))
     graft.plans.AsOfJoin.asOf(fact, dim,
         leftKey = "user_id", rightKey = "d_user",
-        leftTime = "pts_us", rightTime = "from_us")
+        leftTime = "pts_us", rightTime = "from_us",
+        rightTiebreak = Seq("d_seq"))
       .select(col("user_id"),
         coalesce(col("state"), lit("none")).as("state"), col("value"))
       .groupBy("state")
@@ -6709,7 +6725,8 @@ object Relational {
       """WITH ud AS (
         |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
         |  FROM events),
-        |span AS (SELECT max(d) AS d1 FROM ud),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM span),
         |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
         |wau AS (
         |  SELECT d, count(*) AS wau FROM (
@@ -6720,13 +6737,15 @@ object Relational {
         |  SELECT d, count(*) AS new_users
         |  FROM (SELECT user_id, min(d) AS d FROM ud GROUP BY 1)
         |  GROUP BY 1)
-        |SELECT dau.d AS day_idx, dau.dau, wau.wau,
+        |SELECT grid.d AS day_idx, coalesce(dau.dau, 0) AS dau,
+        |  coalesce(wau.wau, 0) AS wau,
         |  coalesce(fs.new_users, 0) AS new_users,
-        |  CAST(sum(coalesce(fs.new_users, 0)) OVER (ORDER BY dau.d
+        |  CAST(sum(coalesce(fs.new_users, 0)) OVER (ORDER BY grid.d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
-        |FROM dau JOIN wau ON dau.d = wau.d
-        |         LEFT JOIN fs ON fs.d = dau.d
+        |FROM grid LEFT JOIN dau ON dau.d = grid.d
+        |          LEFT JOIN wau ON wau.d = grid.d
+        |          LEFT JOIN fs ON fs.d = grid.d
         |ORDER BY 1""".stripMargin,
     // q132: the rewrite must be invisible to results — q18's oracle
     // verbatim (the window form IS the as-of semantics planned natively)
