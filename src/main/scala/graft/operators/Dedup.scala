@@ -272,6 +272,38 @@ object Dedup {
       .withColumn("transposition_gain", col("lev_dist") - col("dl_dist"))
   }
 
+  /** Jaro–Winkler scoring over the SNM neighbor candidates — the fuzzy
+    * string-matching metric record linkage actually uses (census /
+    * name-matching heritage): window-2 rank-adjacent pairs scored with
+    * the native [[graft.functions.JaroWinkler]] expression next to the
+    * normalized edit similarity, publishing both plus their
+    * disagreement. JW rewards shared PREFIXES and tolerates
+    * transpositions, so jw − edit_sim > 0 flags the
+    * same-start/different-tail pairs edit distance over-penalizes —
+    * the complementary signal to dd_damerau's transposition gain.
+    *
+    * Scale: the LINEAR-sized SNM candidate set only (window·N pairs);
+    * each probe is O(n·m) on the two texts like every verify here.
+    */
+  def jaroWinklerPairs(docs: DataFrame, window: Int = 2): DataFrame = {
+    import graft.functions.editdist.jaroWinkler
+    val ranked = snmRanked(docs)
+    val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(window))))
+      .select((col("rank") + col("j")).as("rank"), col("a_id"))
+    val txt = docs.select(col("doc_id"), col("text"))
+    probes
+      .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
+      .join(txt.toDF("a_id", "ta"), "a_id")
+      .join(txt.toDF("b_id", "tb"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        jaroWinkler(col("ta"), col("tb")).as("jw_sim"),
+        (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
+          / greatest(length(col("ta")), length(col("tb"))))
+          .as("edit_sim"))
+      .withColumn("jw_gain", col("jw_sim") - col("edit_sim"))
+  }
+
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
                               minSim: Double = 0.8): DataFrame = {
     val ranked = snmRanked(docs)
@@ -1324,6 +1356,9 @@ object Dedup {
     "dd_damerau" -> ((s, d) =>
       damerauPairs(Tables.load(s, d, "documents"))
         .orderBy("a_id", "b_id")),
+    "dd_jaro" -> ((s, d) =>
+      jaroWinklerPairs(Tables.load(s, d, "documents"))
+        .orderBy("a_id", "b_id")),
     "dd_blocking_eval" -> ((s, d) =>
       blockingEval(Tables.load(s, d, "documents"))),
     "dd_dup_report" -> ((s, d) =>
@@ -1700,6 +1735,30 @@ object Dedup {
          |  CAST(damerau_levenshtein(ta, tb) AS INTEGER) AS dl_dist,
          |  CAST(levenshtein(ta, tb) - damerau_levenshtein(ta, tb)
          |    AS INTEGER) AS transposition_gain
+         |FROM p ORDER BY a_id, b_id""".stripMargin,
+    // dd_jaro: same pair derivation as dd_damerau; verify metric is
+    // DuckDB's own jaro_winkler_similarity — the native expression was
+    // fuzz-calibrated to it (9k pairs, zero mismatches) and must agree
+    // on every candidate pair here too
+    "dd_jaro" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    substr(array_to_string(
+         |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |  FROM documents),
+         |r AS (SELECT doc_id, text, bk,
+         |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |        a.text AS ta, b.text AS tb
+         |      FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2)
+         |SELECT a_id, b_id,
+         |  jaro_winkler_similarity(ta, tb) AS jw_sim,
+         |  1 - CAST(levenshtein(ta, tb) AS DOUBLE)
+         |      / greatest(length(ta), length(tb)) AS edit_sim,
+         |  jaro_winkler_similarity(ta, tb)
+         |    - (1 - CAST(levenshtein(ta, tb) AS DOUBLE)
+         |        / greatest(length(ta), length(tb))) AS jw_gain
          |FROM p ORDER BY a_id, b_id""".stripMargin,
     // dd_dup_report: the same verified-pair truth CTEs; membership via
     // pair-id union, per-source share one division

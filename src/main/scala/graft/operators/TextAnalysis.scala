@@ -1225,7 +1225,59 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase method a corpus-exploration pass runs before any model:
+    * candidate phrases are maximal runs of consecutive NON-stopword
+    * tokens (the stopword-delimited variant; the shared [[stopwords]]
+    * list is the delimiter set), capped at 4 words; each word scores
+    * degree (Σ length of phrases containing it, occurrence-wise) over
+    * frequency, and a phrase scores deg-sum/freq-sum — the AGGREGATE
+    * ratio form, ONE division of exact BIGINT sums (the per-word
+    * deg/freq sum of the original paper is an order-dependent float
+    * sum; the aggregate form ranks the same signal and hash-gates).
+    * Top-k by (score, phrase) total order.
+    *
+    * Scale: candidates are a bounded per-doc explode (phrases ≤ tokens);
+    * word stats one partial agg over the vocabulary; the phrase join is
+    * vocabulary-sized. The twice-consumed candidate set is
+    * localCheckpointed — the ta_bm25 lesson.
+    */
+  def rakeKeywords(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val marked = docs
+      .withColumn("w", tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("w"),
+          x => when(array_contains(sw, x), lit("|")).otherwise(x)))
+          .as("s"))
+    val cand = marked
+      .select(col("doc_id"), explode(split(col("s"), "\\|")).as("p"))
+      .select(col("doc_id"), trim(col("p")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("pw", split(col("phrase"), " "))
+      .filter(size(col("pw")) <= 4)
+      .localCheckpoint(true)
+    val words = cand.select(explode(col("pw")).as("word"),
+      size(col("pw")).as("plen"))
+    val wstat = words.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val pwords = cand.select("phrase").distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+    val pscore = pwords.join(wstat, "word")
+      .groupBy("phrase")
+      .agg(sum(col("deg")).as("deg_sum"), sum(col("freq")).as("freq_sum"))
+    val occ = cand.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    occ.join(pscore, "phrase")
+      .select(col("phrase"), col("n_occ"), col("deg_sum"), col("freq_sum"),
+        (col("deg_sum").cast("double") / col("freq_sum").cast("double"))
+          .as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(topK)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_rake" -> ((s, d) =>
+      rakeKeywords(Tables.load(s, d, "documents"))),
     "ta_bm25" -> ((s, d) =>
       bm25TopDocs(Tables.load(s, d, "documents"))),
     "ta_colloc" -> ((s, d) =>
@@ -1435,6 +1487,45 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = {
     val base: Map[String, String] = Map(
+    // ta_rake: the same stopword-delimited candidate extraction and
+    // aggregate deg-sum/freq-sum ratio — one division of exact sums
+    "ta_rake" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                x -> x <> '') AS w
+         |  FROM documents),
+         |marked AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(w,
+         |      x -> CASE WHEN x IN ('the','a','of','and','to','in')
+         |           THEN '|' ELSE x END), ' ') AS s
+         |  FROM toks),
+         |phr AS (
+         |  SELECT doc_id, trim(p) AS phrase
+         |  FROM marked, unnest(string_split(s, '|')) AS t(p)
+         |  WHERE trim(p) <> ''),
+         |cand AS (
+         |  SELECT doc_id, phrase, string_split(phrase, ' ') AS pw
+         |  FROM phr WHERE len(string_split(phrase, ' ')) <= 4),
+         |words AS (
+         |  SELECT unnest(pw) AS word, len(pw) AS plen FROM cand),
+         |wstat AS (
+         |  SELECT word, count(*) AS freq, sum(plen) AS deg
+         |  FROM words GROUP BY 1),
+         |pwords AS (
+         |  SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+         |  FROM (SELECT DISTINCT phrase FROM cand)),
+         |pscore AS (
+         |  SELECT phrase, sum(w.deg) AS deg_sum, sum(w.freq) AS freq_sum
+         |  FROM pwords p JOIN wstat w USING (word) GROUP BY 1),
+         |occ AS (SELECT phrase, count(*) AS n_occ FROM cand GROUP BY 1)
+         |SELECT o.phrase, o.n_occ, CAST(deg_sum AS BIGINT) AS deg_sum,
+         |  CAST(freq_sum AS BIGINT) AS freq_sum,
+         |  CAST(deg_sum AS DOUBLE) / CAST(freq_sum AS DOUBLE)
+         |    AS rake_score
+         |FROM occ o JOIN pscore USING (phrase)
+         |ORDER BY rake_score DESC, phrase LIMIT 50""".stripMargin,
     // the same cleared-fraction BM25 algebra: 22·T·tf·N over
     // (10·T·tf + 3·T + 9·dl·N)·df per term, summed left-to-right in
     // fixed query order — each term ONE division of exact int64s

@@ -166,6 +166,15 @@ object Relational {
     "q131_dup_payments" -> q131,
     "q132_native_asof" -> q132,
     "q133_native_pit" -> q133,
+    "q134_ab_test" -> q134,
+    "q135_survival" -> q135,
+    "q136_holt" -> q136,
+    "q137_native_sessionize" -> q137,
+    "q138_window_funnel" -> q138,
+    "q139_sax" -> q139,
+    "q140_prefix_topk" -> q140,
+    "q141_rolling_ols" -> q141,
+    "q142_time_to_convert" -> q142,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -4683,6 +4692,401 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** A/B experiment read-out — the two-proportion test every product
+    * experiment ends with, deterministic end to end: users are assigned
+    * to arms by the portable md5 hash (both engines derive the SAME
+    * split — the q127 coordinate convention; hash-based assignment is
+    * also how real experiment platforms randomize, so the query IS the
+    * production shape), the conversion outcome is "heavy buyer" (≥ 14
+    * purchases — "made any purchase" turned out UNIVERSAL in this data,
+    * a dormant statistic; the threshold splits near the median at every
+    * SF, keeping the z branch live), and the panel publishes per-arm
+    * counts plus the pooled z statistic.
+    * Every float is a fixed IEEE expression over exact counts —
+    * +, −, ×, ÷ and sqrt are all correctly rounded, so the identical
+    * operation tree on both engines is bit-identical (the discipline
+    * that lets a STATISTIC hash-gate, not just counts).
+    *
+    * Scale: one user-grain partial agg (the conversion outcome), a
+    * 2-row arm rollup, a 1-row panel. Nothing here grows with events.
+    */
+  private def q134(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(when(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14,
+        1L).otherwise(0L).as("converted"))
+      .withColumn("arm",
+        portableHash60(concat(lit("ab:"), col("user_id").cast("string")))
+          % 2)
+    def d(c: Column): Column = c.cast("double")
+    val m = byUser.groupBy()
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+          .as("conv_control"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+          .as("conv_treat"))
+    val p0 = d(col("conv_control")) / d(col("n_control"))
+    val p1 = d(col("conv_treat")) / d(col("n_treat"))
+    val pp = d(col("conv_control") + col("conv_treat")) /
+      d(col("n_control") + col("n_treat"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d(col("n_control")) + lit(1.0) / d(col("n_treat"))))
+    m.select(col("n_control"), col("n_treat"),
+      col("conv_control"), col("conv_treat"),
+      p0.as("p_control"), p1.as("p_treat"),
+      (p1 - p0).as("lift"),
+      when(col("n_control") > 0 && col("n_treat") > 0 && se > 0,
+        (p1 - p0) / se).as("z_score"))
+  }
+
+  /** Discrete-time survival panel — the retention curve in its exact
+    * empirical form: a user's LIFETIME is the whole weeks between first
+    * and last activity, and for each week k the panel publishes who was
+    * still at risk (lifetime ≥ k), who churned exactly then
+    * (lifetime = k), the hazard churned/at-risk, and the survival share
+    * still-alive/N — each ratio ONE IEEE division of exact counts (the
+    * Kaplan–Meier product estimator collapses to exactly this when
+    * every user is observed to the end — no censoring in a bounded
+    * extract, so the empirical form is the right one, not a float
+    * product chain).
+    *
+    * Scale: one user-grain agg (first/last day), a lifetime-histogram
+    * rollup, and the at-risk counts as a REVERSE cumulative sum over
+    * the weeks grid — never a user × week join. Panel is weeks-sized.
+    */
+  private def q135(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    survivalFromSpans(Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("d"))
+      .groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1")))
+  }
+
+  /** The survival-panel finalization over per-user (d0, d1) activity
+    * spans — the single definition q135 and st_survival share (the
+    * bitmapFinalize convention): lifetime histogram, REVERSE cumulative
+    * at-risk over the weeks grid, hazard and survival each one
+    * division.
+    */
+  private[graft] def survivalFromSpans(spans: DataFrame): DataFrame = {
+    val hist = spans
+      .select(expr("(d1 - d0) div 7").as("life_w"))
+      .groupBy("life_w").agg(count(lit(1)).as("churned"))
+      .localCheckpoint(true)
+    val span = hist.agg(max("life_w").as("w1"),
+      sum("churned").as("n_users")).localCheckpoint(true)
+    val grid = span.select(col("n_users"),
+      explode(sequence(lit(0L), col("w1"))).as("k"))
+    // at-risk at week k = Σ churned over lifetimes ≥ k: a reverse
+    // running sum over the bounded weeks grid (weeks-sized window)
+    val wDesc = Window.orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hist, col("k") === col("life_w"), "left_outer")
+      .withColumn("churned", coalesce(col("churned"), lit(0L)))
+      .withColumn("at_risk", sum(col("churned")).over(wDesc))
+      .select(col("k").as("week"), col("at_risk"), col("churned"),
+        (col("churned").cast("double") / col("at_risk").cast("double"))
+          .as("hazard"),
+        ((col("at_risk") - col("churned")).cast("double")
+          / col("n_users").cast("double")).as("survival"))
+      .orderBy("week")
+  }
+
+  /** q16's sessionization planned NATIVELY — the third custom physical
+    * operator ([[graft.plans.Sessionize]]): the declarative form chains
+    * a lag window (gap flags) and a running-sum window (session ids)
+    * over the same (user, event_id) sort — two WindowExec passes; the
+    * native operator declares the identical exchange + sort to
+    * EnsureRequirements and assigns ids in ONE O(1)-state forward scan.
+    * Shares q16's oracle VERBATIM (the q132 end-to-end-equality
+    * convention), so the operator is proven equal to the window
+    * semantics on the full dataset, not just unit fixtures.
+    */
+  private def q137(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("ts_ns"))
+    graft.plans.Sessionize
+      .assign(e, "user_id", Seq("event_id"), "ts_ns",
+        gap = 1800L * 1000000000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        money(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Holt linear (double) exponential smoothing — the level+trend
+    * forecaster one rung above q97's EMA, with α = β = 1/2 so every
+    * smoothing step is adds and EXACT halvings of IEEE doubles:
+    *   f_t = l_{t−1} + b_{t−1}           (one-step-ahead forecast)
+    *   l_t = 0.5·x_t + 0.5·(l_{t−1} + b_{t−1})
+    *   b_t = 0.5·(l_t − l_{t−1}) + 0.5·b_{t−1}
+    * (init l_0 = x_0, b_0 = 0). Every operation is correctly rounded
+    * and the oracle's RECURSIVE CTE executes the identical tree in the
+    * identical order, so the whole trajectory hash-gates — the q109
+    * two-strategies-one-recurrence convention for FLOAT state. The
+    * published |x − f| residuals are the forecast-quality read (and
+    * q41's anomaly input under a trend, which a plain mean can't give).
+    *
+    * Scale: per-class sequential fold via typed mapGroups over the
+    * bounded day grain (the q109 envelope — state O(1), one hash
+    * exchange on class); a genuinely sequential recurrence, so the
+    * per-group scan IS the algorithm, not a driver loop.
+    */
+  private def q136(spark: SparkSession, dir: String): DataFrame =
+    holtFromDaily(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The Holt fold over a (event_type, day, x) day table — the single
+    * recurrence definition q136 and st_holt share. */
+  private[graft] def holtFromDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("event_type"), col("day"), col("x").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1).flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var l = 0.0; var b = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, day, x), i) =>
+          if (i == 0) { l = x.toDouble; b = 0.0
+            (k, day, x, l, b, None: Option[Double], None: Option[Double])
+          } else {
+            val f = l + b
+            val l2 = 0.5 * x.toDouble + 0.5 * (l + b)
+            val b2 = 0.5 * (l2 - l) + 0.5 * b
+            l = l2; b = b2
+            (k, day, x, l, b, Some(f), Some(math.abs(x.toDouble - f)))
+          }
+        }
+      }.toDF("event_type", "day", "x", "level", "trend", "forecast",
+        "abs_err")
+      .orderBy("event_type", "day")
+  }
+
+  /** Windowed funnel (the ClickHouse `windowFunnel` semantics) — max
+    * depth through view ≤ click ≤ purchase with the WHOLE chain inside
+    * a 24 h window of its first step — composed from TWO CHAINED native
+    * as-of joins: the latest view at-or-before each click, then the
+    * latest click (carrying its chain-start view) at-or-before each
+    * purchase. Greedy-latest is EXACT here, not a heuristic: v*(c) =
+    * max view ≤ c is nondecreasing in c's time, so the latest click
+    * below a purchase carries the maximal achievable chain start, and
+    * a chain exists iff p − v*(c*(p)) ≤ window — the oracle states the
+    * naive EXISTS triple join and equality proves the reduction. Depth
+    * counts and conversion shares (one division each) in one row.
+    *
+    * Scale: two merge joins on user (each one exchange per side), event
+    * grain throughout — where the naive formulation is a per-user
+    * triple self-join (cubic in per-user activity).
+    */
+  private def q138(spark: SparkSession, dir: String): DataFrame = {
+    val win = 86400000000000L
+    val e = Tables.events(spark, dir)
+    def typed(t: String, pre: String): DataFrame =
+      e.filter(col("event_type") === t)
+        .select(col("user_id").as(s"${pre}_user"),
+          col("ts_ns").as(s"${pre}_ts"), col("event_id").as(s"${pre}_id"))
+    val views = typed("view", "v")
+    val clicks = typed("click", "c")
+    val purchases = typed("purchase", "p")
+    val vc = graft.plans.AsOfJoin.asOf(clicks, views,
+      "c_user", "v_user", "c_ts", "v_ts", Seq("v_id"))
+      .localCheckpoint(true) // consumed by the d2 count AND the 2nd as-of
+    val vcp = graft.plans.AsOfJoin.asOf(purchases,
+      vc.select(col("c_user"), col("c_ts"), col("c_id"), col("v_ts")),
+      "p_user", "c_user", "p_ts", "c_ts", Seq("c_id"))
+    val nUsers = e.agg(countDistinct(col("user_id")).as("n_users"))
+    val nView = views.agg(countDistinct(col("v_user")).as("n_view"))
+    val nVc = vc
+      .filter(col("v_ts").isNotNull && col("c_ts") - col("v_ts") <= win)
+      .agg(countDistinct(col("c_user")).as("n_vc"))
+    val nVcp = vcp
+      .filter(col("v_ts").isNotNull && col("p_ts") - col("v_ts") <= win)
+      .agg(countDistinct(col("p_user")).as("n_vcp"))
+    nUsers.crossJoin(nView).crossJoin(nVc).crossJoin(nVcp)
+      .select(col("n_users"), col("n_view"), col("n_vc"), col("n_vcp"),
+        when(col("n_users") > 0,
+          col("n_view").cast("double") / col("n_users").cast("double"))
+          .as("reach_view"),
+        when(col("n_view") > 0,
+          col("n_vc").cast("double") / col("n_view").cast("double"))
+          .as("conv_click"),
+        when(col("n_vc") > 0,
+          col("n_vcp").cast("double") / col("n_vc").cast("double"))
+          .as("conv_purchase"))
+  }
+
+  /** SAX symbolic discretization (Lin/Keogh) — each class's daily count
+    * series z-normalized, PAA-averaged over 7-day segments, and mapped
+    * to a 4-letter alphabet at the standard Gaussian breakpoints
+    * (±0.6744897501960817, 0 — the quartiles; constants embedded as the
+    * SAME doubles on both sides, the q101 lesson). The float work is
+    * algebraically collapsed so it hash-gates: the segment's PAA z is
+    *   (n·Σ_seg x − len·Σx) / (len · √(n·Σx² − (Σx)²))
+    * — numerator and radicand EXACT integers (bounded far below 2^53
+    * at any SF of this data; a corpus where counts square past 2^53
+    * would take these through DECIMAL(38,0) + the q124 VARCHAR cast),
+    * then ONE sqrt, ONE multiply, ONE division — instead of a per-day
+    * (x−μ)/σ chain whose rounding the oracle could not replay. A
+    * constant series (radicand 0) publishes NULL paa/symbol on both
+    * engines (the q77 guard). SAX is the front door to whole-series
+    * indexing/motif search; the symbol stream is what a downstream
+    * matcher consumes.
+    *
+    * Scale: day-grain partial agg, classes-sized moment rollup
+    * broadcast back, segment rollup over the bounded day grid.
+    */
+  private def q139(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val segs = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seg", expr("(rn - 1) div 7"))
+      .groupBy("event_type", "seg")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("segx"))
+      .join(broadcast(m), "event_type")
+      .withColumn("num",
+        col("n") * col("segx") - col("n_days") * col("sx"))
+      .withColumn("rad",
+        col("n") * col("sxx") - col("sx") * col("sx"))
+    val paa = when(col("rad") > 0,
+      col("num").cast("double")
+        / (col("n_days").cast("double") * sqrt(col("rad").cast("double"))))
+    segs.select(col("event_type"), col("seg"), col("n_days"),
+        col("num").as("z_num"), paa.as("paa"),
+        when(col("rad") > 0,
+          when(paa < -0.6744897501960817, "a")
+            .when(paa < 0.0, "b")
+            .when(paa < 0.6744897501960817, "c")
+            .otherwise("d")).as("symbol"))
+      .orderBy("event_type", "seg")
+  }
+
+  /** Autocomplete index — per word prefix (1–4 chars), the top-3
+    * completions by corpus frequency, planned through the NATIVE
+    * [[graft.plans.TopKPerKey]] operator (its first text-side
+    * composition): vocabulary from one explode + partial agg, a ≤ 4×
+    * prefix fan-out of the VOCABULARY (never the corpus), then the
+    * heap-per-key top-k with (freq DESC, word) total order — no
+    * WindowExec, no full sort of the prefix groups. The oracle states
+    * the row_number formulation; equality re-proves the operator on a
+    * skewed real distribution (every vocabulary word shares the 1-char
+    * prefixes).
+    */
+  private def q140(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.load(spark, dir, "documents")
+      .select(explode(
+        graft.operators.TextAnalysis.tokens(lower(col("text"))))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pre = freq
+      .withColumn("k",
+        explode(sequence(lit(1), least(lit(4), length(col("word"))))))
+      .select(expr("substr(word, 1, k)").as("prefix"),
+        col("word"), col("freq"))
+    graft.plans.TopKPerKey
+      .perKey(pre, Seq("prefix"), Seq("freq" -> false, "word" -> true), 3)
+      .select("prefix", "word", "freq")
+      .orderBy(col("prefix"), col("freq").desc, col("word"))
+  }
+
+  /** Trailing 14-day OLS slope — q111's regression moments inside a
+    * moving frame: per (class, day), the slope of daily counts against
+    * the dense day index over the last 14 observed days, in the exact
+    * cleared-fraction form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) — every
+    * moment an exact BIGINT window sum, ONE division per row, NULL for
+    * single-point frames (the q77 guard). The local-trend feature a
+    * forecaster consumes next to q126's lags — q136 gives the
+    * recursive smoother, this gives the windowed estimator.
+    *
+    * Scale: day-grain partial agg, per-class windows with ≤ 14-row
+    * frames over the bounded day grid.
+    */
+  private def q141(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val f = w.rowsBetween(-13, Window.currentRow)
+    val withIdx = daily.withColumn("t", row_number().over(w).cast("long"))
+    withIdx
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("st", sum(col("t")).over(f))
+      .withColumn("sy", sum(col("y")).over(f))
+      .withColumn("sty", sum(col("t") * col("y")).over(f))
+      .withColumn("stt", sum(col("t") * col("t")).over(f))
+      .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+      .select(col("event_type"), col("day"), col("y"), col("n").as("n_win"),
+        (col("n") * col("sty") - col("st") * col("sy")).as("slope_num"),
+        col("den").as("slope_den"),
+        when(col("den") > 0,
+          (col("n") * col("sty") - col("st") * col("sy")).cast("double")
+            / col("den").cast("double")).as("slope"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Time-to-convert quantiles — the funnel-latency read next to
+    * q138's depth counts: per user, the span from FIRST view to FIRST
+    * purchase (converters = users where the purchase comes at-or-after
+    * the view), then exact p25/median/p75 of the spans by the q89
+    * integer rule (smallest value with cum·4 ≥ tot / cum·2 ≥ tot /
+    * cum·4 ≥ 3·tot) — BIGINT nanoseconds, no interpolation, plus the
+    * conversion share as one division.
+    *
+    * Scale: user-grain partial agg; the quantile window runs over
+    * DISTINCT span values (≤ users) — the q89 vc-exchange shape, one
+    * bounded global window documented like q87's.
+    */
+  private def q142(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firsts = e
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ns"))).as("v0"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("p0"))
+      .localCheckpoint(true)
+    val spans = firsts
+      .filter(col("v0").isNotNull && col("p0").isNotNull &&
+        col("p0") >= col("v0"))
+      .select((col("p0") - col("v0")).as("t2c"))
+    val vc = spans.groupBy("t2c").agg(count(lit(1)).as("c"))
+    val byV = Window.orderBy("t2c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = vc
+      .withColumn("cum", sum(col("c")).over(byV))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+      .agg(
+        max(col("tot")).as("n_converters"),
+        min(when(col("cum") * 4 >= col("tot"), col("t2c"))).as("p25_ns"),
+        min(when(col("cum") * 2 >= col("tot"), col("t2c"))).as("median_ns"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("t2c"))).as("p75_ns"),
+        min(col("t2c")).as("min_ns"), max(col("t2c")).as("max_ns"))
+    val users = firsts.agg(count(lit(1)).as("n_users"))
+    users.crossJoin(q)
+      .select(col("n_users"), col("n_converters"),
+        (col("n_converters").cast("double") / col("n_users").cast("double"))
+          .as("conversion_share"),
+        col("min_ns"), col("p25_ns"), col("median_ns"), col("p75_ns"),
+        col("max_ns"))
+  }
+
   /** Weighted median by the EXACT integer rule — per nation, the
     * customer-balance cents at which half the ORDER mass sits below
     * (smallest v with cumWeight·2 ≥ totalWeight, weight = the
@@ -4810,6 +5214,22 @@ object Relational {
 
   /** q94's PIT oracle, shared verbatim by q133 (the native as-of
     * read must be invisible to results). */
+  private val oracleQ16: String =
+    """WITH gapped AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sess AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM gapped)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   private val oracle94: String =
     """WITH a AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
@@ -5647,21 +6067,7 @@ object Relational {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
         |ORDER BY event_id""".stripMargin,
-    "q16_sessionize" ->
-      """WITH gapped AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts), 1)
-        |           OVER (PARTITION BY user_id ORDER BY event_id) > 1800000000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
-        |sess AS (
-        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM gapped)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q16_sessionize" -> oracleQ16,
     "q17_time_window" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | event_type, count(*) AS n,
@@ -6919,5 +7325,253 @@ object Relational {
         |  CAST(win[CAST((len(win) + 1) // 2 AS INTEGER)] AS BIGINT)
         |    AS moving_median
         |FROM w ORDER BY 1, 2""".stripMargin,
+    // q134: identical md5 arm split; the z statistic is the same fixed
+    // IEEE expression tree over exact counts on both engines
+    "q134_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted,
+        |    CAST(concat('0x', substr(md5('ab:' || user_id),
+        |      1, 15)) AS BIGINT) % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+        |    sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+        |      AS conv_control,
+        |    sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+        |      AS conv_treat
+        |  FROM u)
+        |SELECT CAST(n_control AS BIGINT) AS n_control,
+        |  CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(conv_control AS BIGINT) AS conv_control,
+        |  CAST(conv_treat AS BIGINT) AS conv_treat,
+        |  CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |    AS p_control,
+        |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p_treat,
+        |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |    AS lift,
+        |  CASE WHEN n_control > 0 AND n_treat > 0 AND
+        |    sqrt(CAST(conv_control + conv_treat AS DOUBLE)
+        |        / CAST(n_control + n_treat AS DOUBLE)
+        |      * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+        |          / CAST(n_control + n_treat AS DOUBLE))
+        |      * (1.0 / CAST(n_control AS DOUBLE)
+        |          + 1.0 / CAST(n_treat AS DOUBLE))) > 0
+        |  THEN (CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+        |    / sqrt(CAST(conv_control + conv_treat AS DOUBLE)
+        |        / CAST(n_control + n_treat AS DOUBLE)
+        |      * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+        |          / CAST(n_control + n_treat AS DOUBLE))
+        |      * (1.0 / CAST(n_control AS DOUBLE)
+        |          + 1.0 / CAST(n_treat AS DOUBLE))) END AS z_score
+        |FROM m""".stripMargin,
+    // q135: the same lifetime histogram + reverse cumulative at-risk;
+    // hazard and survival each one division of exact counts
+    "q135_survival" ->
+      """WITH lt AS (
+        |  SELECT user_id,
+        |    (max(epoch_ns(ts) // 86400000000000)
+        |     - min(epoch_ns(ts) // 86400000000000)) // 7 AS life_w
+        |  FROM events GROUP BY user_id),
+        |hist AS (SELECT life_w, count(*) AS churned FROM lt GROUP BY 1),
+        |span AS (SELECT max(life_w) AS w1, count(*) AS n_users FROM lt),
+        |grid AS (SELECT n_users, unnest(range(0, w1 + 1)) AS k FROM span),
+        |r AS (
+        |  SELECT grid.k, grid.n_users,
+        |    coalesce(hist.churned, 0) AS churned
+        |  FROM grid LEFT JOIN hist ON hist.life_w = grid.k),
+        |c AS (
+        |  SELECT *, sum(churned) OVER (ORDER BY k DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+        |  FROM r)
+        |SELECT k AS week, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(churned AS BIGINT) AS churned,
+        |  CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard,
+        |  CAST(at_risk - churned AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    AS survival
+        |FROM c ORDER BY 1""".stripMargin,
+    // q136: the identical Holt recurrence stepped rn -> rn+1 by a
+    // RECURSIVE CTE — every float op correctly rounded, same tree,
+    // same order, so the whole double trajectory hash-matches
+    "q136_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY day) AS rn
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, day, x, rn, CAST(x AS DOUBLE) AS l,
+        |    CAST(0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS f
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.day, i.x, i.rn,
+        |    0.5 * CAST(i.x AS DOUBLE) + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * CAST(i.x AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+        |      + 0.5 * r.b,
+        |    r.l + r.b
+        |  FROM rec r JOIN idx i
+        |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+        |SELECT event_type, day, x, l AS level, b AS trend,
+        |  f AS forecast,
+        |  abs(CAST(x AS DOUBLE) - f) AS abs_err
+        |FROM rec ORDER BY 1, 2""".stripMargin,
+    // q137: the native operator must be invisible to results — q16's
+    // window-formulation oracle verbatim
+    "q137_native_sessionize" -> oracleQ16,
+    // q138: the oracle is the NAIVE EXISTS triple join; equality proves
+    // the greedy two-as-of reduction finds a chain iff one exists
+    "q138_window_funnel" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |uv AS (SELECT count(DISTINCT user_id) AS n_view FROM v),
+        |u2 AS (SELECT count(*) AS n_vc FROM (
+        |  SELECT DISTINCT c.user_id FROM c JOIN v
+        |    ON v.user_id = c.user_id AND v.ts <= c.ts
+        |   AND c.ts - v.ts <= 86400000000000)),
+        |u3 AS (SELECT count(*) AS n_vcp FROM (
+        |  SELECT DISTINCT p.user_id FROM p
+        |  JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  JOIN v ON v.user_id = p.user_id AND v.ts <= c.ts
+        |   AND p.ts - v.ts <= 86400000000000))
+        |SELECT n_users, n_view, n_vc, n_vcp,
+        |  CASE WHEN n_users > 0 THEN
+        |    CAST(n_view AS DOUBLE) / CAST(n_users AS DOUBLE) END
+        |    AS reach_view,
+        |  CASE WHEN n_view > 0 THEN
+        |    CAST(n_vc AS DOUBLE) / CAST(n_view AS DOUBLE) END
+        |    AS conv_click,
+        |  CASE WHEN n_vc > 0 THEN
+        |    CAST(n_vcp AS DOUBLE) / CAST(n_vc AS DOUBLE) END
+        |    AS conv_purchase
+        |FROM u, uv, u2, u3""".stripMargin,
+    // q139: the same collapsed PAA-z algebra — exact integer numerator
+    // and radicand, one sqrt, one multiply, one division; identical
+    // breakpoint literals
+    "q139_sax" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |         sum(x * x) AS sxx
+        |  FROM daily GROUP BY 1),
+        |i AS (
+        |  SELECT event_type, x, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, (rn - 1) // 7 AS seg, count(*) AS n_days,
+        |         sum(x) AS segx
+        |  FROM i GROUP BY 1, 2),
+        |j AS (
+        |  SELECT s.event_type, s.seg, s.n_days,
+        |    m.n * s.segx - s.n_days * m.sx AS num,
+        |    m.n * m.sxx - m.sx * m.sx AS rad
+        |  FROM s JOIN m ON m.event_type = s.event_type),
+        |f AS (
+        |  SELECT event_type, seg, n_days, num,
+        |    CASE WHEN rad > 0 THEN CAST(num AS DOUBLE)
+        |      / (CAST(n_days AS DOUBLE) * sqrt(CAST(rad AS DOUBLE)))
+        |      END AS paa,
+        |    rad
+        |  FROM j)
+        |SELECT event_type, CAST(seg AS BIGINT) AS seg,
+        |  CAST(n_days AS BIGINT) AS n_days, CAST(num AS BIGINT) AS z_num,
+        |  paa,
+        |  CASE WHEN rad > 0 THEN
+        |    CASE WHEN paa < -0.6744897501960817 THEN 'a'
+        |         WHEN paa < 0.0 THEN 'b'
+        |         WHEN paa < 0.6744897501960817 THEN 'c'
+        |         ELSE 'd' END END AS symbol
+        |FROM f ORDER BY 1, 2""".stripMargin,
+    // q140: the row_number formulation of the native heap top-k —
+    // equality on the real skewed prefix distribution
+    "q140_prefix_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}]+'),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT substr(word, 1, CAST(k AS INTEGER)) AS prefix, word, freq
+        |  FROM f, range(1, 5) t(k) WHERE k <= length(word)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY prefix
+        |    ORDER BY freq DESC, word) AS rn
+        |  FROM p)
+        |SELECT prefix, word, freq FROM r WHERE rn <= 3
+        |ORDER BY prefix, freq DESC, word""".stripMargin,
+    // q141: identical frame moments, cleared-fraction slope, one
+    // division, NULL for degenerate frames
+    "q141_rolling_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |i AS (
+        |  SELECT event_type, day, y, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS BIGINT) AS t
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, day, y,
+        |    count(*) OVER f AS n, sum(t) OVER f AS st,
+        |    sum(y) OVER f AS sy, sum(t * y) OVER f AS sty,
+        |    sum(t * t) OVER f AS stt
+        |  FROM i WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, y, CAST(n AS BIGINT) AS n_win,
+        |  CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+        |  CAST(n * stt - st * st AS BIGINT) AS slope_den,
+        |  CASE WHEN n * stt - st * st > 0 THEN
+        |    CAST(n * sty - st * sy AS DOUBLE)
+        |      / CAST(n * stt - st * st AS DOUBLE) END AS slope
+        |FROM m ORDER BY 1, 2""".stripMargin,
+    // q142: same first-view/first-purchase spans, the q89 integer
+    // quantile rule on the value-count exchange
+    "q142_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+        |      AS v0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+        |      AS p0
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id),
+        |s AS (SELECT p0 - v0 AS t2c FROM f
+        |      WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0),
+        |vc AS (SELECT t2c, count(*) AS c FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT t2c, sum(c) OVER (ORDER BY t2c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER () AS tot
+        |  FROM vc),
+        |q AS (
+        |  SELECT CAST(max(tot) AS BIGINT) AS n_converters,
+        |    min(CASE WHEN cum * 4 >= tot THEN t2c END) AS p25_ns,
+        |    min(CASE WHEN cum * 2 >= tot THEN t2c END) AS median_ns,
+        |    min(CASE WHEN cum * 4 >= tot * 3 THEN t2c END) AS p75_ns,
+        |    min(t2c) AS min_ns, max(t2c) AS max_ns
+        |  FROM r),
+        |u AS (SELECT count(*) AS n_users FROM f)
+        |SELECT n_users, n_converters,
+        |  CAST(n_converters AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    AS conversion_share,
+        |  min_ns, p25_ns, median_ns, p75_ns, max_ns
+        |FROM u, q""".stripMargin,
   )
 }

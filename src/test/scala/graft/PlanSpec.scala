@@ -540,6 +540,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Sort ".r.findAllMatchIn(p).size === 3, p)
   }
 
+  test("q137 native sessionize: one exchange, one scan pass, no Window") {
+    val df = Relational.defs("q137_native_sessionize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Sessionize"), p)
+    // one hash exchange on the session key; the window formulation
+    // would add TWO WindowExec passes over the same sort
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Window ["), p)
+    // EnsureRequirements' (key, order) sort + the presentation orderBy
+    assert("Sort ".r.findAllMatchIn(p).size === 2, p)
+  }
+
   test("q110: the row_number idiom is REWRITTEN to the native top-k plan") {
     val df = Relational.defs("q110_topk_rewrite")(spark, dir)
     df.collect()
