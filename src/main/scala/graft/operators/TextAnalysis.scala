@@ -1275,7 +1275,66 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** TextRank keywords (Mihalcea & Tarau 2004) — PageRank over the word
+    * adjacency graph, the graph-centrality complement of ta_rake's
+    * statistical scoring: candidate words are the stopword-filtered
+    * token stream, edges are DISTINCT adjacent pairs (symmetrized,
+    * self-loops dropped), and the rank is q39's EXACT fixed-point
+    * integer PageRank (scale 10⁹, integer div, 5 rounds) so every
+    * score is a hash-gateable BIGINT — never a float power iteration.
+    * Top-30 by (rank, word) total order.
+    *
+    * Scale: adjacency is one bounded explode of the token stream; each
+    * round is one ranks ⋈ edges shuffle (O(E)) like q39/q107; the
+    * vocabulary-sized node list is the only driver count.
+    */
+  def textrank(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val toks = docs.select(
+      filter(tokens(lower(col("text"))),
+        x => !array_contains(sw, x)).as("w"))
+      .filter(size(col("w")) >= 2)
+    val adj = toks
+      .select(explode(sequence(lit(1), size(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + lit(1)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(adj.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count() // bounded: the vocabulary node list
+    require(nNodes > 0,
+      "ta_textrank: the word adjacency graph is empty")
+    val scale = 1000000000L
+    val teleport = (scale * 15L / 100L) / nNodes
+    var ranks = deg.select(col("src").as("node"), col("deg"),
+      lit(scale / nNodes).as("rank"))
+    for (_ <- 0 until 5) {
+      val contrib = ranks
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("share"))
+        .groupBy("dst")
+        .agg(sum(col("share")).as("inflow"))
+      ranks = deg.join(contrib, col("src") === col("dst"), "left")
+        .select(col("src").as("node"), col("deg"),
+          (lit(teleport) +
+            expr("(85 * coalesce(inflow, 0)) div 100")).as("rank"))
+    }
+    ranks
+      .select(col("node").as("word"), col("deg").as("degree"),
+        col("rank").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(topK)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_textrank" -> ((s, d) =>
+      textrank(Tables.load(s, d, "documents"))),
     "ta_rake" -> ((s, d) =>
       rakeKeywords(Tables.load(s, d, "documents"))),
     "ta_bm25" -> ((s, d) =>
@@ -1487,6 +1546,42 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = {
     val base: Map[String, String] = Map(
+    // ta_textrank: q39's unrolled fixed-point iterations on the word
+    // adjacency graph — every rank an exact BIGINT
+    "ta_textrank" -> {
+      def it(k: Int): String =
+        s"""it$k AS (
+           |  SELECT d.src AS node, d.deg,
+           |    CAST(150000000 AS BIGINT) // (SELECT n FROM n)
+           |      + (85 * COALESCE(f.inflow, 0)) // 100 AS rank
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.dst, sum(r.rank // r.deg) AS inflow
+           |    FROM it${k - 1} r JOIN edges e ON r.node = e.src
+           |    GROUP BY 1) f ON d.src = f.dst)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT list_filter(
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+         |                x -> x <> ''),
+         |    x -> x NOT IN ('the','a','of','and','to','in')) AS w
+         |  FROM documents),
+         |t2 AS (SELECT w FROM t WHERE len(w) >= 2),
+         |ap AS (
+         |  SELECT w[i] AS a, w[i + 1] AS b
+         |  FROM (SELECT w, generate_subscripts(w, 1) AS i FROM t2)
+         |  WHERE i < len(w) AND w[i] <> w[i + 1]),
+         |und AS (SELECT DISTINCT a, b FROM ap),
+         |edges AS (SELECT a AS src, b AS dst FROM und
+         |          UNION SELECT b, a FROM und),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |it0 AS (SELECT src AS node, deg,
+         |          CAST(1000000000 AS BIGINT) // (SELECT n FROM n) AS rank
+         |        FROM deg),
+         |${(1 to 5).map(it).mkString(",\n")}
+         |SELECT node AS word, CAST(deg AS BIGINT) AS degree,
+         |  CAST(rank AS BIGINT) AS rank_scaled
+         |FROM it5 ORDER BY rank_scaled DESC, word LIMIT 30""".stripMargin
+    },
     // ta_rake: the same stopword-delimited candidate extraction and
     // aggregate deg-sum/freq-sum ratio — one division of exact sums
     "ta_rake" ->

@@ -32,15 +32,22 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 object AsOfJoin {
 
   /** Left-outer as-of join: for each row of `left`, the row of `right`
-    * with equal `rightKey` and the greatest (`rightTime`, tiebreak...)
-    * among rows with rightTime ≤ leftTime. Columns resolve by name
-    * (the TopKPerKey convention: the logical node carries plain
-    * resolved attributes).
+    * with equal `rightKey` and — backward (default) — the greatest
+    * (`rightTime`, tiebreak...) among rows with rightTime ≤ leftTime,
+    * or — `forward = true` — the SMALLEST (rightTime, tiebreak...)
+    * among rows with rightTime ≥ leftTime (the next-event lookup:
+    * time-to-next-touch, following fill). Both directions are the same
+    * single forward merge pass: ascending left times mean the backward
+    * kernel never rewinds its carried row and the forward kernel never
+    * needs a dropped row again. Columns resolve by name (the
+    * TopKPerKey convention: the logical node carries plain resolved
+    * attributes).
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightTiebreak: Seq[String] = Nil): DataFrame = {
+           rightTiebreak: Seq[String] = Nil,
+           forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies ++= Seq(AsOfJoinStrategy)
@@ -72,14 +79,15 @@ object AsOfJoin {
       s"AsOfJoin: time types differ — $leftTime: ${lt.dataType} vs " +
         s"$rightTime: ${rt.dataType}")
     GraftShims.ofRows(spark,
-      AsOfJoinPlan(lk, rk, lt, rt, rightTiebreak.map(attr(r, _)), l, r))
+      AsOfJoinPlan(lk, rk, lt, rt, rightTiebreak.map(attr(r, _)), forward,
+        l, r))
   }
 }
 
 /** Logical node: left columns as-is, right columns nullable (left-outer). */
 case class AsOfJoinPlan(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTiebreak: Seq[Expression],
+                        rightTiebreak: Seq[Expression], forward: Boolean,
                         left: LogicalPlan, right: LogicalPlan)
   extends BinaryNode {
   override def output: Seq[Attribute] =
@@ -94,8 +102,9 @@ case class AsOfJoinPlan(leftKey: Expression, rightKey: Expression,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lt, rt, tb, l, r) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lt, rt, tb, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, fwd,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -106,7 +115,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTiebreak: Seq[Expression],
+                        rightTiebreak: Seq[Expression], forward: Boolean,
                         left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
@@ -149,6 +158,28 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       // read without a null check — the unmatched-row nulls became 0s
       val out = UnsafeProjection.create(output,
         lOut ++ rOut.map(_.withNullability(true)))
+      if (forward) {
+        // forward kernel: the match is the FIRST right row of the probe
+        // key at-or-after the probe time. Rows dropped here are safe to
+        // drop — their time is below the current left time, hence below
+        // every LATER left time of this key too (ascending left order);
+        // the match itself is only PEEKED (head), never consumed, so
+        // several left rows can share the same next event.
+        lIt.map { l =>
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l).copy()
+          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) < 0) {
+            rBuf.next()
+          }
+          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
+            && timeOrd.compare(rTimeProj(rBuf.head), lTime) < 0) {
+            rBuf.next()
+          }
+          val matched = rBuf.hasNext &&
+            keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
+          out(joined(l, if (matched) rBuf.head else nullRight))
+        }
+      } else {
       // carried state: the last right row (and its key) whose time was
       // at-or-before the most recent left probe of that key — the
       // forward merge never rewinds because left times are ascending
@@ -172,6 +203,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         val matched = lastRight != null && lastKey != null &&
           keyOrd.compare(lastKey, lKey) == 0
         out(joined(l, if (matched) lastRight else nullRight))
+      }
       }
     }
   }

@@ -175,6 +175,13 @@ object Relational {
     "q140_prefix_topk" -> q140,
     "q141_rolling_ols" -> q141,
     "q142_time_to_convert" -> q142,
+    "q143_native_asof_fwd" -> q143,
+    "q144_assortativity" -> q144,
+    "q145_forecast_eval" -> q145,
+    "q146_ks_test" -> q146,
+    "q147_fifo_allocation" -> q147,
+    "q148_rev_recognition" -> q148,
+    "q149_bitemporal" -> q149,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -2985,13 +2992,21 @@ object Relational {
     * range-join formulation (q94) and the native as-of formulation
     * (q133).
     */
-  private def activityDim(spark: SparkSession, dir: String): DataFrame = {
-    val byTime = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("event_id"))
-    Tables.events(spark, dir)
+  private def activityDim(spark: SparkSession, dir: String): DataFrame =
+    dimFromEvents(Tables.events(spark, dir)
       .filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("event_id"),
-        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+        expr("ts_ns div 1000").as("ts_us"), col("event_type")))
+
+  /** The SCD2 run construction over a (user_id, event_id, ts_us,
+    * event_type) slice — factored so q149 can rebuild the dimension
+    * AS-AT an earlier knowledge cut from an event-id prefix (the
+    * event-sourced as-at reconstruction).
+    */
+  private def dimFromEvents(slice: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    slice
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byTime).isNull ||
           lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
@@ -4944,11 +4959,15 @@ object Relational {
     * Scale: day-grain partial agg, classes-sized moment rollup
     * broadcast back, segment rollup over the bounded day grid.
     */
-  private def q139(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  private def q139(spark: SparkSession, dir: String): DataFrame =
+    saxFromDaily(Tables.events(spark, dir)
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The SAX finalization over a (event_type, day, x) day table — the
+    * single definition q139 and st_sax share. */
+  private[graft] def saxFromDaily(daily: DataFrame): DataFrame = {
     val m = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
@@ -4974,6 +4993,309 @@ object Relational {
             .when(paa < 0.6744897501960817, "c")
             .otherwise("d")).as("symbol"))
       .orderBy("event_type", "seg")
+  }
+
+  /** The FORWARD native as-of — [[graft.plans.AsOfJoin]]'s second
+    * direction: for each purchase, the NEXT view at-or-after it (the
+    * re-engagement / next-touch lookup behind "did the buyer come
+    * back, and how fast"). Same merge kernel, peeking instead of
+    * carrying; the oracle is the row_number-over-candidates
+    * formulation, so the direction flag is proven end-to-end like
+    * q132 proved backward. Published wait_ns is an exact integer
+    * difference.
+    */
+  private def q143(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_ns"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_ns").as("v_ts"))
+    graft.plans.AsOfJoin.asOf(purchases, views,
+        leftKey = "user_id", rightKey = "v_user",
+        leftTime = "ts_ns", rightTime = "v_ts",
+        rightTiebreak = Seq("view_id"), forward = true)
+      .select(col("purchase_id"), col("user_id"),
+        col("view_id").as("next_view_id"),
+        (col("v_ts") - col("ts_ns")).as("wait_ns"))
+      .orderBy("purchase_id")
+  }
+
+  /** Degree assortativity of the trade graph — the Newman structural
+    * statistic that closes the graph family (do well-connected nodes
+    * link to well-connected nodes?): Pearson correlation of endpoint
+    * degrees over the symmetrized DIRECTED edge list (each undirected
+    * edge counted once per direction — the standard convention) in the
+    * exact cleared-fraction form
+    *   r = (E·Σxy − Σx·Σy) / (√(E·Σxx − (Σx)²) · √(E·Σyy − (Σy)²))
+    * — moments accumulate in DECIMAL(38,0) (degree products square
+    * past BIGINT at scale) and every float op is one of the
+    * correctly-rounded five, so r hash-gates; the oracle takes its
+    * HUGEINT moments through the VARCHAR-mediated cast (the q124 house
+    * rule). Bipartite graphs skew negative — the published number is
+    * the check.
+    *
+    * Scale: two broadcast-sized joins of the edge list against the
+    * node-degree table, a 1-row moment rollup.
+    */
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val edges = tradeEdges(spark, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val m = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("e"),
+        sum(col("dx").cast(big)).as("sx"),
+        sum(col("dy").cast(big)).as("sy"),
+        sum(col("dx").cast(big) * col("dy")).as("sxy"),
+        sum(col("dx").cast(big) * col("dx")).as("sxx"),
+        sum(col("dy").cast(big) * col("dy")).as("syy"))
+    val num = col("e").cast(big) * col("sxy") - col("sx") * col("sy")
+    val d1 = col("e").cast(big) * col("sxx") - col("sx") * col("sx")
+    val d2 = col("e").cast(big) * col("syy") - col("sy") * col("sy")
+    m.select(col("e").as("n_edges"),
+        num.cast("double").as("num"),
+        d1.cast("double").as("den_x"), d2.cast("double").as("den_y"),
+        when(d1 > 0 && d2 > 0,
+          num.cast("double") /
+            (sqrt(d1.cast("double")) * sqrt(d2.cast("double"))))
+          .as("assortativity"))
+  }
+
+  /** Forecast-baseline benchmark — which cheap forecaster earns its
+    * keep on this data: per class, the naive (lag-1) and
+    * seasonal-naive (lag-7) one-step errors over the daily counts,
+    * with Σ|x − lag| and the comparison EXACT integers (MAE is one
+    * division each; the winner flag cross-multiplies sae₇·n₁ <
+    * sae₁·n₇ so no float ever decides it). The companion read to
+    * q125's autocorrelation — ρ₇ says the cycle exists, this says the
+    * cycle FORECASTS.
+    */
+  private def q145(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l7", lag(col("x"), 7).over(w))
+    lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        count(col("l1")).as("n1"),
+        sum(abs(col("x") - col("l1"))).as("sae1"),
+        count(col("l7")).as("n7"),
+        sum(abs(col("x") - col("l7"))).as("sae7"))
+      .select(col("event_type"), col("n_days"), col("n1"), col("sae1"),
+        (col("sae1").cast("double") / col("n1").cast("double"))
+          .as("mae_naive"),
+        col("n7"), col("sae7"),
+        (col("sae7").cast("double") / col("n7").cast("double"))
+          .as("mae_seasonal"),
+        (col("sae7") * col("n1") < col("sae1") * col("n7"))
+          .as("seasonal_wins"))
+      .orderBy("event_type")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test — the classic distribution-
+    * drift statistic next to q95's binned report: click vs purchase
+    * value distributions compared on the merged exact-cents grid, with
+    * the supremum taken over EXACT integers — D's numerator is
+    * max|cum₁·n₂ − cum₂·n₁| (BIGINT), D is that over n₁·n₂ in ONE
+    * division, and the 5% critical value 1.358·√((n₁+n₂)/(n₁·n₂)) is
+    * a fixed correctly-rounded tree, so even the reject verdict
+    * hash-gates. The pre-deployment check a feature-drift monitor runs
+    * on two cohorts.
+    *
+    * Scale: one value-count exchange; the cumulative window runs over
+    * DISTINCT cent values (the q89 vc-exchange shape — bounded by the
+    * value range, documented like q87's envelope).
+    */
+  private def q146(spark: SparkSession, dir: String): DataFrame =
+    ksFromCounts(Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (d2(col("value")) * 100).cast("long").as("v"))
+      .groupBy("v").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c2")))
+
+  /** The KS finalization over a (v, c1, c2) value-count table — the
+    * single definition q146 and st_ks share. Totals derive from the
+    * counts themselves, so any producer of the exchange works.
+    */
+  private[graft] def ksFromCounts(vc: DataFrame): DataFrame = {
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("k1", sum(col("c1")).over(wv))
+      .withColumn("k2", sum(col("c2")).over(wv))
+    val tot = vc.groupBy()
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      .localCheckpoint(true)
+    val m = cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("k1") * col("n2") - col("k2") * col("n1")).as("dn"))
+      .groupBy("n1", "n2").agg(max(col("dn")).as("d_num"))
+    m.select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n1") * col("n2")).cast("double")).as("d_stat"),
+        (lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+          / (col("n1") * col("n2")).cast("double"))).as("crit_05"))
+      .withColumn("reject", col("d_stat") > col("crit_05"))
+  }
+
+  /** FIFO lot allocation — the cost-basis / inventory-consumption
+    * matcher (match each debit against the earliest unexhausted
+    * credit), which LOOKS inherently sequential but is exactly the
+    * cumulative-interval identity: order each side by (ts, id), give
+    * every lot its running-sum interval [cum − cents, cum), and the
+    * FIFO allocation of credit i to debit j is the OVERLAP of their
+    * intervals — a per-user range join on exact integer cents, no
+    * recursion, no mapGroups. Published per user: lot/debit counts,
+    * allocation pairs, matched cents (≡ min(Σcredit, Σdebit) — the
+    * conservation identity the spec pins), and both unmatched tails.
+    *
+    * Scale: two window passes + one per-key interval join with
+    * per-user-bounded fan-out (the q131 argument); a pathological user
+    * would salt like any hot key.
+    */
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"), (d2(col("value")) * 100).cast("long").as("cents"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lots = e.withColumn("hi", sum(col("cents")).over(w))
+      .withColumn("lo", col("hi") - col("cents"))
+    val cr = lots.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("lo").as("cp_lo"), col("hi").as("cp_hi"))
+    val db = lots.filter(col("event_type") === "click")
+      .select(col("user_id").as("d_user"), col("lo").as("cd_lo"),
+        col("hi").as("cd_hi"))
+    val pairs = cr.join(db,
+        col("user_id") === col("d_user") &&
+          col("cp_lo") < col("cd_hi") && col("cd_lo") < col("cp_hi"))
+      .select(col("user_id"),
+        (least(col("cp_hi"), col("cd_hi"))
+          - greatest(col("cp_lo"), col("cd_lo"))).as("alloc"))
+    val matched = pairs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_allocations"),
+        sum(col("alloc")).as("matched_cents"))
+    e.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_credits"),
+        sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).as("credit_cents"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_debits"),
+        sum(when(col("event_type") === "click", col("cents"))
+          .otherwise(0L)).as("debit_cents"))
+      .join(matched, Seq("user_id"), "left_outer")
+      .withColumn("n_allocations", coalesce(col("n_allocations"), lit(0L)))
+      .withColumn("matched_cents", coalesce(col("matched_cents"), lit(0L)))
+      .select(col("user_id"), col("n_credits"), col("credit_cents"),
+        col("n_debits"), col("debit_cents"), col("n_allocations"),
+        col("matched_cents"),
+        (col("credit_cents") - col("matched_cents")).as("unmatched_credit"),
+        (col("debit_cents") - col("matched_cents")).as("unmatched_debit"))
+      .orderBy("user_id")
+  }
+
+  /** Calendarized revenue recognition — the accrual-accounting spread:
+    * each order's price is recognized evenly across the calendar months
+    * from order date through its LAST ship date, in EXACT cents with
+    * the largest-remainder rule (the first `cents mod n` months get the
+    * extra cent — q98's cent-conservation discipline on a month grid).
+    * Published per month: contributing orders and recognized cents;
+    * Σ recognized ≡ Σ order price over orders with lineitems (the spec's
+    * conservation pin). The deferred-revenue schedule a finance close
+    * actually runs.
+    *
+    * Scale: one order-grain agg for last-ship, a bounded ×months
+    * explode of the ORDER grain (TPC-H ships within months, not
+    * years), months-sized rollup.
+    */
+  private def q148(spark: SparkSession, dir: String): DataFrame = {
+    val ship = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("last_ship"))
+    Tables.load(spark, dir, "orders")
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"),
+        (d2(col("o_totalprice")) * 100).cast("long").as("cents"),
+        (year(col("o_orderdate").cast("date")) * 12
+          + month(col("o_orderdate").cast("date")) - 1).as("m0"),
+        (year(col("last_ship")) * 12 + month(col("last_ship")) - 1)
+          .as("m1"))
+      .withColumn("mEnd", greatest(col("m1"), col("m0")))
+      .withColumn("n", col("mEnd") - col("m0") + 1)
+      .withColumn("k", explode(sequence(lit(0), col("n") - 1)))
+      .select((col("m0") + col("k")).cast("long").as("month_id"),
+        (expr("cents div n")
+          + when(col("k") < col("cents") % col("n"), 1L).otherwise(0L))
+          .as("recog"))
+      .groupBy("month_id")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("recog")).as("recognized_cents"))
+      .orderBy("month_id")
+  }
+
+  /** Bitemporal correction impact — the as-at vs as-of warehouse read:
+    * the SCD2 dimension is rebuilt AS-AT an earlier KNOWLEDGE cut (the
+    * event-id prefix — how an event-sourced store answers "what did we
+    * believe then"), every purchase is enriched through BOTH dims via
+    * the native as-of (q133's read, twice), and the panel publishes the
+    * (state_then, state_now) transition matrix with revenue — the
+    * restatement report a finance/compliance close runs after late
+    * corrections. Cells off the diagonal are verdicts the later
+    * knowledge CHANGED.
+    *
+    * Scale: the dim construction twice (window passes on the user
+    * grain), two merge as-ofs, a cells-sized rollup.
+    */
+  private def q149(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val maxRow = e.agg(max(col("event_id"))).head()
+    require(!maxRow.isNullAt(0), "q149_bitemporal: events table is empty")
+    val cut = (maxRow.getLong(0) + 1) / 2
+    val nonP = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val fact = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("ts_ns div 1000").as("pts_us"),
+        (d2(col("value")) * 100).cast("long").as("cents"))
+    def pit(dim: DataFrame, outCol: String): DataFrame =
+      graft.plans.AsOfJoin.asOf(fact,
+          dim.select(col("user_id").as("d_user"),
+            col("run_seq").as("d_seq"), col("state"), col("from_us")),
+          leftKey = "user_id", rightKey = "d_user",
+          leftTime = "pts_us", rightTime = "from_us",
+          rightTiebreak = Seq("d_seq"))
+        .select(col("purchase_id").as(s"${outCol}_pid"),
+          coalesce(col("state"), lit("none")).as(outCol),
+          col("cents").as(s"${outCol}_cents"))
+    val now = pit(dimFromEvents(nonP), "state_now")
+    val thenD = pit(dimFromEvents(nonP.filter(col("event_id") <= cut)),
+      "state_then")
+    thenD.join(now,
+        col("state_then_pid") === col("state_now_pid"))
+      .groupBy(col("state_then"), col("state_now"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("state_now_cents")).as("cents"),
+        max(when(col("state_then") =!= col("state_now"), 1L)
+          .otherwise(0L)).as("is_restated"))
+      .orderBy("state_then", "state_now")
   }
 
   /** Autocomplete index — per word prefix (1–4 chars), the top-3
@@ -5229,6 +5551,54 @@ object Relational {
       | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** One suffixed copy of oracle94's dim CTE chain, optionally cut to
+    * an event-id prefix (the q149 as-at reconstruction). */
+  private def dimChainSql(sfx: String, cutPred: String): String =
+    s"""a$sfx AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events WHERE event_type <> 'purchase'$cutPred),
+       |c$sfx AS (
+       |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+       |                   OR lag(event_type) OVER w <> event_type
+       |            THEN 1 ELSE 0 END AS chg
+       |  FROM a$sfx WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id)),
+       |r$sfx AS (
+       |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+       |  FROM c$sfx),
+       |g$sfx AS (SELECT user_id, run_seq, min(event_type) AS state,
+       |        min(ts_us) AS from_us
+       |      FROM r$sfx GROUP BY 1, 2),
+       |dim$sfx AS (SELECT user_id, state, from_us,
+       |          lead(from_us) OVER (PARTITION BY user_id ORDER BY run_seq)
+       |            AS to_us
+       |        FROM g$sfx)""".stripMargin
+
+  private val oracle149: String =
+    s"""WITH cut AS (SELECT (max(event_id) + 1) // 2 AS k FROM events),
+       |${dimChainSql("n", "")},
+       |${dimChainSql("t", " AND event_id <= (SELECT k FROM cut)")},
+       |f AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pts_us,
+       |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |      FROM events WHERE event_type = 'purchase'),
+       |jn AS (SELECT f.pid, coalesce(d.state, 'none') AS state_now,
+       |         f.cents
+       |       FROM f LEFT JOIN dimn d ON f.user_id = d.user_id
+       |         AND f.pts_us >= d.from_us
+       |         AND (d.to_us IS NULL OR f.pts_us < d.to_us)),
+       |jt AS (SELECT f.pid, coalesce(d.state, 'none') AS state_then
+       |       FROM f LEFT JOIN dimt d ON f.user_id = d.user_id
+       |         AND f.pts_us >= d.from_us
+       |         AND (d.to_us IS NULL OR f.pts_us < d.to_us))
+       |SELECT state_then, state_now, count(*) AS n_purchases,
+       |  CAST(sum(jn.cents) AS BIGINT) AS cents,
+       |  CAST(max(CASE WHEN state_then <> state_now THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS is_restated
+       |FROM jt JOIN jn USING (pid)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val oracle94: String =
     """WITH a AS (
@@ -7573,5 +7943,201 @@ object Relational {
         |    AS conversion_share,
         |  min_ns, p25_ns, median_ns, p75_ns, max_ns
         |FROM u, q""".stripMargin,
+    // q143: the row_number-over-candidates formulation of the forward
+    // as-of; an unmatched purchase keeps one null row (LEFT JOIN rn=1)
+    "q143_native_asof_fwd" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id AS v_user, event_id AS view_id,
+        |         epoch_ns(ts) AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, v.view_id,
+        |    v.vts - p.pts AS wait_ns,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY v.vts, v.view_id) AS rn
+        |  FROM p LEFT JOIN v
+        |    ON v.v_user = p.user_id AND v.vts >= p.pts)
+        |SELECT purchase_id, user_id, view_id AS next_view_id, wait_ns
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // q144: HUGEINT moments, VARCHAR-mediated casts (the q124 rule —
+    // E·Σxy and the squares CAN pass 2^53), the same fixed float tree
+    "q144_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |j AS (
+        |  SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM edges e JOIN deg dx ON dx.src = e.src
+        |               JOIN deg dy ON dy.src = e.dst),
+        |m AS (
+        |  SELECT count(*) AS e,
+        |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+        |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS syy
+        |  FROM j),
+        |f AS (
+        |  SELECT e,
+        |    CAST(e AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(e AS HUGEINT) * sxx - sx * sx AS d1,
+        |    CAST(e AS HUGEINT) * syy - sy * sy AS d2
+        |  FROM m)
+        |SELECT CAST(e AS BIGINT) AS n_edges,
+        |  CAST(CAST(num AS VARCHAR) AS DOUBLE) AS num,
+        |  CAST(CAST(d1 AS VARCHAR) AS DOUBLE) AS den_x,
+        |  CAST(CAST(d2 AS VARCHAR) AS DOUBLE) AS den_y,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |      / (sqrt(CAST(CAST(d1 AS VARCHAR) AS DOUBLE))
+        |         * sqrt(CAST(CAST(d2 AS VARCHAR) AS DOUBLE))) END
+        |    AS assortativity
+        |FROM f""".stripMargin,
+    // q145: the same lag windows; SAE/counts exact, MAE one division,
+    // the winner decided by integer cross-multiplication
+    "q145_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 7) OVER w AS l7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    count(l1) AS n1, sum(abs(x - l1)) AS sae1,
+        |    count(l7) AS n7, sum(abs(x - l7)) AS sae7
+        |  FROM l GROUP BY 1)
+        |SELECT event_type, n_days, n1, CAST(sae1 AS BIGINT) AS sae1,
+        |  CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mae_naive,
+        |  n7, CAST(sae7 AS BIGINT) AS sae7,
+        |  CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS mae_seasonal,
+        |  sae7 * n1 < sae1 * n7 AS seasonal_wins
+        |FROM m ORDER BY 1""".stripMargin,
+    // q146: the same merged-grid exact-integer supremum, one division,
+    // the same critical-value tree
+    "q146_ks_test" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |vc AS (
+        |  SELECT v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT v,
+        |    sum(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+        |    sum(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2
+        |  FROM vc),
+        |t AS (
+        |  SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS n1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS n2
+        |  FROM e),
+        |m AS (
+        |  SELECT CAST(max(t.n1) AS BIGINT) AS n1,
+        |    CAST(max(t.n2) AS BIGINT) AS n2,
+        |    CAST(max(abs(k1 * t.n2 - k2 * t.n1)) AS BIGINT) AS d_num
+        |  FROM c, t)
+        |SELECT n1, n2, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat,
+        |  1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |    / CAST(n1 * n2 AS DOUBLE)) AS crit_05,
+        |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+        |    > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |        / CAST(n1 * n2 AS DOUBLE)) AS reject
+        |FROM m""".stripMargin,
+    // q147: the identical cumulative-interval construction and overlap
+    // join — every quantity an exact BIGINT cent
+    "q147_fifo_allocation" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |l AS (
+        |  SELECT *, sum(cents) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts_ns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM e),
+        |lots AS (SELECT *, hi - cents AS lo FROM l),
+        |cr AS (SELECT user_id, lo AS cp_lo, hi AS cp_hi FROM lots
+        |       WHERE event_type = 'purchase'),
+        |db AS (SELECT user_id, lo AS cd_lo, hi AS cd_hi FROM lots
+        |       WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT cr.user_id,
+        |    least(cp_hi, cd_hi) - greatest(cp_lo, cd_lo) AS alloc
+        |  FROM cr JOIN db ON db.user_id = cr.user_id
+        |    AND cp_lo < cd_hi AND cd_lo < cp_hi),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_allocations,
+        |    sum(alloc) AS matched_cents
+        |  FROM p GROUP BY 1),
+        |t AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_credits,
+        |    sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+        |      AS credit_cents,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS n_debits,
+        |    sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END)
+        |      AS debit_cents
+        |  FROM e GROUP BY 1)
+        |SELECT t.user_id, CAST(n_credits AS BIGINT) AS n_credits,
+        |  CAST(credit_cents AS BIGINT) AS credit_cents,
+        |  CAST(n_debits AS BIGINT) AS n_debits,
+        |  CAST(debit_cents AS BIGINT) AS debit_cents,
+        |  CAST(coalesce(m.n_allocations, 0) AS BIGINT) AS n_allocations,
+        |  CAST(coalesce(m.matched_cents, 0) AS BIGINT) AS matched_cents,
+        |  CAST(credit_cents - coalesce(m.matched_cents, 0) AS BIGINT)
+        |    AS unmatched_credit,
+        |  CAST(debit_cents - coalesce(m.matched_cents, 0) AS BIGINT)
+        |    AS unmatched_debit
+        |FROM t LEFT JOIN m ON m.user_id = t.user_id
+        |ORDER BY t.user_id""".stripMargin,
+    // q148: the same month grid and largest-remainder split — exact
+    // integer division and mod, cent-conserving by construction
+    "q148_rev_recognition" ->
+      """WITH ship AS (
+        |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS m0,
+        |    year(last_ship) * 12 + month(last_ship) - 1 AS m1
+        |  FROM orders JOIN ship ON l_orderkey = o_orderkey),
+        |sp AS (
+        |  SELECT o_orderkey, cents, m0,
+        |    greatest(m1, m0) - m0 + 1 AS n
+        |  FROM o),
+        |g AS (
+        |  SELECT m0, cents, n, unnest(range(0, n)) AS k FROM sp),
+        |x AS (
+        |  SELECT m0 + k AS month_id,
+        |    cents // n + CASE WHEN k < cents % n THEN 1 ELSE 0 END
+        |      AS recog
+        |  FROM g)
+        |SELECT CAST(month_id AS BIGINT) AS month_id,
+        |  count(*) AS n_orders,
+        |  CAST(sum(recog) AS BIGINT) AS recognized_cents
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q149: the dim chain twice (full + event-id prefix), two
+    // point-in-time joins, the transition matrix
+    "q149_bitemporal" -> oracle149,
   )
 }

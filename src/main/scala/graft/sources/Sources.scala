@@ -181,6 +181,48 @@ object Sources {
     prunedSummary(spark.read.schema(schema).parquet(out))
   }
 
+  /** documents → TWO parquet batches with DIFFERENT schemas (the second
+    * written by an "old producer" without the `lang` column) → one
+    * mergeSchema read-back, summarized. The schema-evolution gate every
+    * long-lived corpus store needs: producers upgrade at different
+    * times, so a directory accumulates generations and the reader must
+    * union their schemas with NULLs for absent columns — losing a row,
+    * inventing a non-null, or mis-aligning columns here corrupts every
+    * downstream join silently. mergeSchema is the ONE sanctioned
+    * deviation from the explicit-schema house rule: it reconciles
+    * FOOTERS (metadata, one small read per file), not a second data
+    * pass, which is exactly the scale-safe way to discover an evolved
+    * schema.
+    */
+  def evolutionRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-evo")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "src_evolution: the documents table is empty — no batches to write")
+    val split = (maxRow.getLong(0) + 1) / 2
+    docs.filter(col("doc_id") < split)
+      .write.mode("overwrite").parquet(out)
+    docs.filter(col("doc_id") >= split)
+      .select("doc_id", "text", "source", "n_chars") // lang not yet added
+      .write.mode("append").parquet(out)
+    val back = spark.read.option("mergeSchema", "true").parquet(out)
+    val rowKey = concat_ws("\u0001",
+      col("doc_id"), coalesce(col("lang"), lit("∅")),
+      col("n_chars"), col("text"))
+    back
+      .withColumn("h", portableHash60(rowKey))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
+          % lit(1000000007L)).cast("long").as("checksum_sum"))
+      .orderBy("source")
+  }
+
   /** The pruned-read summary over a partitioned events layout (factored
     * so PlanSpec can pin PartitionFilters on the same frame the query
     * publishes).
@@ -207,6 +249,7 @@ object Sources {
     "src_orc" -> ((s, d) => orcRoundTrip(s, d)),
     "src_zstd" -> ((s, d) => zstdRoundTrip(s, d)),
     "src_partitioned" -> ((s, d) => partitionedRoundTrip(s, d)),
+    "src_evolution" -> ((s, d) => evolutionRoundTrip(s, d)),
   )
 
   /** Both oracles ignore the format hop entirely: they decorate + summarize
@@ -251,5 +294,29 @@ object Sources {
         |  bit_xor(h) AS checksum_xor,
         |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // src_evolution: the oracle rebuilds the evolved view straight off
+    // the parquet — lang is NULL exactly for the old-producer batch;
+    // equal summaries ⇔ the mergeSchema union lost nothing and invented
+    // nothing
+    "src_evolution" ->
+      """WITH s AS (SELECT (max(doc_id) + 1) // 2 AS sp FROM documents),
+        |d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id < sp THEN lang END AS lang,
+        |    source, n_chars
+        |  FROM documents, s),
+        |h AS (
+        |  SELECT source, lang, n_chars,
+        |    CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |      doc_id, coalesce(lang, '∅'), n_chars, text)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lang_null,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  bit_xor(h) AS checksum_xor,
+        |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -658,6 +658,47 @@ object EventStream {
         "st_holt_sink", OutputMode.Complete)
       graft.queries.Relational.holtFromDaily(s.table("st_holt_sink"))
     }),
+    // Streaming SAX: the day-count reduction folds in-stream (st_holt's
+    // shape); z-normalization, PAA segmenting, and symbol mapping
+    // finalize sink-side through the shared saxFromDaily definition.
+    // Shares q139's oracle verbatim.
+    "st_sax" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("x"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("x")),
+        "st_sax_sink", OutputMode.Complete)
+      // the finalize joins the sink to its own class-moment rollup —
+      // localCheckpoint per the st_markov MemoryPlan lesson
+      graft.queries.Relational.saxFromDaily(
+        s.table("st_sax_sink").localCheckpoint(true))
+    }),
+    // Streaming KS drift: the value-count exchange (the only
+    // corpus-sized reduction in q146) folds as a plain streaming
+    // aggregate; the cumulative supremum finalizes sink-side over the
+    // distinct-cents table through the shared ksFromCounts. A drift
+    // monitor would alert straight off the reject column per batch.
+    // Shares q146's oracle verbatim.
+    "st_ks" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("v"))
+          .groupBy(col("v"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("c1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("c2")),
+        "st_ks_sink", OutputMode.Complete)
+      graft.queries.Relational.ksFromCounts(
+        s.table("st_ks_sink").localCheckpoint(true))
+    }),
     // Streaming survival panel: per-user activity spans are min/max
     // folds — commutative, so they stream as a plain aggregate; the
     // lifetime histogram + reverse-cumulative at-risk finalize
@@ -1042,6 +1083,8 @@ object EventStream {
     "st_interpolate" -> graft.queries.Relational.oracle("q119_interpolate"),
     "st_holt" -> graft.queries.Relational.oracle("q136_holt"),
     "st_survival" -> graft.queries.Relational.oracle("q135_survival"),
+    "st_sax" -> graft.queries.Relational.oracle("q139_sax"),
+    "st_ks" -> graft.queries.Relational.oracle("q146_ks_test"),
     "st_seqmine" -> graft.queries.Relational.oracle("q116_seq_mining"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),

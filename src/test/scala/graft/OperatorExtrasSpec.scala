@@ -1364,6 +1364,180 @@ class OperatorExtrasSpec extends AnyFunSuite {
       assert(g.map(_.getLong(3)).sum === 0L, "Σ(n·x − Σx) = 0")
   }
 
+  test("ta_textrank: rank floor, degree symmetry, stopword exclusion") {
+    val rows = graft.operators.TextAnalysis.textrank(
+      Tables.load(spark, TestSpark.sf0001, "documents")).collect()
+    assert(rows.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    rows.foreach { r =>
+      assert(!stop.contains(r.getString(0)), "stopwords never rank")
+      assert(r.getLong(1) >= 1L, "every ranked word has an edge")
+      // rank >= teleport share by construction (inflow is nonnegative)
+      assert(r.getLong(2) > 0L)
+    }
+    // descending rank order with the word tiebreak
+    val rs = rows.map(r => (r.getLong(2), r.getString(0)))
+    rs.sliding(2).foreach {
+      case Array((ra, wa), (rb, wb)) =>
+        assert(ra > rb || (ra == rb && wa < wb))
+      case _ =>
+    }
+  }
+
+  test("q144 assortativity: moments replayed exactly; bipartite sign") {
+    val r = Relational.defs("q144_assortativity")(spark, TestSpark.sf0001)
+      .collect().head
+    val edges = Tables.load(spark, TestSpark.sf0001, "orders")
+      .join(Tables.load(spark, TestSpark.sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val sym = edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ds = sym.map { case (a, b) => (BigInt(deg(a)), BigInt(deg(b))) }
+    val e = BigInt(ds.length)
+    val (sx, sy) = (ds.map(_._1).sum, ds.map(_._2).sum)
+    val sxy = ds.map { case (a, b) => a * b }.sum
+    val sxx = ds.map(d => d._1 * d._1).sum
+    assert(r.getLong(0) === ds.length.toLong)
+    assert(r.getDouble(1) === (e * sxy - sx * sy).toDouble)
+    assert(r.getDouble(2) === (e * sxx - sx * sx).toDouble)
+    // the customer-supplier graph is bipartite: hubs link to leaves,
+    // so assortativity must come out negative
+    assert(r.getDouble(4) < 0.0)
+  }
+
+  test("q145 forecast eval: SAE replayed; winner flag cross-multiplies") {
+    val rows = Relational.defs("q145_forecast_eval")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet.size === rows.length)
+    rows.foreach { r =>
+      val (n1, sae1) = (r.getLong(2), r.getLong(3))
+      val (n7, sae7) = (r.getLong(5), r.getLong(6))
+      assert(n1 === r.getLong(1) - 1, "one lag-1 gap per class")
+      assert(n7 === r.getLong(1) - 7, "seven lag-7 gaps per class")
+      assert(r.getDouble(4) === sae1.toDouble / n1)
+      assert(r.getDouble(7) === sae7.toDouble / n7)
+      assert(r.getBoolean(8) === (sae7 * n1 < sae1 * n7))
+    }
+  }
+
+  test("q146 ks test: supremum replayed driver-side; verdict consistent") {
+    val r = Relational.defs("q146_ks_test")(spark, TestSpark.sf0001)
+      .collect().head
+    val (n1, n2, dn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // replay the exact-integer supremum from raw events
+    val vals = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val clicks = vals.filter(_._1 == "click").map(_._2).sorted
+    val purch = vals.filter(_._1 == "purchase").map(_._2).sorted
+    assert(n1 === clicks.length.toLong && n2 === purch.length.toLong)
+    val grid = (clicks ++ purch).distinct.sorted
+    val want = grid.map { v =>
+      val k1 = clicks.count(_ <= v).toLong
+      val k2 = purch.count(_ <= v).toLong
+      math.abs(k1 * n2 - k2 * n1)
+    }.max
+    assert(dn === want)
+    assert(r.getDouble(3) === dn.toDouble / (n1 * n2))
+    assert(r.getBoolean(5) === (r.getDouble(3) > r.getDouble(4)))
+  }
+
+  test("q147 fifo: conservation, FIFO order of allocation, tails") {
+    val rows = Relational.defs("q147_fifo_allocation")(
+      spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    var anyAlloc = false
+    rows.foreach { r =>
+      val (cred, deb) = (r.getLong(2), r.getLong(4))
+      val matched = r.getLong(6)
+      // the cumulative-interval identity: FIFO matches exactly
+      // min(total credit, total debit) — nothing strands mid-queue
+      assert(matched === math.min(cred, deb), s"user ${r.getLong(0)}")
+      assert(r.getLong(7) === cred - matched)
+      assert(r.getLong(8) === deb - matched)
+      if (r.getLong(5) > 0) anyAlloc = true
+    }
+    assert(anyAlloc, "allocation pairs exist at sf0.001")
+    // a hand-built FIFO: credits [5, 3], debits [4, 4] -> pairs
+    // (c1,d1)=4, (c1,d2)=1, (c2,d2)=3; matched=8
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 1L, "purchase", 0.05), (1L, 200L, 2L, "purchase", 0.03),
+      (1L, 300L, 3L, "click", 0.04), (1L, 400L, 4L, "click", 0.04))
+      .toDF("user_id", "ts_ns", "event_id", "event_type", "value")
+    // replay through the same interval construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val lots = ev.withColumn("cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("hi", sum(col("cents")).over(w))
+      .withColumn("lo", col("hi") - col("cents"))
+    val cr = lots.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("cid"), col("lo").as("a"), col("hi").as("b"))
+    val db = lots.filter(col("event_type") === "click")
+      .select(col("event_id").as("did"), col("lo").as("c"), col("hi").as("d"))
+    val got = cr.crossJoin(db)
+      .filter(col("a") < col("d") && col("c") < col("b"))
+      .select(col("cid"), col("did"),
+        (least(col("b"), col("d")) - greatest(col("a"), col("c"))).as("al"))
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(got === Map((1L, 3L) -> 4L, (1L, 4L) -> 1L, (2L, 4L) -> 3L))
+  }
+
+  test("q148 revenue recognition conserves cents exactly") {
+    val out = Relational.defs("q148_rev_recognition")(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val recognized = out.map(_.getLong(2)).sum
+    // ground truth: every order with >= 1 lineitem recognizes its full
+    // price — largest-remainder split must not create or lose a cent
+    val want = Tables.load(spark, TestSpark.sf0001, "orders")
+      .join(Tables.load(spark, TestSpark.sf0001, "lineitem")
+        .select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long"))).head().getLong(0)
+    assert(recognized === want, "cent conservation across the spread")
+    // gap-free month ids within the span
+    val ms = out.map(_.getLong(0))
+    assert(ms.distinct.length === ms.length)
+    out.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("src_evolution: merged read accounts for the droppped column") {
+    val out = graft.sources.Sources.evolutionRoundTrip(
+      spark, TestSpark.sf0001).collect()
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    val n = docs.count()
+    val split = (docs.agg(max("doc_id")).head().getLong(0) + 1) / 2
+    val oldBatch = docs.filter(col("doc_id") >= split).count()
+    assert(out.map(_.getLong(1)).sum === n, "no row lost in the merge")
+    assert(out.map(_.getLong(2)).sum === oldBatch,
+      "lang is NULL exactly for the old-producer batch")
+    assert(out.map(_.getLong(2)).sum > 0, "the evolution branch is live")
+  }
+
+  test("q149 bitemporal: purchase conservation and live restatements") {
+    val rows = Relational.defs("q149_bitemporal")(spark, TestSpark.sf0001)
+      .collect()
+    val nPurch = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(2)).sum === nPurch,
+      "every purchase lands in exactly one transition cell")
+    rows.foreach { r =>
+      assert((r.getLong(4) == 1L) ===
+        (r.getString(0) != r.getString(1)), "restated flag == mismatch")
+    }
+    assert(rows.exists(_.getLong(4) == 1L),
+      "the knowledge cut genuinely restates some verdicts at sf0.001")
+    assert(rows.exists(_.getLong(4) == 0L), "and confirms others")
+  }
+
   test("q140 prefix top-k: group caps, prefix containment, order") {
     val rows = Relational.defs("q140_prefix_topk")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -1415,6 +1589,51 @@ class OperatorExtrasSpec extends AnyFunSuite {
       r.getLong(5), r.getLong(6), r.getLong(7))
     assert(mn <= p25 && p25 <= med && med <= p75 && p75 <= mx)
     assert(mn >= 0, "first purchase at-or-after first view by construction")
+  }
+
+  test("AsOfJoin FORWARD equals the window formulation on adversarial data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // users: 1 = normal; 2 = clicks only BEFORE its purchase (forward
+    // unmatched); 3 = no clicks; 4 = two clicks at the SAME future time
+    // (tie by id) + a click exactly AT the purchase time (inclusive)
+    val clicks = Seq(
+      (1L, 10L, 300L), (1L, 11L, 400L), (1L, 12L, 200L),
+      (2L, 20L, 100L),
+      (4L, 40L, 500L), (4L, 41L, 900L), (4L, 42L, 900L))
+      .toDF("c_user", "click_id", "c_ts").repartition(5)
+    val purchases = Seq(
+      (1L, 100L, 250L), (1L, 101L, 400L),
+      (2L, 200L, 500L), (3L, 300L, 500L), (4L, 400L, 500L),
+      (4L, 401L, 600L))
+      .toDF("user_id", "purchase_id", "ts_ns").repartition(3)
+    val native = graft.plans.AsOfJoin.asOf(purchases, clicks,
+        "user_id", "c_user", "ts_ns", "c_ts", Seq("click_id"),
+        forward = true)
+      .select("purchase_id", "user_id", "click_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // window oracle: per purchase, the first (c_ts, click_id) >= ts_ns
+    val want = purchases.join(clicks,
+        col("user_id") === col("c_user") && col("c_ts") >= col("ts_ns"),
+        "left_outer")
+      .withColumn("rn", row_number().over(
+        W.partitionBy("purchase_id").orderBy(
+          col("c_ts").asc_nulls_last, col("click_id").asc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("purchase_id", "user_id", "click_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(native === want)
+    val byP = native.map(t => t._1 -> t._3).toMap
+    assert(byP(100L) === 10L, "next click after 250 is ts=300")
+    assert(byP(101L) === 11L, "inclusive boundary: click AT 400 matches")
+    assert(byP(200L) === -1L, "clicks only before: unmatched")
+    assert(byP(300L) === -1L, "no clicks: unmatched")
+    assert(byP(400L) === 40L)
+    assert(byP(401L) === 41L, "same-time clicks tie-broken by id")
   }
 
   test("Sessionize equals the two-window formulation on adversarial data") {

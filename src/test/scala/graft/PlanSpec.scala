@@ -554,6 +554,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Sort ".r.findAllMatchIn(p).size === 2, p)
   }
 
+  test("q143 forward as-of: merge join shape, per-side exchanges, no Window") {
+    val df = Relational.defs("q143_native_asof_fwd")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("AsOfJoin"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+    assert("Exchange hashpartitioning\\(v_user".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Window ["), p)
+    assert("Sort ".r.findAllMatchIn(p).size === 3, p)
+  }
+
   test("q110: the row_number idiom is REWRITTEN to the native top-k plan") {
     val df = Relational.defs("q110_topk_rewrite")(spark, dir)
     df.collect()
