@@ -255,17 +255,31 @@ object Dedup {
     * full O(n·m) DP — which is exactly why it runs over the LINEAR-sized
     * SNM candidate set (window·N pairs), never all pairs.
     */
-  def damerauPairs(docs: DataFrame, window: Int = 2): DataFrame = {
-    import graft.functions.editdist.damerauLevenshtein
+  /** The SNM candidate derivation shared by every neighbor-verify
+    * operator: rank-adjacent pairs within `window`, with both texts
+    * attached — (a_id, b_id, rank_dist, ta, tb). ONE definition; the
+    * three scoring operators (edit-sim, Damerau, Jaro–Winkler) differ
+    * only in the metric they apply to it, and their oracles keep the
+    * matching single pair-CTE shape.
+    */
+  private[graft] def snmCandidatePairs(docs: DataFrame,
+                                       window: Int): DataFrame = {
     val ranked = snmRanked(docs)
     val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
       .withColumn("j", explode(sequence(lit(1), lit(window))))
-      .select((col("rank") + col("j")).as("rank"), col("a_id"))
+      .select((col("rank") + col("j")).as("rank"), col("a_id"), col("j"))
     val txt = docs.select(col("doc_id"), col("text"))
     probes
       .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
       .join(txt.toDF("a_id", "ta"), "a_id")
       .join(txt.toDF("b_id", "tb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("j").as("rank_dist"),
+        col("ta"), col("tb"))
+  }
+
+  def damerauPairs(docs: DataFrame, window: Int = 2): DataFrame = {
+    import graft.functions.editdist.damerauLevenshtein
+    snmCandidatePairs(docs, window)
       .select(col("a_id"), col("b_id"),
         levenshtein(col("ta"), col("tb")).as("lev_dist"),
         damerauLevenshtein(col("ta"), col("tb")).as("dl_dist"))
@@ -287,15 +301,7 @@ object Dedup {
     */
   def jaroWinklerPairs(docs: DataFrame, window: Int = 2): DataFrame = {
     import graft.functions.editdist.jaroWinkler
-    val ranked = snmRanked(docs)
-    val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
-      .withColumn("j", explode(sequence(lit(1), lit(window))))
-      .select((col("rank") + col("j")).as("rank"), col("a_id"))
-    val txt = docs.select(col("doc_id"), col("text"))
-    probes
-      .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
-      .join(txt.toDF("a_id", "ta"), "a_id")
-      .join(txt.toDF("b_id", "tb"), "b_id")
+    snmCandidatePairs(docs, window)
       .select(col("a_id"), col("b_id"),
         jaroWinkler(col("ta"), col("tb")).as("jw_sim"),
         (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double")
@@ -306,13 +312,7 @@ object Dedup {
 
   def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 4,
                               minSim: Double = 0.8): DataFrame = {
-    val ranked = snmRanked(docs)
-    val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
-      .withColumn("j", explode(sequence(lit(1), lit(window))))
-      .select((col("rank") + col("j")).as("rank"), col("a_id"), col("j"))
-    val pairs = probes
-      .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
-    val txt = docs.select(col("doc_id"), col("text"))
+    val cands = snmCandidatePairs(docs, window)
     // two EXACT accelerations of the verify (results provably unchanged):
     //  - length gate: dist >= |len_a - len_b|, so sim >= minSim requires
     //    |Δlen| <= (1-minSim)·maxlen — kills most random-neighbor pairs
@@ -324,9 +324,7 @@ object Dedup {
     val maxLenRow = docs.agg(max(length(col("text")))).head()
     val k = if (maxLenRow.isNullAt(0)) 0
       else math.ceil((1.0 - minSim) * maxLenRow.getInt(0)).toInt
-    pairs
-      .join(txt.toDF("a_id", "ta"), "a_id")
-      .join(txt.toDF("b_id", "tb"), "b_id")
+    cands
       .filter(abs(length(col("ta")) - length(col("tb")))
         <= (lit(1.0) - lit(minSim))
           * greatest(length(col("ta")), length(col("tb"))))
@@ -336,8 +334,8 @@ object Dedup {
         lit(1.0) - col("dist").cast("double")
           / greatest(length(col("ta")), length(col("tb"))))
       .filter(col("edit_sim") >= minSim)
-      .select(col("a_id"), col("b_id"), col("j").as("rank_dist"),
-        col("edit_sim"))
+      .select(col("a_id"), col("b_id"),
+        col("rank_dist").cast("int").as("rank_dist"), col("edit_sim"))
   }
 
   /** Blocking-quality evaluation — the standard entity-resolution

@@ -457,7 +457,55 @@ object Embeddings {
 
   // --- driver-checked query surface ---
 
+  /** Simplified silhouette — per-vector cluster-quality: a = squared
+    * distance to the OWN label's centroid, b = squared distance to the
+    * nearest OTHER centroid (deterministic argmin: (d², label) order),
+    * s = (b − a)/max(a, b) — the centroid-only silhouette variant
+    * (Hruschka et al.), which needs |labels| distance probes per vector
+    * instead of the full silhouette's all-pairs scan. Distances fold
+    * over zip_with in POSITION order (a deterministic left fold) and
+    * every published float is rounded to 6 decimals — the emb_stats
+    * convention that absorbs sub-ulp fold differences across engines.
+    * The measurement that tells a curation pipeline whether its labels
+    * actually cluster in embedding space.
+    *
+    * Scale: centroids are one partial agg; the probe is a labels-sized
+    * broadcast cross — |labels| ≪ corpus by construction.
+    */
+  def silhouette(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val carr = centroids(emb)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("carr"))
+    val dists = emb
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .crossJoin(broadcast(carr))
+      .withColumn("d2", round(aggregate(
+        zip_with(col("e"), col("carr"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, y) => acc + y), 6))
+    val own = dists.filter(col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("d2").as("a2"))
+    val nearest = dists.filter(col("label") =!= col("c_label"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("vec_id").orderBy(col("d2"), col("c_label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("nearest_other"),
+        col("d2").as("b2"))
+    own.join(nearest, "vec_id")
+      .select(col("vec_id"), col("label"), col("a2"),
+        col("nearest_other"), col("b2"),
+        when(greatest(col("a2"), col("b2")) > 0,
+          round((col("b2") - col("a2"))
+            / greatest(col("a2"), col("b2")), 6)).as("silhouette"))
+      .orderBy("vec_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_silhouette" -> ((s, d) =>
+      silhouette(Tables.load(s, d, "embeddings"))),
     "emb_stats" -> ((s, d) =>
       stats(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "emb_centroids" -> ((s, d) =>
@@ -485,6 +533,43 @@ object Embeddings {
   )
 
   def oracle: Map[String, String] = Map(
+    // emb_silhouette: the same rounded-DECIMAL centroid means, the
+    // same position-order zip fold (round-6 on both engines — the
+    // emb_stats convention), the same (d2, label) argmin order
+    "emb_silhouette" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |px AS (
+        |  SELECT label, generate_subscripts(e, 1) AS pos,
+        |         unnest(e) AS v
+        |  FROM x),
+        |cen AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS c
+        |  FROM px GROUP BY 1, 2),
+        |carr AS (SELECT label AS c_label, list(c ORDER BY pos) AS carr
+        |         FROM cen GROUP BY 1),
+        |d AS (
+        |  SELECT x.vec_id, x.label, carr.c_label,
+        |    round(list_aggregate(list_transform(list_zip(x.e, carr.carr),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum'), 6) AS d2
+        |  FROM x, carr),
+        |own AS (SELECT vec_id, label, d2 AS a2 FROM d
+        |        WHERE label = c_label),
+        |oth AS (
+        |  SELECT vec_id, c_label, d2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, c_label) AS rn
+        |  FROM d WHERE label <> c_label)
+        |SELECT own.vec_id, own.label, a2,
+        |  oth.c_label AS nearest_other, oth.d2 AS b2,
+        |  CASE WHEN greatest(a2, oth.d2) > 0 THEN
+        |    round((oth.d2 - a2) / greatest(a2, oth.d2), 6) END
+        |    AS silhouette
+        |FROM own JOIN oth ON oth.vec_id = own.vec_id AND rn = 1
+        |ORDER BY own.vec_id""".stripMargin,
     "emb_gram" ->
       """WITH qq AS (
         |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))

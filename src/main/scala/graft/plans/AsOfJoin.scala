@@ -167,17 +167,25 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         // several left rows can share the same next event.
         lIt.map { l =>
           val lKey = lKeyProj(l)
-          val lTime = lTimeProj(l).copy()
-          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) < 0) {
-            rBuf.next()
+          val lTimeRow = lTimeProj(l)
+          // a NULL left time matches nothing (rightTime >= leftTime is
+          // null-rejecting); without this check nulls-first ordering
+          // would read it as "-infinity" and match the earliest row
+          if (lTimeRow.isNullAt(0)) {
+            out(joined(l, nullRight))
+          } else {
+            val lTime = lTimeRow.copy()
+            while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) < 0) {
+              rBuf.next()
+            }
+            while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
+              && timeOrd.compare(rTimeProj(rBuf.head), lTime) < 0) {
+              rBuf.next()
+            }
+            val matched = rBuf.hasNext &&
+              keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
+            out(joined(l, if (matched) rBuf.head else nullRight))
           }
-          while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
-            && timeOrd.compare(rTimeProj(rBuf.head), lTime) < 0) {
-            rBuf.next()
-          }
-          val matched = rBuf.hasNext &&
-            keyOrd.compare(rKeyProj(rBuf.head), lKey) == 0
-          out(joined(l, if (matched) rBuf.head else nullRight))
         }
       } else {
       // carried state: the last right row (and its key) whose time was
@@ -188,7 +196,15 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       var lastRight: InternalRow = null
       lIt.map { l =>
         val lKey = lKeyProj(l)
-        val lTime = lTimeProj(l).copy()
+        val lTimeRow = lTimeProj(l)
+        // NULL left time: rightTime <= leftTime is null-rejecting, so
+        // emit unmatched. (Nulls-first ordering already guarantees no
+        // rows of this key were consumed yet — the guard states the
+        // contract rather than relying on the sort convention.)
+        if (lTimeRow.isNullAt(0)) {
+          out(joined(l, nullRight))
+        } else {
+        val lTime = lTimeRow.copy()
         // drop right rows of keys strictly before the probe key
         while (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lKey) < 0) {
           rBuf.next()
@@ -203,6 +219,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
         val matched = lastRight != null && lastKey != null &&
           keyOrd.compare(lastKey, lKey) == 0
         out(joined(l, if (matched) lastRight else nullRight))
+        }
       }
       }
     }

@@ -4749,10 +4749,14 @@ object Relational {
       d(col("n_control") + col("n_treat"))
     val se = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / d(col("n_control")) + lit(1.0) / d(col("n_treat"))))
+    // every ratio guarded: Spark's divide-by-zero yields NULL where
+    // DuckDB's IEEE division yields inf/NaN — a degenerate one-arm
+    // split must read NULL on BOTH engines (the q77 guard)
     m.select(col("n_control"), col("n_treat"),
       col("conv_control"), col("conv_treat"),
-      p0.as("p_control"), p1.as("p_treat"),
-      (p1 - p0).as("lift"),
+      when(col("n_control") > 0, p0).as("p_control"),
+      when(col("n_treat") > 0, p1).as("p_treat"),
+      when(col("n_control") > 0 && col("n_treat") > 0, p1 - p0).as("lift"),
       when(col("n_control") > 0 && col("n_treat") > 0 && se > 0,
         (p1 - p0) / se).as("z_score"))
   }
@@ -5138,10 +5142,14 @@ object Relational {
     val tot = vc.groupBy()
       .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       .localCheckpoint(true)
+    // UNGROUPED agg: one row always — an empty exchange must yield the
+    // oracle's one-row-of-NULLs shape, not zero rows (n1/n2 are
+    // constant across rows, so max == the value on real data)
     val m = cum.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
         abs(col("k1") * col("n2") - col("k2") * col("n1")).as("dn"))
-      .groupBy("n1", "n2").agg(max(col("dn")).as("d_num"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("dn")).as("d_num"))
     m.select(col("n1"), col("n2"), col("d_num"),
         (col("d_num").cast("double")
           / (col("n1") * col("n2")).cast("double")).as("d_stat"),
@@ -7718,12 +7726,16 @@ object Relational {
         |  CAST(n_treat AS BIGINT) AS n_treat,
         |  CAST(conv_control AS BIGINT) AS conv_control,
         |  CAST(conv_treat AS BIGINT) AS conv_treat,
-        |  CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |  CASE WHEN n_control > 0 THEN
+        |    CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) END
         |    AS p_control,
-        |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) AS p_treat,
-        |  CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |  CASE WHEN n_treat > 0 THEN
+        |    CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) END
+        |    AS p_treat,
+        |  CASE WHEN n_control > 0 AND n_treat > 0 THEN
+        |    CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
         |    - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
-        |    AS lift,
+        |    END AS lift,
         |  CASE WHEN n_control > 0 AND n_treat > 0 AND
         |    sqrt(CAST(conv_control + conv_treat AS DOUBLE)
         |        / CAST(n_control + n_treat AS DOUBLE)

@@ -1522,6 +1522,46 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum > 0, "the evolution branch is live")
   }
 
+  test("emb_silhouette: bounds, argmin correctness, one driver replay") {
+    val rows = graft.operators.Embeddings.silhouette(
+      Tables.load(spark, TestSpark.sf0001, "embeddings")).collect()
+    val nVec = Tables.load(spark, TestSpark.sf0001, "embeddings").count()
+    assert(rows.length.toLong === nVec, "one verdict per vector")
+    rows.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(3), "nearest OTHER is never own")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(4) >= 0.0)
+      if (!r.isNullAt(5))
+        assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
+    }
+    // replay one vector end-to-end: centroids from the library, then
+    // distances/argmin/score by hand
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val cen = graft.operators.Embeddings.centroids(emb).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, g) =>
+        l -> g.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val v0 = emb.orderBy("vec_id").limit(1).collect().head
+    val e0 = v0.getSeq[Float](1).map(_.toDouble).toArray
+    def d2(c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < e0.length) {
+        val y = (e0(i) - c(i)) * (e0(i) - c(i)); acc = acc + y; i += 1
+      }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val own = d2(cen(v0.getInt(2)))
+    val (bl, bd) = cen.filter(_._1 != v0.getInt(2))
+      .map { case (l, c) => (l, d2(c)) }
+      .minBy { case (l, dd) => (dd, l) }
+    val r0 = rows.minBy(_.getLong(0))
+    assert(r0.getDouble(2) === own)
+    assert(r0.getInt(3) === bl && r0.getDouble(4) === bd)
+    val want = BigDecimal((bd - own) / math.max(own, bd))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getDouble(5) === want)
+  }
+
   test("q149 bitemporal: purchase conservation and live restatements") {
     val rows = Relational.defs("q149_bitemporal")(spark, TestSpark.sf0001)
       .collect()
