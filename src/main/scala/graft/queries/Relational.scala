@@ -182,6 +182,8 @@ object Relational {
     "q147_fifo_allocation" -> q147,
     "q148_rev_recognition" -> q148,
     "q149_bitemporal" -> q149,
+    "q150_holt_winters" -> q150,
+    "q151_decayed_ltv" -> q151,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5306,6 +5308,91 @@ object Relational {
       .orderBy("state_then", "state_now")
   }
 
+  /** Holt–Winters additive SEASONAL smoothing — q136's level+trend
+    * recurrence carrying seven weekly seasonal slots (α = β = γ = 1/2,
+    * so every update is adds and EXACT halvings):
+    *   slot_t = (t−1) mod 7,  sp = s[slot_t]
+    *   f_t = l + b + sp
+    *   l' = 0.5·(x_t − sp) + 0.5·(l + b)
+    *   b' = 0.5·(l' − l) + 0.5·b
+    *   s[slot_t] = 0.5·(x_t − l') + 0.5·sp
+    * (init l = x₁, b = 0, s ≡ 0). The oracle's RECURSIVE CTE carries
+    * the seven slots as columns and recomputes l' inline where needed —
+    * identical trees, identical order, so the full float state
+    * trajectory hash-gates (the q136 discipline with VECTOR state).
+    * The forecaster that beats both q145 baselines when the weekly
+    * cycle is real — its |x − f| residuals are the proof.
+    *
+    * Scale: the q136 envelope — per-class typed mapGroups over the
+    * bounded day grain, O(1) state (nine doubles).
+    */
+  private def q150(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1).flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var l = 0.0; var b = 0.0
+        val s = new Array[Double](7)
+        rows.iterator.zipWithIndex.map { case ((_, day, x), i) =>
+          if (i == 0) {
+            l = x.toDouble; b = 0.0
+            (k, day, x, l, b, 0.0, None: Option[Double],
+              None: Option[Double])
+          } else {
+            val slot = i % 7 // rn = i + 1, so (rn - 1) mod 7 == i mod 7
+            val sp = s(slot)
+            val f = l + b + sp
+            val l2 = 0.5 * (x.toDouble - sp) + 0.5 * (l + b)
+            val b2 = 0.5 * (l2 - l) + 0.5 * b
+            val s2 = 0.5 * (x.toDouble - l2) + 0.5 * sp
+            l = l2; b = b2; s(slot) = s2
+            (k, day, x, l, b, s2, Some(f),
+              Some(math.abs(x.toDouble - f)))
+          }
+        }
+      }.toDF("event_type", "day", "x", "level", "trend", "seasonal",
+        "forecast", "abs_err")
+      .orderBy("event_type", "day")
+  }
+
+  /** Dyadic-decay lifetime value — exponentially decayed revenue per
+    * user (½ per week of age) computed EXACTLY: each purchase weighs
+    * cents·2^(K−age) in BIGINT (K = the global maximum age, so weights
+    * are integers), and ONE division by 2^K publishes the decayed
+    * value — no pow(), no per-row float decay, no order-dependent sum.
+    * The recency-weighted LTV a retention/marketing pipeline ranks on,
+    * next to q108's unweighted RFM.
+    *
+    * Scale: one user-grain partial agg over a broadcast 1-row horizon.
+    */
+  private def q151(spark: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("d"),
+        (d2(col("value")) * 100).cast("long").as("cents"))
+    val horizon = p.agg(max(col("d")).as("d1"),
+      expr("max(d) - min(d)").as("span")).localCheckpoint(true)
+    p.crossJoin(broadcast(horizon))
+      .withColumn("age_w", expr("(d1 - d) div 7"))
+      .withColumn("k", expr("span div 7"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("raw_cents"),
+        max(col("k")).as("kmax"),
+        sum(expr("cents * shiftleft(1L, cast(k - age_w as int))"))
+          .as("wsum"))
+      .select(col("user_id"), col("n_purchases"), col("raw_cents"),
+        (col("wsum").cast("double")
+          / expr("shiftleft(1L, cast(kmax as int))").cast("double"))
+          .as("decayed_cents"))
+      .orderBy("user_id")
+  }
+
   /** Autocomplete index — per word prefix (1–4 chars), the top-3
     * completions by corpus frequency, planned through the NATIVE
     * [[graft.plans.TopKPerKey]] operator (its first text-side
@@ -8151,5 +8238,62 @@ object Relational {
     // q149: the dim chain twice (full + event-id prefix), two
     // point-in-time joins, the transition matrix
     "q149_bitemporal" -> oracle149,
+    // q150: the identical nine-double recurrence with the seven
+    // seasonal slots carried as recursive-CTE columns; l' recomputed
+    // inline where the update rules need it (the q136 convention)
+    "q150_holt_winters" -> {
+      val sp = "CASE (i.rn - 1) % 7 " +
+        (0 to 6).map(j => s"WHEN $j THEN r.s$j").mkString(" ") + " END"
+      val lNew = s"0.5 * (CAST(i.x AS DOUBLE) - ($sp)) + 0.5 * (r.l + r.b)"
+      def sNew(j: Int): String =
+        s"    CASE WHEN (i.rn - 1) % 7 = $j THEN " +
+          s"0.5 * (CAST(i.x AS DOUBLE) - ($lNew)) + 0.5 * ($sp) " +
+          s"ELSE r.s$j END"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         |         count(*) AS x
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY day) AS rn
+         |  FROM daily),
+         |rec AS (
+         |  SELECT event_type, day, x, rn, CAST(x AS DOUBLE) AS l,
+         |    CAST(0 AS DOUBLE) AS b,
+         |    ${(0 to 6).map(j => s"CAST(0 AS DOUBLE) AS s$j").mkString(", ")},
+         |    CAST(NULL AS DOUBLE) AS f
+         |  FROM idx WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.event_type, i.day, i.x, i.rn,
+         |    $lNew,
+         |    0.5 * (($lNew) - r.l) + 0.5 * r.b,
+         |${(0 to 6).map(sNew).mkString(",\n")},
+         |    r.l + r.b + ($sp)
+         |  FROM rec r JOIN idx i
+         |    ON i.event_type = r.event_type AND i.rn = r.rn + 1)
+         |SELECT event_type, day, x, l AS level, b AS trend,
+         |  CASE (rn - 1) % 7 ${(0 to 6)
+            .map(j => s"WHEN $j THEN s$j").mkString(" ")} END AS seasonal,
+         |  f AS forecast,
+         |  abs(CAST(x AS DOUBLE) - f) AS abs_err
+         |FROM rec ORDER BY 1, 2""".stripMargin
+    },
+    // q151: the same integer 2^(K-age) weights and the one division
+    "q151_decayed_ltv" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(d) AS d1, max(d) - min(d) AS span FROM p),
+        |w AS (
+        |  SELECT user_id, cents, (d1 - d) // 7 AS age_w, span // 7 AS k
+        |  FROM p, h)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT)
+        |      << CAST(k - age_w AS INTEGER))) AS DOUBLE)
+        |    / CAST(CAST(1 AS BIGINT) << CAST(max(k) AS INTEGER)
+        |        AS DOUBLE) AS decayed_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

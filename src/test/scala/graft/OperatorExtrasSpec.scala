@@ -1562,6 +1562,62 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(r0.getDouble(5) === want)
   }
 
+  test("q150 holt-winters: nine-double recurrence replayed driver-side") {
+    val rows = Relational.defs("q150_holt_winters")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val seq = g.sortBy(_.getString(1))
+      var l = 0.0; var b = 0.0
+      val s = new Array[Double](7)
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2)
+        if (i == 0) {
+          l = x.toDouble; b = 0.0
+          assert(r.getDouble(5) === 0.0 && r.isNullAt(6) && r.isNullAt(7))
+        } else {
+          val slot = i % 7
+          val sp = s(slot)
+          val f = l + b + sp
+          val l2 = 0.5 * (x.toDouble - sp) + 0.5 * (l + b)
+          val b2 = 0.5 * (l2 - l) + 0.5 * b
+          val s2 = 0.5 * (x.toDouble - l2) + 0.5 * sp
+          l = l2; b = b2; s(slot) = s2
+          assert(r.getDouble(6) === f && r.getDouble(5) === s2)
+          assert(r.getDouble(7) === math.abs(x.toDouble - f))
+        }
+        assert(r.getDouble(3) === l && r.getDouble(4) === b)
+      }
+    }
+  }
+
+  test("q151 decayed ltv: exact dyadic weights; bounds; full replay") {
+    val rows = Relational.defs("q151_decayed_ltv")(spark, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // full replay from raw events with BigInt weights
+    val p = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d1 = p.map(_._2).max
+    val kmax = (d1 - p.map(_._2).min) / 7
+    val byUser = p.groupBy(_._1)
+    rows.foreach { r =>
+      val g = byUser(r.getLong(0))
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === g.map(_._3).sum)
+      val wsum = g.map { case (_, d, c) =>
+        BigInt(c) << (kmax - (d1 - d) / 7).toInt }.sum
+      val want = wsum.toDouble / (BigInt(1) << kmax.toInt).toDouble
+      assert(r.getDouble(3) === want)
+      // decay can only shrink value, and never below raw/2^kmax
+      assert(r.getDouble(3) <= r.getLong(2).toDouble)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
   test("q149 bitemporal: purchase conservation and live restatements") {
     val rows = Relational.defs("q149_bitemporal")(spark, TestSpark.sf0001)
       .collect()
