@@ -1242,32 +1242,53 @@ object TextAnalysis {
     * vocabulary-sized. The twice-consumed candidate set is
     * localCheckpointed — the ta_bm25 lesson.
     */
-  def rakeKeywords(docs: DataFrame, topK: Int = 50): DataFrame = {
+  def rakeKeywords(docs: DataFrame, topK: Int = 50): DataFrame =
+    rakeFromCandidates(
+      candidatePhrases(docs).groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ")),
+      topK)
+
+  /** Stopword-delimited candidate phrases (≤ 4 words) — STATELESS
+    * per-document transforms only, so the same derivation runs over a
+    * document STREAM (st_rake) unchanged. */
+  private[graft] def candidatePhrases(docs: DataFrame): DataFrame = {
     val sw = array(stopwords.map(lit): _*)
-    val marked = docs
+    docs
       .withColumn("w", tokens(lower(col("text"))))
       .select(col("doc_id"),
         concat_ws(" ", transform(col("w"),
           x => when(array_contains(sw, x), lit("|")).otherwise(x)))
           .as("s"))
-    val cand = marked
       .select(col("doc_id"), explode(split(col("s"), "\\|")).as("p"))
       .select(col("doc_id"), trim(col("p")).as("phrase"))
       .filter(col("phrase") =!= "")
+      .filter(size(split(col("phrase"), " ")) <= 4)
+  }
+
+  /** The RAKE scoring over a (phrase, n_occ) candidate rollup — the
+    * single definition q-side rakeKeywords and st_rake share. Word
+    * stats re-derive from the PHRASE STRINGS weighted by occurrence
+    * counts, which is exactly the per-instance aggregation (a word's
+    * freq = Σ over phrases containing it of n_occ · its count in the
+    * phrase, deg likewise with the phrase length) — so the phrase-level
+    * rollup is the only corpus-sized reduction.
+    */
+  private[graft] def rakeFromCandidates(candOcc0: DataFrame,
+                                        topK: Int = 50): DataFrame = {
+    val candOcc = candOcc0.localCheckpoint(true) // three consumers
+    val words = candOcc
       .withColumn("pw", split(col("phrase"), " "))
-      .filter(size(col("pw")) <= 4)
-      .localCheckpoint(true)
-    val words = cand.select(explode(col("pw")).as("word"),
-      size(col("pw")).as("plen"))
+      .select(explode(col("pw")).as("word"),
+        size(col("pw")).as("plen"), col("n_occ"))
     val wstat = words.groupBy("word")
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-    val pwords = cand.select("phrase").distinct()
+      .agg(sum(col("n_occ")).as("freq"),
+        sum(col("n_occ") * col("plen")).as("deg"))
+    val pwords = candOcc
       .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
     val pscore = pwords.join(wstat, "word")
       .groupBy("phrase")
       .agg(sum(col("deg")).as("deg_sum"), sum(col("freq")).as("freq_sum"))
-    val occ = cand.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
-    occ.join(pscore, "phrase")
+    candOcc.join(pscore, "phrase")
       .select(col("phrase"), col("n_occ"), col("deg_sum"), col("freq_sum"),
         (col("deg_sum").cast("double") / col("freq_sum").cast("double"))
           .as("rake_score"))

@@ -5371,17 +5371,27 @@ object Relational {
     */
   private def q151(spark: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400L * 1000000000L
-    val p = Tables.events(spark, dir)
+    ltvFromDaily(Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr(s"ts_ns div $dayNs").as("d"),
         (d2(col("value")) * 100).cast("long").as("cents"))
-    val horizon = p.agg(max(col("d")).as("d1"),
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")))
+  }
+
+  /** The decayed-LTV finalization over a per-(user, day) purchase
+    * rollup — the single definition q151 and st_ltv share. Day-grain
+    * pre-aggregation is EXACT here: the 2^(K−age) weight is constant
+    * within a day, so Σ cents·w = Σ_day (Σ cents)·w_day.
+    */
+  private[graft] def ltvFromDaily(daily: DataFrame): DataFrame = {
+    val horizon = daily.agg(max(col("d")).as("d1"),
       expr("max(d) - min(d)").as("span")).localCheckpoint(true)
-    p.crossJoin(broadcast(horizon))
+    daily.crossJoin(broadcast(horizon))
       .withColumn("age_w", expr("(d1 - d) div 7"))
       .withColumn("k", expr("span div 7"))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_purchases"),
+      .agg(sum(col("n")).as("n_purchases"),
         sum(col("cents")).as("raw_cents"),
         max(col("k")).as("kmax"),
         sum(expr("cents * shiftleft(1L, cast(k - age_w as int))"))

@@ -699,6 +699,42 @@ object EventStream {
       graft.queries.Relational.ksFromCounts(
         s.table("st_ks_sink").localCheckpoint(true))
     }),
+    // Streaming RAKE: candidate-phrase extraction is STATELESS per
+    // document (explode + filters), so it runs on the ingest stream
+    // unchanged; the phrase-occurrence rollup folds as a streaming
+    // aggregate and the word-stat/scoring finalize re-derives
+    // everything from the phrase strings sink-side (rakeFromCandidates
+    // — the exact per-instance weighting identity). Shares ta_rake's
+    // oracle verbatim: a crawler feed gets live keyword extraction
+    // with phrase-level state only.
+    "st_rake" -> ((s, d) => {
+      runToMemory(
+        graft.operators.TextAnalysis.candidatePhrases(readDocuments(s, d))
+          .groupBy(col("phrase"))
+          .agg(count(lit(1)).as("n_occ")),
+        "st_rake_sink", OutputMode.Complete)
+      graft.operators.TextAnalysis.rakeFromCandidates(
+        s.table("st_rake_sink"))
+    }),
+    // Streaming decayed LTV: the per-(user, day) purchase rollup folds
+    // in-stream (count + exact cents sum — both commutative); the
+    // dyadic 2^(K-age) weighting finalizes sink-side through the
+    // shared ltvFromDaily (day-grain pre-aggregation is exact — the
+    // weight is constant within a day). Shares q151's oracle verbatim.
+    "st_ltv" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("ts_ns div 86400000000000").as("d"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy(col("user_id"), col("d"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")),
+        "st_ltv_sink", OutputMode.Complete)
+      graft.queries.Relational.ltvFromDaily(
+        s.table("st_ltv_sink").localCheckpoint(true))
+    }),
     // Streaming survival panel: per-user activity spans are min/max
     // folds — commutative, so they stream as a plain aggregate; the
     // lifetime histogram + reverse-cumulative at-risk finalize
@@ -1085,6 +1121,8 @@ object EventStream {
     "st_survival" -> graft.queries.Relational.oracle("q135_survival"),
     "st_sax" -> graft.queries.Relational.oracle("q139_sax"),
     "st_ks" -> graft.queries.Relational.oracle("q146_ks_test"),
+    "st_rake" -> graft.operators.TextAnalysis.oracle("ta_rake"),
+    "st_ltv" -> graft.queries.Relational.oracle("q151_decayed_ltv"),
     "st_seqmine" -> graft.queries.Relational.oracle("q116_seq_mining"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
