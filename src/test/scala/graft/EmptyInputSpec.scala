@@ -36,6 +36,30 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("sixth-session operators handle an empty corpus") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // native sessionize: empty in, empty out, session_id in the schema
+    val noEvents = Tables.events(spark, TestSpark.sf0001).filter(lit(false))
+      .select("user_id", "event_id", "ts_ns")
+    val sess = graft.plans.Sessionize
+      .assign(noEvents, "user_id", Seq("event_id"), "ts_ns", 1L)
+    assert(sess.count() === 0 && sess.columns.contains("session_id"))
+    // forward as-of over two empty sides: empty result, joined schema
+    val fwd = graft.plans.AsOfJoin.asOf(
+      noEvents, noEvents.toDF("u2", "e2", "t2"),
+      "user_id", "u2", "ts_ns", "t2", Seq("e2"), forward = true)
+    assert(fwd.count() === 0)
+    // RAKE / TextRank / JW pairs over an empty corpus
+    assert(TextAnalysis.rakeKeywords(noDocs).count() === 0)
+    assert(Dedup.jaroWinklerPairs(noDocs).count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.textrank(noDocs).collect()
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+    // silhouette over an empty embedding table: empty, never a crash
+    assert(Embeddings.silhouette(noEmb).count() === 0)
+  }
+
   test("round-10 content operators handle an empty corpus") {
     import graft.operators.Multimodal
     assert(Multimodal.edgeStats(noDocs).count() === 0)

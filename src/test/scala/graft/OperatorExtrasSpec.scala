@@ -329,7 +329,10 @@ class OperatorExtrasSpec extends AnyFunSuite {
         "q119_interpolate", "q120_weighted_median", "q121_moving_mad",
         "q123_gini", "q124_hhi", "q125_seasonality", "q126_lag_features",
         "q127_spatial_join", "q129_concurrency", "q130_pareto",
-        "q131_dup_payments"))
+        "q131_dup_payments", "q134_ab_test", "q136_holt", "q139_sax",
+        "q141_rolling_ols", "q144_assortativity", "q145_forecast_eval",
+        "q147_fifo_allocation", "q148_rev_recognition",
+        "q150_holt_winters"))
       PlanAudit.assertScaleSafe(Relational.defs(q)(spark, TestSpark.sf0001))
   }
 
