@@ -5414,17 +5414,24 @@ object Relational {
     * skewed real distribution (every vocabulary word shares the 1-char
     * prefixes).
     */
-  private def q140(spark: SparkSession, dir: String): DataFrame = {
-    val freq = Tables.load(spark, dir, "documents")
+  private def q140(spark: SparkSession, dir: String): DataFrame =
+    prefixTopkFromVocab(Tables.load(spark, dir, "documents")
       .select(explode(
         graft.operators.TextAnalysis.tokens(lower(col("text"))))
         .as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+
+  /** The prefix fan-out + native heap top-k over a (word, freq)
+    * vocabulary — the single definition q140 and st_prefix_topk share
+    * (the vocabulary fold is the only corpus-sized reduction; this
+    * finalize is vocabulary-sized).
+    */
+  private[graft] def prefixTopkFromVocab(freq: DataFrame): DataFrame = {
     val pre = freq
       .withColumn("k",
         explode(sequence(lit(1), least(lit(4), length(col("word"))))))
       .select(expr("substr(word, 1, k)").as("prefix"),
-        col("word"), col("freq"))
+        col("word"), col("freq").cast("long").as("freq"))
     graft.plans.TopKPerKey
       .perKey(pre, Seq("prefix"), Seq("freq" -> false, "word" -> true), 3)
       .select("prefix", "word", "freq")

@@ -716,6 +716,23 @@ object EventStream {
       graft.operators.TextAnalysis.rakeFromCandidates(
         s.table("st_rake_sink"))
     }),
+    // Streaming autocomplete: the vocabulary count folds in-stream
+    // (tokenize + explode are stateless; the word rollup is the only
+    // corpus-sized state); the prefix fan-out and NATIVE TopKPerKey
+    // heap finalize over the vocabulary-sized sink. Shares q140's
+    // oracle verbatim — the native operator proven again behind a
+    // streaming fold.
+    "st_prefix_topk" -> ((s, d) => {
+      runToMemory(
+        readDocuments(s, d)
+          .select(explode(graft.operators.TextAnalysis
+            .tokens(lower(col("text")))).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("freq")),
+        "st_prefix_sink", OutputMode.Complete)
+      graft.queries.Relational.prefixTopkFromVocab(
+        s.table("st_prefix_sink").localCheckpoint(true))
+    }),
     // Streaming decayed LTV: the per-(user, day) purchase rollup folds
     // in-stream (count + exact cents sum — both commutative); the
     // dyadic 2^(K-age) weighting finalizes sink-side through the
@@ -1123,6 +1140,7 @@ object EventStream {
     "st_ks" -> graft.queries.Relational.oracle("q146_ks_test"),
     "st_rake" -> graft.operators.TextAnalysis.oracle("ta_rake"),
     "st_ltv" -> graft.queries.Relational.oracle("q151_decayed_ltv"),
+    "st_prefix_topk" -> graft.queries.Relational.oracle("q140_prefix_topk"),
     "st_seqmine" -> graft.queries.Relational.oracle("q116_seq_mining"),
     "st_anomaly" -> graft.queries.Relational.oracle("q41_anomaly"),
     "st_funnel" -> graft.queries.Relational.oracle("q47_funnel"),
