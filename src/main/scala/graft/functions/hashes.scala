@@ -122,6 +122,46 @@ case class Poly31Hash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Bloom-filter membership probe over a string column — the
+  * valve of [[graft.operators.Dedup.contaminationBloom]] as a native
+  * expression instead of a scalar UDF (a UDF forces the whole scan stage
+  * out of whole-stage codegen; this keeps the filter inside the generated
+  * loop, PlanSpec-pinned). Probes with `mightContainBinary` over the
+  * UTF8String's bytes — byte-identical to the `putString`/
+  * `mightContainString` path `DataFrameStatFunctions.bloomFilter` used to
+  * build the filter (both hash the UTF-8 encoding) without a per-row
+  * String allocation.
+  *
+  * Holds the SERIALIZED filter: the expression ships inside the stage's
+  * task binary, which Spark already torrent-broadcasts once per stage, and
+  * each executor deserializes it once (transient lazy), not per row or
+  * per task attempt.
+  */
+case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  def probe(s: UTF8String): Boolean = filter.mightContainBinary(s.getBytes)
+
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the whole expression instance rides the codegen references array —
+    // the generated loop calls probe() straight on it, zero boxing
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** 32-bit sign-masked variant — column form of the reference's ihash. */
 case class Fnv1aIHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -156,6 +196,12 @@ object hashes {
 
   /** Rabin–Karp polynomial rolling hash of a string column (codegen'd). */
   def poly31Hash(c: Column): Column = GraftShims.column(Poly31Hash(expression(c)))
+
+  /** Membership probe of a pre-built `util.sketch.BloomFilter` (pass its
+    * serialized form) over a string column, as a codegen'd expression.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column =
+    GraftShims.column(BloomMightContain(bloomBytes, expression(c)))
 
   /** Driver-side ±1 from the md5-prefix parity of `key` — the SAME 15-hex
     * construction as [[portableHash60]], so an oracle can rebuild the

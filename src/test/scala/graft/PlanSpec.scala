@@ -259,6 +259,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom valve is a codegen'd expression, not a UDF (dd_contam_bloom)") {
+    import graft.functions.hashes.bloomMightContain
+    // a filter built from the BloomMightContain expression must stay
+    // inside whole-stage codegen — the scalar-UDF formulation it replaced
+    // forced the scan stage into interpreted row-at-a-time evaluation
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    bloom.putString("Customer")
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val df = Tables.load(spark, dir, "customer")
+      .filter(bloomMightContain(bytes, substring(col("c_name"), 1, 8)))
+      .select(col("c_custkey"))
+    df.collect() // finalize AQE plan with codegen markers
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage codegen stages: $p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"bloom probe fell back to a UDF:\n$p")
+    assert(p.contains("bloom_might_contain"), s"probe expression missing:\n$p")
+    // correctness of the serialized round-trip: putString and the
+    // UTF8String-bytes probe agree (all c_name values start "Customer")
+    assert(df.count() === Tables.load(spark, dir, "customer").count())
+  }
+
   test("fnv1a64 custom expression participates in codegen") {
     import graft.functions.hashes.fnv1a64
     val df = Tables.load(spark, dir, "part")
