@@ -1267,7 +1267,7 @@ object Dedup {
     */
   def cosineTop1(emb: DataFrame, nQueries: Int): DataFrame =
     Similarity.bruteForceTopK(
-      emb.filter(col("vec_id") < nQueries), emb, k = 1)
+      emb.filter(col("vec_id") < nQueries).limit(nQueries), emb, k = 1)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("nn_id"))
 
   /** Content-defined chunking (the restic/borgbackup/LBFS dedup
@@ -1495,7 +1495,11 @@ object Dedup {
     * the final one) — shared by the LSH, cluster and edit-distance oracles
     * exactly as the Spark side shares [[lshPairsFromSignatures]].
     */
-  private[graft] val PAIR_CTES =
+  /** The oracle's replay of [[minhashSignatures]] + [[bandsOf]] — shared
+    * with the `src_dsv2` band-store round-trip, whose store holds exactly
+    * this `bands` relation.
+    */
+  private[graft] val BANDS_CTES =
     s"""sh AS ($SH),
        |h AS (SELECT doc_id,
        |        CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h0
@@ -1507,7 +1511,10 @@ object Dedup {
        |        FROM h CROSS JOIN perms GROUP BY 1, 2),
        |bands AS (SELECT doc_id, (i - 1) // 4 AS band,
        |            md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkey
-       |          FROM sig GROUP BY doc_id, (i - 1) // 4),
+       |          FROM sig GROUP BY doc_id, (i - 1) // 4)""".stripMargin
+
+  private[graft] val PAIR_CTES =
+    s"""$BANDS_CTES,
        |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |          FROM bands a JOIN bands b
        |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin

@@ -431,7 +431,7 @@ object Embeddings {
     import graft.functions.vector.vecDot
     import org.apache.spark.sql.expressions.Window
     val qv = nonZeroCodes(emb, keep = Seq("label"))
-    val queries = broadcast(qv.filter(col("vec_id") < nQueries)
+    val queries = broadcast(qv.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("q").as("qq")))
     val dot = vecDot(col("qq"), col("q")).cast("long")

@@ -511,6 +511,7 @@ object Similarity {
           .as("r_lex"))
     val qv = Embeddings.nonZeroCodes(emb)
     val queryRow = broadcast(qv.filter(col("vec_id") === queryVecId)
+      .limit(1) // plan-visible bound: vec_id is unique (see PlanAudit)
       .select(col("vec_id").as("qid"), col("q").as("qq")))
     val sem = qv.join(queryRow, col("vec_id") =!= col("qid"))
       .withColumn("dot", vecDot(col("qq"), col("q")).cast("long"))
@@ -536,7 +537,7 @@ object Similarity {
         Tables.load(s, d, "embeddings"))),
     "ann_bruteforce" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      bruteForceTopK(e.filter(col("vec_id") < 20).limit(20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
     // Approximate vs brute force (recall asserted in DedupSpec) but fully
@@ -545,22 +546,22 @@ object Similarity {
     // bucket/cell assignment, not merely rows-checked.
     "ann_lsh" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      lshTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      lshTopK(e.filter(col("vec_id") < 20).limit(20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
     "ann_ivf" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      ivfTopK(e.filter(col("vec_id") < 20).limit(20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
     "ann_pq" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      pqTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      pqTopK(e.filter(col("vec_id") < 20).limit(20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
     "ann_ivfpq" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      ivfPqTopK(e.filter(col("vec_id") < 20), e, k = 5)
+      ivfPqTopK(e.filter(col("vec_id") < 20).limit(20), e, k = 5)
         .orderBy("query_id", "rank")
     }),
     "ann_mmr" -> ((s, d) =>
@@ -575,7 +576,7 @@ object Similarity {
     // index.
     "ann_recall" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 20)
+      val q = e.filter(col("vec_id") < 20).limit(20)
       val bf = bruteForceTopK(q, e, k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true) // consumed by every method + the total

@@ -4506,7 +4506,8 @@ object Relational {
       .select(col("user_id"), expr(s"ts_ns div $dayNs").as("d"))
       .distinct()
       .localCheckpoint(true)
-    val span = ud.agg(min("d").as("d0"), max("d").as("d1")).localCheckpoint(true)
+    val span = graft.tools.Scalar.scalarRow(
+      ud.agg(min("d").as("d0"), max("d").as("d1")))
     val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
     val wau = ud
       .withColumn("k", explode(sequence(lit(0), lit(6))))
@@ -5141,12 +5142,12 @@ object Relational {
     val cum = vc
       .withColumn("k1", sum(col("c1")).over(wv))
       .withColumn("k2", sum(col("c2")).over(wv))
-    val tot = vc.groupBy()
-      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-      .localCheckpoint(true)
     // UNGROUPED agg: one row always — an empty exchange must yield the
     // oracle's one-row-of-NULLs shape, not zero rows (n1/n2 are
-    // constant across rows, so max == the value on real data)
+    // constant across rows, so max == the value on real data).
+    // scalarRow keeps that 1-row bound visible to PlanAudit.
+    val tot = graft.tools.Scalar.scalarRow(vc.groupBy()
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")))
     val m = cum.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
         abs(col("k1") * col("n2") - col("k2") * col("n1")).as("dn"))
@@ -5385,8 +5386,10 @@ object Relational {
     * within a day, so Σ cents·w = Σ_day (Σ cents)·w_day.
     */
   private[graft] def ltvFromDaily(daily: DataFrame): DataFrame = {
-    val horizon = daily.agg(max(col("d")).as("d1"),
-      expr("max(d) - min(d)").as("span")).localCheckpoint(true)
+    // scalarRow, not localCheckpoint: same eager single job, but the
+    // 1-row bound stays visible to PlanAudit (see tools.Scalar)
+    val horizon = graft.tools.Scalar.scalarRow(
+      daily.agg(max(col("d")).as("d1"), expr("max(d) - min(d)").as("span")))
     daily.crossJoin(broadcast(horizon))
       .withColumn("age_w", expr("(d1 - d) div 7"))
       .withColumn("k", expr("span div 7"))

@@ -1,8 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, UnionExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Scale-rule audit of a physical plan — the checks this repo's PlanSpec
@@ -16,8 +21,18 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `cartesian` (error): CartesianProduct / BroadcastNestedLoopJoin —
   *    quadratic row production or an unbounded broadcast; almost always a
   *    missing join key or a non-equi predicate that needed a range/banded
-  *    formulation. (A 1-row side makes it harmless — flagged anyway; the
-  *    caller allowlists deliberate scalar cross joins.)
+  *    formulation. Exception: a nested-loop join whose BROADCAST side has
+  *    a row count PROVABLY bounded by the plan itself — a global
+  *    aggregate (1 row), a literal local relation or range, a limit, or
+  *    inner/cross joins and unions of such — is the deliberate
+  *    bounded-cross idiom (attach a computed corpus statistic or a small
+  *    literal dimension to every row): linear in the big side, not
+  *    quadratic, so it downgrades to a `bounded-cross` warning instead of
+  *    forcing every such query onto a waiver list. The bound must be
+  *    visible IN THE PLAN — a side that is semantically small but
+  *    lineage-truncated (localCheckpoint) or data-dependently filtered
+  *    does not qualify and stays an error for the caller to waive with a
+  *    named bound.
   *  - `global-window` (error): a window function with NO partition spec —
   *    every row flows through ONE task's sort. The fix is the two-level
   *    bucket prefix-sum (see TextAnalysis.packSequences) or a partition
@@ -50,13 +65,58 @@ object PlanAudit {
     }
   }
 
+  /** "Driver-adjacent": a nested-loop side proved no larger than this is
+    * a dimension/statistic, not a corpus. Generous — the real point is
+    * that the bound exists INDEPENDENT of input size, so the join is
+    * O(bound x big side), i.e. linear.
+    */
+  private val BoundedBroadcastCap = 65536L
+
+  /** Plan-proved upper bound on this subtree's row count, independent of
+    * input data size — None when no such bound is derivable. Ungrouped
+    * aggregates produce exactly 1 row; literal local relations and ranges
+    * carry their size; limits cap; inner/cross joins multiply bounds and
+    * unions add them; conservatively walked through single-child wrappers
+    * (project/filter/sort/exchange/codegen adapters only shrink or
+    * preserve row counts) and reused-exchange / query-stage references.
+    */
+  private def boundedRowCount(p: SparkPlan): Option[Long] = p match {
+    case a: BaseAggregateExec if a.groupingExpressions.isEmpty => Some(1L)
+    case l: LocalTableScanExec => Some(l.rows.size.toLong)
+    case r: RangeExec => Some(r.numElements.min(BigInt(Long.MaxValue)).toLong)
+    case g: GlobalLimitExec if g.limit >= 0 => Some(g.limit.toLong)
+    case r: ReusedExchangeExec => boundedRowCount(r.child)
+    case q: QueryStageExec => boundedRowCount(q.plan)
+    case j: BaseJoinExec if j.joinType == Inner || j.joinType == Cross ||
+        j.joinType == LeftSemi =>
+      for (a <- boundedRowCount(j.left); b <- boundedRowCount(j.right))
+        yield math.min(a.toDouble * b.toDouble, Long.MaxValue.toDouble).toLong
+    case u: UnionExec =>
+      u.children.foldLeft(Option(0L)) { (acc, c) =>
+        for (a <- acc; b <- boundedRowCount(c)) yield a + b
+      }
+    case other if other.children.size == 1 => boundedRowCount(other.children.head)
+    case _ => None
+  }
+
   def audit(df: DataFrame, wideColumns: Int = 8): Seq[Finding] = {
     val plan = df.queryExecution.executedPlan
     val out = Seq.newBuilder[Finding]
     def firstLine(p: SparkPlan): String = p.toString.linesIterator.next()
     walk(plan) {
-      case p if p.nodeName == "CartesianProduct" ||
-        p.nodeName == "BroadcastNestedLoopJoin" =>
+      case b: BroadcastNestedLoopJoinExec =>
+        val side = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        boundedRowCount(side) match {
+          case Some(n) if n <= BoundedBroadcastCap =>
+            out += Finding("bounded-cross", error = false,
+              s"broadcast side provably <= $n rows: ${firstLine(b)}")
+          case _ =>
+            out += Finding("cartesian", error = true, firstLine(b))
+        }
+      case p if p.nodeName == "CartesianProduct" =>
         out += Finding("cartesian", error = true, firstLine(p))
       case w: WindowExec if w.partitionSpec.isEmpty =>
         out += Finding("global-window", error = true, firstLine(w))

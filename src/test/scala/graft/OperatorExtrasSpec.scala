@@ -305,9 +305,25 @@ class OperatorExtrasSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.load(spark, TestSpark.sf0001, "lineitem")
     val o = Tables.load(spark, TestSpark.sf0001, "orders")
-    // deliberate scale-killers
-    val cart = li.limit(5).crossJoin(o.limit(5))
+    // deliberate scale-killer: both sides unbounded (plan-only — never run)
+    val cart = li.crossJoin(o)
     assert(PlanAudit.audit(cart).exists(f => f.rule == "cartesian" && f.error))
+    // plan-proved bounded sides downgrade to the bounded-cross warning:
+    // limits bound each side, the product (25) is driver-adjacent
+    val bounded = li.limit(5).crossJoin(o.limit(5))
+    val bf = PlanAudit.audit(bounded)
+    assert(bf.exists(f => f.rule == "bounded-cross" && !f.error), bf.toString)
+    assert(!bf.exists(_.error))
+    // a lineage-truncated side (localCheckpoint) hides its bound — stays
+    // an error, by design: the bound must be visible IN THE PLAN
+    val opaque = li.crossJoin(
+      o.agg(max(col("o_totalprice")).as("m")).localCheckpoint(true))
+    assert(PlanAudit.audit(opaque).exists(f => f.rule == "cartesian" && f.error))
+    // the same statistic via Scalar.scalarRow keeps the 1-row bound visible
+    val visible = li.crossJoin(graft.tools.Scalar.scalarRow(
+      o.agg(max(col("o_totalprice")).as("m"))))
+    assert(PlanAudit.audit(visible).exists(f => f.rule == "bounded-cross"))
+    assert(!PlanAudit.audit(visible).exists(_.error))
     val gw = o.withColumn("rn",
       row_number().over(Window.orderBy(col("o_orderkey"))))
     assert(PlanAudit.audit(gw).exists(f => f.rule == "global-window" && f.error))
