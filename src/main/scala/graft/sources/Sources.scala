@@ -241,6 +241,81 @@ object Sources {
           % lit(1000000007L)).cast("long").as("checksum_sum"))
       .orderBy("event_type")
 
+  /** Band store → `graft-bands` DSv2 connector → PRUNED read-back,
+    * summarized per band. The custom-connector gate: the LSH band table
+    * (`Dedup.bandsOf ∘ minhashSignatures`, the exact relation the
+    * `bands` oracle CTE rebuilds) writes through
+    * [[graft.sources.dsv2.BandStoreSource]]'s band-per-file layout and
+    * reads back with `band IN (2, 5)` — a predicate the connector
+    * absorbs in `pushFilters` and answers by FILE PRUNING in
+    * `planInputPartitions` (SourcesSpec pins the pruned scan
+    * description; full-fidelity read-back equality has its own spec).
+    * The checksums hash (doc_id, bkey) per surviving row, so a dropped
+    * file, a mis-parsed line, or a band routed to the wrong file all
+    * break the hash.
+    */
+  def dsv2RoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-dsv2")
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(
+        Tables.load(spark, sfDir, "documents")))
+    bands.write.format("graft-bands").mode("overwrite").save(out)
+    val back = spark.read.format("graft-bands").load(out)
+      .filter(col("band").isin(2, 5))
+    back
+      .withColumn("h", portableHash60(
+        concat_ws("\u0001", col("doc_id"), col("bkey"))))
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("bkey")).as("n_buckets"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
+          % lit(1000000007L)).cast("long").as("checksum_sum"))
+      .orderBy("band")
+  }
+
+  /** documents → embedded-JDBC database → partitioned read-back,
+    * summarized — the relational-system edge of the connector family
+    * (CDC dumps, metadata databases). Same adversarial decoration and
+    * lossless-summary gate as the file formats; the read side is a
+    * PARTITIONED JDBC scan (8 doc_id stripes derived from the data's
+    * min/max), which is the 100 TB-relevant discipline: a single-
+    * connection JDBC read serializes the whole table through one task,
+    * while stride predicates give every executor its own slice. Derby
+    * runs EMBEDDED IN-MEMORY here (the only RDBMS in the test container,
+    * and local-mode-only by construction — every executor thread shares
+    * the JVM); a cluster deployment points the same code at a networked
+    * database URL, where the stride predicates do the same slicing
+    * server-side.
+    */
+  def jdbcRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    // keep Derby's derby.log out of the process working directory (the
+    // repo, under sbt) — must be set before the driver first loads
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", staged("graft-derby"))
+    val url =
+      s"jdbc:derby:memory:graft${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val docs = decorate(Tables.load(spark, sfDir, "documents"))
+    docs.coalesce(4).write.mode("overwrite")
+      // explicit types: the Derby dialect maps StringType to CLOB, which
+      // cannot be compared/grouped; the corpus' text fits VARCHAR
+      .option("createTableColumnTypes",
+        "text VARCHAR(8000), lang VARCHAR(16), source VARCHAR(64)")
+      .jdbc(url, "documents", props)
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val back = spark.read
+      .option("partitionColumn", "doc_id")
+      .option("numPartitions", "8")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", (bounds.getLong(1) + 1).toString)
+      .jdbc(url, "documents", props)
+    fidelitySummary(back)
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -250,6 +325,8 @@ object Sources {
     "src_zstd" -> ((s, d) => zstdRoundTrip(s, d)),
     "src_partitioned" -> ((s, d) => partitionedRoundTrip(s, d)),
     "src_evolution" -> ((s, d) => evolutionRoundTrip(s, d)),
+    "src_dsv2" -> ((s, d) => dsv2RoundTrip(s, d)),
+    "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
   /** Both oracles ignore the format hop entirely: they decorate + summarize
@@ -318,5 +395,23 @@ object Sources {
         |  bit_xor(h) AS checksum_xor,
         |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // src_dsv2: the oracle rebuilds the band relation (the same CTE chain
+    // every dd_* pair oracle uses) straight off the parquet and summarizes
+    // bands 2 and 5 — equal answers ⇔ the connector's write routing,
+    // manifest commit, file pruning, and line parsing changed NOTHING
+    "src_dsv2" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES},
+         |b AS (SELECT doc_id, band, bkey FROM bands WHERE band IN (2, 5)),
+         |bh AS (SELECT CAST(band AS INTEGER) AS band, doc_id, bkey,
+         |        CAST(concat('0x', substr(md5(concat_ws(chr(1),
+         |          doc_id, bkey)), 1, 15)) AS BIGINT) AS h
+         |      FROM b)
+         |SELECT band, count(*) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT bkey) AS n_buckets,
+         |  bit_xor(h) AS checksum_xor,
+         |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+         |FROM bh GROUP BY band ORDER BY band""".stripMargin,
+    "src_jdbc" -> oracleSummary,
   )
 }

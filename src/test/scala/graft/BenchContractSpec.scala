@@ -57,6 +57,36 @@ class BenchContractSpec extends AnyFunSuite {
       "per-query magnitudes + _other must sum exactly to the total")
   }
 
+  test("headroom at ~400 queries: rollup still fits and reconciles") {
+    // tripwire for roster growth: at 282 entries the ladder's _other
+    // bucket already absorbs most queries; prove the contract survives a
+    // further ~40% growth (realistic long names, mixed magnitudes, a few
+    // failures) BEFORE the roster gets there, so a future round can't
+    // discover an overflowing stdout window from a red driver parse
+    val grown = (1 to 400).map { i =>
+      val fam = Seq("dd", "ann", "st", "ta", "mm", "emb", "src", "q").apply(i % 8)
+      (f"${fam}_future_operator_name_$i%03d", 0.07 * (i % 29), i % 97 != 0)
+    }
+    val line = Bench.renderLine(grown, sfDir)
+    assert(line.length <= Bench.WindowBytes - 10,
+      s"rendered ${line.length} bytes at 400 queries — the driver window " +
+        s"is ${Bench.WindowBytes}")
+    assert(!line.contains("\n"))
+    assert(line.contains("\"_other\":"), line)
+    // every failure is individually named, never folded
+    (1 to 400).filter(_ % 97 == 0).foreach { i =>
+      val fam = Seq("dd", "ann", "st", "ta", "mm", "emb", "src", "q").apply(i % 8)
+      assert(line.contains(f"${fam}_future_operator_name_$i%03d"), line)
+    }
+    // printed magnitudes still sum exactly to the printed total
+    val value = BigDecimal("""\"value\":(-?[0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1))
+    val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    val parts = qmap.split(",").map(_.split(":")(1)).map(BigDecimal(_))
+    assert(parts.map(_.abs).sum == value,
+      "per-query magnitudes + _other must sum exactly to the total")
+  }
+
   test("wholesale failure on a huge roster: true count survives truncation") {
     // pathological round: EVERY query fails (bad data dir) on a roster so
     // big the failed NAMES alone overflow the window — the floor render

@@ -259,6 +259,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a planted 80%-hot key at the shingle-join shape") {
+    // the runtime half of the skew defense: Skew.saltedJoin is the static
+    // remedy (its own spec), this pins that ADAPTIVE skew-join handling
+    // actually engages on the dd_ngram/q115 shape — a string-keyed
+    // shuffle join where one key carries ~80% of the rows. Thresholds are
+    // lowered so the tiny test corpus trips the same machinery a 100 TB
+    // hot shingle would trip at the defaults.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~80% of left rows share one shingle-like key; an incompressible
+      // per-row payload (hex digest) pads the hot partition well past the
+      // lowered threshold even after lz4 map-output compression
+      val left = spark.range(40000).select(
+        when(col("id") % 5 =!= 0, lit("the quick brown"))
+          .otherwise(concat(lit("shingle-"), col("id"))).as("s"),
+        sha2(col("id").cast("string"), 256).as("payload"))
+      val right = spark.range(4000).select(
+        when(col("id") % 5 =!= 0, lit("the quick brown"))
+          .otherwise(concat(lit("shingle-"), col("id"))).as("s"),
+        col("id").as("b_id"))
+      // aggregate on something OTHER than the join key (a groupBy on s
+      // would pin the join's output distribution and forbid the split),
+      // and keep the unique payload flowing through the join — the skew
+      // detector reads COMPRESSED map-output sizes, and a partition of
+      // identical 15-byte strings lz4-compresses under any threshold
+      val j = left.join(right, "s")
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      j.collect() // AQE decides at runtime; final plan carries the marker
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE skew-join split did not engage:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloom valve is a codegen'd expression, not a UDF (dd_contam_bloom)") {
     import graft.functions.hashes.bloomMightContain
     // a filter built from the BloomMightContain expression must stay

@@ -64,4 +64,120 @@ class SourcesSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  // ------------------------------------------------ graft-bands DSv2
+
+  private def bandsFrame() =
+    graft.operators.Dedup.bandsOf(graft.operators.Dedup.minhashSignatures(
+      Tables.load(spark, TestSpark.sf0001, "documents")))
+
+  test("graft-bands DSv2: full unfiltered read-back equals the band frame") {
+    val out = TestSpark.tempDir("graft-dsv2-full").toString
+    val bands = bandsFrame()
+    bands.write.format("graft-bands").mode("overwrite").save(out)
+    val back = spark.read.format("graft-bands").load(out)
+    val key = (r: org.apache.spark.sql.Row) =>
+      s"${r.getLong(0)}|${r.getInt(1)}|${r.getString(2)}"
+    val wrote = bands.select(col("doc_id"), col("band").cast("int"), col("bkey"))
+      .collect().map(key).sorted
+    val read = back.select("doc_id", "band", "bkey").collect().map(key).sorted
+    assert(read.length === wrote.length)
+    assert(read === wrote)
+  }
+
+  test("graft-bands DSv2: band predicates prune files at planInputPartitions") {
+    val out = TestSpark.tempDir("graft-dsv2-prune").toString
+    bandsFrame().write.format("graft-bands").mode("overwrite").save(out)
+    val pruned = spark.read.format("graft-bands").load(out)
+      .filter(col("band") === 3)
+    val p = pruned.queryExecution.executedPlan.toString
+    // the connector's scan description pins both the absorbed predicate
+    // and the file-level pruning (8 bands -> only band 3's files planned)
+    assert(p.contains("PushedBandFilters=[EqualTo(band,3)]"), p)
+    assert(p.contains("bands=[3]"), p)
+    val filesRe = """files=(\d+)/(\d+)""".r
+    val m = filesRe.findFirstMatchIn(p)
+    assert(m.isDefined, s"no files=kept/total in scan description: $p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"no files pruned: ${m.get.matched}")
+    // and the pruned read still returns exactly band 3's rows
+    val expect = bandsFrame().filter(col("band") === 3).count()
+    assert(pruned.count() === expect)
+  }
+
+  test("graft-bands DSv2: overwrite swaps the manifest atomically and " +
+    "reaps the prior generation; uncommitted files are invisible") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = TestSpark.tempDir("graft-dsv2-commit").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bkey", StringType)))
+    def frame(rows: Seq[(Long, Int, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+        schema)
+    frame(Seq((1L, 0, "aa"), (2L, 1, "bb"), (3L, 1, "bc")))
+      .write.format("graft-bands").mode("overwrite").save(out)
+    val gen1Files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb")).toSet
+    // a torn writer file with no manifest row must be invisible to readers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "b0-p9-t9-dead.gsb"),
+      "99\tzz\n".getBytes("UTF-8"))
+    assert(spark.read.format("graft-bands").load(out).count() === 3)
+    // second generation replaces the first
+    frame(Seq((7L, 2, "cc"))).write.format("graft-bands")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("graft-bands").load(out).collect()
+    assert(back.length === 1 && back(0).getLong(0) === 7L)
+    // generation-1 data files were reaped after the manifest swap
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb")).toSet
+    assert(gen1Files.intersect(left).isEmpty,
+      s"prior generation not reaped: ${gen1Files.intersect(left)}")
+  }
+
+  test("graft-bands DSv2: column pruning reaches the reader") {
+    val out = TestSpark.tempDir("graft-dsv2-cols").toString
+    bandsFrame().write.format("graft-bands").mode("overwrite").save(out)
+    val only = spark.read.format("graft-bands").load(out).select("bkey")
+    // V2 column pruning rewrites the scan's read schema — the plan's
+    // BatchScan output must carry ONLY bkey
+    val scan = only.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scan.isDefined, only.queryExecution.executedPlan.toString)
+    assert(scan.get.scan.readSchema().fieldNames.toSeq === Seq("bkey"),
+      scan.get.scan.readSchema().simpleString)
+    assert(only.distinct().count() > 0)
+  }
+
+  // ------------------------------------------------ embedded JDBC (Derby)
+
+  test("JDBC (embedded Derby) round-trip is lossless under the " +
+    "adversarial decoration") {
+    assert(Sources.jdbcRoundTrip(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq === direct())
+  }
+
+  test("JDBC read pushes predicates to the database and stripes by doc_id") {
+    val url = s"jdbc:derby:memory:graftpush;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables.load(spark, TestSpark.sf0001, "documents")
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").jdbc(url, "docs_push", props)
+    val back = spark.read
+      .option("partitionColumn", "doc_id").option("numPartitions", "4")
+      .option("lowerBound", "0").option("upperBound", "1000")
+      .jdbc(url, "docs_push", props)
+      .filter(col("n_chars") > 100)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("n_chars"),
+      s"filter not pushed to JDBC source:\n$p")
+    assert(back.rdd.getNumPartitions === 4,
+      "stride predicates did not partition the JDBC read")
+  }
+
 }
