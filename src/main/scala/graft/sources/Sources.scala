@@ -260,9 +260,16 @@ object Sources {
       graft.operators.Dedup.minhashSignatures(
         Tables.load(spark, sfDir, "documents")))
     bands.write.format("graft-bands").mode("overwrite").save(out)
-    val back = spark.read.format("graft-bands").load(out)
+    bandStoreSummary(spark, out)
+  }
+
+  /** The probed-band summary both `src_dsv2` and `src_dsv2_stream`
+    * publish: read through the connector pruned to bands 2 and 5 and
+    * checksum (doc_id, bkey) per band.
+    */
+  private def bandStoreSummary(spark: SparkSession, store: String): DataFrame =
+    spark.read.format("graft-bands").load(store)
       .filter(col("band").isin(2, 5))
-    back
       .withColumn("h", portableHash60(
         concat_ws("\u0001", col("doc_id"), col("bkey"))))
       .groupBy("band")
@@ -274,6 +281,35 @@ object Sources {
         (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
           % lit(1000000007L)).cast("long").as("checksum_sum"))
       .orderBy("band")
+
+  /** The STREAMING half of the connector gate: documents arrive as a file
+    * stream, the stream-safe row-local band projection
+    * ([[graft.operators.Dedup.rowLocalBands]] — stateless, proven equal
+    * to the groupBy signatures in DedupSpec) signs them in-flight, and
+    * `writeStream.format("graft-bands")` appends into the connector's
+    * epoch-committed StreamingWrite (idempotent micro-batch commits
+    * through the manifest's epoch ledger). The published summary and
+    * oracle are src_dsv2's verbatim: stream-ingest and batch-build of
+    * the band store must be indistinguishable to a reader.
+    */
+  def dsv2StreamRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-dsv2s")
+    val ckpt = staged("graft-src-dsv2s-ckpt")
+    val bands = graft.operators.Dedup.rowLocalBands(
+      graft.streaming.EventStream.readDocuments(spark, sfDir))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8") // state-store count for the one-batch local run
+    try {
+      val q = bands.writeStream.format("graft-bands")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
+    bandStoreSummary(spark, out)
   }
 
   /** documents → embedded-JDBC database → partitioned read-back,
@@ -326,6 +362,7 @@ object Sources {
     "src_partitioned" -> ((s, d) => partitionedRoundTrip(s, d)),
     "src_evolution" -> ((s, d) => evolutionRoundTrip(s, d)),
     "src_dsv2" -> ((s, d) => dsv2RoundTrip(s, d)),
+    "src_dsv2_stream" -> ((s, d) => dsv2StreamRoundTrip(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
@@ -398,8 +435,15 @@ object Sources {
     // src_dsv2: the oracle rebuilds the band relation (the same CTE chain
     // every dd_* pair oracle uses) straight off the parquet and summarizes
     // bands 2 and 5 — equal answers ⇔ the connector's write routing,
-    // manifest commit, file pruning, and line parsing changed NOTHING
-    "src_dsv2" ->
+    // manifest commit, file pruning, and line parsing changed NOTHING.
+    // src_dsv2_stream shares it VERBATIM: stream-ingest through the
+    // epoch-committed StreamingWrite must be indistinguishable.
+    "src_dsv2" -> dsv2Oracle,
+    "src_dsv2_stream" -> dsv2Oracle,
+    "src_jdbc" -> oracleSummary,
+  )
+
+  private lazy val dsv2Oracle: String =
       s"""WITH ${graft.operators.Dedup.BANDS_CTES},
          |b AS (SELECT doc_id, band, bkey FROM bands WHERE band IN (2, 5)),
          |bh AS (SELECT CAST(band AS INTEGER) AS band, doc_id, bkey,
@@ -411,7 +455,5 @@ object Sources {
          |  count(DISTINCT bkey) AS n_buckets,
          |  bit_xor(h) AS checksum_xor,
          |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
-         |FROM bh GROUP BY band ORDER BY band""".stripMargin,
-    "src_jdbc" -> oracleSummary,
-  )
+         |FROM bh GROUP BY band ORDER BY band""".stripMargin
 }

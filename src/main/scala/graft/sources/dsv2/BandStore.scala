@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,32 +65,111 @@ object BandStore {
   private[dsv2] def fs(path: Path, conf: Configuration): FileSystem =
     path.getFileSystem(conf)
 
-  /** Manifest rows: `fileName\tband\tlength`. */
-  private[dsv2] def readManifest(root: Path, conf: Configuration): Seq[(String, Int, Long)] = {
+  /** Manifest rows: `fileName\tband\tlength`; `#epoch\t<id>` comment rows
+    * record committed STREAMING epochs in the same file, so the entry
+    * list and the epoch ledger swap in one atomic rename.
+    */
+  private[dsv2] def readManifest(root: Path, conf: Configuration): Seq[(String, Int, Long)] =
+    readManifestFull(root, conf)._1
+
+  private[graft] def readManifestFull(root: Path, conf: Configuration)
+      : (Seq[(String, Int, Long)], Set[Long]) = {
     val f = fs(root, conf)
     val m = new Path(root, ManifestFile)
-    if (!f.exists(m)) return Seq.empty
+    if (!f.exists(m)) return (Seq.empty, Set.empty)
     val in = new BufferedReader(new InputStreamReader(f.open(m), StandardCharsets.UTF_8))
-    try Iterator.continually(in.readLine()).takeWhile(_ != null).filter(_.nonEmpty)
-      .map { line =>
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toSeq
+      val (epochLines, entryLines) = lines.partition(_.startsWith("#epoch\t"))
+      val entries = entryLines.map { line =>
         val Array(name, band, len) = line.split("\t", 3)
         (name, band.toInt, len.toLong)
-      }.toSeq
-    finally in.close()
+      }
+      (entries, epochLines.map(_.split("\t", 2)(1).toLong).toSet)
+    } finally in.close()
   }
 
-  private[dsv2] def writeManifest(root: Path, conf: Configuration,
-                                  entries: Seq[(String, Int, Long)]): Unit = {
+  private[graft] def writeManifest(root: Path, conf: Configuration,
+                                  entries: Seq[(String, Int, Long)],
+                                  epochs: Set[Long] = Set.empty): Unit = {
     val f = fs(root, conf)
     f.mkdirs(root)
     val tmp = new Path(root, s"$ManifestFile.tmp-${UUID.randomUUID()}")
     val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
-    try entries.foreach { case (n, b, l) => out.write(s"$n\t$b\t$l\n") }
-    finally out.close()
+    try {
+      epochs.toSeq.sorted.foreach(e => out.write(s"#epoch\t$e\n"))
+      entries.foreach { case (n, b, l) => out.write(s"$n\t$b\t$l\n") }
+    } finally out.close()
     val target = new Path(root, ManifestFile)
     f.delete(target, false)
     require(f.rename(tmp, target),
       s"band store commit failed: cannot rename $tmp to $target")
+  }
+}
+
+/** Store maintenance: the epoch-append write path accumulates one file
+  * per (band, task, epoch) — correct, but a long-lived streaming ingest
+  * turns the store into the classic small-files swamp (every probe pays
+  * an open() per file). Compaction merges each band's files back to ~one
+  * and publishes through the SAME atomic manifest swap readers already
+  * trust, so a racing reader keeps the prior generation end-to-end.
+  */
+object BandStoreMaintenance {
+  import org.apache.spark.sql.SparkSession
+
+  /** Distributed in-place compaction: rows are re-read through the
+    * connector, routed by band (one exchange), and each task writes one
+    * file per band it holds; the manifest then swaps to exactly the new
+    * file set, preserving the epoch ledger (compaction changes LAYOUT,
+    * not content — a later epoch replay must still deduplicate). Returns
+    * (filesBefore, filesAfter).
+    *
+    * Concurrency: single-maintainer, like the write path itself. The
+    * swap re-reads the manifest and REFUSES to publish if a writer
+    * committed since the snapshot — the store is then untouched and the
+    * compacted files are unreachable orphans (never wrong reads). A
+    * multi-writer deployment needs a CAS'd log (Delta-style) — out of
+    * scope for this store.
+    */
+  def compact(spark: SparkSession, path: String): (Int, Int) = {
+    import spark.implicits._
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val (snapshot, _) = BandStore.readManifestFull(root, conf)
+    if (snapshot.size <= 1) return (snapshot.size, snapshot.size)
+    val sconf = new SerializableConfiguration(conf)
+    val written = spark.read.format(BandStore.ShortName).load(path)
+      .repartition(org.apache.spark.sql.functions.col("band"))
+      .mapPartitions { it =>
+        val f = BandStore.fs(new Path(path), sconf.value)
+        val open = mutable.Map.empty[Int, (String, Writer)]
+        it.foreach { row =>
+          val band = row.getInt(row.fieldIndex("band"))
+          val (_, w) = open.getOrElseUpdate(band, {
+            val name = s"b$band-compact-${UUID.randomUUID()}.gsb"
+            (name, new OutputStreamWriter(
+              f.create(new Path(new Path(path), name), false),
+              StandardCharsets.UTF_8))
+          })
+          w.write(s"${row.getLong(row.fieldIndex("doc_id"))}\t" +
+            s"${row.getString(row.fieldIndex("bkey"))}\n")
+        }
+        open.values.foreach(_._2.close())
+        open.iterator.map { case (band, (name, _)) =>
+          (name, band,
+            f.getFileStatus(new Path(new Path(path), name)).getLen)
+        }
+      }.collect().toSeq // O(bands) rows — driver-adjacent by construction
+    val (current, epochs) = BandStore.readManifestFull(root, conf)
+    require(current.map(_._1).toSet == snapshot.map(_._1).toSet,
+      s"a writer committed to $path during compaction — aborting with the " +
+        "manifest untouched (the compacted files are unreachable orphans); " +
+        "rerun when the store is quiescent")
+    BandStore.writeManifest(root, conf, written, epochs)
+    val f = BandStore.fs(root, conf)
+    snapshot.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+    (snapshot.size, written.size)
   }
 }
 
@@ -113,7 +193,7 @@ class BandStoreTable(path: String) extends Table with SupportsRead with Supports
   override def schema(): StructType = BandStore.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BandScanBuilder(path,
@@ -251,6 +331,13 @@ class BandWriteBuilder(path: String, inputSchema: StructType, conf: Configuratio
     override def toBatch: BatchWrite =
       new BandBatchWrite(path, inputSchema, overwrite,
         new SerializableConfiguration(conf))
+    override def toStreaming: StreamingWrite = {
+      require(!overwrite,
+        "graft-bands streams in append mode only (a band store is an " +
+          "accumulating corpus index; complete-mode rewrites don't apply)")
+      new BandStreamingWrite(path, inputSchema,
+        new SerializableConfiguration(conf))
+    }
   }
 }
 
@@ -268,9 +355,12 @@ class BandBatchWrite(path: String, inputSchema: StructType, overwrite: Boolean,
     }
     val root = new Path(path)
     val hconf = conf.value
-    val prior = BandStore.readManifest(root, hconf)
+    val (prior, epochs) = BandStore.readManifestFull(root, hconf)
     val entries = if (overwrite) committed else prior ++ committed
-    BandStore.writeManifest(root, hconf, entries)
+    // overwrite resets the streaming-epoch ledger (new store generation);
+    // append preserves it so a later epoch replay still deduplicates
+    BandStore.writeManifest(root, hconf, entries,
+      if (overwrite) Set.empty else epochs)
     if (overwrite) {
       // the new manifest is live; the previous generation's files are
       // unreachable — delete them (a crash between rename and here only
@@ -299,12 +389,68 @@ class BandWriterFactory(path: String, inputSchema: StructType,
     new BandDataWriter(path, inputSchema, partitionId, taskId, conf.value)
 }
 
+/** Streaming (micro-batch) append into the band store. Writers are the
+  * batch writers with an epoch tag in the file name; the driver-side
+  * epoch commit is IDEMPOTENT through the manifest's epoch ledger: a
+  * replayed epoch (Structured Streaming re-runs an epoch whose commit
+  * outcome is unknown after a failure) finds its id already recorded,
+  * discards the duplicate attempt's files, and leaves the manifest
+  * untouched — the store never double-counts a micro-batch, which is the
+  * exactly-once contract a dedup index needs (a duplicated band row
+  * would only cost work, but a duplicated STORE GENERATION of the same
+  * batch would pair every doc with itself at the next probe).
+  */
+class BandStreamingWrite(path: String, inputSchema: StructType,
+                         conf: SerializableConfiguration) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new BandStreamingWriterFactory(path, inputSchema, conf)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.toSeq.flatMap {
+      case BandCommitMessage(files) => files
+    }
+    val root = new Path(path)
+    val hconf = conf.value
+    val (prior, epochs) = BandStore.readManifestFull(root, hconf)
+    if (epochs.contains(epochId)) {
+      // replayed epoch: the first attempt's files are live — drop ours
+      val f = BandStore.fs(root, hconf)
+      committed.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+    } else {
+      BandStore.writeManifest(root, hconf, prior ++ committed,
+        epochs + epochId)
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val f = BandStore.fs(root, conf.value)
+    messages.foreach {
+      case BandCommitMessage(files) =>
+        files.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+      case _ =>
+    }
+  }
+}
+
+class BandStreamingWriterFactory(path: String, inputSchema: StructType,
+                                 conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new BandDataWriter(path, inputSchema, partitionId, taskId, conf.value,
+      tag = s"e$epochId-")
+}
+
 /** Routes rows to one open file per band value seen by this task. Band
   * cardinality is the LSH parameter B (8), so at most B small files and
   * B open handles per task regardless of row count.
   */
 class BandDataWriter(path: String, inputSchema: StructType, partitionId: Int,
-                     taskId: Long, conf: Configuration)
+                     taskId: Long, conf: Configuration, tag: String = "")
     extends DataWriter[InternalRow] {
   private val idxDoc = inputSchema.fieldIndex("doc_id")
   private val idxBand = inputSchema.fieldIndex("band")
@@ -317,7 +463,7 @@ class BandDataWriter(path: String, inputSchema: StructType, partitionId: Int,
   override def write(row: InternalRow): Unit = {
     val band = row.getInt(idxBand)
     val (_, w) = open.getOrElseUpdate(band, {
-      val name = s"b$band-p$partitionId-t$taskId-${UUID.randomUUID()}.gsb"
+      val name = s"b$band-${tag}p$partitionId-t$taskId-${UUID.randomUUID()}.gsb"
       (name, new OutputStreamWriter(
         filesys.create(new Path(root, name), false), StandardCharsets.UTF_8))
     })

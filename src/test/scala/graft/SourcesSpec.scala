@@ -153,6 +153,105 @@ class SourcesSpec extends AnyFunSuite {
     assert(only.distinct().count() > 0)
   }
 
+  test("graft-bands DSv2 streaming append equals the batch build") {
+    // the stream-ingested store and the batch-built store must publish
+    // identical probed-band summaries (this is also what the shared
+    // src_dsv2 / src_dsv2_stream oracle asserts against DuckDB)
+    val batch = Sources.dsv2RoundTrip(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    val streamed = Sources.dsv2StreamRoundTrip(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    assert(streamed === batch)
+  }
+
+  test("graft-bands streaming commit is epoch-idempotent (replay discards " +
+    "the duplicate attempt)") {
+    import graft.sources.dsv2._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val out = TestSpark.tempDir("graft-dsv2-epoch").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val sw = new BandWriteBuilder(out, graft.sources.dsv2.BandStore.Schema, conf)
+      .build().toStreaming
+    val fac = sw.createStreamingWriterFactory(null)
+    def writeEpoch(epoch: Long, docId: Long): Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val w = fac.createWriter(0, 0L, epoch)
+      w.write(new GenericInternalRow(
+        Array[Any](docId, 4, UTF8String.fromString("k" + docId))))
+      Array(w.commit())
+    }
+    sw.commit(11L, writeEpoch(11L, 1L))
+    assert(spark.read.format("graft-bands").load(out).count() === 1)
+    // Structured Streaming replays an epoch whose commit outcome was
+    // unknown: same epoch id, fresh task attempt, fresh files
+    sw.commit(11L, writeEpoch(11L, 1L))
+    assert(spark.read.format("graft-bands").load(out).count() === 1,
+      "replayed epoch must not double-commit")
+    // the duplicate attempt's orphan files are deleted, not just hidden
+    val gsb = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb"))
+    assert(gsb.length === 1, s"orphan files not reaped: ${gsb.mkString(",")}")
+    // a NEW epoch appends normally
+    sw.commit(12L, writeEpoch(12L, 2L))
+    assert(spark.read.format("graft-bands").load(out).count() === 2)
+    // batch APPEND preserves the epoch ledger: replaying epoch 12 after a
+    // batch append must still deduplicate
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, 0, "zz")), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bkey",
+          org.apache.spark.sql.types.StringType))))
+    extra.write.format("graft-bands").mode("append").save(out)
+    sw.commit(12L, writeEpoch(12L, 2L))
+    assert(spark.read.format("graft-bands").load(out).count() === 3,
+      "epoch ledger lost across a batch append")
+  }
+
+  test("graft-bands compaction merges per-band files, preserves content " +
+    "and the epoch ledger, reaps the old generation") {
+    import graft.sources.dsv2.{BandStore, BandStoreMaintenance}
+    val out = TestSpark.tempDir("graft-dsv2-compact").toString
+    val bands = bandsFrame()
+    // three append generations (multi-partition writes) = many small files
+    bands.write.format("graft-bands").mode("overwrite").save(out)
+    bands.filter(col("doc_id") % 2 === 0).select(col("doc_id") + 100000,
+        col("band"), col("bkey"))
+      .toDF("doc_id", "band", "bkey")
+      .write.format("graft-bands").mode("append").save(out)
+    bands.filter(col("doc_id") % 2 === 1).select(col("doc_id") + 200000,
+        col("band"), col("bkey"))
+      .toDF("doc_id", "band", "bkey")
+      .write.format("graft-bands").mode("append").save(out)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(out)
+    // plant an epoch marker to prove the ledger survives the swap
+    val (pre, _) = BandStore.readManifestFull(root, conf)
+    BandStore.writeManifest(root, conf, pre, Set(41L))
+    val before = spark.read.format("graft-bands").load(out)
+      .collect().map(_.toString).sorted
+    val (nBefore, nAfter) = BandStoreMaintenance.compact(spark, out)
+    assert(nAfter < nBefore, s"no compaction: $nBefore -> $nAfter")
+    val after = spark.read.format("graft-bands").load(out)
+      .collect().map(_.toString).sorted
+    assert(after === before, "compaction changed the store's content")
+    val (entries, epochs) = BandStore.readManifestFull(root, conf)
+    assert(entries.size === nAfter)
+    assert(epochs === Set(41L), "epoch ledger lost in compaction swap")
+    // old generation reaped: only manifest-listed files remain on disk
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb")).toSet
+    assert(onDisk === entries.map(_._1).toSet,
+      s"orphans or missing files after compact: $onDisk vs manifest")
+  }
+
   // ------------------------------------------------ embedded JDBC (Derby)
 
   test("JDBC (embedded Derby) round-trip is lossless under the " +
