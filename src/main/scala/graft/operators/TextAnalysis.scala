@@ -1353,7 +1353,45 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Exact phrase search over positional postings — the IR twin of the
+    * MR inverted index (`mr_inverted_index` stops at doc lists; a phrase
+    * query needs POSITIONS). Per matching document: occurrence count and
+    * the first match position (0-based token offset).
+    *
+    * Shape: postings are generated ONLY for the phrase's terms — the
+    * `isin` filter rides the scan-stage posexplode, so the index volume
+    * entering the joins is O(Σ df(term)), not O(corpus tokens). Each
+    * subsequent word joins equi-keyed on (doc_id, start) with start
+    * normalized to the phrase head (pos − offset): adjacency becomes key
+    * EQUALITY, one hash shuffle per word on an already-selective side —
+    * the standard positional-intersection plan, no windows, no
+    * cartesian. Skew bound: a phrase of stopwords degrades to the most
+    * frequent term's df, exactly like any posting-list intersection.
+    */
+  def phraseSearch(docs: DataFrame,
+                   phrase: Seq[String] = Seq("merge", "join")): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          toks.filter(col("term") === w)
+            .select(col("doc_id"), (col("pos") - i).as("start")),
+          Seq("doc_id", "start"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_phrase" -> ((s, d) =>
+      phraseSearch(Tables.load(s, d, "documents"))),
     "ta_textrank" -> ((s, d) =>
       textrank(Tables.load(s, d, "documents"))),
     "ta_rake" -> ((s, d) =>
@@ -1567,6 +1605,19 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = {
     val base: Map[String, String] = Map(
+    // ta_phrase: the oracle tests the three adjacent words per position
+    // via the list-comprehension idiom (out-of-range w[i+k] is NULL in
+    // DuckDB, so no explicit length guard is needed); positions are
+    // 1-based in DuckDB lists vs the 0-based posexplode — hence i - 1
+    "ta_phrase" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |occ AS (SELECT doc_id,
+         |          unnest([i - 1 FOR i IN range(1, len(w) + 1)
+         |                  IF w[i] = 'merge' AND w[i + 1] = 'join']) AS start
+         |        FROM t)
+         |SELECT doc_id, count(*) AS n_occurrences,
+         |  CAST(min(start) AS BIGINT) AS first_pos
+         |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ta_textrank: q39's unrolled fixed-point iterations on the word
     // adjacency graph — every rank an exact BIGINT
     "ta_textrank" -> {

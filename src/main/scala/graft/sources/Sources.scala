@@ -343,6 +343,10 @@ object Sources {
         "text VARCHAR(8000), lang VARCHAR(16), source VARCHAR(64)")
       .jdbc(url, "documents", props)
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!bounds.isNullAt(0),
+      "src_jdbc: the documents table is empty — stride bounds are " +
+        "data-derived, so there is nothing to round-trip (the write above " +
+        "still created the empty table)")
     val back = spark.read
       .option("partitionColumn", "doc_id")
       .option("numPartitions", "8")

@@ -47,4 +47,27 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(fin.filter(col("split") =!= "train" && col("seq_id").isNotNull)
       .count() === 0, "non-train doc was packed")
   }
+
+  test("phrase search: adjacency is exact, overlaps count, gaps don't") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "merge join merge join table"),  // two occurrences, first at 0
+      (2L, "merge scan join"),              // gap: no match
+      (3L, "join merge"),                   // wrong order: no match
+      (4L, "a merge join"),                 // one, at token offset 1
+      (5L, "merge merge join"),             // one, at offset 1 (not 0)
+      (6L, "")                              // empty text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, Seq("merge", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 0L), (4L, 1L, 1L), (5L, 1L, 1L)))
+    // a 3-word phrase chains a second positional join
+    val tri = TextAnalysis.phraseSearch(
+      Seq((9L, "fast sort merge join now sort merge join"))
+        .toDF("doc_id", "text"),
+      Seq("sort", "merge", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri === Seq((9L, 2L, 1L)))
+  }
 }

@@ -21,6 +21,25 @@ class EmptyInputSpec extends AnyFunSuite {
   private lazy val noEmb: DataFrame =
     Tables.load(spark, TestSpark.sf0001, "embeddings").filter(lit(false))
 
+  test("connector round-trips on an empty corpus: empty store reads " +
+    "empty; data-derived JDBC bounds require loudly") {
+    // an empty-but-well-formed documents table, reachable via sfDir (the
+    // round-trips take a directory, not a frame)
+    val dir = TestSpark.tempDir("graft-empty-sf").toString
+    noDocs.write.parquet(s"$dir/documents.parquet")
+    val summary = graft.sources.Sources.dsv2RoundTrip(spark, dir)
+    assert(summary.count() === 0, "empty band store must summarize empty")
+    assert(summary.schema.fieldNames.contains("checksum_sum"))
+    // compaction of the empty store is a no-op, not a crash
+    assert(graft.sources.dsv2.BandStoreMaintenance
+      .compact(spark, graft.sources.Sources.staged("graft-empty-bands"))
+      === ((0, 0)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sources.jdbcRoundTrip(spark, dir)
+    }
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
   test("scan-stage text operators return empty frames, schema intact") {
     for ((name, df) <- Seq(
       "tokenStats" -> TextAnalysis.tokenStats(noDocs),

@@ -71,7 +71,8 @@ class RosterAuditSpec extends AnyFunSuite {
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"scale audit: $name") {
       val df = SparkEntry.queries(name)(spark, dir)
-      val errors = PlanAudit.audit(df).filter(_.error)
+      val findings = PlanAudit.audit(df)
+      val errors = findings.filter(_.error)
       waivers.get(name) match {
         case Some(bound) =>
           assert(errors.nonEmpty,
@@ -82,6 +83,13 @@ class RosterAuditSpec extends AnyFunSuite {
             s"$name has ${errors.size} scale-killer finding(s) and no " +
               s"waiver:\n${errors.mkString("\n")}")
       }
+      // pruning tripwire: the roster currently has ZERO unpruned wide
+      // scans (measured r11, tools.AuditReport) — keep it that way. A
+      // query that reads every column of a wide table multiplies scan
+      // bytes by the stored/used ratio at 100 TB.
+      val wide = findings.filter(_.rule == "wide-scan")
+      assert(wide.isEmpty,
+        s"$name reads all columns of a wide table:\n${wide.mkString("\n")}")
     }
   }
 }
