@@ -1389,6 +1389,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The SCAN form of [[phraseSearch]]: adjacency tested row-locally with
+    * higher-order functions (filter over the 0..len−k position range) —
+    * zero joins, zero shuffles, so it streams statelessly (st_phrase) and
+    * wins whenever the query set isn't amortized over a materialized
+    * postings index. Same output contract as the index form; the
+    * differential spec proves them equal on the real corpus, and the
+    * streaming twin shares ta_phrase's oracle verbatim.
+    */
+  def phraseSearchScan(docs: DataFrame,
+                       phrase: Seq[String] = Seq("merge", "join")): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchScan: empty phrase")
+    val k = phrase.size
+    val w = tokens(col("text"))
+    val starts = when(size(w) >= k,
+      filter(sequence(lit(0), size(w) - k), i =>
+        phrase.zipWithIndex.map { case (p, j) =>
+          element_at(w, i + lit(j + 1)) === lit(p)
+        }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col("doc_id"), starts.as("m"))
+      .filter(size(col("m")) > 0)
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_occurrences"),
+        element_at(col("m"), 1).cast("long").as("first_pos"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_phrase" -> ((s, d) =>
       phraseSearch(Tables.load(s, d, "documents"))),

@@ -924,6 +924,17 @@ object EventStream {
     // UNCHANGED to a document stream — stateless projections only, so the
     // stream needs no watermark and no state store, and the output is
     // row-for-row the batch result (same oracle as ta_curation). This is
+    // streaming phrase search: the SCAN form (row-local HOF adjacency,
+    // zero joins — TextAnalysis.phraseSearchScan) applied unchanged to
+    // the document stream; stateless append, shares ta_phrase's oracle
+    // verbatim (the index form and the scan form must be
+    // indistinguishable to a consumer)
+    "st_phrase" -> ((s, d) => {
+      runToMemory(
+        graft.operators.TextAnalysis.phraseSearchScan(readDocuments(s, d)),
+        "st_phrase_sink", OutputMode.Append)
+      s.table("st_phrase_sink").orderBy("doc_id")
+    }),
     // the ingest-time shape of a crawler pipeline: score-and-filter as
     // documents arrive, not in a nightly batch.
     "st_curation" -> ((s, d) => {
@@ -1163,6 +1174,8 @@ object EventStream {
          |WHERE a.doc_id < split AND b.doc_id >= split
          |ORDER BY 1, 2""".stripMargin,
     "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
+    // the scan-form phrase match must equal the index form row for row
+    "st_phrase" -> graft.operators.TextAnalysis.oracle("ta_phrase"),
     "st_phash" ->
       s"""WITH ${graft.operators.Multimodal.phashOracleCtes},
          |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents)

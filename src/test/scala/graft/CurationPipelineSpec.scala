@@ -69,5 +69,19 @@ class CurationPipelineSpec extends AnyFunSuite {
       Seq("sort", "merge", "join"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(tri === Seq((9L, 2L, 1L)))
+    // the scan (row-local HOF) form equals the index (positional join)
+    // form on the same edge cases...
+    val scan = TextAnalysis.phraseSearchScan(docs, Seq("merge", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sorted
+    assert(scan === got.sorted)
+    // ...and on the real corpus (the st_phrase twin rides this equality)
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val idx = TextAnalysis.phraseSearch(corpus)
+      .collect().map(_.toString).sorted
+    val scn = TextAnalysis.phraseSearchScan(corpus)
+      .orderBy("doc_id").collect().map(_.toString).sorted
+    assert(scn === idx)
+    assert(idx.nonEmpty, "corpus phrase should match somewhere")
   }
 }
