@@ -3331,12 +3331,15 @@ object Relational {
     var dist = spark.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    for (_ <- 1 to 6) {
+    // checkpoint every SECOND relaxation: the blocking materialization
+    // (write + job launch) is the per-iteration overhead, and a 2-deep
+    // lineage between cuts costs nothing — same shuffles, half the jobs
+    for (i <- 1 to 6) {
       dist = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("wt")).as("dist"))
         .unionByName(dist.select("node", "dist"))
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      if (i % 2 == 0) dist = dist.localCheckpoint(true)
     }
     edges.select(col("src").as("node")).distinct()
       .join(dist, Seq("node"), "left_outer")
@@ -3891,13 +3894,23 @@ object Relational {
       .localCheckpoint(true)
     def core(k: Int): DataFrame = {
       var alive = deg0.select("node")
-      for (_ <- 1 to 6) {
+      // peeling only SHRINKS the alive set, so an unchanged count is a
+      // proved fixpoint — every further iteration is the identity. The
+      // count read is ~free (the set was just eagerly checkpointed), and
+      // this graph converges in 2-3 of the 6 budgeted rounds.
+      var prev = -1L
+      var n = alive.count()
+      var i = 0
+      while (i < 6 && n != prev) {
+        prev = n
         alive = edges
           .join(alive.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
           .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select("node")
           .localCheckpoint(true)
+        n = alive.count()
+        i += 1
       }
       alive
     }
