@@ -267,8 +267,11 @@ object Sources {
     * publish: read through the connector pruned to bands 2 and 5 and
     * checksum (doc_id, bkey) per band.
     */
-  private def bandStoreSummary(spark: SparkSession, store: String): DataFrame =
-    spark.read.format("graft-bands").load(store)
+  private def bandStoreSummary(spark: SparkSession, store: String,
+                               versionAsOf: Option[Long] = None): DataFrame = {
+    val reader = spark.read.format("graft-bands")
+    versionAsOf.foreach(v => reader.option("versionAsOf", v.toString))
+    reader.load(store)
       .filter(col("band").isin(2, 5))
       .withColumn("h", portableHash60(
         concat_ws("\u0001", col("doc_id"), col("bkey"))))
@@ -281,6 +284,61 @@ object Sources {
         (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
           % lit(1000000007L)).cast("long").as("checksum_sum"))
       .orderBy("band")
+  }
+
+  /** Time travel through the connector: generation 1 is the first half of
+    * the corpus (overwrite → manifest v1), generation 2 appends the rest
+    * (→ v2). The published frame stacks the probed-band summary of the
+    * `versionAsOf = 1` read on top of the current read's — equal to the
+    * oracle's half/full band relations ⇔ the immutable version manifest
+    * still serves EXACTLY generation 1 after a later commit, and the
+    * pointer serves the union. This is the audit/reproducibility shape a
+    * dedup index needs in production: "which bucket was doc X in when
+    * yesterday's job ran?" is a version read, not a guess.
+    */
+  def dsv2TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-dsv2tt")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "src_dsv2_tt: the documents table is empty — no generations to write")
+    val split = (maxRow.getLong(0) + 1) / 2
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(docs))
+    bands.filter(col("doc_id") < split)
+      .write.format("graft-bands").mode("overwrite").save(out)
+    bands.filter(col("doc_id") >= split)
+      .write.format("graft-bands").mode("append").save(out)
+    bandStoreSummary(spark, out, versionAsOf = Some(1L))
+      .withColumn("version", lit(1).cast("int"))
+      .unionByName(bandStoreSummary(spark, out)
+        .withColumn("version", lit(2).cast("int")))
+      .select("version", "band", "n_rows", "n_docs", "n_buckets",
+        "checksum_xor", "checksum_sum")
+      .orderBy("version", "band")
+  }
+
+  /** The metadata-aggregate half of the connector gate: the grouped
+    * count/min/max a store monitor polls is answered ENTIRELY from the
+    * manifest's per-file statistics (`SupportsPushDownAggregates` →
+    * [[graft.sources.dsv2.BandAggregateScan]]) — zero data files opened
+    * (SourcesSpec proves that by deleting them; here the DuckDB oracle
+    * proves the arithmetic is EXACT, not an estimate).
+    */
+  def dsv2MetadataAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-dsv2c")
+    graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(
+        Tables.load(spark, sfDir, "documents")))
+      .write.format("graft-bands").mode("overwrite").save(out)
+    spark.read.format("graft-bands").load(out)
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("band")
+  }
 
   /** The STREAMING half of the connector gate: documents arrive as a file
     * stream, the stream-safe row-local band projection
@@ -367,6 +425,8 @@ object Sources {
     "src_evolution" -> ((s, d) => evolutionRoundTrip(s, d)),
     "src_dsv2" -> ((s, d) => dsv2RoundTrip(s, d)),
     "src_dsv2_stream" -> ((s, d) => dsv2StreamRoundTrip(s, d)),
+    "src_dsv2_tt" -> ((s, d) => dsv2TimeTravel(s, d)),
+    "src_dsv2_count" -> ((s, d) => dsv2MetadataAgg(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
@@ -444,6 +504,36 @@ object Sources {
     // epoch-committed StreamingWrite must be indistinguishable.
     "src_dsv2" -> dsv2Oracle,
     "src_dsv2_stream" -> dsv2Oracle,
+    // src_dsv2_tt: version 1 must serve EXACTLY the first-half build and
+    // the current pointer the union — the oracle rebuilds both off the
+    // parquet (band signatures are per-doc, so banding the half equals
+    // filtering the full banding by doc_id)
+    "src_dsv2_tt" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES},
+         |s AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents),
+         |vb AS (SELECT CAST(1 AS INTEGER) AS version, doc_id, band, bkey
+         |         FROM bands, s WHERE band IN (2, 5) AND doc_id < split
+         |       UNION ALL
+         |       SELECT CAST(2 AS INTEGER), doc_id, band, bkey
+         |         FROM bands WHERE band IN (2, 5)),
+         |vh AS (SELECT version, CAST(band AS INTEGER) AS band, doc_id, bkey,
+         |        CAST(concat('0x', substr(md5(concat_ws(chr(1),
+         |          doc_id, bkey)), 1, 15)) AS BIGINT) AS h
+         |      FROM vb)
+         |SELECT version, band, count(*) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT bkey) AS n_buckets,
+         |  bit_xor(h) AS checksum_xor,
+         |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+         |FROM vh GROUP BY version, band ORDER BY version, band""".stripMargin,
+    // src_dsv2_count: the metadata-only aggregate must equal row-level
+    // arithmetic over the rebuilt band relation exactly
+    "src_dsv2_count" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES}
+         |SELECT CAST(band AS INTEGER) AS band, count(*) AS n_rows,
+         |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS max_doc
+         |FROM bands GROUP BY band ORDER BY band""".stripMargin,
     "src_jdbc" -> oracleSummary,
   )
 

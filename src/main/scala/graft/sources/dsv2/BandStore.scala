@@ -11,12 +11,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,9 +43,13 @@ import org.apache.spark.util.SerializableConfiguration
   * manifest row, or an aborted overwrite — is invisible: the previous
   * manifest keeps serving the previous snapshot (the same
   * write-then-publish idea as the reference's temp-file + atomic-rename
-  * reduce commit, ref src/mr/worker.go:208-218). `truncate()` (the
-  * `mode("overwrite")` path) swaps the manifest and then deletes the
-  * orphaned prior generation.
+  * reduce commit, ref src/mr/worker.go:208-218). Every publish also
+  * writes an immutable `_manifest.v<N>` history entry, and NOTHING
+  * deletes data files at commit time — `mode("overwrite")`, compaction,
+  * and band deletes are all pure manifest swaps, so `versionAsOf` reads
+  * time-travel to any retained generation and a reader racing an
+  * overwrite keeps its planned files; reclamation is the explicit
+  * [[BandStoreMaintenance.vacuum]].
   *
   * Record format: one `doc_id\tbkey` text line per row (band lives in the
   * file name, never repeated in the data); bkey is md5 hex, so the file
@@ -62,20 +67,64 @@ object BandStore {
     StructField("bkey", StringType, nullable = false)))
   val ManifestFile = "_manifest"
 
+  /** One manifest row per data file. Beyond the band (which names the
+    * file) the entry carries the file's STATISTICS — row count and
+    * doc_id min/max, computed for free as the writer streams rows — so
+    * the manifest answers two whole query classes without opening a
+    * data file: doc_id range predicates skip non-overlapping files at
+    * `planInputPartitions` (parquet-footer-style data skipping, but
+    * driver-side from one small file), and count/min/max aggregates
+    * collapse to metadata arithmetic (the `SELECT count(*) GROUP BY
+    * band` a store monitor polls reads zero data bytes).
+    */
+  case class ManifestEntry(name: String, band: Int, len: Long,
+                           rows: Long, minDoc: Long, maxDoc: Long)
+  private[dsv2] val VersionPrefix = "_manifest.v"
+
   private[dsv2] def fs(path: Path, conf: Configuration): FileSystem =
     path.getFileSystem(conf)
 
-  /** Manifest rows: `fileName\tband\tlength`; `#epoch\t<id>` comment rows
-    * record committed STREAMING epochs in the same file, so the entry
-    * list and the epoch ledger swap in one atomic rename.
+  /** Committed manifest versions present at `root`, ascending. Every
+    * publish writes an IMMUTABLE `_manifest.v<N>` beside the `_manifest`
+    * pointer swap, so the store's whole history is addressable: a reader
+    * holding `versionAsOf=N` sees exactly generation N's file set no
+    * matter how many commits (or compactions) happened since — and,
+    * because nothing deletes data files until [[BandStoreMaintenance
+    * .vacuum]], those files are still on disk. Tmp files
+    * (`_manifest.v3.tmp-…`) fail the numeric parse and are ignored.
     */
-  private[dsv2] def readManifest(root: Path, conf: Configuration): Seq[(String, Int, Long)] =
-    readManifestFull(root, conf)._1
-
-  private[graft] def readManifestFull(root: Path, conf: Configuration)
-      : (Seq[(String, Int, Long)], Set[Long]) = {
+  private[graft] def listVersions(root: Path, conf: Configuration): Seq[Long] = {
     val f = fs(root, conf)
-    val m = new Path(root, ManifestFile)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(VersionPrefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(VersionPrefix).toLong).toOption)
+      .sorted
+  }
+
+  /** Manifest rows: `fileName\tband\tlength\trows\tminDoc\tmaxDoc`;
+    * `#epoch\t<id>` comment rows record committed STREAMING epochs in
+    * the same file, so the entry list and the epoch ledger swap in one
+    * atomic rename.
+    */
+  private[dsv2] def readManifest(root: Path, conf: Configuration,
+                                 version: Option[Long] = None): Seq[ManifestEntry] =
+    readManifestFull(root, conf, version)._1
+
+  private[graft] def readManifestFull(root: Path, conf: Configuration,
+                                      version: Option[Long] = None)
+      : (Seq[ManifestEntry], Set[Long]) = {
+    val f = fs(root, conf)
+    val m = version match {
+      case Some(v) =>
+        val p = new Path(root, s"$VersionPrefix$v")
+        require(f.exists(p),
+          s"graft-bands: no version $v at $root (available: " +
+            s"${listVersions(root, conf).mkString(", ")}) — either never " +
+            "committed or already vacuumed")
+        p
+      case None => new Path(root, ManifestFile)
+    }
     if (!f.exists(m)) return (Seq.empty, Set.empty)
     val in = new BufferedReader(new InputStreamReader(f.open(m), StandardCharsets.UTF_8))
     try {
@@ -83,28 +132,42 @@ object BandStore {
         .filter(_.nonEmpty).toSeq
       val (epochLines, entryLines) = lines.partition(_.startsWith("#epoch\t"))
       val entries = entryLines.map { line =>
-        val Array(name, band, len) = line.split("\t", 3)
-        (name, band.toInt, len.toLong)
+        val Array(name, band, len, rows, lo, hi) = line.split("\t", 6)
+        ManifestEntry(name, band.toInt, len.toLong, rows.toLong,
+          lo.toLong, hi.toLong)
       }
       (entries, epochLines.map(_.split("\t", 2)(1).toLong).toSet)
     } finally in.close()
   }
 
+  /** Publishes a new store generation: writes the immutable
+    * `_manifest.v<N>` history entry FIRST, then swaps the `_manifest`
+    * pointer (both via temp-file + rename). A crash between the two
+    * leaves a version file the pointer never reached — current readers
+    * are unaffected and the next publish just numbers past it. Returns
+    * the committed version.
+    */
   private[graft] def writeManifest(root: Path, conf: Configuration,
-                                  entries: Seq[(String, Int, Long)],
-                                  epochs: Set[Long] = Set.empty): Unit = {
+                                  entries: Seq[ManifestEntry],
+                                  epochs: Set[Long] = Set.empty): Long = {
     val f = fs(root, conf)
     f.mkdirs(root)
-    val tmp = new Path(root, s"$ManifestFile.tmp-${UUID.randomUUID()}")
-    val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
-    try {
-      epochs.toSeq.sorted.foreach(e => out.write(s"#epoch\t$e\n"))
-      entries.foreach { case (n, b, l) => out.write(s"$n\t$b\t$l\n") }
-    } finally out.close()
-    val target = new Path(root, ManifestFile)
-    f.delete(target, false)
-    require(f.rename(tmp, target),
-      s"band store commit failed: cannot rename $tmp to $target")
+    val next = listVersions(root, conf).lastOption.getOrElse(0L) + 1
+    def publish(target: Path): Unit = {
+      val tmp = new Path(root, s"${target.getName}.tmp-${UUID.randomUUID()}")
+      val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
+      try {
+        epochs.toSeq.sorted.foreach(e => out.write(s"#epoch\t$e\n"))
+        entries.foreach(e => out.write(
+          s"${e.name}\t${e.band}\t${e.len}\t${e.rows}\t${e.minDoc}\t${e.maxDoc}\n"))
+      } finally out.close()
+      f.delete(target, false)
+      require(f.rename(tmp, target),
+        s"band store commit failed: cannot rename $tmp to $target")
+    }
+    publish(new Path(root, s"$VersionPrefix$next"))
+    publish(new Path(root, ManifestFile))
+    next
   }
 }
 
@@ -143,33 +206,64 @@ object BandStoreMaintenance {
       .repartition(org.apache.spark.sql.functions.col("band"))
       .mapPartitions { it =>
         val f = BandStore.fs(new Path(path), sconf.value)
-        val open = mutable.Map.empty[Int, (String, Writer)]
+        val open = mutable.Map.empty[Int, BandFileStats]
         it.foreach { row =>
           val band = row.getInt(row.fieldIndex("band"))
-          val (_, w) = open.getOrElseUpdate(band, {
+          val st = open.getOrElseUpdate(band, {
             val name = s"b$band-compact-${UUID.randomUUID()}.gsb"
-            (name, new OutputStreamWriter(
+            new BandFileStats(name, new OutputStreamWriter(
               f.create(new Path(new Path(path), name), false),
               StandardCharsets.UTF_8))
           })
-          w.write(s"${row.getLong(row.fieldIndex("doc_id"))}\t" +
-            s"${row.getString(row.fieldIndex("bkey"))}\n")
+          st.record(row.getLong(row.fieldIndex("doc_id")),
+            row.getString(row.fieldIndex("bkey")))
         }
-        open.values.foreach(_._2.close())
-        open.iterator.map { case (band, (name, _)) =>
-          (name, band,
-            f.getFileStatus(new Path(new Path(path), name)).getLen)
+        open.values.foreach(_.writer.close())
+        open.iterator.map { case (band, st) =>
+          st.entry(band,
+            f.getFileStatus(new Path(new Path(path), st.name)).getLen)
         }
       }.collect().toSeq // O(bands) rows — driver-adjacent by construction
     val (current, epochs) = BandStore.readManifestFull(root, conf)
-    require(current.map(_._1).toSet == snapshot.map(_._1).toSet,
+    require(current.map(_.name).toSet == snapshot.map(_.name).toSet,
       s"a writer committed to $path during compaction — aborting with the " +
         "manifest untouched (the compacted files are unreachable orphans); " +
         "rerun when the store is quiescent")
     BandStore.writeManifest(root, conf, written, epochs)
-    val f = BandStore.fs(root, conf)
-    snapshot.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+    // the pre-compaction files stay on disk: older manifest versions
+    // still reference them (time travel) and a reader that planned its
+    // partitions from the prior manifest is still streaming them —
+    // deletion is vacuum's job, after the retention window
     (snapshot.size, written.size)
+  }
+
+  /** Deletes everything unreachable from the retained manifest history:
+    * manifest versions older than the newest `retainLast`, and any data
+    * file no retained version (or the current pointer) references — the
+    * deferred half of every overwrite, compaction, and band delete, and
+    * the explicit end of the time-travel window. Listing and deletion are
+    * driver-side O(files on disk), the same budget as compaction's swap;
+    * like compaction this is a single-maintainer operation — a vacuum
+    * racing an in-flight WRITER would reap its not-yet-committed files.
+    * Returns (manifest versions dropped, data files deleted).
+    */
+  def vacuum(spark: SparkSession, path: String, retainLast: Int = 1): (Int, Int) = {
+    require(retainLast >= 1, s"vacuum: retainLast must be >= 1, got $retainLast")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val f = BandStore.fs(root, conf)
+    if (!f.exists(root)) return (0, 0)
+    val versions = BandStore.listVersions(root, conf)
+    val dropped = versions.dropRight(retainLast)
+    val live = versions.takeRight(retainLast)
+      .flatMap(v => BandStore.readManifest(root, conf, Some(v)).map(_.name))
+      .toSet ++ BandStore.readManifest(root, conf).map(_.name)
+    val victims = f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".gsb") && !live.contains(n))
+    victims.foreach(n => f.delete(new Path(root, n), false))
+    dropped.foreach(v =>
+      f.delete(new Path(root, s"${BandStore.VersionPrefix}$v"), false))
+    (dropped.size, victims.size)
   }
 }
 
@@ -188,36 +282,85 @@ class BandStoreSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class BandStoreTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class BandStoreTable(path: String) extends Table with SupportsRead
+    with SupportsWrite with SupportsDelete {
   override def name(): String = s"${BandStore.ShortName}($path)"
   override def schema(): StructType = BandStore.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BandScanBuilder(path,
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private def hconf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `versionAsOf` (Delta's option name) time-travels the read: the scan
+    // plans from the immutable `_manifest.v<N>` instead of the pointer
+    val version = Option(options.get("versionAsOf")).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-bands: versionAsOf must be an integer version, got '$v'")
+      }
+    }
+    new BandScanBuilder(path, hconf, version)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new BandWriteBuilder(path, info.schema(),
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new BandWriteBuilder(path, info.schema(), hconf)
+
+  /** Band deletes are METADATA-ONLY: the band is part of every file's
+    * name, so `band = k` / `band IN (...)` predicates align exactly with
+    * file boundaries and deleting those bands is a manifest rewrite that
+    * touches zero data bytes — the lakehouse partition-drop fast path.
+    * The dropped files stay on disk (older versions still serve them;
+    * vacuum reclaims). Anything finer (doc_id/bkey predicates) would need
+    * a copy-on-write file rewrite and is refused via `canDeleteWhere`.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("band", _: Int) => true
+      case In("band", vs) => vs.forall(_.isInstanceOf[Int])
+      case _ => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-bands: only file-aligned band predicates delete without a " +
+        s"rewrite; got ${filters.mkString(", ")}")
+    def admits(band: Int): Boolean = filters.forall {
+      case EqualTo("band", v: Int) => band == v
+      case In("band", vs) => vs.contains(band)
+      case _ => true
+    }
+    val root = new Path(path)
+    val conf = hconf
+    val (entries, epochs) = BandStore.readManifestFull(root, conf)
+    BandStore.writeManifest(root, conf,
+      entries.filterNot(e => admits(e.band)), epochs)
+  }
 }
 
 // ---------------------------------------------------------------- read side
 
-class BandScanBuilder(path: String, conf: Configuration)
+class BandScanBuilder(path: String, conf: Configuration,
+                      version: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushedBandFilters: Array[Filter] = Array.empty
+  private var docSkipFilters: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var required: StructType = BandStore.Schema
+  private var aggPushed: Option[BandAggregate] = None
 
   /** Accept (fully absorb) band predicates the file layout can answer
     * exactly — `band = k` and `band IN (...)` prune to the named bands'
-    * files with no false drops, so Spark need not re-check them. Anything
-    * else (doc_id/bkey predicates, other shapes) is returned for Spark to
-    * evaluate post-scan.
+    * files with no false drops, so Spark need not re-check them. doc_id
+    * range/equality predicates are kept as SKIP hints (the manifest's
+    * per-file min/max prunes non-overlapping files) but returned for
+    * Spark to re-evaluate — a surviving file still holds rows on both
+    * sides of the bound. Anything else (bkey predicates, other shapes)
+    * is purely post-scan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (bands, rest) = filters.partition {
@@ -226,56 +369,133 @@ class BandScanBuilder(path: String, conf: Configuration)
       case _ => false
     }
     pushedBandFilters = bands
+    docSkipFilters = rest.filter {
+      case EqualTo("doc_id", _: java.lang.Number) => true
+      case GreaterThan("doc_id", _: java.lang.Number) => true
+      case GreaterThanOrEqual("doc_id", _: java.lang.Number) => true
+      case LessThan("doc_id", _: java.lang.Number) => true
+      case LessThanOrEqual("doc_id", _: java.lang.Number) => true
+      case _ => false
+    }
+    residual = rest
     rest
   }
-  override def pushedFilters(): Array[Filter] = pushedBandFilters
+  override def pushedFilters(): Array[Filter] =
+    pushedBandFilters ++ docSkipFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new BandScan(path, conf, pushedBandFilters, required)
+  /** count(*) / count(doc_id) / min/max(doc_id or band), optionally
+    * grouped by band, collapse to manifest arithmetic — but ONLY when no
+    * residual row-level filter survives (band filters are exact at file
+    * granularity; anything else would need the rows). Complete pushdown:
+    * the manifest's counts are exact, not estimates, so Spark plans no
+    * re-aggregation.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    residual.isEmpty && BandAggregate.translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (residual.nonEmpty) return false
+    BandAggregate.translate(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) =>
+      new BandAggregateScan(path, conf, pushedBandFilters, version, agg)
+    case None =>
+      new BandScan(path, conf, pushedBandFilters, docSkipFilters,
+        required, version)
+  }
 }
 
 class BandScan(path: String, conf: Configuration, pushed: Array[Filter],
-               required: StructType) extends Scan with Batch
-    with SupportsReportStatistics {
+               docSkip: Array[Filter], required: StructType,
+               version: Option[Long] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
 
-  private def bandAdmitted(band: Int): Boolean = pushed.forall {
-    case EqualTo("band", v: Int) => band == v
-    case In("band", vs) => vs.contains(band)
+  /** Runtime (DPP-style) pruning: when this scan joins a dimension on
+    * `band`, Spark evaluates the dimension's distinct band keys at run
+    * time and hands them here before re-planning partitions — so only
+    * the joined bands' files are ever opened, without the user writing a
+    * band predicate. `band` is the one attribute file pruning can answer
+    * exactly; runtime doc_id sets would need row reads and are declined.
+    */
+  private var runtimeBandFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("band"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeBandFilters = filters.filter {
+      case EqualTo("band", _) => true
+      case In("band", _) => true
+      case _ => false
+    }
+
+  private def bandAdmitted(band: Int): Boolean =
+    (pushed ++ runtimeBandFilters).forall {
+      case EqualTo("band", v: Int) => band == v
+      case In("band", vs) => vs.contains(band)
+      case _ => true
+    }
+
+  /** File-level data skipping off the manifest's doc_id min/max: a file
+    * whose recorded range cannot satisfy a pushed doc_id predicate is
+    * never opened. Conservative by construction — overlap keeps the
+    * file, and Spark re-evaluates the predicate on its rows.
+    */
+  private def docAdmitted(e: BandStore.ManifestEntry): Boolean = docSkip.forall {
+    case EqualTo("doc_id", v: java.lang.Number) =>
+      e.minDoc <= v.longValue && v.longValue <= e.maxDoc
+    case GreaterThan("doc_id", v: java.lang.Number) => e.maxDoc > v.longValue
+    case GreaterThanOrEqual("doc_id", v: java.lang.Number) => e.maxDoc >= v.longValue
+    case LessThan("doc_id", v: java.lang.Number) => e.minDoc < v.longValue
+    case LessThanOrEqual("doc_id", v: java.lang.Number) => e.minDoc <= v.longValue
     case _ => true
   }
 
-  private lazy val (kept, total) = {
-    val all = BandStore.readManifest(new Path(path), conf)
-    (all.filter(e => bandAdmitted(e._2)), all.size)
-  }
+  // NOT a lazy val: runtime filters arrive AFTER the initial planning
+  // forced the statistics/description, and BatchScanExec re-invokes
+  // planInputPartitions post-filter — the admitted set must re-evaluate
+  private lazy val allEntries =
+    BandStore.readManifest(new Path(path), conf, version)
+  private def kept =
+    allEntries.filter(e => bandAdmitted(e.band) && docAdmitted(e))
+  private def total = allEntries.size
 
   override def description(): String = {
-    val bands = kept.map(_._2).distinct.sorted
-    s"graft-bands path=$path PushedBandFilters=${pushed.mkString("[", ",", "]")} " +
+    val bands = kept.map(_.band).distinct.sorted
+    s"graft-bands path=$path version=${version.getOrElse("current")} " +
+      s"PushedBandFilters=${pushed.mkString("[", ",", "]")} " +
+      s"DocSkipFilters=${docSkip.mkString("[", ",", "]")} " +
       s"bands=${bands.mkString("[", ",", "]")} files=${kept.size}/$total"
   }
 
   override def toBatch: Batch = this
 
-  /** Post-pruning size from the manifest's recorded file lengths — so
-    * Catalyst's join planning sees the PROBED bands' bytes, not the whole
-    * store's: a one-band probe of a huge store stays broadcast-eligible.
+  /** Post-pruning size AND row count from the manifest's recorded file
+    * statistics — so Catalyst's join planning sees the PROBED bands'
+    * bytes, not the whole store's: a one-band probe of a huge store
+    * stays broadcast-eligible.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(kept.map(_._3).sum)
+      java.util.OptionalLong.of(kept.map(_.len).sum)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty() // line count unknown without a read
+      java.util.OptionalLong.of(kept.map(_.rows).sum)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map { case (name, band, len) =>
-      BandFilePartition(new Path(new Path(path), name).toString, band, len)
-        : InputPartition
+    kept.map { e =>
+      BandFilePartition(new Path(new Path(path), e.name).toString, e.band,
+        e.len): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -321,6 +541,143 @@ class BandFileReader(part: BandFilePartition, conf: Configuration,
   override def close(): Unit = in.close()
 }
 
+// ----------------------------------------------- metadata-only aggregates
+
+/** The manifest-answerable aggregate shapes: an optional `GROUP BY band`
+  * plus any mix of count(* or a non-null column) and min/max over doc_id
+  * or band — every value is exact arithmetic over the manifest's per-file
+  * statistics, so the "how big is my store per band" monitoring query a
+  * 100 TB deployment polls constantly reads zero data bytes.
+  */
+private[dsv2] case class BandAggregate(groupByBand: Boolean,
+                                       aggs: Seq[BandAggregate.Agg])
+
+private[dsv2] object BandAggregate {
+  sealed trait Agg
+  case object RowCount extends Agg
+  case object MinDoc extends Agg
+  case object MaxDoc extends Agg
+  case object MinBand extends Agg
+  case object MaxBand extends Agg
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  def translate(agg: Aggregation): Option[BandAggregate] = {
+    val group = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(g) if colName(g).contains("band") => Some(true)
+      case _ => None
+    }
+    val aggs: Seq[Option[Agg]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(RowCount)
+      case c: Count if !c.isDistinct &&
+          colName(c.column).exists(Set("doc_id", "band", "bkey")) =>
+        Some(RowCount) // every store column is non-null: count(col) == count(*)
+      case m: Min => colName(m.column) match {
+        case Some("doc_id") => Some(MinDoc)
+        case Some("band") => Some(MinBand)
+        case _ => None
+      }
+      case m: Max => colName(m.column) match {
+        case Some("doc_id") => Some(MaxDoc)
+        case Some("band") => Some(MaxBand)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (group.isDefined && aggs.nonEmpty && aggs.forall(_.isDefined))
+      Some(BandAggregate(group.get, aggs.map(_.get)))
+    else None
+  }
+}
+
+/** Answers a pushed aggregate ENTIRELY from the manifest: the single
+  * input partition carries the precomputed result rows and no data file
+  * is ever opened (SourcesSpec proves it by deleting them first). Output
+  * schema is group columns then aggregate columns, positionally — the
+  * DSv2 aggregate-pushdown contract.
+  */
+class BandAggregateScan(path: String, conf: Configuration,
+                        pushed: Array[Filter], version: Option[Long],
+                        agg: BandAggregate) extends Scan with Batch {
+  import BandAggregate._
+
+  private def bandAdmitted(band: Int): Boolean = pushed.forall {
+    case EqualTo("band", v: Int) => band == v
+    case In("band", vs) => vs.contains(band)
+    case _ => true
+  }
+
+  private lazy val kept =
+    BandStore.readManifest(new Path(path), conf, version)
+      .filter(e => bandAdmitted(e.band))
+
+  override def readSchema(): StructType = {
+    val groupCols =
+      if (agg.groupByBand) Seq(StructField("band", IntegerType, nullable = false))
+      else Nil
+    val aggCols = agg.aggs.zipWithIndex.map {
+      case (RowCount, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (MinDoc | MaxDoc, i) => StructField(s"agg_$i", LongType, nullable = true)
+      case (MinBand | MaxBand, i) => StructField(s"agg_$i", IntegerType, nullable = true)
+    }
+    StructType(groupCols ++ aggCols)
+  }
+
+  private def resultRows(): Seq[InternalRow] = {
+    def rowOf(band: Option[Int],
+              files: Seq[BandStore.ManifestEntry]): InternalRow = {
+      val vals: Seq[Any] = agg.aggs.map {
+        case RowCount => java.lang.Long.valueOf(files.map(_.rows).sum)
+        case MinDoc =>
+          if (files.isEmpty) null else java.lang.Long.valueOf(files.map(_.minDoc).min)
+        case MaxDoc =>
+          if (files.isEmpty) null else java.lang.Long.valueOf(files.map(_.maxDoc).max)
+        case MinBand =>
+          if (files.isEmpty) null else java.lang.Integer.valueOf(files.map(_.band).min)
+        case MaxBand =>
+          if (files.isEmpty) null else java.lang.Integer.valueOf(files.map(_.band).max)
+      }
+      new GenericInternalRow(
+        (band.map(java.lang.Integer.valueOf(_): Any).toSeq ++ vals).toArray)
+    }
+    if (agg.groupByBand)
+      kept.groupBy(_.band).toSeq.sortBy(_._1)
+        .map { case (b, fs) => rowOf(Some(b), fs) }
+    else Seq(rowOf(None, kept))
+  }
+
+  override def description(): String =
+    s"graft-bands METADATA-ONLY aggregate path=$path " +
+      s"version=${version.getOrElse("current")} " +
+      s"PushedBandFilters=${pushed.mkString("[", ",", "]")} " +
+      s"groupByBand=${agg.groupByBand} aggs=${agg.aggs.mkString(",")} " +
+      s"files=${kept.size}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BandAggPartition(resultRows()))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[BandAggPartition].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class BandAggPartition(rows: Seq[InternalRow]) extends InputPartition
+
 // --------------------------------------------------------------- write side
 
 class BandWriteBuilder(path: String, inputSchema: StructType, conf: Configuration)
@@ -341,8 +698,27 @@ class BandWriteBuilder(path: String, inputSchema: StructType, conf: Configuratio
   }
 }
 
-case class BandCommitMessage(files: Seq[(String, Int, Long)])
+case class BandCommitMessage(files: Seq[BandStore.ManifestEntry])
     extends WriterCommitMessage
+
+/** Per-open-file write-side bookkeeping: the stream writer plus the
+  * statistics its manifest entry will carry (row count, doc_id min/max),
+  * maintained as rows flow — stats cost nothing at write time and pay at
+  * every skip-read and metadata aggregate.
+  */
+private[dsv2] final class BandFileStats(val name: String, val writer: Writer) {
+  private var rows = 0L
+  private var lo = Long.MaxValue
+  private var hi = Long.MinValue
+  def record(docId: Long, bkey: String): Unit = {
+    writer.write(s"$docId\t$bkey\n")
+    rows += 1
+    if (docId < lo) lo = docId
+    if (docId > hi) hi = docId
+  }
+  def entry(band: Int, len: Long): BandStore.ManifestEntry =
+    BandStore.ManifestEntry(name, band, len, rows, lo, hi)
+}
 
 class BandBatchWrite(path: String, inputSchema: StructType, overwrite: Boolean,
                      conf: SerializableConfiguration) extends BatchWrite {
@@ -361,15 +737,12 @@ class BandBatchWrite(path: String, inputSchema: StructType, overwrite: Boolean,
     // append preserves it so a later epoch replay still deduplicates
     BandStore.writeManifest(root, hconf, entries,
       if (overwrite) Set.empty else epochs)
-    if (overwrite) {
-      // the new manifest is live; the previous generation's files are
-      // unreachable — delete them (a crash between rename and here only
-      // leaks files, never corrupts reads)
-      val f = BandStore.fs(root, hconf)
-      val keep = committed.map(_._1).toSet
-      prior.map(_._1).filterNot(keep)
-        .foreach(n => f.delete(new Path(root, n), false))
-    }
+    // an overwrite does NOT delete the prior generation's files: they are
+    // still referenced by the older manifest versions (time travel), and
+    // a racing reader that planned its partitions from the old manifest
+    // may still be mid-scan of them — the immediate-reap design had
+    // exactly that use-after-free. Reclamation is deferred to the
+    // explicit BandStoreMaintenance.vacuum, after the retention window.
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -377,7 +750,7 @@ class BandBatchWrite(path: String, inputSchema: StructType, overwrite: Boolean,
     val f = BandStore.fs(root, conf.value)
     messages.foreach {
       case BandCommitMessage(files) =>
-        files.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+        files.foreach(e => f.delete(new Path(root, e.name), false))
       case _ =>
     }
   }
@@ -417,7 +790,7 @@ class BandStreamingWrite(path: String, inputSchema: StructType,
     if (epochs.contains(epochId)) {
       // replayed epoch: the first attempt's files are live — drop ours
       val f = BandStore.fs(root, hconf)
-      committed.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+      committed.foreach(e => f.delete(new Path(root, e.name), false))
     } else {
       BandStore.writeManifest(root, hconf, prior ++ committed,
         epochs + epochId)
@@ -430,7 +803,7 @@ class BandStreamingWrite(path: String, inputSchema: StructType,
     val f = BandStore.fs(root, conf.value)
     messages.foreach {
       case BandCommitMessage(files) =>
-        files.foreach { case (n, _, _) => f.delete(new Path(root, n), false) }
+        files.foreach(e => f.delete(new Path(root, e.name), false))
       case _ =>
     }
   }
@@ -458,31 +831,31 @@ class BandDataWriter(path: String, inputSchema: StructType, partitionId: Int,
   private val root = new Path(path)
   private val filesys = BandStore.fs(root, conf)
   filesys.mkdirs(root)
-  private val open = mutable.Map.empty[Int, (String, Writer)]
+  private val open = mutable.Map.empty[Int, BandFileStats]
 
   override def write(row: InternalRow): Unit = {
     val band = row.getInt(idxBand)
-    val (_, w) = open.getOrElseUpdate(band, {
+    val st = open.getOrElseUpdate(band, {
       val name = s"b$band-${tag}p$partitionId-t$taskId-${UUID.randomUUID()}.gsb"
-      (name, new OutputStreamWriter(
+      new BandFileStats(name, new OutputStreamWriter(
         filesys.create(new Path(root, name), false), StandardCharsets.UTF_8))
     })
-    w.write(s"${row.getLong(idxDoc)}\t${row.getUTF8String(idxBkey)}\n")
+    st.record(row.getLong(idxDoc), row.getUTF8String(idxBkey).toString)
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._2.close())
-    val files = open.toSeq.map { case (band, (name, _)) =>
-      (name, band, filesys.getFileStatus(new Path(root, name)).getLen)
+    open.values.foreach(_.writer.close())
+    val files = open.toSeq.map { case (band, st) =>
+      st.entry(band, filesys.getFileStatus(new Path(root, st.name)).getLen)
     }
     BandCommitMessage(files)
   }
 
   override def abort(): Unit = {
-    open.values.foreach(v => scala.util.Try(v._2.close()))
-    open.values.foreach(v => filesys.delete(new Path(root, v._1), false))
+    open.values.foreach(v => scala.util.Try(v.writer.close()))
+    open.values.foreach(v => filesys.delete(new Path(root, v.name), false))
   }
 
   override def close(): Unit =
-    open.values.foreach(v => scala.util.Try(v._2.close()))
+    open.values.foreach(v => scala.util.Try(v.writer.close()))
 }

@@ -104,8 +104,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
-  test("graft-bands DSv2: overwrite swaps the manifest atomically and " +
-    "reaps the prior generation; uncommitted files are invisible") {
+  test("graft-bands DSv2: overwrite swaps the manifest atomically; the " +
+    "prior generation stays time-travelable until vacuum reclaims it") {
+    import graft.sources.dsv2.BandStoreMaintenance
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val out = TestSpark.tempDir("graft-dsv2-commit").toString
@@ -125,17 +126,176 @@ class SourcesSpec extends AnyFunSuite {
       java.nio.file.Paths.get(out, "b0-p9-t9-dead.gsb"),
       "99\tzz\n".getBytes("UTF-8"))
     assert(spark.read.format("graft-bands").load(out).count() === 3)
-    // second generation replaces the first
+    // second generation replaces the first at the pointer...
     frame(Seq((7L, 2, "cc"))).write.format("graft-bands")
       .mode("overwrite").save(out)
     val back = spark.read.format("graft-bands").load(out).collect()
     assert(back.length === 1 && back(0).getLong(0) === 7L)
-    // generation-1 data files were reaped after the manifest swap
+    // ...but does NOT delete its files: a reader that planned partitions
+    // from the old manifest is still mid-scan of them, and versionAsOf=1
+    // must keep serving the old generation byte-for-byte
     val left = java.nio.file.Files.list(java.nio.file.Paths.get(out))
       .map[String](_.getFileName.toString).toArray(new Array[String](_))
       .filter(_.endsWith(".gsb")).toSet
-    assert(gen1Files.intersect(left).isEmpty,
-      s"prior generation not reaped: ${gen1Files.intersect(left)}")
+    assert(gen1Files.subsetOf(left),
+      s"prior generation reaped at commit time: ${gen1Files.diff(left)}")
+    val v1 = spark.read.format("graft-bands").option("versionAsOf", "1")
+      .load(out).collect().map(_.getLong(0)).sorted
+    assert(v1.toSeq === Seq(1L, 2L, 3L), "versionAsOf=1 lost generation 1")
+    // the version shows up in the scan description (plan-pinned)
+    val p = spark.read.format("graft-bands").option("versionAsOf", "1")
+      .load(out).queryExecution.executedPlan.toString
+    assert(p.contains("version=1"), p)
+    // vacuum with retainLast=1 ends the time-travel window: generation-1
+    // files AND the torn orphan go; version 1 then fails loudly
+    val (droppedVersions, deletedFiles) = BandStoreMaintenance.vacuum(spark, out)
+    assert(droppedVersions === 1 && deletedFiles >= gen1Files.size)
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb")).toSet
+    assert(gen1Files.intersect(after).isEmpty && !after.contains("b0-p9-t9-dead.gsb"),
+      s"vacuum left unreachable files: $after")
+    assert(spark.read.format("graft-bands").load(out).count() === 1)
+    val err = intercept[Exception] {
+      spark.read.format("graft-bands").option("versionAsOf", "1")
+        .load(out).count()
+    }
+    val chain = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("no version 1"), chain)
+  }
+
+  test("graft-bands DSv2: band delete is metadata-only and versioned") {
+    import graft.sources.dsv2.{BandStoreSource, BandStore}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.sources.{Filter, GreaterThan, In}
+    val out = TestSpark.tempDir("graft-dsv2-delete").toString
+    bandsFrame().write.format("graft-bands").mode("overwrite").save(out)
+    val filesBefore = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb")).toSet
+    val table = new BandStoreSource().getTable(BandStore.Schema,
+      Array.empty, java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+    // only file-aligned band predicates are deletable without a rewrite
+    assert(table.canDeleteWhere(Array[Filter](In("band", Array[Any](2, 5)))))
+    assert(!table.canDeleteWhere(Array[Filter](GreaterThan("doc_id", 10L))))
+    table.deleteWhere(Array[Filter](In("band", Array[Any](2, 5))))
+    val bands = spark.read.format("graft-bands").load(out)
+      .select("band").distinct().collect().map(_.getInt(0)).toSet
+    assert(!bands.contains(2) && !bands.contains(5), bands.toString)
+    // metadata-only: zero data files touched; the pre-delete version
+    // still serves the deleted bands
+    val filesAfter = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray(new Array[String](_))
+      .filter(_.endsWith(".gsb")).toSet
+    assert(filesAfter === filesBefore, "band delete touched data files")
+    val v1bands = spark.read.format("graft-bands").option("versionAsOf", "1")
+      .load(out).select("band").distinct().collect().map(_.getInt(0)).toSet
+    assert(v1bands.contains(2) && v1bands.contains(5), v1bands.toString)
+  }
+
+  test("graft-bands DSv2: manifest stats answer count/min/max with zero " +
+    "data files read, and refuse when a row-level filter survives") {
+    val out = TestSpark.tempDir("graft-dsv2-agg").toString
+    val bands = bandsFrame()
+    bands.write.format("graft-bands").mode("overwrite").save(out)
+    val expect = bands.groupBy(col("band").cast("int").as("band"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("band").collect().map(_.toString).toSeq
+    // deleting every data file proves the aggregate never opens one
+    java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[java.nio.file.Path](p => p).toArray(new Array[java.nio.file.Path](_))
+      .filter(_.getFileName.toString.endsWith(".gsb"))
+      .foreach(java.nio.file.Files.delete(_))
+    val agg = spark.read.format("graft-bands").load(out)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("band")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("METADATA-ONLY"), plan)
+    assert(agg.collect().map(_.toString).toSeq === expect)
+    // ungrouped store-wide count: also metadata-only, also exact
+    val total = spark.read.format("graft-bands").load(out).count()
+    assert(total === bands.count())
+    // a band filter composes: pruning is exact at file granularity
+    val one = spark.read.format("graft-bands").load(out)
+      .filter(col("band") === 3).count()
+    assert(one === bands.filter(col("band") === 3).count())
+    // a bkey filter is row-level: the aggregate must NOT be pushed (and
+    // with the files deleted the scan must fail rather than fake a zero)
+    val filtered = spark.read.format("graft-bands").load(out)
+      .filter(col("bkey") > "8").groupBy("band").count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("METADATA-ONLY"))
+    intercept[Exception] { filtered.collect() }
+  }
+
+  test("graft-bands DSv2: doc_id predicates skip files via manifest " +
+    "min/max when the layout clusters doc_id") {
+    val out = TestSpark.tempDir("graft-dsv2-skip").toString
+    val bands = bandsFrame()
+    // range-cluster by doc_id before writing: each task covers a narrow
+    // doc_id stripe, so its per-band files carry tight min/max — the
+    // write-side layout choice that makes read-side skipping effective
+    // (same discipline as sorting parquet by a filter column)
+    bands.repartitionByRange(4, col("doc_id"))
+      .write.format("graft-bands").mode("overwrite").save(out)
+    val maxDoc = bands.agg(max("doc_id")).head().getLong(0)
+    val pruned = spark.read.format("graft-bands").load(out)
+      .filter(col("doc_id") > maxDoc - 2)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("DocSkipFilters=[GreaterThan(doc_id,"), p)
+    val filesRe = """files=(\d+)/(\d+)""".r
+    val m = filesRe.findFirstMatchIn(p).get
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"no files skipped by the doc_id range: ${m.matched}")
+    // skipping is conservative: the surviving files still hold rows on
+    // both sides of the bound and Spark re-filters them
+    val expect = bands.filter(col("doc_id") > maxDoc - 2)
+      .select(col("doc_id"), col("band").cast("int"), col("bkey"))
+      .collect().map(_.toString).sorted
+    assert(pruned.collect().map(_.toString).sorted === expect)
+  }
+
+  test("graft-bands DSv2: runtime band filters re-prune the planned files " +
+    "(DPP contract), and a dimension join delivers them end-to-end") {
+    import graft.sources.dsv2.{BandScan, BandStore, BandStoreSource}
+    import org.apache.spark.sql.sources.{Filter, In}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val out = TestSpark.tempDir("graft-dsv2-runtime").toString
+    bandsFrame().write.format("graft-bands").mode("overwrite").save(out)
+    // contract level: filter() after build() must shrink planInputPartitions
+    val table = new BandStoreSource().getTable(BandStore.Schema,
+      Array.empty, java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val scan = table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val before = scan.toBatch.planInputPartitions().length
+    scan.asInstanceOf[BandScan].filter(Array[Filter](In("band", Array[Any](2))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before, s"runtime filter did not prune: $before -> $after")
+    // end to end: joining a SELECTIVE band dimension must inject a
+    // runtime group filter into the scan (file pruning with no user
+    // band predicate)
+    import spark.implicits._
+    // NOT a local Seq: ConvertToLocalRelation would fold the selective
+    // filter into the LocalRelation and DPP sees no filter to reuse
+    val dim = spark.range(0, 8).select(col("id").cast("int").as("b"),
+      (col("id") % 4).cast("int").as("grp"))
+    // DPP's cost heuristic reads table stats the tiny test store can't
+    // make attractive — the fallback ratio path exercises the same rule
+    // the way a real dimension join at scale hits it
+    val prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val joined = spark.read.format("graft-bands").load(out)
+        .join(dim.filter(col("grp") === 0), col("band") === col("b"))
+      val n = joined.count()
+      assert(n === bandsFrame().filter(col("band").isin(0, 4)).count())
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        s"no runtime filter reached the band scan:\n$planStr")
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
   }
 
   test("graft-bands DSv2: column pruning reaches the reader") {
@@ -215,7 +375,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft-bands compaction merges per-band files, preserves content " +
-    "and the epoch ledger, reaps the old generation") {
+    "and the epoch ledger; vacuum reaps the old generation") {
     import graft.sources.dsv2.{BandStore, BandStoreMaintenance}
     val out = TestSpark.tempDir("graft-dsv2-compact").toString
     val bands = bandsFrame()
@@ -244,12 +404,14 @@ class SourcesSpec extends AnyFunSuite {
     val (entries, epochs) = BandStore.readManifestFull(root, conf)
     assert(entries.size === nAfter)
     assert(epochs === Set(41L), "epoch ledger lost in compaction swap")
-    // old generation reaped: only manifest-listed files remain on disk
+    // the swap itself deletes nothing (racing readers + time travel);
+    // vacuum then reaps: only manifest-listed files remain on disk
+    BandStoreMaintenance.vacuum(spark, out)
     val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(out))
       .map[String](_.getFileName.toString).toArray(new Array[String](_))
       .filter(_.endsWith(".gsb")).toSet
-    assert(onDisk === entries.map(_._1).toSet,
-      s"orphans or missing files after compact: $onDisk vs manifest")
+    assert(onDisk === entries.map(_.name).toSet,
+      s"orphans or missing files after compact+vacuum: $onDisk vs manifest")
   }
 
   // ------------------------------------------------ embedded JDBC (Derby)
