@@ -271,7 +271,11 @@ object Sources {
                                versionAsOf: Option[Long] = None): DataFrame = {
     val reader = spark.read.format("graft-bands")
     versionAsOf.foreach(v => reader.option("versionAsOf", v.toString))
-    reader.load(store)
+    summarizeBands(reader.load(store))
+  }
+
+  private def summarizeBands(bands: DataFrame): DataFrame = {
+    bands
       .filter(col("band").isin(2, 5))
       .withColumn("h", portableHash60(
         concat_ws("\u0001", col("doc_id"), col("bkey"))))
@@ -316,6 +320,59 @@ object Sources {
       .select("version", "band", "n_rows", "n_docs", "n_buckets",
         "checksum_xor", "checksum_sum")
       .orderBy("version", "band")
+  }
+
+  /** The STREAM-SOURCE half of the connector gate: the versioned manifest
+    * is a stream log ([[graft.sources.dsv2.BandMicroBatchStream]] — every
+    * commit is an offset, each micro-batch reads exactly one window's new
+    * files), so a store built by TWO batch commits is consumed as a
+    * stream and must summarize identically to the batch read — the
+    * src_dsv2 oracle VERBATIM. The band filter rides the STREAMING scan
+    * (pushed per micro-batch), not the sink table.
+    */
+  def dsv2StreamSourceRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-dsv2r")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "src_dsv2_read: the documents table is empty — nothing to stream")
+    val split = (maxRow.getLong(0) + 1) / 2
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(docs))
+    bands.filter(col("doc_id") < split)
+      .write.format("graft-bands").mode("overwrite").save(out)
+    bands.filter(col("doc_id") >= split)
+      .write.format("graft-bands").mode("append").save(out)
+    val sdf = spark.readStream.format("graft-bands").load(out)
+      .filter(col("band").isin(2, 5))
+    graft.streaming.EventStream.runToMemory(sdf, "src_dsv2r_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    summarizeBands(spark.table("src_dsv2r_sink"))
+  }
+
+  /** The SQL half of the connector gate: the band store is created and
+    * populated through [[graft.sources.dsv2.BandCatalog]] with plain SQL
+    * DDL/DML (CREATE TABLE, INSERT OVERWRITE — the truncate commit) and
+    * summarized over the catalog table — a SQL-only user must be
+    * indistinguishable from the DataFrame API, so this shares src_dsv2's
+    * oracle verbatim. The catalog instance is cached by Spark after
+    * first use, so the flow is idempotent by construction (IF NOT
+    * EXISTS + OVERWRITE).
+    */
+  def dsv2SqlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_bandsq",
+      classOf[graft.sources.dsv2.BandCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bandsq.warehouse",
+      staged("graft-src-dsv2sql-wh"))
+    graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(
+        Tables.load(spark, sfDir, "documents")))
+      .createOrReplaceTempView("graft_src_dsv2sql_bands")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_bandsq.store (" +
+      "doc_id BIGINT NOT NULL, band INT NOT NULL, bkey STRING NOT NULL)")
+    spark.sql("INSERT OVERWRITE graft_bandsq.store SELECT doc_id, " +
+      "CAST(band AS INT), bkey FROM graft_src_dsv2sql_bands")
+    summarizeBands(spark.table("graft_bandsq.store"))
   }
 
   /** The metadata-aggregate half of the connector gate: the grouped
@@ -427,6 +484,8 @@ object Sources {
     "src_dsv2_stream" -> ((s, d) => dsv2StreamRoundTrip(s, d)),
     "src_dsv2_tt" -> ((s, d) => dsv2TimeTravel(s, d)),
     "src_dsv2_count" -> ((s, d) => dsv2MetadataAgg(s, d)),
+    "src_dsv2_read" -> ((s, d) => dsv2StreamSourceRead(s, d)),
+    "src_dsv2_sql" -> ((s, d) => dsv2SqlRoundTrip(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
@@ -504,6 +563,11 @@ object Sources {
     // epoch-committed StreamingWrite must be indistinguishable.
     "src_dsv2" -> dsv2Oracle,
     "src_dsv2_stream" -> dsv2Oracle,
+    // src_dsv2_read shares it too: consuming the store as a STREAM of
+    // manifest-version windows must be indistinguishable from the batch
+    // read to any consumer
+    "src_dsv2_read" -> dsv2Oracle,
+    "src_dsv2_sql" -> dsv2Oracle,
     // src_dsv2_tt: version 1 must serve EXACTLY the first-half build and
     // the current pointer the union — the oracle rebuilds both off the
     // parquet (band signatures are per-doc, so banding the half equals

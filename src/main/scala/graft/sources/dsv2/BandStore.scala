@@ -282,31 +282,38 @@ class BandStoreSource extends TableProvider with DataSourceRegister {
   }
 }
 
-class BandStoreTable(path: String) extends Table with SupportsRead
-    with SupportsWrite with SupportsDelete {
-  override def name(): String = s"${BandStore.ShortName}($path)"
+class BandStoreTable(path: String, pinnedVersion: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  override def name(): String =
+    s"${BandStore.ShortName}($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = BandStore.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   private def hconf: Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // `versionAsOf` (Delta's option name) time-travels the read: the scan
-    // plans from the immutable `_manifest.v<N>` instead of the pointer
+    // plans from the immutable `_manifest.v<N>` instead of the pointer.
+    // `pinnedVersion` is the catalog's SQL `VERSION AS OF` arriving
+    // through TableCatalog.loadTable(ident, version).
     val version = Option(options.get("versionAsOf")).map { v =>
       try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"graft-bands: versionAsOf must be an integer version, got '$v'")
       }
-    }
+    }.orElse(pinnedVersion)
     new BandScanBuilder(path, hconf, version)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      "graft-bands: a VERSION AS OF snapshot is read-only")
     new BandWriteBuilder(path, info.schema(), hconf)
+  }
 
   /** Band deletes are METADATA-ONLY: the band is part of every file's
     * name, so `band = k` / `band IN (...)` predicates align exactly with
@@ -324,6 +331,8 @@ class BandStoreTable(path: String) extends Table with SupportsRead
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      "graft-bands: a VERSION AS OF snapshot is read-only")
     require(canDeleteWhere(filters),
       s"graft-bands: only file-aligned band predicates delete without a " +
         s"rewrite; got ${filters.mkString(", ")}")
@@ -500,6 +509,89 @@ class BandScan(path: String, conf: Configuration, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BandReaderFactory(new SerializableConfiguration(conf), required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BandMicroBatchStream(path, conf, pushed, docSkip, required)
+}
+
+/** The versioned manifest doubles as a STREAM LOG: every commit IS an
+  * offset (its version number), and the micro-batch between two offsets
+  * is exactly the files version `end` lists that version `start` didn't —
+  * append-only commits make that a precise, replayable delta with no
+  * extra bookkeeping (the same observation behind Delta's streaming
+  * source). Restart recovery is free: the checkpointed offset names a
+  * version whose file set is immutable. Pushed band filters and doc_id
+  * skip hints prune each micro-batch's delta exactly like a batch scan.
+  *
+  * Two loud refusals instead of wrong answers: a REWRITING commit inside
+  * the window (compact/overwrite/delete renames or removes files, so a
+  * name-level delta would re-read or lose rows) and a VACUUMED start
+  * version (its manifest is gone). Both are maintenance operations the
+  * store documents as single-maintainer — run them with the stream down,
+  * as Delta does with its `ignoreChanges` family of escapes.
+  */
+class BandMicroBatchStream(path: String, conf: Configuration,
+                           pushed: Array[Filter], docSkip: Array[Filter],
+                           required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val root = new Path(path)
+
+  private def bandAdmitted(band: Int): Boolean = pushed.forall {
+    case EqualTo("band", v: Int) => band == v
+    case In("band", vs) => vs.contains(band)
+    case _ => true
+  }
+  private def docAdmitted(e: BandStore.ManifestEntry): Boolean = docSkip.forall {
+    case EqualTo("doc_id", v: java.lang.Number) =>
+      e.minDoc <= v.longValue && v.longValue <= e.maxDoc
+    case GreaterThan("doc_id", v: java.lang.Number) => e.maxDoc > v.longValue
+    case GreaterThanOrEqual("doc_id", v: java.lang.Number) => e.maxDoc >= v.longValue
+    case LessThan("doc_id", v: java.lang.Number) => e.minDoc < v.longValue
+    case LessThanOrEqual("doc_id", v: java.lang.Number) => e.minDoc <= v.longValue
+    case _ => true
+  }
+
+  override def initialOffset(): Offset = BandVersionOffset(0L)
+
+  override def latestOffset(): Offset = BandVersionOffset(
+    BandStore.listVersions(root, conf).lastOption.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    BandVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BandVersionOffset].version
+    val e = end.asInstanceOf[BandVersionOffset].version
+    if (e <= s) return Array.empty
+    val startFiles =
+      if (s == 0) Set.empty[String]
+      else BandStore.readManifest(root, conf, Some(s)).map(_.name).toSet
+    val endEntries = BandStore.readManifest(root, conf, Some(e))
+    require(startFiles.subsetOf(endEntries.map(_.name).toSet),
+      s"graft-bands stream: versions $s -> $e of $path include a rewriting " +
+        "commit (compact/overwrite/delete) — a name-level delta would " +
+        "re-read or lose rows. Run store maintenance with the stream down.")
+    endEntries
+      .filterNot(en => startFiles.contains(en.name))
+      .filter(en => bandAdmitted(en.band) && docAdmitted(en))
+      .map(en => BandFilePartition(new Path(root, en.name).toString,
+        en.band, en.len): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BandReaderFactory(new SerializableConfiguration(conf), required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class BandVersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
 }
 
 case class BandFilePartition(file: String, band: Int, length: Long)

@@ -374,6 +374,57 @@ class SourcesSpec extends AnyFunSuite {
       "epoch ledger lost across a batch append")
   }
 
+  test("graft-bands DSv2 streaming SOURCE: manifest versions are offsets, " +
+    "appends arrive as incremental micro-batches, rewrites refuse loudly") {
+    import graft.sources.dsv2.{BandMicroBatchStream, BandStore, BandStoreMaintenance, BandVersionOffset}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = TestSpark.tempDir("graft-dsv2-src").toString
+    val ckpt = TestSpark.tempDir("graft-dsv2-src-ckpt").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bkey", StringType)))
+    def frame(rows: Seq[(Long, Int, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1),
+        schema)
+    frame(Seq((1L, 0, "aa"), (2L, 1, "bb"))).write
+      .format("graft-bands").mode("overwrite").save(out)   // version 1
+    frame(Seq((3L, 2, "cc"))).write
+      .format("graft-bands").mode("append").save(out)      // version 2
+    val q = spark.readStream.format("graft-bands").load(out)
+      .writeStream.format("memory").queryName("bandsrc")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bandsrc").count() === 3,
+        "history (versions 1-2) must arrive in the first window")
+      // a live append becomes the next incremental micro-batch
+      frame(Seq((4L, 3, "dd"))).write
+        .format("graft-bands").mode("append").save(out)    // version 3
+      q.processAllAvailable()
+      assert(spark.table("bandsrc").orderBy("doc_id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+    // contract level: the (1, 2] window plans ONLY version 2's new files
+    val conf = spark.sessionState.newHadoopConf()
+    val ms = new BandMicroBatchStream(out, conf, Array.empty, Array.empty,
+      BandStore.Schema)
+    assert(ms.planInputPartitions(
+      BandVersionOffset(0L), BandVersionOffset(1L)).length === 2,
+      "version 1 wrote one file per band (bands 0 and 1)")
+    assert(ms.planInputPartitions(
+      BandVersionOffset(1L), BandVersionOffset(2L)).length === 1)
+    assert(ms.planInputPartitions(
+      BandVersionOffset(3L), BandVersionOffset(3L)).isEmpty)
+    // a rewriting commit (compaction) inside the window must refuse: a
+    // name-level delta would re-read every row as "new"
+    BandStoreMaintenance.compact(spark, out)
+    val err = intercept[IllegalArgumentException] {
+      ms.planInputPartitions(BandVersionOffset(3L), BandVersionOffset(4L))
+    }
+    assert(err.getMessage.contains("rewriting commit"), err.getMessage)
+  }
+
   test("graft-bands compaction merges per-band files, preserves content " +
     "and the epoch ledger; vacuum reaps the old generation") {
     import graft.sources.dsv2.{BandStore, BandStoreMaintenance}
@@ -412,6 +463,51 @@ class SourcesSpec extends AnyFunSuite {
       .filter(_.endsWith(".gsb")).toSet
     assert(onDisk === entries.map(_.name).toSet,
       s"orphans or missing files after compact+vacuum: $onDisk vs manifest")
+  }
+
+  test("graft-bands catalog: CREATE / INSERT / SELECT / VERSION AS OF / " +
+    "DELETE / DROP all work through plain SQL") {
+    val wh = TestSpark.tempDir("graft-bands-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_bands",
+      classOf[graft.sources.dsv2.BandCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bands.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE graft_bands.t (doc_id BIGINT NOT NULL, " +
+        "band INT NOT NULL, bkey STRING NOT NULL)")
+      bandsFrame().createOrReplaceTempView("catalog_bands_src")
+      // generation 1: the even docs; generation 2 appends the odds
+      spark.sql("INSERT INTO graft_bands.t SELECT doc_id, " +
+        "CAST(band AS INT), bkey FROM catalog_bands_src WHERE doc_id % 2 = 0")
+      val n1 = spark.sql("SELECT count(*) FROM graft_bands.t").head().getLong(0)
+      spark.sql("INSERT INTO graft_bands.t SELECT doc_id, " +
+        "CAST(band AS INT), bkey FROM catalog_bands_src WHERE doc_id % 2 = 1")
+      val nAll = spark.sql("SELECT count(*) FROM graft_bands.t").head().getLong(0)
+      assert(nAll === bandsFrame().count())
+      assert(n1 < nAll && n1 > 0)
+      // SQL time travel: CREATE published v1 (empty), first INSERT is v2
+      assert(spark.sql("SELECT count(*) FROM graft_bands.t VERSION AS OF 1")
+        .head().getLong(0) === 0L)
+      assert(spark.sql("SELECT count(*) FROM graft_bands.t VERSION AS OF 2")
+        .head().getLong(0) === n1)
+      // SQL DELETE routes to the metadata-only manifest rewrite
+      spark.sql("DELETE FROM graft_bands.t WHERE band = 3")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_bands.t WHERE band = 3")
+        .head().getLong(0) === 0L)
+      assert(spark.sql("SELECT count(*) FROM graft_bands.t").head().getLong(0)
+        < nAll)
+      // table listing sees it; DROP removes it
+      assert(spark.sql("SHOW TABLES IN graft_bands").collect()
+        .map(_.getString(1)).contains("t"))
+      spark.sql("DROP TABLE graft_bands.t")
+      val gone = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_bands.t").collect()
+      }
+      assert(gone.getMessage.toLowerCase.contains("table"), gone.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_bands.warehouse")
+      spark.conf.unset("spark.sql.catalog.graft_bands")
+    }
   }
 
   // ------------------------------------------------ embedded JDBC (Derby)
