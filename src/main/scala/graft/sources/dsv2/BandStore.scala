@@ -283,10 +283,25 @@ class BandStoreSource extends TableProvider with DataSourceRegister {
 }
 
 class BandStoreTable(path: String, pinnedVersion: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     s"${BandStore.ShortName}($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = BandStore.Schema
+
+  /** `_file`: the data file serving each row, from partition metadata
+    * (zero read cost — the reader already knows it). The provenance
+    * handle store audits need: join a corrupt-row report back to the
+    * file to quarantine, or group by `_file` to see row distribution.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "band-store data file serving this row"
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -621,6 +636,9 @@ class BandFileReader(part: BandFilePartition, conf: Configuration,
       case "band" => (_: String) => part.band
       case "bkey" => (line: String) =>
         UTF8String.fromString(line.substring(line.indexOf('\t') + 1))
+      case "_file" => // metadata column: served from partition metadata
+        val name = UTF8String.fromString(new Path(part.file).getName)
+        (_: String) => name
       case other => throw new IllegalArgumentException(
         s"graft-bands has no column '$other'")
     }

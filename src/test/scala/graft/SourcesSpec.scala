@@ -466,7 +466,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("graft-bands catalog: CREATE / INSERT / SELECT / VERSION AS OF / " +
-    "DELETE / DROP all work through plain SQL") {
+    "DELETE / _file metadata / CALL compact+vacuum / DROP, all in SQL") {
     val wh = TestSpark.tempDir("graft-bands-wh").toString
     spark.conf.set("spark.sql.catalog.graft_bands",
       classOf[graft.sources.dsv2.BandCatalog].getName)
@@ -496,6 +496,24 @@ class SourcesSpec extends AnyFunSuite {
         .head().getLong(0) === 0L)
       assert(spark.sql("SELECT count(*) FROM graft_bands.t").head().getLong(0)
         < nAll)
+      // `_file` metadata column: provenance from partition metadata —
+      // every row maps to a manifest-listed file, at zero read cost
+      val byFile = spark.sql(
+        "SELECT _file, count(*) AS n FROM graft_bands.t GROUP BY _file")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(byFile.nonEmpty && byFile.keys.forall(_.endsWith(".gsb")))
+      assert(byFile.values.sum === spark.sql(
+        "SELECT count(*) FROM graft_bands.t").head().getLong(0))
+      // stored procedures: compact then vacuum via plain SQL CALL, each
+      // returning its counters
+      val comp = spark.sql("CALL graft_bands.system.compact('t')").head()
+      assert(comp.getInt(1) <= comp.getInt(0),
+        s"compact grew the store: $comp")
+      val vac = spark.sql("CALL graft_bands.system.vacuum('t', 1)").head()
+      assert(vac.getInt(0) > 0, s"no manifest versions dropped: $vac")
+      // the compacted+vacuumed table still serves the same rows
+      assert(spark.sql("SELECT count(*) FROM graft_bands.t").head().getLong(0)
+        === byFile.values.sum)
       // table listing sees it; DROP removes it
       assert(spark.sql("SHOW TABLES IN graft_bands").collect()
         .map(_.getString(1)).contains("t"))
@@ -504,6 +522,38 @@ class SourcesSpec extends AnyFunSuite {
         spark.sql("SELECT count(*) FROM graft_bands.t").collect()
       }
       assert(gone.getMessage.toLowerCase.contains("table"), gone.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_bands.warehouse")
+      spark.conf.unset("spark.sql.catalog.graft_bands")
+    }
+  }
+
+  test("graft-bands catalog: SQL-callable hash functions match the " +
+    "engine's Catalyst expressions bit for bit") {
+    import graft.functions.hashes
+    spark.conf.set("spark.sql.catalog.graft_bands",
+      classOf[graft.sources.dsv2.BandCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bands.warehouse",
+      TestSpark.tempDir("graft-bands-fnwh").toString)
+    try {
+      val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+      docs.createOrReplaceTempView("fn_docs")
+      val viaSql = spark.sql(
+        """SELECT doc_id, graft_bands.system.fnv1a64(text) AS h64,
+          |  graft_bands.system.ihash(text) AS ih,
+          |  graft_bands.system.poly31(text) AS p
+          |FROM fn_docs ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toString)
+      val viaExpr = docs.select(col("doc_id"),
+          hashes.fnv1a64(col("text")).as("h64"),
+          hashes.fnv1aIHash(col("text")).cast("long").as("ih"),
+          hashes.poly31Hash(col("text")).as("p"))
+        .orderBy("doc_id").collect().map(_.toString)
+      assert(viaSql.length === viaExpr.length && viaSql.nonEmpty)
+      assert(viaSql.toSeq === viaExpr.toSeq)
+      // listed for discovery
+      assert(spark.sql("SHOW FUNCTIONS IN graft_bands.system").collect()
+        .map(_.getString(0)).count(_.endsWith("poly31")) === 1)
     } finally {
       spark.conf.unset("spark.sql.catalog.graft_bands.warehouse")
       spark.conf.unset("spark.sql.catalog.graft_bands")
