@@ -3333,13 +3333,31 @@ object Relational {
       .localCheckpoint(true)
     // checkpoint every SECOND relaxation: the blocking materialization
     // (write + job launch) is the per-iteration overhead, and a 2-deep
-    // lineage between cuts costs nothing — same shuffles, half the jobs
-    for (i <- 1 to 6) {
+    // lineage between cuts costs nothing — same shuffles, half the jobs.
+    // At each cut, (count, decimal sum of dist) is a PROVED fixpoint
+    // signature: the reached set only grows (equal count ⇒ identical
+    // set) and per-node dist only shrinks (equal sum ⇒ every value
+    // unchanged) — so an unchanged signature means the last TWO
+    // relaxations were the identity and the remaining budget is too.
+    // Decimal, not long: a 10^9-node graph with 10^9-scale weights
+    // could overflow a long sum; decimal(38,0) cannot.
+    var prevSig: (Long, java.math.BigDecimal) = null
+    var i = 1
+    var converged = false
+    while (i <= 6 && !converged) {
       dist = dist.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("wt")).as("dist"))
         .unionByName(dist.select("node", "dist"))
         .groupBy("node").agg(min(col("dist")).as("dist"))
-      if (i % 2 == 0) dist = dist.localCheckpoint(true)
+      if (i % 2 == 0) {
+        dist = dist.localCheckpoint(true)
+        val row = dist.agg(count(lit(1)),
+          sum(col("dist").cast(DecimalType(38, 0)))).head()
+        val sig = (row.getLong(0), row.getDecimal(1))
+        converged = sig == prevSig
+        prevSig = sig
+      }
+      i += 1
     }
     edges.select(col("src").as("node")).distinct()
       .join(dist, Seq("node"), "left_outer")
@@ -3613,12 +3631,26 @@ object Relational {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to 6) {
+    // min-label propagation only DECREASES labels over a fixed node set,
+    // so an unchanged decimal label sum is a PROVED fixpoint (per-node
+    // monotone + equal sum ⇒ every label unchanged) and the remaining
+    // budgeted rounds are the identity. The sum read is ~free on the
+    // just-checkpointed frame; decimal because 10^9 nodes × 10^9-scale
+    // ids would overflow a long sum. Converges in 3-4 of 6 here.
+    def labelSum() = labels.agg(
+      sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prev: java.math.BigDecimal = null
+    var cur = labelSum()
+    var i = 0
+    while (i < 6 && (prev == null || cur.compareTo(prev) != 0)) {
+      prev = cur
       labels = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels.select("node", "label"))
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
+      cur = labelSum()
+      i += 1
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
     labels.join(sizes, "label")
