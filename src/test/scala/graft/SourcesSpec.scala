@@ -425,6 +425,64 @@ class SourcesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rewriting commit"), err.getMessage)
   }
 
+  test("graft-bands: a torn publish (version file written, pointer swap " +
+    "never happened) is invisible and later commits number past it") {
+    import graft.sources.dsv2.BandStore
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = TestSpark.tempDir("graft-dsv2-torn").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bkey", StringType)))
+    def frame(rows: Seq[(Long, Int, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1),
+        schema)
+    frame(Seq((1L, 0, "aa"))).write
+      .format("graft-bands").mode("overwrite").save(out)   // version 1
+    // simulate a publish that died between the version write and the
+    // pointer swap: a stray higher version file, pointer still at v1
+    val v1 = java.nio.file.Paths.get(out, "_manifest.v1")
+    java.nio.file.Files.copy(v1, java.nio.file.Paths.get(out, "_manifest.v7"))
+    // current readers are unaffected (they follow the pointer)...
+    assert(spark.read.format("graft-bands").load(out).count() === 1)
+    // ...and the next commit numbers PAST the orphan instead of
+    // colliding with it, then serves both generations correctly
+    frame(Seq((2L, 1, "bb"))).write
+      .format("graft-bands").mode("append").save(out)      // version 8
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(out)
+    assert(BandStore.listVersions(root, conf) === Seq(1L, 7L, 8L))
+    assert(spark.read.format("graft-bands").load(out).count() === 2)
+    assert(spark.read.format("graft-bands").option("versionAsOf", "8")
+      .load(out).count() === 2)
+  }
+
+  test("graft-bands manifest round-trips arbitrary entries and epoch " +
+    "ledgers exactly") {
+    import graft.sources.dsv2.BandStore
+    val out = TestSpark.tempDir("graft-dsv2-manifest").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val conf = spark.sessionState.newHadoopConf()
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val entries = Seq.fill(rnd.nextInt(40)) {
+        BandStore.ManifestEntry(
+          s"b${rnd.nextInt(8)}-t${rnd.nextInt(100)}-${java.util.UUID.randomUUID()}.gsb",
+          rnd.nextInt(8), math.abs(rnd.nextLong()) max 1L,
+          rnd.nextInt(100000).toLong,
+          rnd.nextLong(), rnd.nextLong())
+      }
+      val epochs = Seq.fill(rnd.nextInt(6))(rnd.nextLong()).toSet
+      val v = BandStore.writeManifest(root, conf, entries, epochs)
+      assert(v === trial.toLong, "versions must be dense and monotonic")
+      val (back, epochsBack) = BandStore.readManifestFull(root, conf)
+      assert(back === entries, s"trial $trial: entries changed")
+      assert(epochsBack === epochs, s"trial $trial: ledger changed")
+      // the immutable history entry says the same thing
+      assert(BandStore.readManifestFull(root, conf, Some(v))._1 === entries)
+    }
+  }
+
   test("graft-bands compaction merges per-band files, preserves content " +
     "and the epoch ledger; vacuum reaps the old generation") {
     import graft.sources.dsv2.{BandStore, BandStoreMaintenance}
