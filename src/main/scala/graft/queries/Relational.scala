@@ -184,6 +184,7 @@ object Relational {
     "q149_bitemporal" -> q149,
     "q150_holt_winters" -> q150,
     "q151_decayed_ltv" -> q151,
+    "q152_mv_rewrite" -> q152,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5425,6 +5426,45 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")))
   }
 
+  // one MV build per scale dir per JVM — the build is pipeline setup
+  // (like a warehouse's nightly cube refresh), not per-query work
+  private val mvDaily =
+    scala.collection.concurrent.TrieMap.empty[String, graft.plans.Mv.Def]
+
+  /** Aggregate-navigator rewrite (plans/MvRewrite.scala): a daily cube of
+    * lineitem at (returnflag, linestatus, shipdate) grain serves this
+    * coarser filtered rollup without touching the fact table — the
+    * optimizer rule swaps the fact scan for the MV scan when grouping,
+    * filter and every aggregate re-roll exactly from the cube's partials
+    * (sum of sums, min of mins, sum of counts). PlanSpec pins that the
+    * executed plan reads the MV path and NOT lineitem, and that a stale
+    * fact fingerprint vetoes the rewrite; this gate pins that the
+    * MV-served values hash-match DuckDB computing from the raw rows.
+    */
+  private def q152(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvRewrite.install(spark)
+    mvDaily.getOrElseUpdate(dir, graft.plans.Mv.create(
+      Tables.load(spark, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Map("sum_qty" -> d2(col("l_quantity")),
+        "sum_price" -> d2(col("l_extendedprice"))),
+      mins = Map("min_disc" -> d2(col("l_discount"))),
+      maxs = Map("max_disc" -> d2(col("l_discount"))),
+      mvPath = s"${sys.props("java.io.tmpdir")}/graft-mv-" +
+        f"${math.abs(dir.hashCode)}%x/lineitem_daily"))
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy("l_returnflag")
+      .agg(
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_price"),
+        min(d2(col("l_discount"))).cast("double").as("min_disc"),
+        max(d2(col("l_discount"))).cast("double").as("max_disc"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   /** The decayed-LTV finalization over a per-(user, day) purchase
     * rollup — the single definition q151 and st_ltv share. Day-grain
     * pre-aggregation is EXACT here: the 2^(K−age) weight is constant
@@ -6118,6 +6158,18 @@ object Relational {
         |  AND CAST(l_discount AS DECIMAL(18,2))
         |      BETWEEN CAST(0.03 AS DECIMAL(18,2))
         |          AND CAST(0.07 AS DECIMAL(18,2))""".stripMargin,
+    "q152_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(min(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS min_disc,
+        |  CAST(max(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS max_disc,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q64_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

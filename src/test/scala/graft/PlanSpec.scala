@@ -701,4 +701,101 @@ class PlanSpec extends AnyFunSuite {
     // each branch partial-aggregates before its exchange
     assert("partial_count".r.findAllMatchIn(p).size >= 2, p)
   }
+
+  test("MvRewrite: q152's rollup is served from the daily cube, exactly") {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val df = Relational.defs("q152_mv_rewrite")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_daily"), p)
+    assert(!p.contains("lineitem.parquet"), p)
+    // the range filter on the grouping column reaches the MV's scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    val served = df.collect().map(_.toString).sorted.toSeq
+    // kill the registration: the same shape must fall back to the raw scan
+    graft.plans.Mv.clear()
+    val li = Tables.load(spark, dir, "lineitem")
+    def rollup = li
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(D)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(D)).cast("double").as("sum_price"),
+        min(col("l_discount").cast(D)).cast("double").as("min_disc"),
+        max(col("l_discount").cast(D)).cast("double").as("max_disc"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+    val rawPlan = rollup.queryExecution.executedPlan.toString
+    assert(rawPlan.contains("lineitem.parquet"), rawPlan)
+    assert(rollup.collect().map(_.toString).sorted.toSeq === served)
+    // re-register (other suites in this JVM may still build q152): the
+    // hand-written raw shape now rewrites too — the rule keys on the
+    // normalized expression, not on who authored the frame
+    graft.plans.Mv.create(li,
+      Seq("l_returnflag", "l_linestatus", "l_shipdate"),
+      sums = Map("sum_qty" -> col("l_quantity").cast(D),
+        "sum_price" -> col("l_extendedprice").cast(D)),
+      mins = Map("min_disc" -> col("l_discount").cast(D)),
+      maxs = Map("max_disc" -> col("l_discount").cast(D)),
+      mvPath = s"${sys.props("java.io.tmpdir")}/graft-mv-" +
+        f"${math.abs(dir.hashCode)}%x/lineitem_daily")
+    val again = rollup.queryExecution.executedPlan.toString
+    assert(again.contains("lineitem_daily"), again)
+    assert(rollup.collect().map(_.toString).sorted.toSeq === served)
+  }
+
+  test("MvRewrite declines: unregistered measure, finer grain, non-group " +
+    "filter, DISTINCT") {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    Relational.defs("q152_mv_rewrite")(spark, dir) // MV built + registered
+    val li = Tables.load(spark, dir, "lineitem")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // sum(l_tax) is not a registered measure
+    assert(planOf(li.groupBy("l_returnflag")
+      .agg(sum(col("l_tax").cast(D)).as("s"))).contains("lineitem.parquet"))
+    // l_partkey is finer than the MV grain
+    assert(planOf(li.groupBy("l_returnflag", "l_partkey")
+      .agg(sum(col("l_quantity").cast(D)).as("s")))
+      .contains("lineitem.parquet"))
+    // a filter on a non-grouping column needs raw rows
+    assert(planOf(li.filter(col("l_quantity") > 10).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(D)).as("s")))
+      .contains("lineitem.parquet"))
+    // DISTINCT aggregates never re-roll from partials
+    assert(planOf(li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("s")))
+      .contains("lineitem.parquet"))
+    // and the covered coarse shape (sanity: the guard is the SHAPE, not
+    // a blanket veto) does rewrite
+    assert(planOf(li.groupBy("l_linestatus")
+      .agg(sum(col("l_quantity").cast(D)).as("s")))
+      .contains("lineitem_daily"))
+  }
+
+  test("MvRewrite: a changed fact table vetoes the rewrite (stale fingerprint)") {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val tmp = TestSpark.tempDir("mv-stale")
+    val factDir = new java.io.File(tmp.toFile, "factdir")
+    factDir.mkdirs()
+    val src = java.nio.file.Paths.get(dir, "lineitem.parquet")
+    java.nio.file.Files.copy(src,
+      factDir.toPath.resolve("part-0.parquet"))
+    val fact = spark.read.parquet(factDir.toString)
+    graft.plans.Mv.create(fact, Seq("l_returnflag"),
+      sums = Map("s" -> col("l_quantity").cast(D)),
+      mins = Map(), maxs = Map(), mvPath = s"$tmp/mvdir")
+    graft.plans.MvRewrite.install(spark)
+    def q = spark.read.parquet(factDir.toString).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(D)).as("s"))
+    val before = q.queryExecution.executedPlan.toString
+    assert(before.contains("mvdir"), before)
+    // a new file lands in the fact directory — the fingerprint no longer
+    // matches and the rewrite must fall back to the raw scan
+    java.nio.file.Files.copy(src,
+      factDir.toPath.resolve("part-1.parquet"))
+    val after = q.queryExecution.executedPlan.toString
+    assert(!after.contains("mvdir"), after)
+    assert(after.contains("factdir"), after)
+  }
 }
