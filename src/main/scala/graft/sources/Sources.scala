@@ -263,6 +263,49 @@ object Sources {
     bandStoreSummary(spark, out)
   }
 
+  /** Storage-partitioned join through the connector: the corpus index
+    * and a new-docs index (first/second half of the corpus, two separate
+    * `graft-bands` stores) are EACH aggregated per band and joined on
+    * `band` — and because [[graft.sources.dsv2.BandScan]] reports its
+    * band-per-file layout as a key-grouped partitioning, the whole
+    * computation runs with ZERO hash exchanges (SourcesSpec pins the
+    * plan): each task reads one band's files from both stores, both
+    * aggregations finish in place, and the join is co-located by
+    * storage. This is the scale path for store-vs-store reconciliation —
+    * at 100 TB neither index is ever re-shuffled to meet the other; the
+    * only movement is the 8-row presentation sort. Values are gated
+    * against DuckDB recomputing both per-band summaries from the raw
+    * band relation.
+    */
+  def dsv2SpjJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-spj")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "src_dsv2_spj: the documents table is empty — no stores to build")
+    val split = (maxRow.getLong(0) + 1) / 2
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(docs))
+    bands.filter(col("doc_id") < split)
+      .write.format("graft-bands").mode("overwrite").save(s"$out/old")
+    bands.filter(col("doc_id") >= split)
+      .write.format("graft-bands").mode("overwrite").save(s"$out/new")
+    // storage-partitioned execution is opt-in; partially-matching
+    // partition value sets are handled by pushing missing values down
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    def perBand(path: String, side: String): DataFrame =
+      spark.read.format("graft-bands").load(path)
+        .withColumn("h", portableHash60(
+          concat_ws("\u0001", col("doc_id"), col("bkey"))))
+        .groupBy("band")
+        .agg(count(lit(1)).as(s"n_$side"),
+          expr("bit_xor(h)").as(s"xor_$side"))
+    perBand(s"$out/old", "old").join(perBand(s"$out/new", "new"), "band")
+      .orderBy("band")
+  }
+
   /** The probed-band summary both `src_dsv2` and `src_dsv2_stream`
     * publish: read through the connector pruned to bands 2 and 5 and
     * checksum (doc_id, bkey) per band.
@@ -486,6 +529,7 @@ object Sources {
     "src_dsv2_count" -> ((s, d) => dsv2MetadataAgg(s, d)),
     "src_dsv2_read" -> ((s, d) => dsv2StreamSourceRead(s, d)),
     "src_dsv2_sql" -> ((s, d) => dsv2SqlRoundTrip(s, d)),
+    "src_dsv2_spj" -> ((s, d) => dsv2SpjJoin(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
@@ -599,6 +643,23 @@ object Sources {
          |  CAST(max(doc_id) AS BIGINT) AS max_doc
          |FROM bands GROUP BY band ORDER BY band""".stripMargin,
     "src_jdbc" -> oracleSummary,
+    // src_dsv2_spj: the storage-partitioned store-vs-store join must
+    // equal DuckDB recomputing both halves' per-band summaries from the
+    // raw band relation (band signatures are per-doc, so banding a half
+    // equals filtering the full banding by doc_id)
+    "src_dsv2_spj" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES},
+         |sp AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents),
+         |hh AS (SELECT CAST(band AS INTEGER) AS band, doc_id,
+         |        CAST(concat('0x', substr(md5(concat_ws(chr(1),
+         |          doc_id, bkey)), 1, 15)) AS BIGINT) AS h
+         |      FROM bands),
+         |ob AS (SELECT band, count(*) AS n_old, bit_xor(h) AS xor_old
+         |       FROM hh, sp WHERE doc_id < split GROUP BY band),
+         |nb AS (SELECT band, count(*) AS n_new, bit_xor(h) AS xor_new
+         |       FROM hh, sp WHERE doc_id >= split GROUP BY band)
+         |SELECT band, n_old, xor_old, n_new, xor_new
+         |FROM ob JOIN nb USING (band) ORDER BY band""".stripMargin,
   )
 
   private lazy val dsv2Oracle: String =

@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -441,8 +442,30 @@ class BandScan(path: String, conf: Configuration, pushed: Array[Filter],
                docSkip: Array[Filter], required: StructType,
                version: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
+
+  /** Storage-partitioned execution: the band-per-file layout IS a
+    * key-grouped partitioning on `band`, and reporting it lets Spark
+    * skip the shuffle for any clustering the layout already satisfies —
+    * per-band aggregation runs exchange-free, and two band stores join
+    * on `band` as a storage-partitioned join (each task reads the SAME
+    * band's files from both stores; with B bands and F files that is
+    * the co-located probe a 100 TB signature store needs: the corpus
+    * side is never re-shuffled to meet the delta side). Requires
+    * `spark.sql.sources.v2.bucketing.enabled`; each [[BandFilePartition]]
+    * carries its band as the partition key and Spark groups same-band
+    * files into one task. When `band` is pruned out of the read schema
+    * the grouping key is unresolvable — report unknown instead.
+    */
+  override def outputPartitioning(): Partitioning = {
+    val bands = kept.map(_.band).distinct
+    if (required.fieldNames.contains("band") && bands.nonEmpty)
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("band")), bands.size)
+    else new UnknownPartitioning(kept.size)
+  }
 
   /** Runtime (DPP-style) pruning: when this scan joins a dimension on
     * `band`, Spark evaluates the dimension's distinct band keys at run
@@ -610,7 +633,14 @@ case class BandVersionOffset(version: Long)
 }
 
 case class BandFilePartition(file: String, band: Int, length: Long)
-    extends InputPartition
+    extends InputPartition with HasPartitionKey {
+  /** The file's band, as the key-grouped partitioning's key row — Spark
+    * groups same-key files into one task under
+    * [[BandScan.outputPartitioning]].
+    */
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(band)
+}
 
 class BandReaderFactory(conf: SerializableConfiguration, required: StructType)
     extends PartitionReaderFactory {

@@ -425,6 +425,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rewriting commit"), err.getMessage)
   }
 
+  test("graft-bands: key-grouped scan — per-band aggs of two stores join " +
+    "with zero hash exchanges, values unchanged") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dirA = TestSpark.tempDir("graft-spj-a").toString
+    val dirB = TestSpark.tempDir("graft-spj-b").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bkey", StringType)))
+    def frame(n: Int, off: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until n).flatMap(i =>
+        (0 until 4).map(b => Row(off + i, b, s"k${(i + b) % 5}"))), 2), schema)
+    frame(20, 0L).write.format("graft-bands").mode("overwrite").save(dirA)
+    frame(15, 100L).write.format("graft-bands").mode("overwrite").save(dirB)
+    def joined() = {
+      def per(d: String, s: String) = spark.read.format("graft-bands").load(d)
+        .groupBy("band").agg(count(lit(1)).as(s"n_$s"),
+          countDistinct(col("bkey")).as(s"k_$s"))
+      per(dirA, "a").join(per(dirB, "b"), "band").orderBy("band")
+    }
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    val on = joined()
+    val onRows = on.collect().map(_.toString).toSeq
+    assert(onRows.size === 4)
+    val p = on.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // both aggregations AND the store-vs-store join run on the storage
+    // partitioning — the only movement is the presentation range sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // sanity that the elision is real: the same query with the v2
+    // bucketing conf off shuffles, and returns the identical rows
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val off = joined()
+      val offRows = off.collect().map(_.toString).toSeq
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert(offPlan.contains("Exchange hashpartitioning"), offPlan)
+      assert(offRows === onRows)
+    } finally
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
   test("graft-bands: a torn publish (version file written, pointer swap " +
     "never happened) is invisible and later commits number past it") {
     import graft.sources.dsv2.BandStore
