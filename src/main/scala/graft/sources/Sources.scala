@@ -317,9 +317,14 @@ object Sources {
     summarizeBands(reader.load(store))
   }
 
-  private def summarizeBands(bands: DataFrame): DataFrame = {
+  private def summarizeBands(bands: DataFrame): DataFrame =
+    bandSummaryAgg(bands.filter(col("band").isin(2, 5)))
+
+  /** Per-band count/distinct/checksum reduction (no band filter — callers
+    * choose the probe set).
+    */
+  private def bandSummaryAgg(bands: DataFrame): DataFrame = {
     bands
-      .filter(col("band").isin(2, 5))
       .withColumn("h", portableHash60(
         concat_ws("\u0001", col("doc_id"), col("bkey"))))
       .groupBy("band")
@@ -416,6 +421,60 @@ object Sources {
     spark.sql("INSERT OVERWRITE graft_bandsq.store SELECT doc_id, " +
       "CAST(band AS INT), bkey FROM graft_src_dsv2sql_bands")
     summarizeBands(spark.table("graft_bandsq.store"))
+  }
+
+  /** The ROW-LEVEL-MUTATION half of the connector gate: the store starts
+    * as the first-half corpus index, then one SQL `MERGE INTO` re-keys
+    * every fifth document's signatures (matched-update), tombstones the
+    * re-keyed docs divisible by 7 (matched-delete), and ingests the
+    * second-half corpus (not-matched-insert) — the dedup-index refresh
+    * shape (docs re-signed after edit, retracted, or newly crawled) in
+    * one statement. Spark plans it as a group-based COPY-ON-WRITE through
+    * [[graft.sources.dsv2.BandRowLevelOperation]]: runtime group
+    * filtering on `_file` limits the rewrite to files that actually hold
+    * matched keys (RowLevelSpec pins that), replacement files ride the
+    * normal band-routed writers, and the commit swaps
+    * `replaced → new` in one atomic versioned manifest publish. The
+    * whole-store per-band summary is gated against DuckDB replaying the
+    * merge relationally (left-join survivors ∪ anti-join inserts) — equal
+    * answers ⇔ every matched/not-matched/delete branch and the manifest
+    * swap changed EXACTLY the right rows. The flow is idempotent per run:
+    * INSERT OVERWRITE rebuilds the base state before each MERGE.
+    */
+  def dsv2MergeRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_bandsm",
+      classOf[graft.sources.dsv2.BandCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_bandsm.warehouse",
+      staged("graft-src-dsv2m-wh"))
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "src_dsv2_merge: the documents table is empty — nothing to merge")
+    val split = (maxRow.getLong(0) + 1) / 2
+    graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(docs))
+      .createOrReplaceTempView("graft_src_dsv2m_bands")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft_bandsm.store (" +
+      "doc_id BIGINT NOT NULL, band INT NOT NULL, bkey STRING NOT NULL)")
+    spark.sql("INSERT OVERWRITE graft_bandsm.store SELECT doc_id, " +
+      s"CAST(band AS INT), bkey FROM graft_src_dsv2m_bands " +
+      s"WHERE doc_id < $split")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_src_dsv2m_src AS
+         |SELECT doc_id, CAST(band AS INT) AS band, reverse(bkey) AS bkey
+         |FROM graft_src_dsv2m_bands
+         |WHERE doc_id < $split AND doc_id % 5 = 0
+         |UNION ALL
+         |SELECT doc_id, CAST(band AS INT) AS band, bkey
+         |FROM graft_src_dsv2m_bands WHERE doc_id >= $split""".stripMargin)
+    spark.sql(
+      """MERGE INTO graft_bandsm.store t USING graft_src_dsv2m_src s
+        |ON t.doc_id = s.doc_id AND t.band = s.band
+        |WHEN MATCHED AND s.doc_id % 7 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bkey = s.bkey
+        |WHEN NOT MATCHED THEN INSERT (doc_id, band, bkey)
+        |  VALUES (s.doc_id, s.band, s.bkey)""".stripMargin)
+    bandSummaryAgg(spark.table("graft_bandsm.store"))
   }
 
   /** The metadata-aggregate half of the connector gate: the grouped
@@ -529,6 +588,7 @@ object Sources {
     "src_dsv2_count" -> ((s, d) => dsv2MetadataAgg(s, d)),
     "src_dsv2_read" -> ((s, d) => dsv2StreamSourceRead(s, d)),
     "src_dsv2_sql" -> ((s, d) => dsv2SqlRoundTrip(s, d)),
+    "src_dsv2_merge" -> ((s, d) => dsv2MergeRoundTrip(s, d)),
     "src_dsv2_spj" -> ((s, d) => dsv2SpjJoin(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
@@ -612,6 +672,42 @@ object Sources {
     // read to any consumer
     "src_dsv2_read" -> dsv2Oracle,
     "src_dsv2_sql" -> dsv2Oracle,
+    // src_dsv2_merge: the oracle replays the MERGE relationally — the
+    // post-merge store is (store-rows surviving the matched branches,
+    // with matched updates applied) ∪ (source rows matching nothing),
+    // over the same rebuilt band relation. Keys are unique per
+    // (doc_id, band) on both sides, so the left join + anti join are the
+    // exact MERGE semantics (Spark enforces the same cardinality rule).
+    "src_dsv2_merge" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES},
+         |sp AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents),
+         |store AS (SELECT doc_id, band, bkey FROM bands, sp
+         |          WHERE doc_id < split),
+         |src AS (SELECT doc_id, band, reverse(bkey) AS bkey FROM bands, sp
+         |          WHERE doc_id < split AND doc_id % 5 = 0
+         |        UNION ALL
+         |        SELECT doc_id, band, bkey FROM bands, sp
+         |          WHERE doc_id >= split),
+         |final AS (
+         |  SELECT t.doc_id, t.band,
+         |    CASE WHEN s.doc_id IS NOT NULL THEN s.bkey ELSE t.bkey END AS bkey
+         |  FROM store t LEFT JOIN src s
+         |    ON t.doc_id = s.doc_id AND t.band = s.band
+         |  WHERE NOT (s.doc_id IS NOT NULL AND s.doc_id % 7 = 0)
+         |  UNION ALL
+         |  SELECT s.doc_id, s.band, s.bkey FROM src s
+         |  WHERE NOT EXISTS (SELECT 1 FROM store t
+         |                    WHERE t.doc_id = s.doc_id AND t.band = s.band)),
+         |fh AS (SELECT CAST(band AS INTEGER) AS band, doc_id, bkey,
+         |        CAST(concat('0x', substr(md5(concat_ws(chr(1),
+         |          doc_id, bkey)), 1, 15)) AS BIGINT) AS h
+         |      FROM final)
+         |SELECT band, count(*) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(DISTINCT bkey) AS n_buckets,
+         |  bit_xor(h) AS checksum_xor,
+         |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+         |FROM fh GROUP BY band ORDER BY band""".stripMargin,
     // src_dsv2_tt: version 1 must serve EXACTLY the first-half build and
     // the current pointer the union — the oracle rebuilds both off the
     // parquet (band signatures are per-doc, so banding the half equals

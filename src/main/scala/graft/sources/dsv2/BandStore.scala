@@ -285,7 +285,8 @@ class BandStoreSource extends TableProvider with DataSourceRegister {
 
 class BandStoreTable(path: String, pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String =
     s"${BandStore.ShortName}($path${pinnedVersion.fold("")(v => s"@v$v")})"
   override def schema(): StructType = BandStore.Schema
@@ -331,13 +332,31 @@ class BandStoreTable(path: String, pinnedVersion: Option[Long] = None)
     new BandWriteBuilder(path, info.schema(), hconf)
   }
 
+  /** Row-level DELETE / UPDATE / MERGE via group-based copy-on-write
+    * ([[BandRowLevelOperation]]): Spark rewrites only the files whose
+    * rows the condition touches (runtime group filtering on `_file`) and
+    * the commit swaps them atomically in a new manifest version. Note
+    * band-aligned deletes never get this far: Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` routes any condition
+    * [[canDeleteWhere]] accepts back to the metadata-only
+    * [[deleteWhere]] below.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      "graft-bands: a VERSION AS OF snapshot is read-only")
+    () => new BandRowLevelOperation(path, info.command(), hconf)
+  }
+
   /** Band deletes are METADATA-ONLY: the band is part of every file's
     * name, so `band = k` / `band IN (...)` predicates align exactly with
     * file boundaries and deleting those bands is a manifest rewrite that
     * touches zero data bytes — the lakehouse partition-drop fast path.
     * The dropped files stay on disk (older versions still serve them;
-    * vacuum reclaims). Anything finer (doc_id/bkey predicates) would need
-    * a copy-on-write file rewrite and is refused via `canDeleteWhere`.
+    * vacuum reclaims). Anything finer (doc_id/bkey predicates) takes the
+    * copy-on-write row-level path above; `canDeleteWhere` refusing them
+    * is what steers Spark there instead of a wrong metadata drop.
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall {
