@@ -1415,7 +1415,67 @@ object TextAnalysis {
         element_at(col("m"), 1).cast("long").as("first_pos"))
   }
 
+  /** Typo-tolerant term search — a corrupted "query log" (every frequent
+    * corpus term with one deterministically-chosen character deleted)
+    * resolved back against the vocabulary at Levenshtein distance ≤ 1,
+    * by the SymSpell deletion-neighborhood trick instead of all-pairs
+    * edit distance. Each string on BOTH sides emits {itself} ∪ {every
+    * single-character deletion}; two strings at distance ≤ 1 are
+    * GUARANTEED to share a variant key (equal: the string itself;
+    * insert/delete: one IS the other's deletion; substitute: deleting
+    * the differing position from each yields the same string), so an
+    * equi-join on the variant finds every candidate and the exact
+    * `levenshtein ≤ 1` check removes what the key over-generates (shared
+    * deletions at different positions and transpositions are distance
+    * 2). The query side is derived from the vocab in-engine (delete at
+    * position `portableHash60("fz:" ∥ term) mod len`), so the oracle can
+    * rebuild the identical log in SQL — no fixture files.
+    *
+    * Scale: the join is keyed by variant string — O(len) keys per term,
+    * one selective hash shuffle, NEVER the O(Q·V) cross product (the
+    * DuckDB oracle computes exactly that brute force, so the gate is a
+    * real scale-path ≡ baseline equivalence). Variant-key fan-out is
+    * bounded by how many strings collapse to one deletion — dozens, not
+    * corpus-scale. Vocab bounds (ASCII a-z, length 4–12, count ≥ 5)
+    * keep char-vs-codepoint semantics identical across engines and are
+    * the documented knobs, not correctness conditions.
+    */
+  def fuzzySearch(docs: DataFrame): DataFrame = {
+    import graft.functions.hashes.portableHash60
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("t"))
+      .select(lower(col("t")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$") &&
+        length(col("term")).between(4, 12))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+    val queries = vocab
+      .select(col("term").as("src"),
+        (pmod(portableHash60(concat(lit("fz:"), col("term"))),
+          length(col("term")).cast("long")) + 1).cast("int").as("p"))
+      .select(expr("concat(substring(src, 1, p - 1), " +
+        "substring(src, p + 1, length(src)))").as("query"))
+      .distinct()
+    def deletionVariants(s: String): Column =
+      explode(array_distinct(concat(array(col(s)), expr(
+        s"transform(sequence(1, length($s)), i -> " +
+          s"concat(substring($s, 1, i - 1), " +
+          s"substring($s, i + 1, length($s))))"))))
+    val qv = queries.select(col("query"), deletionVariants("query").as("v"))
+    val tv = vocab.select(col("term"), col("cnt"),
+      deletionVariants("term").as("v"))
+    qv.join(tv, "v")
+      .select(col("query"), col("term"), col("cnt"))
+      .distinct() // a pair can collide on several variant keys
+      .withColumn("dist", levenshtein(col("query"), col("term")))
+      .filter(col("dist") <= 1)
+      .orderBy("query", "term")
+      .limit(500)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_fuzzy_search" -> ((s, d) =>
+      fuzzySearch(Tables.load(s, d, "documents"))),
     "ta_phrase" -> ((s, d) =>
       phraseSearch(Tables.load(s, d, "documents"))),
     "ta_textrank" -> ((s, d) =>
@@ -1631,6 +1691,34 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = {
     val base: Map[String, String] = Map(
+    // ta_fuzzy_search: brute-force baseline — the identically-derived
+    // corrupted query log crossed with the whole vocab (banded by the
+    // |len diff| <= 1 implication of distance <= 1), exact levenshtein.
+    // Equal answers <=> the deletion-neighborhood join found EXACTLY the
+    // distance-<=1 matches, neither missing a candidate key nor keeping
+    // a distance-2 collision
+    "ta_fuzzy_search" ->
+      s"""WITH tok AS (
+         |  SELECT lower(t) AS term
+         |  FROM (SELECT unnest($W) AS t FROM documents)
+         |  WHERE regexp_full_match(lower(t), '[a-z]+')
+         |    AND len(t) BETWEEN 4 AND 12),
+         |vocab AS (SELECT term, count(*) AS cnt FROM tok
+         |          GROUP BY 1 HAVING count(*) >= 5),
+         |q AS (
+         |  SELECT DISTINCT
+         |    concat(substr(term, 1, p - 1), substr(term, p + 1, len(term)))
+         |      AS query
+         |  FROM (SELECT term,
+         |          CAST(CAST(concat('0x', substr(md5('fz:' || term), 1, 15))
+         |            AS BIGINT) % len(term) AS INTEGER) + 1 AS p
+         |        FROM vocab))
+         |SELECT q.query, v.term, CAST(v.cnt AS BIGINT) AS cnt,
+         |  CAST(levenshtein(q.query, v.term) AS INTEGER) AS dist
+         |FROM q JOIN vocab v
+         |  ON len(v.term) BETWEEN len(q.query) - 1 AND len(q.query) + 1
+         |  AND levenshtein(q.query, v.term) <= 1
+         |ORDER BY query, term LIMIT 500""".stripMargin,
     // ta_phrase: the oracle tests the three adjacent words per position
     // via the list-comprehension idiom (out-of-range w[i+k] is NULL in
     // DuckDB, so no explicit length guard is needed); positions are

@@ -185,6 +185,7 @@ object Relational {
     "q150_holt_winters" -> q150,
     "q151_decayed_ltv" -> q151,
     "q152_mv_rewrite" -> q152,
+    "q153_link_predict" -> q153,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5465,6 +5466,62 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Link prediction over the customer–part co-purchase graph: rank the
+    * customer pairs most likely to share an edge (a "similar buyers"
+    * recommendation / account-linking candidate list) by three classic
+    * scores over their shared-part neighborhoods — common neighbors,
+    * the Resource-Allocation index (Zhou et al. 2009: Σ 1/deg(w) over
+    * shared parts w — hubs contribute less), and Jaccard. q115 is the
+    * ITEM-side projection of this shape (supplier pairs via shared
+    * customers, similarity semantics); this is the USER side with
+    * ranking semantics and a top-k contract.
+    *
+    * Determinism: RA is published as `ra_pico` = Σ ⌊10¹²/deg(w)⌋ —
+    * per-term INTEGER division is exact and identical in both engines
+    * and the integer sum is order-independent, where a double Σ 1/deg
+    * would depend on reduction order. Jaccard is one double division
+    * (single-op IEEE, deterministic — q115's convention).
+    *
+    * Scale: pair generation is keyed BY PART (one shuffle), and the
+    * part-degree cap (2..40 buyers) bounds the per-key fan-out to
+    * C(40,2) — hub parts are excluded for the same reason LSH caps
+    * shingle df: a part half the market buys predicts nothing and would
+    * quadratically dominate the join. Degrees broadcast (O(customers));
+    * top-100 is a TakeOrdered, never a global sort.
+    */
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .distinct()
+      .localCheckpoint(true) // reused 3×: degrees, capped sides
+    val pdeg = buyers.groupBy("part").agg(count(lit(1)).as("pdeg"))
+    val capped = buyers
+      .join(broadcast(pdeg.filter(col("pdeg").between(2, 40))), "part")
+    val cdeg = capped.groupBy("cust").agg(count(lit(1)).as("cd"))
+    val scored = capped.as("x")
+      .join(capped.as("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .select(col("x.cust").as("cust_a"), col("y.cust").as("cust_b"),
+        col("x.pdeg").as("pdeg"))
+      .groupBy("cust_a", "cust_b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000000 DIV pdeg")).as("ra_pico"))
+    scored
+      .join(broadcast(cdeg.select(col("cust").as("cust_a"),
+        col("cd").as("da"))), "cust_a")
+      .join(broadcast(cdeg.select(col("cust").as("cust_b"),
+        col("cd").as("db"))), "cust_b")
+      .select(col("cust_a"), col("cust_b"), col("cn"), col("ra_pico"),
+        (col("cn").cast("double")
+          / (col("da") + col("db") - col("cn")).cast("double")).as("jaccard"))
+      .orderBy(desc("cn"), desc("ra_pico"), col("cust_a"), col("cust_b"))
+      .limit(100)
+  }
+
   /** The decayed-LTV finalization over a per-(user, day) purchase
     * rollup — the single definition q151 and st_ltv share. Day-grain
     * pre-aggregation is EXACT here: the 2^(K−age) weight is constant
@@ -6170,6 +6227,32 @@ object Relational {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q153: same capped co-purchase projection replayed relationally;
+    // ra_pico's per-term integer division makes the sum engine-exact
+    "q153_link_predict" ->
+      """WITH buyers AS (
+        |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT part, count(*) AS pdeg FROM buyers GROUP BY 1),
+        |capped AS (
+        |  SELECT b.part, b.cust, d.pdeg
+        |  FROM buyers b JOIN deg d USING (part)
+        |  WHERE d.pdeg BETWEEN 2 AND 40),
+        |cdeg AS (SELECT cust, count(*) AS cd FROM capped GROUP BY 1),
+        |scored AS (
+        |  SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |    count(*) AS cn, sum(1000000000000 // x.pdeg) AS ra_pico
+        |  FROM capped x JOIN capped y
+        |    ON x.part = y.part AND x.cust < y.cust
+        |  GROUP BY 1, 2)
+        |SELECT cust_a, cust_b, CAST(cn AS BIGINT) AS cn,
+        |  CAST(ra_pico AS BIGINT) AS ra_pico,
+        |  CAST(cn AS DOUBLE) / (da.cd + db.cd - cn) AS jaccard
+        |FROM scored
+        |JOIN cdeg da ON cust_a = da.cust
+        |JOIN cdeg db ON cust_b = db.cust
+        |ORDER BY cn DESC, ra_pico DESC, cust_a, cust_b
+        |LIMIT 100""".stripMargin,
     "q64_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -17,6 +17,55 @@ class OperatorExtrasSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("fuzzy search: deletion-neighborhood join == brute-force edit " +
+      "distance on a planted real-word vocabulary") {
+    // real words with planted distance-1 neighbors (substitution,
+    // insertion, deletion) and a transposition pair (distance 2, must
+    // NOT match); each word repeated 6x so every one clears the cnt >= 5
+    // vocab floor
+    // "merge"'s derived query is "mere" (hash-determined deletion), so
+    // including "mere" in the vocab plants a distance-0 exact hit
+    val words = Seq("spark", "spars", "sparks", "park", "parks", "stark",
+      "sapkr", "merge", "marge", "mergee", "forge", "mere")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * 6) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.fuzzySearch(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+    // brute force: replicate the query derivation with the same portable
+    // hash expression, then cross every query with every vocab term
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = words.map(w => w -> 6L).toMap
+    val queries = words.toDF("term")
+      .select(col("term"),
+        (pmod(graft.functions.hashes.portableHash60(
+          concat(lit("fz:"), col("term"))),
+          length(col("term")).cast("long")) + 1).cast("int").as("p"))
+      .collect()
+      .map(r => { val t = r.getString(0); val p = r.getInt(1)
+        t.substring(0, p - 1) + t.substring(p) })
+      .distinct
+    val want = (for {
+      q <- queries; (t, cnt) <- vocab
+      d = lev(q, t) if d <= 1
+    } yield (q, t, cnt, d)).toSet
+    assert(got == want)
+    // the planted transposition ("sapkr" vs "spark"-derived queries) is
+    // distance >= 2 from every unrelated vocab word and never leaks in
+    assert(got.forall { case (q, t, _, d) => d == lev(q, t) && d <= 1 })
+    assert(want.exists(_._4 == 0), "planted a distance-0 collision")
+    assert(want.exists(_._4 == 1), "planted distance-1 matches")
+  }
+
   test("ReduceFAggregator: wc reducef via typed Dataset agg == sequential") {
     val files = TestSpark.corpus(20)
     val kvs: Seq[KV] = files.flatMap { case (f, c) => Apps.WordCount.map(f, c) }
