@@ -186,6 +186,7 @@ object Relational {
     "q151_decayed_ltv" -> q151,
     "q152_mv_rewrite" -> q152,
     "q153_link_predict" -> q153,
+    "q154_dtw" -> q154,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5522,6 +5523,102 @@ object Relational {
       .limit(100)
   }
 
+  /** Dynamic-time-warping distance between nations' monthly revenue
+    * series — sequence ALIGNMENT (which national markets move alike,
+    * allowing lead/lag shifts?), the time-series family member the
+    * lag/corr queries (q126, q125) can't express: DTW scores the best
+    * monotone alignment path, so a 2-month-shifted twin scores near 0
+    * where pointwise L1 scores the shift itself. Published next to the
+    * alignment-free L1 baseline (DTW ≤ L1 always — the diagonal path IS
+    * the L1 alignment, and DTW minimizes over a superset).
+    *
+    * Determinism: series are exact cents (decimal sums), the DP is
+    * all-integer (|Δ| costs, min, add), so both engines produce
+    * bit-identical BIGINTs — no floating accumulation anywhere. The
+    * DuckDB oracle runs the SAME DP as a recursive CTE over
+    * anti-diagonals (each step carries two diagonals as lists), so the
+    * gate is two independent implementations of the recurrence agreeing
+    * exactly.
+    *
+    * Scale: the recurrence dp(i,j) = |aᵢ−bⱼ| + min(up, left, upleft) is
+    * sequentially dependent — not expressible in declarative Spark — so
+    * the DP runs as a typed per-pair map (the library's documented
+    * last-resort rung): each series is CALENDAR-BOUNDED (one value per
+    * month — ~84 for 7 years, growing with time, never with data
+    * volume), each DP is O(months²) longs in-core, and the pair set
+    * (≤ C(25,2) nations, plan-visible via limit(25)) parallelizes
+    * embarrassingly. The data-proportional work — the revenue rollup —
+    * stays declarative: one partial-agg shuffle to (nation, month).
+    */
+  private def q154(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") < 5)
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        ((year(col("o_orderdate")) - 1992) * 12
+          + month(col("o_orderdate")) - 1).as("m"))
+      .agg(sum(d2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    // dense month spine from the global bounds, so every nation's series
+    // has one value per month (0 for quiet months) and equal length —
+    // scalarRow keeps the 1-row bound visible to the plan audit
+    val bounds = graft.tools.Scalar.scalarRow(
+      rev.agg(min(col("m")).as("lo"), max(col("m")).as("hi")))
+    val spine = rev.select("nation").distinct().limit(25)
+      .crossJoin(broadcast(bounds))
+      .select(col("nation"), explode(sequence(col("lo"), col("hi"))).as("m"))
+    val ser = spine.join(rev, Seq("nation", "m"), "left")
+      .groupBy("nation")
+      .agg(expr("transform(array_sort(collect_list(struct(m, " +
+        "coalesce(cents, CAST(0 AS BIGINT)) AS c))), x -> x.c)").as("a"))
+      .limit(25)
+    ser.as("x").join(ser.as("y"), col("x.nation") < col("y.nation"))
+      .select(col("x.nation").as("na"), col("y.nation").as("nb"),
+        col("x.a").as("a"), col("y.a").as("b"))
+      .as[(Long, Long, Seq[Long], Seq[Long])]
+      .map { case (na, nb, a, b) =>
+        (na, nb, dtwCents(a.toArray, b.toArray),
+          a.zip(b).map(t => math.abs(t._1 - t._2)).sum)
+      }
+      .toDF("nation_a", "nation_b", "dtw_cents", "l1_cents")
+      .orderBy("nation_a", "nation_b")
+  }
+
+  /** The integer DTW recurrence over two equal-grain series, two rolling
+    * rows of state. Sentinel = MaxValue/4 so `cost + min` cannot wrap.
+    */
+  private[graft] def dtwCents(a: Array[Long], b: Array[Long]): Long = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return 0L
+    val inf = Long.MaxValue / 4
+    var prev = Array.fill(m)(inf)
+    var cur = new Array[Long](m)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val c = math.abs(a(i) - b(j))
+        val best =
+          if (i == 0 && j == 0) 0L
+          else math.min(
+            math.min(if (i > 0) prev(j) else inf,
+              if (j > 0) cur(j - 1) else inf),
+            if (i > 0 && j > 0) prev(j - 1) else inf)
+        cur(j) = c + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m - 1)
+  }
+
   /** The decayed-LTV finalization over a per-(user, day) purchase
     * rollup — the single definition q151 and st_ltv share. Day-grain
     * pre-aggregation is EXACT here: the 2^(K−age) weight is constant
@@ -6253,6 +6350,64 @@ object Relational {
         |JOIN cdeg db ON cust_b = db.cust
         |ORDER BY cn DESC, ra_pico DESC, cust_a, cust_b
         |LIMIT 100""".stripMargin,
+    // q154: the SAME all-integer DTW recurrence as a recursive CTE over
+    // anti-diagonals — each iteration advances one diagonal, carrying the
+    // previous two as lists (cur/prev); cell (i, j) on diagonal d+1 reads
+    // up (i-1,j) and left (i,j-1) from cur and upleft (i-1,j-1) from
+    // prev, with 1-based list indices offset by each diagonal's first
+    // row max(0, d-n+1). Two independent implementations of the
+    // recurrence agreeing bit-for-bit is the gate.
+    "q154_dtw" ->
+      """WITH RECURSIVE rev AS (
+        |  SELECT c_nationkey AS nation,
+        |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey < 5
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM rev),
+        |spine AS (SELECT n.nation, s.m
+        |          FROM (SELECT DISTINCT nation FROM rev) n,
+        |               (SELECT unnest(range(lo, hi + 1)) AS m FROM bounds) s),
+        |ser AS (
+        |  SELECT sp.nation, list(coalesce(r.cents, 0) ORDER BY sp.m) AS a
+        |  FROM spine sp LEFT JOIN rev r ON sp.nation = r.nation AND sp.m = r.m
+        |  GROUP BY sp.nation),
+        |pairs AS (
+        |  SELECT x.nation AS na, y.nation AS nb, x.a AS a, y.a AS b,
+        |         len(x.a) AS n
+        |  FROM ser x JOIN ser y ON x.nation < y.nation),
+        |dp AS (
+        |  SELECT na, nb, a, b, n, 0 AS d,
+        |         [abs(a[1] - b[1])] AS cur,
+        |         CAST([] AS BIGINT[]) AS prev
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT na, nb, a, b, n, d + 1,
+        |    [least(
+        |       CASE WHEN i >= 1 AND (d + 1 - i) <= n - 1
+        |            THEN cur[i - 1 - greatest(0, d - n + 1) + 1]
+        |            ELSE 9223372036854775807 END,
+        |       CASE WHEN (d + 1 - i) >= 1 AND i <= d
+        |            THEN cur[i - greatest(0, d - n + 1) + 1]
+        |            ELSE 9223372036854775807 END,
+        |       CASE WHEN i >= 1 AND (d + 1 - i) >= 1 AND d >= 1
+        |            THEN prev[i - 1 - greatest(0, d - 1 - n + 1) + 1]
+        |            ELSE 9223372036854775807 END)
+        |     + abs(a[i + 1] - b[d + 1 - i + 1])
+        |     FOR i IN range(greatest(0, d + 1 - n + 1),
+        |                    least(d + 1, n - 1) + 1)] AS cur,
+        |    cur AS prev
+        |  FROM dp WHERE d + 1 <= 2 * n - 2)
+        |SELECT d.na AS nation_a, d.nb AS nation_b,
+        |  d.cur[1] AS dtw_cents,
+        |  CAST(list_sum([abs(p.a[i] - p.b[i])
+        |                 FOR i IN range(1, p.n + 1)]) AS BIGINT) AS l1_cents
+        |FROM dp d JOIN pairs p ON d.na = p.na AND d.nb = p.nb
+        |WHERE d.d = 2 * d.n - 2
+        |ORDER BY 1, 2""".stripMargin,
     "q64_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

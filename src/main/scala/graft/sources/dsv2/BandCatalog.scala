@@ -272,11 +272,15 @@ private[dsv2] object BandProcedures {
 
   def compact(pathOf: String => String): UnboundProcedure =
     oneShot("compact",
-      "merge each band's files into one; publishes a new manifest version",
-      Array(ProcedureParameter.in("table", StringType).build()),
+      "merge each band's files (optionally doc_id-range-clustered into " +
+        "files_per_band files per band); publishes a new manifest version",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("files_per_band", IntegerType)
+          .defaultValue("1").build()),
       { input =>
+        val perBand = if (input.isNullAt(1)) 1 else input.getInt(1)
         val (before, after) = BandStoreMaintenance.compact(
-          spark, pathOf(input.getUTF8String(0).toString))
+          spark, pathOf(input.getUTF8String(0).toString), perBand)
         counters(Seq("files_before", "files_after"), Seq(before, after))
       })
 

@@ -189,6 +189,18 @@ object BandStoreMaintenance {
     * not content — a later epoch replay must still deduplicate). Returns
     * (filesBefore, filesAfter).
     *
+    * `filesPerBand > 1` additionally RANGE-CLUSTERS doc_id within each
+    * band (`repartitionByRange(band, doc_id)`): each band lands in ~that
+    * many files with pairwise-DISJOINT doc_id ranges, so the manifest's
+    * per-file min/max stats turn a doc_id point or range predicate into
+    * a ~1/filesPerBand file prune WITHIN the probed band — the same
+    * discipline as sorting parquet by its filter column, applied to the
+    * store's second access path (epoch appends interleave doc ranges
+    * across files, making the skip stats useless until a clustering
+    * rewrite). At 100 TB this is the knob that keeps per-file sizes
+    * bounded as the corpus grows: bands are fixed (B=8) but
+    * filesPerBand scales with the doc count.
+    *
     * Concurrency: single-maintainer, like the write path itself. The
     * swap re-reads the manifest and REFUSES to publish if a writer
     * committed since the snapshot — the store is then untouched and the
@@ -196,15 +208,25 @@ object BandStoreMaintenance {
     * multi-writer deployment needs a CAS'd log (Delta-style) — out of
     * scope for this store.
     */
-  def compact(spark: SparkSession, path: String): (Int, Int) = {
+  def compact(spark: SparkSession, path: String,
+              filesPerBand: Int = 1): (Int, Int) = {
     import spark.implicits._
+    require(filesPerBand >= 1,
+      s"compact: filesPerBand must be >= 1, got $filesPerBand")
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val (snapshot, _) = BandStore.readManifestFull(root, conf)
     if (snapshot.size <= 1) return (snapshot.size, snapshot.size)
     val sconf = new SerializableConfiguration(conf)
-    val written = spark.read.format(BandStore.ShortName).load(path)
-      .repartition(org.apache.spark.sql.functions.col("band"))
+    val nBands = snapshot.map(_.band).distinct.size
+    val loaded = spark.read.format(BandStore.ShortName).load(path)
+    val routed =
+      if (filesPerBand == 1)
+        loaded.repartition(org.apache.spark.sql.functions.col("band"))
+      else loaded.repartitionByRange(nBands * filesPerBand,
+        org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("doc_id"))
+    val written = routed
       .mapPartitions { it =>
         val f = BandStore.fs(new Path(path), sconf.value)
         val open = mutable.Map.empty[Int, BandFileStats]

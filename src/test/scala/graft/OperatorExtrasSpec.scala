@@ -66,6 +66,30 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(want.exists(_._4 == 1), "planted distance-1 matches")
   }
 
+  test("DTW: identity is 0, shifts align where L1 cannot, never exceeds " +
+      "L1, and a hand-computed DP matches") {
+    import graft.queries.Relational.dtwCents
+    def l1(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map(t => math.abs(t._1 - t._2)).sum
+    val spike = Array[Long](0, 0, 100, 0, 0, 0, 0, 0)
+    val shifted = Array[Long](0, 0, 0, 0, 100, 0, 0, 0)
+    assert(dtwCents(spike, spike) == 0L)
+    // the warped path matches the spikes; L1 pays both spikes in full
+    assert(dtwCents(spike, shifted) == 0L)
+    assert(l1(spike, shifted) == 200L)
+    // hand-computed 3x3: a=[1,2,3], b=[2,2,4] ->
+    // costs [[1,1,3],[0,0,2],[1,1,1]]; best path 1+0+0+1 = 2
+    assert(dtwCents(Array(1L, 2L, 3L), Array(2L, 2L, 4L)) == 2L)
+    // DTW <= L1 on deterministic pseudo-random series (the diagonal path
+    // IS the L1 alignment, DTW minimizes over a superset)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val a = Array.fill(30)(rnd.nextInt(1000).toLong)
+      val b = Array.fill(30)(rnd.nextInt(1000).toLong)
+      assert(dtwCents(a, b) <= l1(a, b))
+    }
+  }
+
   test("ReduceFAggregator: wc reducef via typed Dataset agg == sequential") {
     val files = TestSpark.corpus(20)
     val kvs: Seq[KV] = files.flatMap { case (f, c) => Apps.WordCount.map(f, c) }

@@ -566,6 +566,52 @@ class SourcesSpec extends AnyFunSuite {
       s"orphans or missing files after compact+vacuum: $onDisk vs manifest")
   }
 
+  test("graft-bands compaction with files_per_band range-clusters doc_id: " +
+    "disjoint per-band file ranges make point predicates open ~one file") {
+    import graft.sources.dsv2.{BandStore, BandStoreMaintenance}
+    val out = TestSpark.tempDir("graft-dsv2-cluster").toString
+    import spark.implicits._
+    // two interleaved appends: every file's doc range spans the whole
+    // keyspace, so pre-compaction skip stats prune nothing
+    val rows = (0L until 400L).flatMap(d => (0 until 4).map(b =>
+      (d, b, s"k$d-$b")))
+    rows.filter(_._1 % 2 == 0).toDF("doc_id", "band", "bkey").coalesce(2)
+      .write.format("graft-bands").mode("overwrite").save(out)
+    rows.filter(_._1 % 2 == 1).toDF("doc_id", "band", "bkey").coalesce(2)
+      .write.format("graft-bands").mode("append").save(out)
+    val before = spark.read.format("graft-bands").load(out)
+      .collect().map(_.toString).sorted
+    val (_, nAfter) = BandStoreMaintenance.compact(spark, out,
+      filesPerBand = 4)
+    val after = spark.read.format("graft-bands").load(out)
+      .collect().map(_.toString).sorted
+    assert(after === before, "clustering compaction changed content")
+    val conf = spark.sessionState.newHadoopConf()
+    val (entries, _) = BandStore.readManifestFull(
+      new org.apache.hadoop.fs.Path(out), conf)
+    assert(entries.size === nAfter)
+    for ((band, files) <- entries.groupBy(_.band)) {
+      assert(files.size >= 2, s"band $band not split: ${files.size} file")
+      val ranges = files.map(e => (e.minDoc, e.maxDoc)).sorted
+      ranges.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) =>
+          assert(hi1 < lo2, s"band $band ranges overlap: $ranges")
+        case _ =>
+      }
+    }
+    // a doc_id point predicate now admits exactly one file per admitted
+    // band (disjoint ranges), visible in the scan's files=kept/total
+    val df = spark.read.format("graft-bands").load(out)
+      .filter(col("band") === 2 && col("doc_id") === 137L)
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(scanDesc)
+    assert(m.isDefined, s"no files=k/t in scan: $scanDesc")
+    assert(m.get.group(1).toInt === 1,
+      s"point predicate opened ${m.get.group(1)} files (want 1)")
+    assert(df.count() === 1)
+  }
+
   test("graft-bands catalog: CREATE / INSERT / SELECT / VERSION AS OF / " +
     "DELETE / _file metadata / CALL compact+vacuum / DROP, all in SQL") {
     val wh = TestSpark.tempDir("graft-bands-wh").toString
@@ -610,6 +656,11 @@ class SourcesSpec extends AnyFunSuite {
       val comp = spark.sql("CALL graft_bands.system.compact('t')").head()
       assert(comp.getInt(1) <= comp.getInt(0),
         s"compact grew the store: $comp")
+      // the clustering variant rides the same procedure's optional param
+      val comp2 = spark.sql(
+        "CALL graft_bands.system.compact('t', files_per_band => 2)").head()
+      assert(comp2.getInt(1) >= comp.getInt(1),
+        s"range-clustered recompaction lost files: $comp -> $comp2")
       val vac = spark.sql("CALL graft_bands.system.vacuum('t', 1)").head()
       assert(vac.getInt(0) > 0, s"no manifest versions dropped: $vac")
       // the compacted+vacuumed table still serves the same rows
