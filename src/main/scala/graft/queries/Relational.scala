@@ -187,6 +187,8 @@ object Relational {
     "q152_mv_rewrite" -> q152,
     "q153_link_predict" -> q153,
     "q154_dtw" -> q154,
+    "q155_auc" -> q155,
+    "q156_closeness" -> q156,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5590,6 +5592,166 @@ object Relational {
       .orderBy("nation_a", "nation_b")
   }
 
+  /** Exact ROC AUC, one-vs-rest per event class — the classifier-eval
+    * staple of a training-data pipeline (which curation score actually
+    * separates the classes?), here scoring `value` cents against each
+    * event_type. AUC is the Mann-Whitney statistic: the probability a
+    * positive outscores a negative, ties at half weight. Computed without
+    * the P×N pair join: group to per-(score, class) counts, one window
+    * gives each score the count of lower-scoring negatives, and
+    * concordant = Σ p·cum_below, tied = Σ p·n_at_score.
+    *
+    * Determinism: counts are integers, concordant/tied accumulate in
+    * DECIMAL(38,0) (p·cum ≤ P·N overflows BIGINT past ~3e9 rows), and
+    * the published `auc_pico` = ⌊10¹²·(2·conc + tied) / (2·P·N)⌋ is ONE
+    * integral division of exact integers — both engines truncate the
+    * same positive quotient (Spark `DIV` ≡ DuckDB `//` on positives).
+    *
+    * Scale: one partial-agg shuffle to (cents, class) counts, then
+    * everything runs on the SCORE GRID — cents of a bounded price range
+    * (≤ ~56k rows here), not the corpus. The per-class window is
+    * partitioned (by class) and its partition size is the grid, so a
+    * 100× corpus grows the first aggregate's input only. Classes carry a
+    * plan-visible limit(12).
+    */
+  private def q155(spark: SparkSession, dir: String): DataFrame =
+    aucFromCounts(Tables.load(spark, dir, "events")
+      .groupBy(
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The AUC finalization over a per-(cents, event_type) count grid —
+    * shared by q155 (batch rollup) and st_auc (the same rollup folded by
+    * a stream). See [[q155]] for the semantics and scale notes.
+    */
+  private[graft] def aucFromCounts(counts: DataFrame): DataFrame = {
+    val classes = counts.select("event_type").distinct().limit(12)
+    val tot = counts.groupBy("cents").agg(sum(col("n")).as("tot"))
+    // class × score grid (bounded cross: classes ≤ 12, plan-visible):
+    // every class needs a row at every score so cum counts see the full
+    // negative mass, even where the class itself never scored
+    val grid = tot.crossJoin(broadcast(classes))
+      .join(counts, Seq("cents", "event_type"), "left")
+      .select(col("event_type"), col("cents"),
+        coalesce(col("n"), lit(0L)).as("p"),
+        (col("tot") - coalesce(col("n"), lit(0L))).as("nn"))
+    val byScore = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_lt", sum(col("nn")).over(byScore) - col("nn"))
+    cum.groupBy("event_type")
+      .agg(sum(col("p")).as("pos"), sum(col("nn")).as("neg"),
+        sum(col("p").cast("decimal(38,0)") * col("cum_lt")).as("conc"),
+        sum(col("p").cast("decimal(38,0)") * col("nn")).as("tied"))
+      .select(col("event_type"), col("pos"), col("neg"),
+        expr("CAST(((2 * conc + tied) * CAST(1000000000000 AS " +
+          "DECIMAL(38,0))) DIV nullif(2 * CAST(pos AS DECIMAL(38,0)) " +
+          "* neg, CAST(0 AS DECIMAL(38,0))) AS BIGINT)").as("auc_pico"))
+      .orderBy("event_type")
+  }
+
+  /** Closeness centrality from K deterministic seeds over the trade
+    * graph — "which accounts sit nearest the whole market" — by
+    * multi-source BFS: the q78 frontier loop with (seed, node) keys, so
+    * all K searches share each iteration's frontier⋈edges shuffle.
+    * Published per seed: reached count, hop sum, and the Wasserman–Faust
+    * closeness (r/(n−1))·(r/Σd) as `closeness_pico` =
+    * ⌊10¹²·r² / ((n−1)·Σd)⌋ — reached-set normalization keeps
+    * disconnected-component seeds comparable. r² in DECIMAL(38,0)
+    * (overflows BIGINT past ~3e9 nodes); one integral division.
+    *
+    * Scale: per-iteration work is O(K · frontier × degree) keyed by
+    * (seed, node) — K is the parameter bound (8 here), the visited set
+    * only grows, frontiers are localCheckpointed per hop (q78's lineage
+    * discipline), and the loop exits on an empty frontier or the 8-hop
+    * cap that makes the oracle's unrolled recursion finite (bipartite
+    * diameter ~4). The node count reaches the finalizer as a
+    * scalarRow 1-row local relation the plan audit can bound.
+    */
+  private def q156(spark: SparkSession, dir: String): DataFrame =
+    closenessFromEdges(tradeEdges(spark, dir))
+
+  /** The multi-source-BFS closeness body over any (src, dst) edge list —
+    * factored from [[q156]] so the spec can drive a planted path graph
+    * with hand-computed centralities.
+    */
+  private[graft] def closenessFromEdges(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val seeds = nodes.orderBy("node").limit(8)
+      .select(col("node").as("seed")).localCheckpoint(true)
+    var visited = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select("seed", "node")
+    var step = 1
+    while (step <= 8 && !frontier.isEmpty) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited
+        .unionByName(next.withColumn("dist", lit(step.toLong)))
+        .localCheckpoint(true)
+      frontier = next
+      step += 1
+    }
+    val n = graft.tools.Scalar.scalarRow(
+      nodes.agg(count(lit(1)).as("n_nodes")))
+    visited.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("sum_dist"))
+      .crossJoin(broadcast(n))
+      .select(
+        when(col("seed") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("seed div 2").as("node_id"),
+        col("reached"), col("sum_dist"),
+        expr("CAST((CAST(reached AS DECIMAL(38,0)) * reached * " +
+          "CAST(1000000000000 AS DECIMAL(38,0))) DIV " +
+          "nullif((n_nodes - 1) * CAST(sum_dist AS DECIMAL(38,0)), " +
+          "CAST(0 AS DECIMAL(38,0))) AS BIGINT)").as("closeness_pico"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** The DTW finalization over a per-(event_type, day) cents rollup —
+    * st_dtw's batch-side half: the stream folds the corpus-sized
+    * reduction (events → daily cents) as a watermarked aggregate, and
+    * this finalizer densifies the day spine (zero-filled — the DP needs
+    * equal-grain series), pairs the classes, and runs the same integer
+    * [[dtwCents]] recurrence q154 gates. Bounds: days are
+    * calendar-bounded, classes ≤ 12 (plan-visible limit).
+    */
+  private[graft] def dtwFromDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val d = daily.select(to_date(col("day")).as("day"),
+      col("event_type"), col("cents"))
+    val bounds = graft.tools.Scalar.scalarRow(
+      d.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
+    val spine = d.select("event_type").distinct().limit(12)
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val ser = spine.join(d, Seq("event_type", "day"), "left")
+      .groupBy("event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(day, " +
+        "coalesce(cents, CAST(0 AS BIGINT)) AS c))), x -> x.c)").as("a"))
+      .limit(12)
+    ser.as("x").join(ser.as("y"), col("x.event_type") < col("y.event_type"))
+      .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"),
+        col("x.a").as("a"), col("y.a").as("b"))
+      .as[(String, String, Seq[Long], Seq[Long])]
+      .map { case (ta, tb, a, b) =>
+        (ta, tb, dtwCents(a.toArray, b.toArray),
+          a.zip(b).map(t => math.abs(t._1 - t._2)).sum)
+      }
+      .toDF("type_a", "type_b", "dtw_cents", "l1_cents")
+      .orderBy("type_a", "type_b")
+  }
+
   /** The integer DTW recurrence over two equal-grain series, two rolling
     * rows of state. Sentinel = MaxValue/4 so `cost + min` cannot wrap.
     */
@@ -6408,6 +6570,70 @@ object Relational {
         |FROM dp d JOIN pairs p ON d.na = p.na AND d.nb = p.nb
         |WHERE d.d = 2 * d.n - 2
         |ORDER BY 1, 2""".stripMargin,
+    // q155: HUGEINT mirrors Spark's DECIMAL(38,0); both quotients are
+    // one integral division of exact positive integers
+    "q155_auc" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         event_type, count(*) AS p
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT cents, sum(p) AS tot FROM c GROUP BY 1),
+        |cls AS (SELECT DISTINCT event_type FROM c),
+        |g AS (
+        |  SELECT cls.event_type, t.cents, coalesce(c.p, 0) AS p,
+        |         t.tot - coalesce(c.p, 0) AS nn
+        |  FROM t CROSS JOIN cls
+        |  LEFT JOIN c ON c.cents = t.cents
+        |             AND c.event_type = cls.event_type),
+        |w AS (
+        |  SELECT event_type, p, nn,
+        |    sum(nn) OVER (PARTITION BY event_type ORDER BY cents
+        |                  ROWS UNBOUNDED PRECEDING) - nn AS cum_lt
+        |  FROM g),
+        |a AS (
+        |  SELECT event_type, CAST(sum(p) AS BIGINT) AS pos,
+        |         CAST(sum(nn) AS BIGINT) AS neg,
+        |         sum(CAST(p AS HUGEINT) * cum_lt) AS conc,
+        |         sum(CAST(p AS HUGEINT) * nn) AS tied
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, pos, neg,
+        |  CAST(((2 * conc + tied) * 1000000000000)
+        |       // nullif(2 * CAST(pos AS HUGEINT) * neg, 0) AS BIGINT)
+        |    AS auc_pico
+        |FROM a ORDER BY 1""".stripMargin,
+    // q156: the q100 pattern — unrolled min-dist iterations make the
+    // 8-hop-capped multi-source BFS a finite closed form
+    "q156_closeness" ->
+      ("""WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pe
+        |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |seeds AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 8),
+        |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM seeds),
+        |""".stripMargin +
+        (1 to 8).map(i =>
+          s"""d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+             |  SELECT seed, node, dist FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT d${i - 1}.seed, e.dst AS node, d${i - 1}.dist + 1
+             |  FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node)
+             |  GROUP BY 1, 2)""".stripMargin).mkString(",\n") +
+        """,
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |agg AS (SELECT seed, count(*) AS reached,
+        |               CAST(sum(dist) AS BIGINT) AS sum_dist
+        |        FROM d8 WHERE dist > 0 GROUP BY 1)
+        |SELECT CASE WHEN seed % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |  seed // 2 AS node_id, reached, sum_dist,
+        |  CAST((CAST(reached AS HUGEINT) * reached * 1000000000000)
+        |       // nullif((n_nodes - 1) * CAST(sum_dist AS HUGEINT), 0)
+        |       AS BIGINT) AS closeness_pico
+        |FROM agg CROSS JOIN n ORDER BY 1, 2""".stripMargin),
     "q64_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

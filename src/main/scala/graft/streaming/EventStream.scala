@@ -676,6 +676,45 @@ object EventStream {
       graft.queries.Relational.saxFromDaily(
         s.table("st_sax_sink").localCheckpoint(true))
     }),
+    // Streaming DTW: the corpus-sized reduction (events → daily cents
+    // per class) folds in-stream as a watermarked day-window aggregate;
+    // the sequential alignment DP finalizes sink-side over the
+    // classes×days table through the shared dtwFromDaily definition
+    // (the same integer recurrence q154 gates against the recursive-CTE
+    // oracle). A revenue monitor reads which classes move alike
+    // allowing lead/lag, refreshed per micro-batch.
+    "st_dtw" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cents")),
+        "st_dtw_sink", OutputMode.Complete)
+      graft.queries.Relational.dtwFromDaily(
+        s.table("st_dtw_sink").localCheckpoint(true))
+    }),
+    // Streaming AUC: the corpus-sized reduction (events → per-(score,
+    // class) counts) folds in-stream as a Complete-mode aggregate whose
+    // state is the bounded SCORE GRID (cents of a price range × ≤12
+    // classes), not the corpus; the Mann-Whitney finalization runs
+    // sink-side through the shared aucFromCounts definition. A live
+    // eval monitor: per micro-batch, how well the score separates each
+    // class so far.
+    "st_auc" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .groupBy(
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        "st_auc_sink", OutputMode.Complete)
+      graft.queries.Relational.aucFromCounts(
+        s.table("st_auc_sink").localCheckpoint(true))
+    }),
     // Streaming KS drift: the value-count exchange (the only
     // corpus-sized reduction in q146) folds as a plain streaming
     // aggregate; the cumulative supremum finalizes sink-side over the
@@ -1146,6 +1185,66 @@ object EventStream {
     "st_bitmap" -> graft.queries.Relational.oracle("q114_bitmap_index"),
     "st_interpolate" -> graft.queries.Relational.oracle("q119_interpolate"),
     "st_holt" -> graft.queries.Relational.oracle("q136_holt"),
+    // st_dtw: the q154 anti-diagonal recursive-CTE DP, over the events
+    // table's per-(class, day) cents series on a dense zero-filled
+    // calendar spine — two independent implementations of the integer
+    // recurrence agreeing bit-for-bit, now with the series folded by a
+    // STREAM
+    "st_dtw" ->
+      """WITH RECURSIVE rev AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(min(day) AS DATE) AS lo,
+        |                  CAST(max(day) AS DATE) AS hi FROM rev),
+        |spine AS (
+        |  SELECT t.event_type, strftime(s.d, '%Y-%m-%d') AS day
+        |  FROM (SELECT DISTINCT event_type FROM rev) t,
+        |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        |        FROM bounds) s),
+        |ser AS (
+        |  SELECT sp.event_type, list(coalesce(r.cents, 0) ORDER BY sp.day)
+        |    AS a
+        |  FROM spine sp LEFT JOIN rev r
+        |    ON sp.event_type = r.event_type AND sp.day = r.day
+        |  GROUP BY sp.event_type),
+        |pairs AS (
+        |  SELECT x.event_type AS na, y.event_type AS nb, x.a AS a, y.a AS b,
+        |         len(x.a) AS n
+        |  FROM ser x JOIN ser y ON x.event_type < y.event_type),
+        |dp AS (
+        |  SELECT na, nb, a, b, n, 0 AS d,
+        |         [abs(a[1] - b[1])] AS cur,
+        |         CAST([] AS BIGINT[]) AS prev
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT na, nb, a, b, n, d + 1,
+        |    [least(
+        |       CASE WHEN i >= 1 AND (d + 1 - i) <= n - 1
+        |            THEN cur[i - 1 - greatest(0, d - n + 1) + 1]
+        |            ELSE 9223372036854775807 END,
+        |       CASE WHEN (d + 1 - i) >= 1 AND i <= d
+        |            THEN cur[i - greatest(0, d - n + 1) + 1]
+        |            ELSE 9223372036854775807 END,
+        |       CASE WHEN i >= 1 AND (d + 1 - i) >= 1 AND d >= 1
+        |            THEN prev[i - 1 - greatest(0, d - 1 - n + 1) + 1]
+        |            ELSE 9223372036854775807 END)
+        |     + abs(a[i + 1] - b[d + 1 - i + 1])
+        |     FOR i IN range(greatest(0, d + 1 - n + 1),
+        |                    least(d + 1, n - 1) + 1)] AS cur,
+        |    cur AS prev
+        |  FROM dp WHERE d + 1 <= 2 * n - 2)
+        |SELECT d.na AS type_a, d.nb AS type_b,
+        |  d.cur[1] AS dtw_cents,
+        |  CAST(list_sum([abs(p.a[i] - p.b[i])
+        |                 FOR i IN range(1, p.n + 1)]) AS BIGINT) AS l1_cents
+        |FROM dp d JOIN pairs p ON d.na = p.na AND d.nb = p.nb
+        |WHERE d.d = 2 * d.n - 2
+        |ORDER BY 1, 2""".stripMargin,
+    // st_auc folds q155's count grid in-stream and shares its
+    // finalizer — same oracle verbatim
+    "st_auc" -> graft.queries.Relational.oracle("q155_auc"),
     "st_survival" -> graft.queries.Relational.oracle("q135_survival"),
     "st_sax" -> graft.queries.Relational.oracle("q139_sax"),
     "st_ks" -> graft.queries.Relational.oracle("q146_ks_test"),

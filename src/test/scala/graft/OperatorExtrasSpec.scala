@@ -1960,4 +1960,49 @@ class OperatorExtrasSpec extends AnyFunSuite {
       assert(holds === (nPairs === nLhs), s"${r.getString(0)} pair identity")
     }
   }
+
+  test("AUC: perfect separation is 1e12, reversal 0, all-tied 5e11, and " +
+      "a hand-computed mixed grid matches") {
+    def auc(counts: Seq[(Long, String, Long)]): Map[String, Long] =
+      Relational.aucFromCounts(counts.toDF("cents", "event_type", "n"))
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // class a entirely above class b: a is a perfect score (AUC 1),
+    // b a perfectly reversed one (AUC 0)
+    val sep = auc(Seq((10L, "a", 5L), (1L, "b", 5L)))
+    assert(sep("a") === 1000000000000L)
+    assert(sep("b") === 0L)
+    // every observation at one score: all pairs tied, AUC exactly 1/2
+    val tied = auc(Seq((5L, "a", 3L), (5L, "b", 7L)))
+    assert(tied("a") === 500000000000L)
+    assert(tied("b") === 500000000000L)
+    // hand-computed: a = {1:1, 4:3}, b = {2:2}. For a: pos=4, neg=2;
+    // concordant = 1*0 + 3*2 = 6, no ties -> 6/(4*2) = 0.75
+    val mixed = auc(Seq((1L, "a", 1L), (4L, "a", 3L), (2L, "b", 2L)))
+    assert(mixed("a") === 750000000000L)
+    // b's positives (2 at cents 2) beat the 1 at cents 1, lose to the
+    // 3 at cents 4: 2*1/(2*4) = 0.25
+    assert(mixed("b") === 250000000000L)
+  }
+
+  test("closeness: hand-computed centralities on a planted path graph " +
+      "plus a disconnected pair") {
+    // path 0-1-2-3 plus the isolated edge 8-9; undirected = both
+    // directions materialized, same as tradeEdges
+    val half = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Relational.closenessFromEdges(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // n = 6. Ends of the path: r=3, sum=1+2+3=6 -> 1e12*9/(5*6)
+    // Middle of the path: r=3, sum=1+1+2=4 -> 1e12*9/(5*4)
+    // Isolated pair: r=1, sum=1 -> 1e12*1/(5*1)
+    val want = Set(
+      ("customer", 0L, 3L, 6L, 300000000000L),  // node 0
+      ("customer", 1L, 3L, 4L, 450000000000L),  // node 2
+      ("customer", 4L, 1L, 1L, 200000000000L),  // node 8
+      ("supplier", 0L, 3L, 4L, 450000000000L),  // node 1
+      ("supplier", 1L, 3L, 6L, 300000000000L),  // node 3
+      ("supplier", 4L, 1L, 1L, 200000000000L))  // node 9
+    assert(got === want)
+  }
 }
