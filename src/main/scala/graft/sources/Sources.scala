@@ -263,6 +263,30 @@ object Sources {
     bandStoreSummary(spark, out)
   }
 
+  /** Top-N pushdown through the connector: the store is built, RANGE-
+    * CLUSTERED on (band, doc_id) by the compaction rewrite, and read back
+    * as `ORDER BY doc_id LIMIT 100` — the shape
+    * [[graft.sources.dsv2.BandScanBuilder.pushTopN]] absorbs. The
+    * manifest's per-file doc_id min/max then bound the 100th-smallest id
+    * and every file wholly beyond it is never opened (SourcesSpec pins
+    * the `PushedTopN` description and the file cut); surviving readers
+    * keep a bounded 100-row heap. Projected to doc_id only, the result
+    * is a DETERMINISTIC MULTISET (the 100 smallest ids with band
+    * multiplicity) even though tie-breaking between equal ids is
+    * arbitrary — which is exactly why the gate can hash it.
+    */
+  def dsv2TopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-topn")
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(
+        Tables.load(spark, sfDir, "documents")))
+    bands.write.format("graft-bands").mode("overwrite").save(out)
+    graft.sources.dsv2.BandStoreMaintenance.compact(spark, out,
+      filesPerBand = 3)
+    spark.read.format("graft-bands").load(out)
+      .orderBy("doc_id").limit(100).select("doc_id")
+  }
+
   /** Storage-partitioned join through the connector: the corpus index
     * and a new-docs index (first/second half of the corpus, two separate
     * `graft-bands` stores) are EACH aggregated per band and joined on
@@ -590,6 +614,7 @@ object Sources {
     "src_dsv2_sql" -> ((s, d) => dsv2SqlRoundTrip(s, d)),
     "src_dsv2_merge" -> ((s, d) => dsv2MergeRoundTrip(s, d)),
     "src_dsv2_spj" -> ((s, d) => dsv2SpjJoin(s, d)),
+    "src_dsv2_topn" -> ((s, d) => dsv2TopN(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
@@ -667,6 +692,12 @@ object Sources {
     // epoch-committed StreamingWrite must be indistinguishable.
     "src_dsv2" -> dsv2Oracle,
     "src_dsv2_stream" -> dsv2Oracle,
+    // src_dsv2_topn: the 100 smallest doc_ids (with band multiplicity)
+    // are a deterministic multiset whatever the tie-breaking — the
+    // oracle replays the band chain and sorts
+    "src_dsv2_topn" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES}
+         |SELECT doc_id FROM bands ORDER BY doc_id LIMIT 100""".stripMargin,
     // src_dsv2_read shares it too: consuming the store as a STREAM of
     // manifest-version windows must be indistinguishable from the batch
     // read to any consumer

@@ -12,9 +12,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -411,13 +411,16 @@ class BandStoreTable(path: String, pinnedVersion: Option[Long] = None)
 class BandScanBuilder(path: String, conf: Configuration,
                       version: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushedBandFilters: Array[Filter] = Array.empty
   private var docSkipFilters: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
   private var required: StructType = BandStore.Schema
   private var aggPushed: Option[BandAggregate] = None
+  private var limitN: Option[Int] = None
+  private var topN: Option[(Boolean, Int)] = None
 
   /** Accept (fully absorb) band predicates the file layout can answer
     * exactly — `band = k` and `band IN (...)` prune to the named bands'
@@ -470,18 +473,59 @@ class BandScanBuilder(path: String, conf: Configuration,
     }
   }
 
+  /** LIMIT pushdown — PARTIAL by contract (each partition caps locally;
+    * Spark keeps the global limit). Two payoffs: `planInputPartitions`
+    * keeps only the minimal FILE PREFIX whose manifest row counts cover
+    * the limit, and each surviving reader stops after `limit` rows.
+    * Accepted only when no row-level residual filter survives — a
+    * post-scan filter would re-shrink a truncated scan below the limit
+    * (Spark's own push rule guards the same way; this is belt-and-braces
+    * for a hand-built builder).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (residual.nonEmpty) return false
+    limitN = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Top-N pushdown on `doc_id` (either direction) — also PARTIAL. The
+    * manifest's per-file doc_id min/max bound the k-th extreme: the
+    * minimal prefix of files (by maxDoc asc, for ASC) whose rows cover N
+    * yields a value bound no top-N row can exceed, and every file wholly
+    * beyond it is never opened — effective exactly when the layout
+    * range-clusters doc_id ([[BandStoreMaintenance.compact]]'s
+    * filesPerBand mode). Surviving readers keep a bounded N-row heap, so
+    * a huge file returns N rows, not its row count. Multi-key orders are
+    * declined (a local single-key heap could evict a row the global
+    * tie-break needed).
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (residual.nonEmpty) return false
+    orders match {
+      case Array(o) => o.expression() match {
+        case n: NamedReference if n.fieldNames.sameElements(Array("doc_id")) =>
+          topN = Some((o.direction() == SortDirection.ASCENDING, limit))
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
   override def build(): Scan = aggPushed match {
     case Some(agg) =>
       new BandAggregateScan(path, conf, pushedBandFilters, version, agg)
     case None =>
       new BandScan(path, conf, pushedBandFilters, docSkipFilters,
-        required, version)
+        required, version, limitN, topN)
   }
 }
 
 class BandScan(path: String, conf: Configuration, pushed: Array[Filter],
                docSkip: Array[Filter], required: StructType,
-               version: Option[Long] = None)
+               version: Option[Long] = None,
+               limitN: Option[Int] = None,
+               topN: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -554,15 +598,46 @@ class BandScan(path: String, conf: Configuration, pushed: Array[Filter],
   // planInputPartitions post-filter — the admitted set must re-evaluate
   private lazy val allEntries =
     BandStore.readManifest(new Path(path), conf, version)
-  private def kept =
-    allEntries.filter(e => bandAdmitted(e.band) && docAdmitted(e))
+  private def kept = {
+    val admitted =
+      allEntries.filter(e => bandAdmitted(e.band) && docAdmitted(e))
+    (topN, limitN) match {
+      case (Some((asc, n)), _) =>
+        // the n-th extreme doc_id is bounded by the minimal file prefix
+        // (ordered by each file's FAR edge) whose rows cover n; any file
+        // wholly beyond that bound cannot hold a top-N row. Conservative:
+        // overlap keeps the file, Spark re-sorts globally.
+        val byEdge =
+          if (asc) admitted.sortBy(_.maxDoc) else admitted.sortBy(-_.minDoc)
+        var cum = 0L
+        var bound = if (asc) Long.MaxValue else Long.MinValue
+        val it = byEdge.iterator
+        while (cum < n && it.hasNext) {
+          val e = it.next(); cum += e.rows
+          bound = if (asc) e.maxDoc else e.minDoc
+        }
+        if (cum < n) admitted
+        else if (asc) admitted.filter(_.minDoc <= bound)
+        else admitted.filter(_.maxDoc >= bound)
+      case (None, Some(n)) =>
+        // a bare LIMIT is satisfied by ANY n rows: keep the minimal
+        // file prefix covering it
+        var cum = 0L
+        admitted.takeWhile { e => val take = cum < n; cum += e.rows; take }
+      case _ => admitted
+    }
+  }
   private def total = allEntries.size
 
   override def description(): String = {
     val bands = kept.map(_.band).distinct.sorted
+    val lim = limitN.map(n => s" PushedLimit=$n").getOrElse("")
+    val top = topN.map { case (asc, n) =>
+      s" PushedTopN=doc_id ${if (asc) "ASC" else "DESC"},$n"
+    }.getOrElse("")
     s"graft-bands path=$path version=${version.getOrElse("current")} " +
       s"PushedBandFilters=${pushed.mkString("[", ",", "]")} " +
-      s"DocSkipFilters=${docSkip.mkString("[", ",", "]")} " +
+      s"DocSkipFilters=${docSkip.mkString("[", ",", "]")}$lim$top " +
       s"bands=${bands.mkString("[", ",", "]")} files=${kept.size}/$total"
   }
 
@@ -587,7 +662,8 @@ class BandScan(path: String, conf: Configuration, pushed: Array[Filter],
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BandReaderFactory(new SerializableConfiguration(conf), required)
+    new BandReaderFactory(new SerializableConfiguration(conf), required,
+      limitN, topN)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -683,10 +759,71 @@ case class BandFilePartition(file: String, band: Int, length: Long)
     org.apache.spark.sql.catalyst.InternalRow(band)
 }
 
-class BandReaderFactory(conf: SerializableConfiguration, required: StructType)
+class BandReaderFactory(conf: SerializableConfiguration, required: StructType,
+                        limitN: Option[Int] = None,
+                        topN: Option[(Boolean, Int)] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BandFileReader(partition.asInstanceOf[BandFilePartition], conf.value, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val base = new BandFileReader(
+      partition.asInstanceOf[BandFilePartition], conf.value, required)
+    topN match {
+      // the scan only accepts a top-N when doc_id is in the read schema
+      // (the sort references it); the contains check is belt-and-braces
+      case Some((asc, n)) if required.fieldNames.contains("doc_id") =>
+        new BandTopNReader(base, required.fieldIndex("doc_id"), asc, n)
+      case _ => limitN match {
+        case Some(n) => new BandCappedReader(base, n)
+        case None => base
+      }
+    }
+  }
+}
+
+/** Partial-LIMIT reader: emits at most `n` rows of the underlying file —
+  * any n rows satisfy a bare LIMIT; Spark applies the global one.
+  */
+class BandCappedReader(under: PartitionReader[InternalRow], n: Int)
+    extends PartitionReader[InternalRow] {
+  private var seen = 0
+  override def next(): Boolean =
+    seen < n && under.next() && { seen += 1; true }
+  override def get(): InternalRow = under.get()
+  override def close(): Unit = under.close()
+}
+
+/** Partial top-N reader: a bounded n-row heap on doc_id, so a partition
+  * returns n rows instead of its file's row count. Emission order is
+  * arbitrary — the pushdown is partial and Spark re-sorts globally.
+  * Memory is O(n) rows ([[BandFileReader.get]] materializes a fresh row
+  * per call, so retaining them is safe).
+  */
+class BandTopNReader(under: PartitionReader[InternalRow], docIdx: Int,
+                     asc: Boolean, n: Int)
+    extends PartitionReader[InternalRow] {
+  private lazy val rows: Iterator[InternalRow] = {
+    // for ASC (n smallest) the heap's head is the largest kept — evict it
+    // when a smaller row arrives; DESC mirrors
+    val ord = Ordering.by[(Long, InternalRow), Long](_._1)
+    val heap = new mutable.PriorityQueue[(Long, InternalRow)]()(
+      if (asc) ord else ord.reverse)
+    while (under.next()) {
+      val r = under.get()
+      val k = r.getLong(docIdx)
+      if (heap.size < n) heap.enqueue((k, r))
+      else if ((asc && k < heap.head._1) || (!asc && k > heap.head._1)) {
+        heap.dequeue(); heap.enqueue((k, r))
+      }
+    }
+    heap.toArray.map(_._2).iterator
+  }
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    val h = rows.hasNext
+    if (h) cur = rows.next()
+    h
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = under.close()
 }
 
 /** Streams one band file; emits only the pruned columns. The band column

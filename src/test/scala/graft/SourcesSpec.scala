@@ -104,6 +104,71 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() === expect)
   }
 
+  test("graft-bands DSv2: top-N on doc_id pushes down, prunes files via " +
+    "range-clustered stats, and returns the exact head both directions") {
+    val out = TestSpark.tempDir("graft-dsv2-topn").toString
+    bandsFrame().write.format("graft-bands").mode("overwrite").save(out)
+    graft.sources.dsv2.BandStoreMaintenance.compact(spark, out,
+      filesPerBand = 4)
+    def read() = spark.read.format("graft-bands").load(out)
+    val all = read().select("doc_id").collect().map(_.getLong(0)).sorted
+
+    val q = read().orderBy("doc_id").limit(5).select("doc_id")
+    val desc = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("PushedTopN=doc_id ASC,5"), desc)
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, desc)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"top-N pruned no files: ${m.get.matched}")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq === all.take(5).toSeq)
+
+    val qd = read().orderBy(col("doc_id").desc).limit(5).select("doc_id")
+    val dd = qd.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(dd.contains("PushedTopN=doc_id DESC,5"), dd)
+    assert(qd.collect().map(_.getLong(0)).sorted.toSeq
+      === all.takeRight(5).toSeq)
+  }
+
+  test("graft-bands DSv2: bare LIMIT keeps a minimal file prefix; a " +
+    "residual filter refuses limit and top-N pushdown at the builder") {
+    val out = TestSpark.tempDir("graft-dsv2-limit").toString
+    bandsFrame().write.format("graft-bands").mode("overwrite").save(out)
+    val q = spark.read.format("graft-bands").load(out).limit(7)
+    val desc = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("PushedLimit=7"), desc)
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, desc)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"limit pruned no files: ${m.get.matched}")
+    // any 7 rows satisfy a bare LIMIT — but they must be REAL store rows
+    val key = (r: org.apache.spark.sql.Row) =>
+      s"${r.getLong(0)}|${r.getInt(1)}|${r.getString(2)}"
+    val allRows = spark.read.format("graft-bands").load(out)
+      .select("doc_id", "band", "bkey").collect().map(key).toSet
+    val got = q.select("doc_id", "band", "bkey").collect().map(key)
+    assert(got.length === 7)
+    assert(got.forall(allRows.contains), "limit returned invented rows")
+
+    // builder contract: a residual (bkey) predicate blocks both pushdowns
+    // — a post-scan filter over a truncated scan could starve the limit
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val b = new graft.sources.dsv2.BandScanBuilder(
+      out, spark.sessionState.newHadoopConf())
+    b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("bkey", "x")))
+    assert(!b.pushLimit(3), "limit accepted despite a residual filter")
+    assert(!b.pushTopN(Array(Expressions.sort(
+      Expressions.column("doc_id"), SortDirection.ASCENDING)), 3),
+      "top-N accepted despite a residual filter")
+    // and a band-only predicate (fully absorbed) admits them
+    val b2 = new graft.sources.dsv2.BandScanBuilder(
+      out, spark.sessionState.newHadoopConf())
+    b2.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("band", 3)))
+    assert(b2.pushLimit(3))
+  }
+
   test("graft-bands DSv2: overwrite swaps the manifest atomically; the " +
     "prior generation stays time-travelable until vacuum reclaims it") {
     import graft.sources.dsv2.BandStoreMaintenance
