@@ -572,6 +572,66 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** χ² term–class feature selection: which words are most associated
+    * with a language class, by the presence/absence 2×2 contingency χ²
+    * (Manning/Schütze IR ch.13, scikit-learn's chi2 selector) — the
+    * standard pick-discriminative-features pass a curation classifier
+    * trains on. For term t and class c over N docs with a = df(t in c),
+    * tf = df(t), ld = |c|: χ² = N·(a·N − tf·ld)² / (tf·(N−tf)·ld·(N−ld))
+    * (the a·N − tf·ld identity folds the four cells into one product
+    * difference — no materialized B/C/D columns).
+    *
+    * Determinism: every count is an integer; the published `chi2_pico`
+    * = ⌊10¹²·χ²⌋ is ONE integral division of DECIMAL(38,0)-exact
+    * operands (q155's convention). Exact while 10¹²·N·(a·N − tf·ld)²
+    * fits 38 digits — comfortable at any tested SF and at realistic df
+    * skews; the mechanical widening past that is a two-limb decimal (or
+    * a typed-map BigInt mulDiv), not a plan change. Terms occurring in
+    * every doc (tf = N) carry zero information and a zero denominator —
+    * filtered, not NULL-ranked (engines disagree on NULL order).
+    *
+    * Scale: one explode+distinct scan pass, a (word, class) partial-agg
+    * shuffle, a second open-vocab shuffle keyed by word for tf (never
+    * broadcast — the vocabulary grows with the corpus), class sizes and
+    * N broadcast (classes are bounded, N is a scalarRow), and the top-50
+    * is a TakeOrdered with a total (χ² desc, word, lang) tie-break.
+    */
+  def chi2Terms(docs: DataFrame, k: Int = 50): DataFrame = {
+    val present = docs.select(col("lang"), col("doc_id"),
+      explode(array_distinct(tokens(lower(col("text"))))).as("word"))
+    chi2FromCounts(
+      present.groupBy("word", "lang").agg(count(lit(1)).as("df_class")),
+      docs.groupBy("lang").agg(count(lit(1)).as("lang_docs")), k)
+  }
+
+  /** The χ² finalization over a (word, lang, df_class) grid plus
+    * per-class doc counts — shared by [[chi2Terms]] (batch) and st_chi2
+    * (the same two rollups folded by a stream). N is the class-count
+    * sum, so no third input is needed.
+    */
+  private[graft] def chi2FromCounts(a: DataFrame, ld: DataFrame,
+                                    k: Int = 50): DataFrame = {
+    val tf = a.groupBy("word").agg(sum(col("df_class")).as("term_df"))
+    val n = graft.tools.Scalar.scalarRow(
+      ld.agg(sum(col("lang_docs")).cast("long").as("n_docs")))
+    a.join(tf, "word")
+      .join(broadcast(ld), "lang")
+      .crossJoin(broadcast(n))
+      .filter(col("term_df") >= 5 && col("term_df") < col("n_docs") &&
+        col("lang_docs") < col("n_docs"))
+      .select(col("word"), col("lang"), col("df_class"), col("term_df"),
+        col("lang_docs"), col("n_docs"),
+        expr("CAST((CAST(1000000000000 AS DECIMAL(38,0)) * n_docs * " +
+          "(CAST(df_class AS DECIMAL(38,0)) * n_docs - " +
+          " CAST(term_df AS DECIMAL(38,0)) * lang_docs) * " +
+          "(CAST(df_class AS DECIMAL(38,0)) * n_docs - " +
+          " CAST(term_df AS DECIMAL(38,0)) * lang_docs)) DIV " +
+          "(CAST(term_df AS DECIMAL(38,0)) * (n_docs - term_df) * " +
+          " lang_docs * (n_docs - lang_docs)) AS BIGINT)").as("chi2_pico"))
+      .orderBy(col("chi2_pico").desc, col("word"), col("lang"))
+      .limit(k)
+  }
+
   /** Sequence packing (concat-and-chunk) — how pretraining actually
     * consumes documents: the corpus is one long token stream, cut into
     * fixed-size context windows. For each document: its start offset in
@@ -1508,6 +1568,8 @@ object TextAnalysis {
       weightedSample(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_distinctive" -> ((s, d) =>
       distinctiveWords(Tables.load(s, d, "documents"))),
+    "ta_chi2" -> ((s, d) =>
+      chi2Terms(Tables.load(s, d, "documents"))),
     "ta_gopher" -> ((s, d) =>
       gopherRules(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_rolling_hash" -> ((s, d) =>
@@ -1974,6 +2036,35 @@ object TextAnalysis {
         |  CAST(c_sw AS DOUBLE) * CAST(n_c AS DOUBLE)
         |    / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE)) AS lift
         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+    // ta_chi2: HUGEINT mirrors DECIMAL(38,0); one integral division of
+    // exact positive operands (numerator is a square times positives)
+    "ta_chi2" ->
+      """WITH present AS (
+        |  SELECT DISTINCT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> ''))
+        |    AS word
+        |  FROM documents),
+        |a AS (SELECT word, lang, count(*) AS df_class
+        |      FROM present GROUP BY 1, 2),
+        |tf AS (SELECT word, CAST(sum(df_class) AS BIGINT) AS term_df
+        |       FROM a GROUP BY 1),
+        |ld AS (SELECT lang, count(*) AS lang_docs
+        |       FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT a.word, a.lang, a.df_class, term_df, lang_docs, n_docs,
+        |    CAST((CAST(1000000000000 AS HUGEINT) * n_docs *
+        |          (CAST(df_class AS HUGEINT) * n_docs
+        |            - CAST(term_df AS HUGEINT) * lang_docs) *
+        |          (CAST(df_class AS HUGEINT) * n_docs
+        |            - CAST(term_df AS HUGEINT) * lang_docs))
+        |      // (CAST(term_df AS HUGEINT) * (n_docs - term_df) *
+        |          lang_docs * (n_docs - lang_docs)) AS BIGINT)
+        |      AS chi2_pico
+        |  FROM a JOIN tf USING (word) JOIN ld USING (lang), n
+        |  WHERE term_df >= 5 AND term_df < n_docs AND lang_docs < n_docs)
+        |SELECT word, lang, df_class, term_df, lang_docs, n_docs, chi2_pico
+        |FROM s ORDER BY chi2_pico DESC, word, lang LIMIT 50""".stripMargin,
     "ta_gopher" ->
       s"""SELECT doc_id, n_words, mean_wl, n_stop, top_ratio,
          | r_wc, r_mwl, r_stop, r_rep, r_wc * r_mwl * r_stop * r_rep AS keep

@@ -982,6 +982,29 @@ object EventStream {
         "st_curation_sink", OutputMode.Append)
       s.table("st_curation_sink").orderBy("doc_id")
     }),
+    // Streaming χ² feature selection: both corpus-sized reductions —
+    // the (word, class) presence grid (tokenize + explode stateless,
+    // per-doc dedup row-local) and the per-class doc counts — fold as
+    // Complete-mode aggregates; the contingency finalization runs
+    // sink-side through the shared chi2FromCounts. The live view of
+    // "which words mark which language" as a crawl ingests.
+    "st_chi2" -> ((s, d) => {
+      runToMemory(
+        readDocuments(s, d)
+          .select(col("lang"), explode(array_distinct(
+            graft.operators.TextAnalysis.tokens(lower(col("text")))))
+            .as("word"))
+          .groupBy(col("word"), col("lang"))
+          .agg(count(lit(1)).as("df_class")),
+        "st_chi2_sink", OutputMode.Complete)
+      runToMemory(
+        readDocuments(s, d).groupBy(col("lang"))
+          .agg(count(lit(1)).as("lang_docs")),
+        "st_chi2_docs", OutputMode.Complete)
+      graft.operators.TextAnalysis.chi2FromCounts(
+        s.table("st_chi2_sink").localCheckpoint(true),
+        s.table("st_chi2_docs").localCheckpoint(true))
+    }),
     // streaming last-touch attribution: per-purchase rows from the state
     // machine, aggregated to q93's day-level output with the IDENTICAL
     // exact arithmetic (decimal revenue, integer lag, NULL-guarded mean);
@@ -1273,6 +1296,9 @@ object EventStream {
          |WHERE a.doc_id < split AND b.doc_id >= split
          |ORDER BY 1, 2""".stripMargin,
     "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
+    // st_chi2 folds ta_chi2's two count grids in-stream and shares its
+    // finalizer — same oracle verbatim
+    "st_chi2" -> graft.operators.TextAnalysis.oracle("ta_chi2"),
     // the scan-form phrase match must equal the index form row for row
     "st_phrase" -> graft.operators.TextAnalysis.oracle("ta_phrase"),
     "st_phash" ->

@@ -1984,6 +1984,30 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(mixed("b") === 250000000000L)
   }
 
+  test("chi2 feature selection: hand-computed contingency on a planted " +
+      "corpus; an everywhere-word is filtered, not NULL-ranked") {
+    // N=10: en docs 1-6, fr docs 7-10. "bonjour" in 1 en + all 4 fr
+    // (tf=5); "neutre" in 3 en + 2 fr (tf=5, exactly proportional ->
+    // chi2 = 0); "the" in all 10 (tf=N -> zero information, filtered)
+    val docs = Seq(
+      (1L, "the bonjour neutre", "en"), (2L, "the neutre", "en"),
+      (3L, "the neutre", "en"), (4L, "the", "en"),
+      (5L, "the", "en"), (6L, "the", "en"),
+      (7L, "the bonjour neutre", "fr"), (8L, "the bonjour neutre", "fr"),
+      (9L, "the bonjour", "fr"), (10L, "the bonjour", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.chi2Terms(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // bonjour: |aN - tf*ld| = 20 for both classes; chi2 = 10*400/600 =
+    // 6.6667 -> pico 6666666666666. neutre: aN - tf*ld = 0 -> 0.
+    assert(got.toSeq === Seq(
+      ("bonjour", "en", 1L, 5L, 6L, 10L, 6666666666666L),
+      ("bonjour", "fr", 4L, 5L, 4L, 10L, 6666666666666L),
+      ("neutre", "en", 3L, 5L, 6L, 10L, 0L),
+      ("neutre", "fr", 2L, 5L, 4L, 10L, 0L)))
+  }
+
   test("closeness: hand-computed centralities on a planted path graph " +
       "plus a disconnected pair") {
     // path 0-1-2-3 plus the isolated edge 8-9; undirected = both
