@@ -189,6 +189,7 @@ object Relational {
     "q154_dtw" -> q154,
     "q155_auc" -> q155,
     "q156_closeness" -> q156,
+    "q157_clustering" -> q157,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -3386,11 +3387,18 @@ object Relational {
     * Scale: one partial-agg groupBy over a 9-value key; the totals join
     * is a 1-row broadcast.
     */
-  private def q101(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.load(spark, dir, "orders")
+  private def q101(spark: SparkSession, dir: String): DataFrame =
+    benfordFromCounts(Tables.load(spark, dir, "orders")
       .select(substring((d2(col("o_totalprice")) * 100).cast("long")
         .cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .groupBy("digit").agg(count(lit(1)).as("n")))
+
+  /** The Benford finalization over a (digit, n) count table — shared by
+    * q101 (batch rollup over order prices) and st_benford (the same
+    * digit rollup folded by a stream over event values). The nine
+    * expectations are literals from the SAME doubles the oracle embeds.
+    */
+  private[graft] def benfordFromCounts(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("n")).as("tot"))
     val p = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
       when(col("digit") === d, lit(math.log10(1.0 + 1.0 / d))).otherwise(acc)
@@ -5592,6 +5600,86 @@ object Relational {
       .orderBy("nation_a", "nation_b")
   }
 
+  /** Local clustering coefficient over the customer co-purchase graph —
+    * "how clique-like is each buyer's neighborhood" (community cores vs
+    * brokers; the node-level companion of q54's global triangle count
+    * and q153's pair ranking, on the same capped projection). Per node:
+    * deg, triangle participation, and C(v) = 2·tri/(deg·(deg−1)) as
+    * `clustering_pico` — exact integers end to end, one integral
+    * division (q155's convention).
+    *
+    * Scale: edges come from q153's part-keyed pair generation (part-
+    * degree cap 2..40 bounds per-key fan-out to C(40,2); hubs predict
+    * nothing and would dominate quadratically). Triangles use q54's
+    * degree-ordered orientation — every edge points from its (deg, id)-
+    * smaller endpoint, so each triangle counts once and wedge fan-out is
+    * bounded by C(out-degree, 2) with out-degrees O(√m) REGARDLESS of
+    * skew: this is the orientation's whole point on an unbounded node
+    * set (q54 runs it on 25 nations; this runs it on every customer).
+    * Top-100 is a TakeOrdered with a total (pico desc, cust) tie-break.
+    */
+  private def q157(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .distinct()
+    val pdeg = buyers.groupBy("part").agg(count(lit(1)).as("pdeg"))
+    val capped = buyers
+      .join(broadcast(pdeg.filter(col("pdeg").between(2, 40))), "part")
+    val edges = capped.as("x")
+      .join(capped.as("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .select(col("x.cust").as("a"), col("y.cust").as("b"))
+      .distinct()
+    clusteringFromEdges(edges)
+  }
+
+  /** The orientation + wedge-close + coefficient body over any
+    * canonical (a < b) undirected edge list — factored from [[q157]] so
+    * the spec can drive a planted triangle-plus-pendant graph with
+    * hand-computed coefficients.
+    */
+  private[graft] def clusteringFromEdges(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges
+      .localCheckpoint(true) // reused: degrees + both oriented branches
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // reused: orientation + finalization
+    val oriented = edges
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true) // reused: wedge sides + closer
+    val wedges = oriented.select(col("src").as("x"), col("dst").as("y"))
+      .join(oriented.select(col("src").as("x2"), col("dst").as("z")),
+        col("x") === col("x2") && col("y") =!= col("z"))
+      .select("x", "y", "z")
+    val tri = wedges
+      .join(oriented.select(col("src").as("cs"), col("dst").as("cd")),
+        col("y") === col("cs") && col("z") === col("cd"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node").as("cust"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .filter(col("deg") >= 2)
+      .withColumn("clustering_pico",
+        expr("(CAST(2000000000000 AS DECIMAL(38,0)) * tri) DIV " +
+          "(CAST(deg AS DECIMAL(38,0)) * (deg - 1))").cast("long"))
+      .orderBy(col("clustering_pico").desc, col("cust"))
+      .limit(100)
+  }
+
   /** Exact ROC AUC, one-vs-rest per event class — the classifier-eval
     * staple of a training-data pipeline (which curation score actually
     * separates the classes?), here scoring `value` cents against each
@@ -6570,6 +6658,44 @@ object Relational {
         |FROM dp d JOIN pairs p ON d.na = p.na AND d.nb = p.nb
         |WHERE d.d = 2 * d.n - 2
         |ORDER BY 1, 2""".stripMargin,
+    // q157: the oracle replays the capped pair generation, the
+    // (deg, id) orientation, and the wedge+closer triangle join —
+    // exact integers end to end, HUGEINT mirroring DECIMAL(38,0)
+    "q157_clustering" ->
+      """WITH buyers AS (
+        |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |pd AS (SELECT part, count(*) AS pdeg FROM buyers GROUP BY 1),
+        |capped AS (SELECT b.part, b.cust FROM buyers b JOIN pd USING (part)
+        |           WHERE pdeg BETWEEN 2 AND 40),
+        |edges AS (
+        |  SELECT DISTINCT x.cust AS a, y.cust AS b
+        |  FROM capped x JOIN capped y
+        |    ON x.part = y.part AND x.cust < y.cust),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM edges
+        |  UNION ALL SELECT b AS node FROM edges) GROUP BY 1),
+        |oriented AS (
+        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |              THEN a ELSE b END AS src,
+        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |              THEN b ELSE a END AS dst
+        |  FROM edges JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+        |tri AS (
+        |  SELECT node, count(*) AS tri FROM (
+        |    SELECT unnest([w.x, w.y, w.z]) AS node FROM (
+        |      SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        |      FROM oriented e1 JOIN oriented e2
+        |        ON e1.src = e2.src AND e1.dst <> e2.dst) w
+        |    JOIN oriented c ON w.y = c.src AND w.z = c.dst)
+        |  GROUP BY 1)
+        |SELECT d.node AS cust, d.deg, coalesce(t.tri, 0) AS tri,
+        |  CAST((CAST(2000000000000 AS HUGEINT) * coalesce(t.tri, 0))
+        |       // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
+        |    AS clustering_pico
+        |FROM deg d LEFT JOIN tri t ON t.node = d.node
+        |WHERE d.deg >= 2
+        |ORDER BY clustering_pico DESC, cust LIMIT 100""".stripMargin,
     // q155: HUGEINT mirrors Spark's DECIMAL(38,0); both quotients are
     // one integral division of exact positive integers
     "q155_auc" ->

@@ -696,6 +696,25 @@ object EventStream {
       graft.queries.Relational.dtwFromDaily(
         s.table("st_dtw_sink").localCheckpoint(true))
     }),
+    // Streaming Benford: the leading-digit histogram of purchase values
+    // folds in-stream — NINE keys of state, the cheapest possible
+    // streaming fraud monitor (a drifting digit-1 share flags synthetic
+    // values live, not in a nightly audit). Zero-cent values carry no
+    // leading nonzero digit and are filtered at the fold. The deviation
+    // finalization is q101's, shared via benfordFromCounts.
+    "st_benford" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+          .filter(col("cents") > 0)
+          .select(substring(col("cents").cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n")),
+        "st_benford_sink", OutputMode.Complete)
+      graft.queries.Relational.benfordFromCounts(
+        s.table("st_benford_sink").localCheckpoint(true))
+    }),
     // Streaming AUC: the corpus-sized reduction (events → per-(score,
     // class) counts) folds in-stream as a Complete-mode aggregate whose
     // state is the bounded SCORE GRID (cents of a price range × ≤12
@@ -1268,6 +1287,32 @@ object EventStream {
     // st_auc folds q155's count grid in-stream and shares its
     // finalizer — same oracle verbatim
     "st_auc" -> graft.queries.Relational.oracle("q155_auc"),
+    // st_benford: q101's digit-histogram finalization over event VALUE
+    // cents (zero-cent rows carry no leading nonzero digit — filtered);
+    // expectations are string-quoted literal doubles, q101's convention
+    "st_benford" ->
+      ("""WITH d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit
+        |  FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          AS cents
+        |        FROM events) v
+        |  WHERE cents > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |p AS (
+        |""".stripMargin +
+        (1 to 9).map(i =>
+          s"  SELECT $i AS digit, " +
+            s"CAST('${math.log10(1.0 + 1.0 / i)}' AS DOUBLE) AS benford_p")
+          .mkString("\n  UNION ALL\n") +
+        """)
+        |SELECT c.digit, n,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |  benford_p,
+        |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) - benford_p AS deviation
+        |FROM c CROSS JOIN t JOIN p ON p.digit = c.digit
+        |ORDER BY 1""".stripMargin),
     "st_survival" -> graft.queries.Relational.oracle("q135_survival"),
     "st_sax" -> graft.queries.Relational.oracle("q139_sax"),
     "st_ks" -> graft.queries.Relational.oracle("q146_ks_test"),

@@ -2008,6 +2008,20 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("neutre", "fr", 2L, 5L, 4L, 10L, 0L)))
   }
 
+  test("clustering coefficient: hand-computed values on a planted " +
+      "triangle with a pendant; degree-1 nodes are excluded") {
+    // triangle 1-2-3 plus pendant 4 attached to 1. deg(1)=3 -> C =
+    // 2*1/(3*2) = 1/3; deg(2)=deg(3)=2 -> C = 1; deg(4)=1 -> excluded
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("a", "b")
+    val got = Relational.clusteringFromEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (2L, 2L, 1L, 1000000000000L),
+      (3L, 2L, 1L, 1000000000000L),
+      (1L, 3L, 1L, 333333333333L)))
+  }
+
   test("closeness: hand-computed centralities on a planted path graph " +
       "plus a disconnected pair") {
     // path 0-1-2-3 plus the isolated edge 8-9; undirected = both
