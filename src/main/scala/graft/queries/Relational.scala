@@ -190,6 +190,8 @@ object Relational {
     "q155_auc" -> q155,
     "q156_closeness" -> q156,
     "q157_clustering" -> q157,
+    "q158_pr_curve" -> q158,
+    "q159_spearman" -> q159,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5600,6 +5602,116 @@ object Relational {
       .orderBy("nation_a", "nation_b")
   }
 
+  /** Precision/recall curve — the threshold-sweep companion of q155's
+    * AUC (the eval pair every classifier report publishes): predict
+    * "purchase" when the value score clears a threshold, and for nine
+    * equal-width thresholds over the score range publish TP/FP/FN and
+    * micro-scaled precision, recall and F1 — each ⌊10⁶·ratio⌋, one
+    * integral division of exact counts per cell (longs suffice: 2·10⁶·N
+    * only nears BIGINT past ~4×10¹² rows; the decimal widening past
+    * that is mechanical).
+    *
+    * Scale: one partial-agg shuffle to the bounded score grid; the
+    * 9-threshold sweep is a crossJoin with a PROVABLY-1-ROW bounds
+    * relation (scalarRow) exploded to nine structs — no window, no
+    * second pass over the corpus. The top threshold stays ≤ hi whenever
+    * the score range spans ≥ 10 cents, so all nine deciles emit rows.
+    */
+  private def q158(spark: SparkSession, dir: String): DataFrame =
+    prCurveFromGrid(Tables.load(spark, dir, "events")
+      .select(
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy("cents")
+      .agg(count(lit(1)).as("tot"), sum(col("y")).as("pos")))
+
+  /** The threshold sweep over a (cents, tot, pos) score grid — shared by
+    * q158 (batch rollup) and st_pr_curve (the same grid folded by a
+    * stream). Bounds and the positive total re-derive exactly from the
+    * grid (min/max key, Σ pos), so the stream needs ONE sink.
+    */
+  private[graft] def prCurveFromGrid(grid: DataFrame): DataFrame = {
+    val bounds = graft.tools.Scalar.scalarRow(
+      grid.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        sum(col("pos")).as("pos_all")))
+    grid.crossJoin(broadcast(bounds))
+      .select(col("cents"), col("tot"), col("pos"), col("pos_all"),
+        explode(expr("transform(sequence(1, 9), d -> named_struct(" +
+          "'decile', CAST(d AS BIGINT), " +
+          "'t', lo + (((hi - lo + 1) * CAST(d AS BIGINT)) DIV 10)))"))
+          .as("th"))
+      .filter(col("cents") >= col("th.t"))
+      .groupBy(col("th.decile").as("decile"),
+        col("th.t").as("threshold_cents"), col("pos_all"))
+      .agg(sum(col("tot")).as("p_pred"), sum(col("pos")).as("tp"))
+      .select(col("decile"), col("threshold_cents"), col("tp"),
+        (col("p_pred") - col("tp")).as("fp"),
+        (col("pos_all") - col("tp")).as("fn"),
+        expr("(1000000 * tp) DIV nullif(p_pred, 0)").as("precision_micro"),
+        expr("(1000000 * tp) DIV nullif(pos_all, 0)").as("recall_micro"),
+        // 2TP + FP + FN telescopes to p_pred + pos_all
+        expr("(2000000 * tp) DIV nullif(p_pred + pos_all, 0)")
+          .as("f1_micro"))
+      .orderBy("decile")
+  }
+
+  /** Spearman rank correlation per nation between a customer's total
+    * spend and order count — "does buying often mean spending much
+    * here": the monotone-association summary a feature audit runs
+    * before trusting a proxy metric. Ranks are row_number over a TOTAL
+    * order ((value, custkey) tie-break — deterministic where average
+    * ranks would drag in fractional tie corrections), so
+    * ρ = 1 − 6·Σd²/(n(n²−1)) is an exact rational: the signed numerator
+    * n(n²−1) − 6Σd² and denominator publish as DECIMAL(38,0)-exact
+    * BIGINTs (n³ overflows BIGINT past ~2M customers per nation —
+    * decimal inside, longs out at any tested SF) and ρ itself is ONE
+    * IEEE division (q115's convention). NO integral division anywhere:
+    * ρ is signed, and Spark DIV truncates toward zero where DuckDB //
+    * floors — they disagree on negatives, so the quotient ships as
+    * num/den + double instead.
+    *
+    * Scale: one partial-agg shuffle to per-customer (spend, orders);
+    * both rank windows are PARTITIONED by nation and share its
+    * exchange; the final reduce is 25 rows.
+    */
+  private def q159(spark: SparkSession, dir: String): DataFrame =
+    spearmanFromMetrics(Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(d2(col("o_totalprice"))) * 100).cast("long").as("spend"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey")))
+
+  /** The rank-and-correlate body over per-entity (c_nationkey,
+    * o_custkey, spend, n_orders) metrics — factored from [[q159]] so the
+    * spec can drive planted agreement/reversal/one-swap rankings.
+    */
+  private[graft] def spearmanFromMetrics(per: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    val bySpend = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend"), col("o_custkey"))
+    val byFreq = Window.partitionBy("c_nationkey")
+      .orderBy(col("n_orders"), col("o_custkey"))
+    per
+      .withColumn("rs", row_number().over(bySpend).cast("long"))
+      .withColumn("rf", row_number().over(byFreq).cast("long"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(((col("rs") - col("rf")) * (col("rs") - col("rf")))
+          .cast(big)).as("sd2"))
+      .select(col("nation"), col("n"),
+        (col("n").cast(big) * (col("n").cast(big) * col("n") - 1)
+          - lit(6).cast(big) * col("sd2")).cast("long").as("rho_num"),
+        (col("n").cast(big) * (col("n").cast(big) * col("n") - 1))
+          .cast("long").as("rho_den"))
+      .withColumn("rho",
+        when(col("rho_den") > 0,
+          col("rho_num").cast("double") / col("rho_den").cast("double")))
+      .orderBy("nation")
+  }
+
   /** Local clustering coefficient over the customer co-purchase graph —
     * "how clique-like is each buyer's neighborhood" (community cores vs
     * brokers; the node-level companion of q54's global triangle count
@@ -6658,6 +6770,62 @@ object Relational {
         |FROM dp d JOIN pairs p ON d.na = p.na AND d.nb = p.nb
         |WHERE d.d = 2 * d.n - 2
         |ORDER BY 1, 2""".stripMargin,
+    // q159: exact signed numerator/denominator (HUGEINT ≡ DECIMAL(38,0)),
+    // ONE IEEE division — no integral division of a signed value (the
+    // engines disagree on negative truncation)
+    "q159_spearman" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT c_nationkey AS nation,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY spend, o_custkey) AS rs,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY n_orders, o_custkey) AS rf
+        |  FROM per JOIN customer ON o_custkey = c_custkey),
+        |a AS (
+        |  SELECT nation, count(*) AS n,
+        |    sum(CAST((rs - rf) * (rs - rf) AS HUGEINT)) AS sd2
+        |  FROM r GROUP BY 1)
+        |SELECT nation, n,
+        |  CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |       - 6 * sd2 AS BIGINT) AS rho_num,
+        |  CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |       AS BIGINT) AS rho_den,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |         - 6 * sd2 AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+        |           AS DOUBLE) END AS rho
+        |FROM a ORDER BY nation""".stripMargin,
+    // q158: both engines floor the same positive micro quotients;
+    // 2TP + FP + FN telescopes to p_pred + pos_all
+    "q158_pr_curve" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi,
+        |             CAST(sum(y) AS BIGINT) AS pos_all FROM ev),
+        |th AS (SELECT CAST(d AS BIGINT) AS decile,
+        |              lo + (((hi - lo + 1) * d) // 10) AS t, pos_all
+        |       FROM b, range(1, 10) r(d)),
+        |agg AS (SELECT decile, t AS threshold_cents, pos_all,
+        |          CAST(count(*) AS BIGINT) AS p_pred,
+        |          CAST(sum(y) AS BIGINT) AS tp
+        |        FROM ev JOIN th ON ev.cents >= th.t
+        |        GROUP BY 1, 2, 3)
+        |SELECT decile, threshold_cents, tp,
+        |  p_pred - tp AS fp, pos_all - tp AS fn,
+        |  (1000000 * tp) // nullif(p_pred, 0) AS precision_micro,
+        |  (1000000 * tp) // nullif(pos_all, 0) AS recall_micro,
+        |  (2000000 * tp) // nullif(p_pred + pos_all, 0) AS f1_micro
+        |FROM agg ORDER BY decile""".stripMargin,
     // q157: the oracle replays the capped pair generation, the
     // (deg, id) orientation, and the wedge+closer triangle join —
     // exact integers end to end, HUGEINT mirroring DECIMAL(38,0)

@@ -715,6 +715,25 @@ object EventStream {
       graft.queries.Relational.benfordFromCounts(
         s.table("st_benford_sink").localCheckpoint(true))
     }),
+    // Streaming PR curve: the (score, label) grid folds in-stream —
+    // state is the bounded price grid, like st_auc — and the nine-
+    // threshold precision/recall/F1 sweep finalizes sink-side through
+    // the shared prCurveFromGrid (bounds and the positive total
+    // re-derive from the grid, so one sink suffices). Shares q158's
+    // oracle verbatim.
+    "st_pr_curve" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"),
+            (col("event_type") === "purchase").cast("long").as("y"))
+          .groupBy("cents")
+          .agg(count(lit(1)).as("tot"), sum(col("y")).as("pos")),
+        "st_pr_sink", OutputMode.Complete)
+      graft.queries.Relational.prCurveFromGrid(
+        s.table("st_pr_sink").localCheckpoint(true))
+    }),
     // Streaming AUC: the corpus-sized reduction (events → per-(score,
     // class) counts) folds in-stream as a Complete-mode aggregate whose
     // state is the bounded SCORE GRID (cents of a price range × ≤12
@@ -1287,6 +1306,9 @@ object EventStream {
     // st_auc folds q155's count grid in-stream and shares its
     // finalizer — same oracle verbatim
     "st_auc" -> graft.queries.Relational.oracle("q155_auc"),
+    // st_pr_curve folds q158's score grid in-stream and shares its
+    // finalizer — same oracle verbatim
+    "st_pr_curve" -> graft.queries.Relational.oracle("q158_pr_curve"),
     // st_benford: q101's digit-histogram finalization over event VALUE
     // cents (zero-cent rows carry no leading nonzero digit — filtered);
     // expectations are string-quoted literal doubles, q101's convention

@@ -2008,6 +2008,46 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("neutre", "fr", 2L, 5L, 4L, 10L, 0L)))
   }
 
+  test("Spearman: agreement is +1, reversal -1, one adjacent swap 0.8 " +
+      "on planted rankings") {
+    // nation 0: spend and frequency rank identically (rho = 1).
+    // nation 1: exactly reversed (rho = -1). nation 2: one adjacent
+    // swap -> sum d^2 = 2, rho = 1 - 12/60 = 0.8. n=4 -> den = 60.
+    def rows(nation: Long, freqs: Seq[Long]) =
+      freqs.zipWithIndex.map { case (f, i) =>
+        (nation, (i + 1).toLong, (i + 1) * 100L, f)
+      }
+    val per = (rows(0L, Seq(1L, 2L, 3L, 4L)) ++
+      rows(1L, Seq(4L, 3L, 2L, 1L)) ++ rows(2L, Seq(2L, 1L, 3L, 4L)))
+      .toDF("c_nationkey", "o_custkey", "spend", "n_orders")
+    val got = Relational.spearmanFromMetrics(per).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0L, 4L, 60L, 60L, 1.0),
+      (1L, 4L, -60L, 60L, -1.0),
+      (2L, 4L, 48L, 60L, 0.8)))
+  }
+
+  test("PR curve: hand-computed sweep on a planted score grid") {
+    // grid: 10c (4 rows, 1 pos), 55c (2 rows, 2 pos), 100c (4 rows,
+    // 3 pos). lo=10, hi=100 -> thresholds 19,28,37,46,55,64,73,82,91.
+    // t <= 55: tp=5 of p_pred=6, pos_all=6; t > 55: tp=3 of p_pred=4.
+    val grid = Seq((10L, 4L, 1L), (55L, 2L, 2L), (100L, 4L, 3L))
+      .toDF("cents", "tot", "pos")
+    val got = Relational.prCurveFromGrid(grid).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val lowT = (5L, 1L, 1L, 833333L, 833333L, 833333L)
+    val highT = (3L, 1L, 3L, 750000L, 500000L, 600000L)
+    val want = Seq(1L -> 19L, 2L -> 28L, 3L -> 37L, 4L -> 46L, 5L -> 55L,
+      6L -> 64L, 7L -> 73L, 8L -> 82L, 9L -> 91L).map { case (d, t) =>
+      val (tp, fp, fn, p, rc, f1) = if (t <= 55L) lowT else highT
+      (d, t, tp, fp, fn, p, rc, f1)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("clustering coefficient: hand-computed values on a planted " +
       "triangle with a pendant; degree-1 nodes are excluded") {
     // triangle 1-2-3 plus pendant 4 attached to 1. deg(1)=3 -> C =
