@@ -1154,6 +1154,56 @@ object TextAnalysis {
       .orderBy("lang_actual", "lang_pred")
   }
 
+  /** Cohen's kappa for the language-ID classifier — chance-corrected
+    * agreement, the scalar the eval row a confusion matrix
+    * (ta_langid_eval) rolls up to: κ = (p_o − p_e)/(1 − p_e) with
+    * p_e = Σ_k row_k·col_k / N². Published as the exact signed rational
+    * κ_num = N·agree − Σ row·col over κ_den = N² − Σ row·col
+    * (DECIMAL(38,0)-exact; N² overflows BIGINT past ~3e9 docs — the
+    * widening is mechanical) plus ONE IEEE division — q159's
+    * signed-quotient rule: no integral division of a signed value, the
+    * engines disagree on negative truncation. Accuracy ships as
+    * ⌊10⁶·agree/N⌋ (positive — integral division is safe there).
+    *
+    * Scale: one corpus pass to the confusion counts (bounded classes²);
+    * everything after runs on that bounded table — the marginal join is
+    * class-keyed, the final result one row.
+    */
+  def cohenKappa(docs: DataFrame): DataFrame =
+    kappaFromConfusion(langId(docs)
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The κ finalization over a (lang_actual, lang_pred, n) confusion
+    * table — factored so the spec can drive the textbook 2×2 planted
+    * matrix (κ = 0.4).
+    */
+  private[graft] def kappaFromConfusion(confRaw: DataFrame): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val conf = confRaw.localCheckpoint(true) // tiny; reused 3×
+    val pe = graft.tools.Scalar.scalarRow(
+      conf.groupBy(col("lang_actual").as("k")).agg(sum(col("n")).as("rt"))
+        .join(conf.groupBy(col("lang_pred").as("k"))
+          .agg(sum(col("n")).as("ct")), Seq("k"), "full_outer")
+        .select((coalesce(col("rt"), lit(0L)).cast(big)
+          * coalesce(col("ct"), lit(0L))).as("p"))
+        .agg(sum(col("p")).as("pe_num")))
+    val tops = graft.tools.Scalar.scalarRow(
+      conf.agg(sum(col("n")).as("n_docs"),
+        sum(when(col("lang_actual") === col("lang_pred"), col("n"))
+          .otherwise(lit(0L))).as("n_agree")))
+    tops.crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"),
+        expr("(1000000 * n_agree) DIV nullif(n_docs, 0)").as("acc_micro"),
+        (col("n_docs").cast(big) * col("n_agree") - col("pe_num"))
+          .cast("long").as("kappa_num"),
+        (col("n_docs").cast(big) * col("n_docs") - col("pe_num"))
+          .cast("long").as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") =!= 0,
+          col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+  }
+
   /** Per-source percentile calibration — the score-normalization pass a
     * curation pipeline runs before mixing sources: a raw quality proxy
     * (here the exact token count) is replaced by its PERCENTILE WITHIN
@@ -1552,6 +1602,8 @@ object TextAnalysis {
       burstiness(Tables.load(s, d, "documents"))),
     "ta_rank_normalize" -> ((s, d) =>
       rankNormalize(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_kappa" -> ((s, d) =>
+      cohenKappa(Tables.load(s, d, "documents"))),
     "ta_langid_eval" -> ((s, d) =>
       langIdEval(Tables.load(s, d, "documents"))),
     "ta_diversity" -> ((s, d) =>
@@ -2344,7 +2396,33 @@ object TextAnalysis {
     )
     // ta_langid_eval: the ta_langid oracle embedded as a derived table
     // (the ann_recall composition), aggregated into the confusion matrix
-    base + ("ta_langid_eval" ->
+    base + ("ta_kappa" ->
+      // chance-corrected agreement: exact signed rational + one IEEE
+      // division (HUGEINT ≡ DECIMAL(38,0)); acc_micro is the only
+      // integral division and its operands are positive
+      s"""WITH pred AS (${base("ta_langid")}),
+         |conf AS (SELECT lang_actual, lang_pred, count(*) AS n
+         |         FROM pred GROUP BY 1, 2),
+         |rt AS (SELECT lang_actual AS k, sum(n) AS rt FROM conf GROUP BY 1),
+         |ct AS (SELECT lang_pred AS k, sum(n) AS ct FROM conf GROUP BY 1),
+         |pe AS (SELECT sum(CAST(coalesce(rt, 0) AS HUGEINT)
+         |                  * coalesce(ct, 0)) AS pe_num
+         |       FROM rt FULL OUTER JOIN ct USING (k)),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN lang_actual = lang_pred THEN n
+         |                      ELSE 0 END) AS BIGINT) AS n_agree
+         |      FROM conf)
+         |SELECT n_docs, n_agree,
+         |  (1000000 * n_agree) // nullif(n_docs, 0) AS acc_micro,
+         |  CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num AS BIGINT)
+         |    AS kappa_num,
+         |  CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS BIGINT)
+         |    AS kappa_den,
+         |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_num <> 0 THEN
+         |    CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num AS DOUBLE)
+         |    / CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS DOUBLE)
+         |  END AS kappa
+         |FROM t, pe""".stripMargin) + ("ta_langid_eval" ->
       s"""WITH pred AS (${base("ta_langid")}),
          |conf AS (SELECT lang_actual, lang_pred, count(*) AS n
          |         FROM pred GROUP BY 1, 2),

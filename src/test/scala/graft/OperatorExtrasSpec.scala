@@ -2008,6 +2008,26 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("neutre", "fr", 2L, 5L, 4L, 10L, 0L)))
   }
 
+  test("Cohen's kappa: the textbook 2x2 matrix gives 0.4; perfect " +
+      "agreement 1; a degenerate single class has NULL kappa") {
+    def kappa(rows: Seq[(String, String, Long)]) =
+      graft.operators.TextAnalysis.kappaFromConfusion(
+        rows.toDF("lang_actual", "lang_pred", "n")).head()
+    // N=100, agree=70, row=(50,50), col=(60,40) -> pe_num=5000,
+    // num=2000, den=5000, kappa=0.4, acc=700000
+    val r = kappa(Seq(("a", "a", 40L), ("a", "b", 10L),
+      ("b", "a", 20L), ("b", "b", 30L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) === (100L, 70L, 700000L, 2000L,
+      5000L, 0.4))
+    // perfect agreement over two classes: num = den > 0 -> kappa 1
+    val p = kappa(Seq(("a", "a", 5L), ("b", "b", 5L)))
+    assert(p.getDouble(5) === 1.0)
+    // single class everywhere: pe = N^2 -> den 0 -> kappa NULL
+    val d = kappa(Seq(("a", "a", 7L)))
+    assert(d.isNullAt(5) && d.getLong(2) === 1000000L)
+  }
+
   test("Spearman: agreement is +1, reversal -1, one adjacent swap 0.8 " +
       "on planted rankings") {
     // nation 0: spend and frequency rank identically (rho = 1).
