@@ -1349,9 +1349,89 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Raw per-term corpus counts for the phonetic resolver — lowercase
+    * ASCII-alpha terms of length 4–12 (the engine-portability bounds the
+    * SymSpell resolver documents: char-vs-codepoint semantics identical
+    * across engines). Kept separate from [[phoneticFromVocab]] so the
+    * streaming twin can FOLD exactly this aggregate in-stream (term counts
+    * are the only corpus-sized state) and finalize sink-side.
+    */
+  private[graft] def phoneticVocabCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(lower(col("t")).as("term"))
+      .filter(col("term").rlike("^[a-z]+$") &&
+        length(col("term")).between(4, 12))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Soundex phonetic blocking for entity resolution — the classic
+    * blocking-key family the SNM / LSH / prefix-filter entries don't
+    * cover: candidate pairs are generated ONLY inside a phonetic code
+    * block (Soundex collapses spelling variation that preserves the
+    * consonant skeleton), then verified by exact edit distance — the
+    * name-matching shape of record linkage since Fellegi–Sunter.
+    *
+    * The query side is a corrupted log derived in-engine: every frequent
+    * vocab term with one hash-chosen VOWEL substituted by the next vowel
+    * in the aeiou cycle. Vowels all map to the same (discarded) Soundex
+    * class, so the corruption is code-invariant — EXCEPT when the chosen
+    * vowel is the first letter, where the code keeps the literal letter
+    * and the block misses: a real, visible Soundex recall gap, which is
+    * exactly the property a blocking-quality eval should surface. The
+    * in-engine derivation means the DuckDB oracle rebuilds the identical
+    * log in SQL — including a translate-chain reimplementation of classic
+    * Soundex (H/W-bridged run collapse, vowel-broken runs, first-letter
+    * retention) whose golden vectors DedupSpec pins against Spark's
+    * builtin `soundex`.
+    *
+    * Scale: blocking is ONE equi-shuffle on the 4-char code; within-block
+    * fan-out is capped (codes with > 10k member terms are dropped as
+    * non-discriminative — the LSH df-cap discipline), so verification is
+    * O(cap²) per block, never corpus². The vocabulary sides are open
+    * (shuffle-joined, never broadcast).
+    */
+  def phoneticBlocking(docs: DataFrame): DataFrame =
+    phoneticFromVocab(phoneticVocabCounts(docs))
+
+  /** The blocking + verify finalize over a (term, cnt) vocabulary frame —
+    * shared verbatim by dd_phonetic (batch rollup) and st_phonetic (the
+    * same rollup folded by a stream).
+    */
+  private[graft] def phoneticFromVocab(termCounts: DataFrame): DataFrame = {
+    val vocab = termCounts.filter(col("cnt") >= 5)
+    val queries = vocab
+      .withColumn("vpos", expr("filter(sequence(1, length(term)), i -> " +
+        "instr('aeiou', substring(term, i, 1)) > 0)"))
+      .filter(size(col("vpos")) > 0)
+      .withColumn("hidx",
+        pmod(portableHash60(concat(lit("ph:"), col("term"))),
+          size(col("vpos")).cast("long")).cast("int"))
+      .select(expr("concat(substring(term, 1, element_at(vpos, hidx + 1) - 1), " +
+        "translate(substring(term, element_at(vpos, hidx + 1), 1), 'aeiou', 'eioua'), " +
+        "substring(term, element_at(vpos, hidx + 1) + 1, length(term)))")
+        .as("query"))
+      .distinct()
+    val tb = vocab.select(col("term"), col("cnt"),
+      soundex(col("term")).as("sdx"))
+    // block-size cap: a code shared by >10k terms is a skew hazard and
+    // carries no blocking signal — drop it (the df-cap discipline)
+    val keep = tb.groupBy("sdx").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 10000).select("sdx")
+    queries.select(col("query"), soundex(col("query")).as("sdx"))
+      .join(tb.join(keep, "sdx"), "sdx")
+      .withColumn("dist", levenshtein(col("query"), col("term")))
+      .filter(col("dist") <= 2)
+      .select(col("query"), col("term"), col("sdx"),
+        col("cnt").cast("long").as("cnt"), col("dist").cast("int").as("dist"))
+      .orderBy("query", "term")
+      .limit(500)
+  }
+
   // --- driver-checked query surface ---
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_phonetic" -> ((s, d) =>
+      phoneticBlocking(Tables.load(s, d, "documents"))),
     "dd_exact" -> ((s, d) =>
       exact(Tables.load(s, d, "documents")).orderBy("content_hash")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -1526,7 +1606,71 @@ object Dedup {
        |  list_transform(string_split($e, ''), x -> CAST(ascii(x) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** Classic Soundex in DuckDB SQL, mirroring Spark's builtin (golden
+    * vectors pinned in DedupSpec): letters map through one `translate`
+    * (digits for consonants, '.' for vowels/Y, '-' for H/W); H/W marks
+    * are removed BEFORE the run collapse (same-code letters bridge across
+    * them — Ashcraft → A261), vowels AFTER (they break runs — Tymczak →
+    * T522); the first letter's own code run is dropped (Pfister → P236).
+    * DuckDB's RE2 regex has no backreferences, so runs collapse with one
+    * `regexp_replace` per digit. Renders `SELECT <carried>, sdx FROM
+    * (<rel>)` for a relation exposing a lowercase-alpha column `col`.
+    */
+  private def soundexSelect(rel: String, col: String, carried: String*): String = {
+    val collapse = (1 to 6).foldLeft(s"replace(codes, '-', '')") {
+      (acc, d) => s"regexp_replace($acc, '$d{2,}', '$d', 'g')"
+    }
+    val cols = carried.map(_ + ", ").mkString
+    s"""SELECT $cols upper(substr($col, 1, 1)) ||
+       |    substr((CASE WHEN substr(codes, 1, 1) IN ('.', '-') THEN c2
+       |            ELSE substr(c2, 2) END) || '000', 1, 3) AS sdx
+       |  FROM (SELECT $cols codes, replace($collapse, '.', '') AS c2
+       |        FROM (SELECT $cols translate(upper($col),
+       |          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+       |          '.123.12-.22455.12623.1-2.2') AS codes FROM ($rel)))""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    // dd_phonetic: the identically-derived corrupted query log blocked
+    // against the vocabulary on a pure-SQL classic Soundex, verified by
+    // exact levenshtein — equality proves the translate-chain Soundex ≡
+    // Spark's builtin over the real corpus AND that blocking+verify kept
+    // exactly the distance-≤2 in-block pairs
+    "dd_phonetic" -> {
+      val qsel = soundexSelect("SELECT query FROM q", "query", "query")
+      val tsel = soundexSelect(
+        "SELECT term, cnt FROM vocab", "term", "term", "cnt")
+      s"""WITH tok AS (
+         |  SELECT lower(t) AS term
+         |  FROM (SELECT unnest($W) AS t FROM documents)
+         |  WHERE regexp_full_match(lower(t), '[a-z]+')
+         |    AND len(t) BETWEEN 4 AND 12),
+         |vocab AS (SELECT term, count(*) AS cnt FROM tok
+         |          GROUP BY 1 HAVING count(*) >= 5),
+         |vp AS (
+         |  SELECT term,
+         |    [i FOR i IN range(1, len(term) + 1)
+         |     IF instr('aeiou', substr(term, i, 1)) > 0] AS vpos
+         |  FROM vocab),
+         |q0 AS (
+         |  SELECT term,
+         |    vpos[CAST(CAST(concat('0x', substr(md5('ph:' || term), 1, 15))
+         |      AS BIGINT) % len(vpos) AS INTEGER) + 1] AS p
+         |  FROM vp WHERE len(vpos) > 0),
+         |q AS (
+         |  SELECT DISTINCT concat(substr(term, 1, p - 1),
+         |    translate(substr(term, p, 1), 'aeiou', 'eioua'),
+         |    substr(term, p + 1, len(term))) AS query
+         |  FROM q0),
+         |qs AS ($qsel),
+         |ts AS ($tsel),
+         |blk AS (SELECT sdx FROM ts GROUP BY 1 HAVING count(*) <= 10000)
+         |SELECT qs.query, ts.term, ts.sdx, CAST(ts.cnt AS BIGINT) AS cnt,
+         |  CAST(levenshtein(qs.query, ts.term) AS INTEGER) AS dist
+         |FROM qs JOIN ts USING (sdx) JOIN blk USING (sdx)
+         |WHERE levenshtein(qs.query, ts.term) <= 2
+         |ORDER BY query, term LIMIT 500""".stripMargin
+    },
     "dd_contam_bloom" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, list_distinct([array_to_string(w[i : i + 12], ' ')

@@ -1043,6 +1043,20 @@ object EventStream {
         s.table("st_chi2_sink").localCheckpoint(true),
         s.table("st_chi2_docs").localCheckpoint(true))
     }),
+    // Streaming phonetic resolution: the term-count vocabulary — the only
+    // corpus-sized reduction in the phonetic resolver — folds in-stream
+    // (tokenize/explode stateless, the rollup a Complete-mode aggregate,
+    // st_prefix_topk's shape); the corrupted-log derivation, Soundex
+    // blocking and edit-distance verify finalize sink-side through the
+    // shared phoneticFromVocab. Live typo-to-vocabulary linkage as a
+    // crawl ingests; shares dd_phonetic's oracle verbatim.
+    "st_phonetic" -> ((s, d) => {
+      runToMemory(
+        graft.operators.Dedup.phoneticVocabCounts(readDocuments(s, d)),
+        "st_phonetic_sink", OutputMode.Complete)
+      graft.operators.Dedup.phoneticFromVocab(
+        s.table("st_phonetic_sink").localCheckpoint(true))
+    }),
     // streaming last-touch attribution: per-purchase rows from the state
     // machine, aggregated to q93's day-level output with the IDENTICAL
     // exact arithmetic (decimal revenue, integer lag, NULL-guarded mean);
@@ -1366,6 +1380,9 @@ object EventStream {
     // st_chi2 folds ta_chi2's two count grids in-stream and shares its
     // finalizer — same oracle verbatim
     "st_chi2" -> graft.operators.TextAnalysis.oracle("ta_chi2"),
+    // st_phonetic folds dd_phonetic's vocabulary in-stream and shares its
+    // oracle verbatim — stream-folded ≡ batch-rolled to any consumer
+    "st_phonetic" -> graft.operators.Dedup.oracle("dd_phonetic"),
     // the scan-form phrase match must equal the index form row for row
     "st_phrase" -> graft.operators.TextAnalysis.oracle("ta_phrase"),
     "st_phash" ->
