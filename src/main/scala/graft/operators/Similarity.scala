@@ -598,6 +598,42 @@ object Similarity {
             .as("recall"))
         .orderBy("method")
     }),
+    // Mean reciprocal rank over the same panel — the RANK-SENSITIVE eval
+    // recall can't express (a method that always buries the true nearest
+    // neighbor at rank 5 has recall 1 but MRR 0.2): the truth is the
+    // brute-force TOP-1 per query, each method contributes ⌊10¹²/rank⌋
+    // where it ranks that neighbor (0 where it misses — harmonic's
+    // unreachable-term convention), and MRR is one integral division of
+    // the exact sum by the query count. Long-safe to ~9·10⁶ queries
+    // (the panel is 20); the division floor matches // in the oracle.
+    "ann_mrr" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 20).limit(20)
+      val truth = bruteForceTopK(q, e, k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val nq = graft.tools.Scalar.scalarRow(
+        truth.agg(count(lit(1)).as("n_queries")))
+      val methods = Seq(
+        "ivf" -> ivfTopK(q, e, k = 5),
+        "ivfpq" -> ivfPqTopK(q, e, k = 5),
+        "lsh" -> lshTopK(q, e, k = 5),
+        "pq" -> pqTopK(q, e, k = 5))
+      methods.map { case (name, m) =>
+        // truth is one row per query, so the inner join keeps at most
+        // one (query, rank) row per query — the reciprocal-rank terms
+        m.join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("found"),
+            coalesce(sum(expr("1000000000000 div rank")), lit(0L))
+              .as("rr_sum_pico"))
+          .select(lit(name).as("method"), col("found"), col("rr_sum_pico"))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nq))
+        .select(col("method"), col("n_queries"), col("found"),
+          col("rr_sum_pico"),
+          expr("rr_sum_pico div n_queries").as("mrr_pico"))
+        .orderBy("method")
+    }),
   )
 
   /** Shared oracle prelude: int8 quantization (the [[Embeddings
@@ -926,6 +962,31 @@ object Similarity {
          |  SELECT 'pq', (SELECT count(*) FROM ${sub("ann_pq")} m
          |    JOIN bf ON bf.query_id = m.query_id
          |     AND bf.neighbor_id = m.neighbor_id)), tot
+         |ORDER BY method""".stripMargin
+    }) + ("ann_mrr" -> {
+      def sub(n: String) = "(" + base(n) + ")"
+      def arm(name: String, key: String) =
+        s"""  SELECT '$name' AS method,
+           |    (SELECT count(*) FROM ${sub(key)} m JOIN t1
+           |       ON t1.query_id = m.query_id
+           |      AND t1.neighbor_id = m.neighbor_id) AS found,
+           |    (SELECT CAST(coalesce(sum(1000000000000 // m.rank), 0)
+           |            AS BIGINT) FROM ${sub(key)} m JOIN t1
+           |       ON t1.query_id = m.query_id
+           |      AND t1.neighbor_id = m.neighbor_id) AS rr_sum_pico"""
+          .stripMargin
+      // the truth is rank 1 of the shared brute-force oracle; each arm's
+      // scalar subqueries see at most one matching row per query
+      s"""WITH t1 AS (SELECT query_id, neighbor_id
+         |            FROM ${sub("ann_bruteforce")} WHERE rank = 1),
+         |nq AS (SELECT count(*) AS n_queries FROM t1)
+         |SELECT method, n_queries, found, rr_sum_pico,
+         |  CAST(rr_sum_pico // n_queries AS BIGINT) AS mrr_pico
+         |FROM (
+         |${Seq("ivf" -> "ann_ivf", "ivfpq" -> "ann_ivfpq",
+                "lsh" -> "ann_lsh", "pq" -> "ann_pq")
+            .map { case (n, k) => arm(n, k) }
+            .mkString("\nUNION ALL\n")}), nq
          |ORDER BY method""".stripMargin
     })
   }

@@ -192,6 +192,9 @@ object Relational {
     "q157_clustering" -> q157,
     "q158_pr_curve" -> q158,
     "q159_spearman" -> q159,
+    "q160_matrix_profile" -> q160,
+    "q161_eigencentrality" -> q161,
+    "q162_harmonic" -> q162,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5873,11 +5876,14 @@ object Relational {
   private def q156(spark: SparkSession, dir: String): DataFrame =
     closenessFromEdges(tradeEdges(spark, dir))
 
-  /** The multi-source-BFS closeness body over any (src, dst) edge list —
-    * factored from [[q156]] so the spec can drive a planted path graph
-    * with hand-computed centralities.
+  /** The shared K=8-seed, 8-hop-capped multi-source BFS over any
+    * (src, dst) edge list — the distance frame [[closenessFromEdges]]
+    * and [[harmonicFromEdges]] both reduce. Returns (visited:
+    * (seed, node, dist), nodes). All K searches share each iteration's
+    * frontier⋈edges shuffle keyed (seed, node); per-hop localCheckpoint
+    * keeps lineage flat (q78's discipline); empty-frontier exit.
     */
-  private[graft] def closenessFromEdges(edges: DataFrame): DataFrame = {
+  private def multiSourceBfs(edges: DataFrame): (DataFrame, DataFrame) = {
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val seeds = nodes.orderBy("node").limit(8)
@@ -5898,6 +5904,15 @@ object Relational {
       frontier = next
       step += 1
     }
+    (visited, nodes)
+  }
+
+  /** The multi-source-BFS closeness body over any (src, dst) edge list —
+    * factored from [[q156]] so the spec can drive a planted path graph
+    * with hand-computed centralities.
+    */
+  private[graft] def closenessFromEdges(edges: DataFrame): DataFrame = {
+    val (visited, nodes) = multiSourceBfs(edges)
     val n = graft.tools.Scalar.scalarRow(
       nodes.agg(count(lit(1)).as("n_nodes")))
     visited.filter(col("dist") > 0)
@@ -5915,6 +5930,86 @@ object Relational {
           "CAST(0 AS DECIMAL(38,0))) AS BIGINT)").as("closeness_pico"))
       .orderBy("node_type", "node_id")
   }
+
+  /** The matrix-profile finalization over a per-(event_type, day) cents
+    * rollup — st_matrix_profile's batch-side half: the stream folds the
+    * corpus-sized reduction (events → daily cents, watermarked day
+    * windows) and this finalizer densifies the calendar spine
+    * (zero-filled), scales to the div-1000 unit grain (q160's overflow
+    * discipline), and runs the same [[matrixProfile]] kernel per class —
+    * the live "is this week's revenue shape a rerun of a past regime or
+    * an anomaly" monitor. Bounds: days calendar-bounded, classes ≤ 12
+    * (plan-visible limit).
+    */
+  private[graft] def matrixProfileFromDaily(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val d = daily.select(to_date(col("day")).as("day"), col("event_type"),
+      expr("cents div 1000").as("units"))
+    val bounds = graft.tools.Scalar.scalarRow(
+      d.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
+    val spine = d.select("event_type").distinct().limit(12)
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(d, Seq("event_type", "day"), "left")
+      .groupBy("event_type")
+      .agg(expr("transform(array_sort(collect_list(struct(day, " +
+        "coalesce(units, CAST(0 AS BIGINT)) AS c))), x -> x.c)").as("a"))
+      .limit(12)
+      .as[(String, Seq[Long])]
+      .flatMap { case (et, s) =>
+        matrixProfile(s.toArray, 6).map { case (i, ssd, j) =>
+          (et, i.toLong, ssd, j.toLong)
+        }
+      }
+      .toDF("event_type", "pos", "profile_ssd", "nn_pos")
+      .orderBy("event_type", "pos")
+  }
+
+  /** Harmonic centrality from the same 8-seed, 8-hop multi-source BFS —
+    * closeness's robust sibling: H(s) = Σ_{u reached} 1/d(s,u), which
+    * (unlike closeness) degrades gracefully on DISCONNECTED graphs —
+    * unreachable nodes contribute 0 instead of poisoning a global mean
+    * distance, which is why Boldi–Vigna recommend it as the default
+    * centrality for web-scale graphs. The textbook contrast is visible
+    * in the output: q156's closeness divides by Σd over the REACHED set
+    * only, harmonic needs no such restriction.
+    *
+    * Determinism: every term is ⌊10¹²/d⌋ with d ∈ 1..8 — ONE integral
+    * division per (seed, node) pair of exact positive integers, then an
+    * exact DECIMAL(38,0) sum (HUGEINT in the oracle; a long sum wraps
+    * past ~9·10⁶ reached nodes). The normalized form divides once more
+    * by (n−1). No doubles anywhere.
+    *
+    * Scale: the BFS is the whole cost and is SHARED CODE with q156
+    * ([[multiSourceBfs]]); the reduction is one partial-agg groupBy
+    * (seed) over the visited frame.
+    */
+  private[graft] def harmonicFromEdges(edges: DataFrame): DataFrame = {
+    val (visited, nodes) = multiSourceBfs(edges)
+    val n = graft.tools.Scalar.scalarRow(
+      nodes.agg(count(lit(1)).as("n_nodes")))
+    visited.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("reached"),
+        sum(expr("CAST(1000000000000 div dist AS DECIMAL(38,0))"))
+          .as("hsum"))
+      .crossJoin(broadcast(n))
+      .select(
+        when(col("seed") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("seed div 2").as("node_id"),
+        col("reached"),
+        col("hsum").cast("long").as("harmonic_pico"),
+        expr("CAST(hsum DIV nullif(CAST(n_nodes - 1 AS DECIMAL(38,0)), " +
+          "CAST(0 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("harmonic_norm_pico"))
+      .orderBy("node_type", "node_id")
+  }
+
+  private def q162(spark: SparkSession, dir: String): DataFrame =
+    harmonicFromEdges(tradeEdges(spark, dir))
 
   /** The DTW finalization over a per-(event_type, day) cents rollup —
     * st_dtw's batch-side half: the stream folds the corpus-sized
@@ -5979,6 +6074,142 @@ object Relational {
       i += 1
     }
     prev(m - 1)
+  }
+
+  /** Matrix profile (UCR/STOMP family) over each nation's monthly revenue
+    * series — motif & discord discovery, the time-series member the
+    * alignment (q154) and changepoint (q104/q118) queries don't express:
+    * for every length-6 window, the distance to its nearest NON-TRIVIAL
+    * neighbor (|i−j| ≥ the window length, the standard exclusion zone, so
+    * a window never "matches" its own overlap). A low profile value marks
+    * a repeated regime (motif); the profile's maximum marks the series'
+    * most anomalous stretch (discord).
+    *
+    * Determinism: distances are squared-sum-of-differences over integer
+    * units (monthly cents div 1000 — the published value grain; at
+    * ~2.4×10⁹ max monthly cents the raw-cents squares would near BIGINT,
+    * and the div-1000 grain pushes overflow out to a ~10⁶× corpus — the
+    * decimal widening past that is mechanical), so both engines produce
+    * bit-identical BIGINTs; the z-normalized variant practitioners run is
+    * order-dependent double arithmetic and can never hash-gate. Neighbor
+    * ties break to the SMALLEST j on both sides.
+    *
+    * Scale: q154's discipline — the data-proportional revenue rollup is
+    * declarative (one partial-agg shuffle to (nation, month)); each
+    * series is CALENDAR-BOUNDED (~84 months), so the O(L²) profile runs
+    * as a typed per-nation map (the documented last-resort rung) and
+    * nations parallelize embarrassingly. A 100× corpus grows only the
+    * rollup's input.
+    */
+  private def q160(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") < 5)
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        ((year(col("o_orderdate")) - 1992) * 12
+          + month(col("o_orderdate")) - 1).as("m"))
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) " +
+        "AS BIGINT) div 1000").as("units"))
+    val bounds = graft.tools.Scalar.scalarRow(
+      rev.agg(min(col("m")).as("lo"), max(col("m")).as("hi")))
+    val spine = rev.select("nation").distinct().limit(25)
+      .crossJoin(broadcast(bounds))
+      .select(col("nation"), explode(sequence(col("lo"), col("hi"))).as("m"))
+    spine.join(rev, Seq("nation", "m"), "left")
+      .groupBy("nation")
+      .agg(expr("transform(array_sort(collect_list(struct(m, " +
+        "coalesce(units, CAST(0 AS BIGINT)) AS c))), x -> x.c)").as("a"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (nation, s) =>
+        matrixProfile(s.toArray, 6).map { case (i, ssd, j) =>
+          (nation, i.toLong, ssd, j.toLong)
+        }
+      }
+      .toDF("nation", "pos", "profile_ssd", "nn_pos")
+      .orderBy("nation", "pos")
+  }
+
+  /** Eigenvector centrality over the undirected trade graph — the
+    * centrality family member between degree (local) and PageRank
+    * (teleport-damped): a node scores by the scores of its neighbors,
+    * computed by POWER ITERATION with max-normalization. Completes the
+    * panel q39 (PageRank), q48 (HITS), q156 (closeness) and q157
+    * (clustering) built — "important because connected to the important",
+    * with no damping prior.
+    *
+    * Determinism: r'(v) = Σ_{u∼v} r(u) accumulates in DECIMAL(38,0)
+    * (mirrored by DuckDB's HUGEINT sum — a long sum overflows at degree
+    * ~10⁹ × the 10⁹ scale), and the normalization r'' = (r'·10⁹) div
+    * max(r') is ONE integral division of exact positive integers per
+    * node — bit-identical in both engines, where the float power
+    * iteration's order-dependent sums never are. Five fixed iterations,
+    * matching the oracle's unrolled CTE chain (normalizing iterations
+    * keep fixed counts — q39's convention — because the oracle semantics
+    * pin the iteration number).
+    *
+    * Scale: q39's loop shape — each iteration is one ranks⋈edges join
+    * (hash-partitioned on src both sides after the first) and one
+    * partial-agg groupBy(dst); the per-iteration max is a scalarRow
+    * (1-row, plan-visible bound); inflow localCheckpoints per iteration
+    * so the eager max probe never replays prior iterations.
+    */
+  private def q161(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val scale = 1000000000L
+    var ranks = nodes.select(col("node"),
+      lit(scale).cast("decimal(38,0)").as("rank"))
+    for (_ <- 0 until 5) {
+      // bidirectional edges ⇒ every node has in-edges ⇒ inflow keeps the
+      // full node set (no left-join resurrection needed)
+      val inflow = ranks.join(edges, col("node") === col("src"))
+        .groupBy("dst")
+        .agg(sum(col("rank")).as("inflow"))
+        .localCheckpoint(true)
+      val mx = graft.tools.Scalar.scalarRow(
+        inflow.agg(max(col("inflow")).as("mx")))
+      ranks = inflow.crossJoin(broadcast(mx))
+        .select(col("dst").as("node"),
+          expr(s"CAST((inflow * $scale) div mx AS DECIMAL(38,0))")
+            .as("rank"))
+    }
+    ranks.select(
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("node div 2").as("node_id"),
+      col("rank").cast("long").as("score_scaled"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** The in-core profile kernel: for each 0-based window start, the min
+    * SSD to any window at |i−j| ≥ w, tie-broken to the smallest j;
+    * positions with no admissible neighbor (short series) emit nothing.
+    */
+  private[graft] def matrixProfile(a: Array[Long], w: Int)
+      : Seq[(Int, Long, Int)] = {
+    val nPos = a.length - w + 1
+    (0 until nPos).flatMap { i =>
+      var best = Long.MaxValue
+      var bj = -1
+      var j = 0
+      while (j < nPos) {
+        if (math.abs(i - j) >= w) {
+          var s = 0L
+          var k = 0
+          while (k < w) { val d = a(i + k) - a(j + k); s += d * d; k += 1 }
+          if (s < best) { best = s; bj = j }
+        }
+        j += 1
+      }
+      if (bj < 0) None else Some((i, best, bj))
+    }
   }
 
   /** The decayed-LTV finalization over a per-(user, day) purchase
@@ -6770,6 +7001,71 @@ object Relational {
         |FROM dp d JOIN pairs p ON d.na = p.na AND d.nb = p.nb
         |WHERE d.d = 2 * d.n - 2
         |ORDER BY 1, 2""".stripMargin,
+    // q160: the same dense-spine series as q154; window pairs via a
+    // self-join on position with the |i−j| ≥ 6 exclusion; SSD as a list
+    // comprehension over the 6 offsets — integer units end to end, and
+    // the argmin tie-break (smallest j at the min SSD) is an explicit
+    // min() join-back, not an engine-specific arg_min
+    "q160_matrix_profile" ->
+      """WITH rev AS (
+        |  SELECT c_nationkey AS nation,
+        |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) // 1000 AS units
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey < 5
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM rev),
+        |spine AS (SELECT n.nation, s.m
+        |          FROM (SELECT DISTINCT nation FROM rev) n,
+        |               (SELECT unnest(range(lo, hi + 1)) AS m FROM bounds) s),
+        |ser AS (
+        |  SELECT sp.nation, list(coalesce(r.units, 0) ORDER BY sp.m) AS a
+        |  FROM spine sp LEFT JOIN rev r ON sp.nation = r.nation AND sp.m = r.m
+        |  GROUP BY sp.nation),
+        |pos AS (SELECT nation, a, unnest(range(1, len(a) - 4)) AS i
+        |        FROM ser),
+        |pairs AS (
+        |  SELECT p.nation, p.i, q.i AS j,
+        |    list_sum([(p.a[p.i + k] - p.a[q.i + k])
+        |              * (p.a[p.i + k] - p.a[q.i + k])
+        |              FOR k IN range(0, 6)]) AS ssd
+        |  FROM pos p JOIN pos q
+        |    ON p.nation = q.nation AND abs(p.i - q.i) >= 6),
+        |best AS (SELECT nation, i, min(ssd) AS profile_ssd
+        |         FROM pairs GROUP BY 1, 2)
+        |SELECT CAST(b.nation AS BIGINT) AS nation,
+        |  CAST(b.i - 1 AS BIGINT) AS pos,
+        |  CAST(b.profile_ssd AS BIGINT) AS profile_ssd,
+        |  CAST(min(p.j) - 1 AS BIGINT) AS nn_pos
+        |FROM best b JOIN pairs p
+        |  ON p.nation = b.nation AND p.i = b.i AND p.ssd = b.profile_ssd
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
+    // q161: unrolled power iterations; HUGEINT mirrors DECIMAL(38,0) and
+    // the max-normalization is one integral division of positive integers
+    "q161_eigencentrality" -> {
+      def it(k: Int): String =
+        s"""f$k AS (SELECT e.dst AS node, sum(r.rank) AS inflow
+           |        FROM r${k - 1} r JOIN e ON r.node = e.src GROUP BY 1),
+           |r$k AS (SELECT node,
+           |          (inflow * 1000000000) // (SELECT max(inflow) FROM f$k)
+           |            AS rank
+           |        FROM f$k)""".stripMargin
+      s"""WITH pe AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pe
+         |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000000 AS HUGEINT) AS rank FROM n),
+         |${(1 to 5).map(it).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |  node // 2 AS node_id, CAST(rank AS BIGINT) AS score_scaled
+         |FROM r5 ORDER BY 1, 2""".stripMargin
+    },
     // q159: exact signed numerator/denominator (HUGEINT ≡ DECIMAL(38,0)),
     // ONE IEEE division — no integral division of a signed value (the
     // engines disagree on negative truncation)
@@ -6896,6 +7192,38 @@ object Relational {
         |       // nullif(2 * CAST(pos AS HUGEINT) * neg, 0) AS BIGINT)
         |    AS auc_pico
         |FROM a ORDER BY 1""".stripMargin,
+    // q162: q156's unrolled BFS chain, reduced to the harmonic sum —
+    // one integral division per (seed, node) pair, HUGEINT-exact sum
+    "q162_harmonic" ->
+      ("""WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pe
+        |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |seeds AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 8),
+        |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM seeds),
+        |""".stripMargin +
+        (1 to 8).map(i =>
+          s"""d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+             |  SELECT seed, node, dist FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT d${i - 1}.seed, e.dst AS node, d${i - 1}.dist + 1
+             |  FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node)
+             |  GROUP BY 1, 2)""".stripMargin).mkString(",\n") +
+        """,
+        |n AS (SELECT count(*) AS n_nodes FROM nodes),
+        |agg AS (SELECT seed, count(*) AS reached,
+        |               sum(CAST(1000000000000 // dist AS HUGEINT)) AS hsum
+        |        FROM d8 WHERE dist > 0 GROUP BY 1)
+        |SELECT CASE WHEN seed % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |  seed // 2 AS node_id, reached,
+        |  CAST(hsum AS BIGINT) AS harmonic_pico,
+        |  CAST(hsum // nullif(CAST(n_nodes - 1 AS HUGEINT), 0) AS BIGINT)
+        |    AS harmonic_norm_pico
+        |FROM agg CROSS JOIN n ORDER BY 1, 2""".stripMargin),
     // q156: the q100 pattern — unrolled min-dist iterations make the
     // 8-hop-capped multi-source BFS a finite closed form
     "q156_closeness" ->

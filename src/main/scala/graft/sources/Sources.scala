@@ -275,6 +275,53 @@ object Sources {
     * multiplicity) even though tie-breaking between equal ids is
     * arbitrary — which is exactly why the gate can hash it.
     */
+  /** Change-data-feed through the connector: the store lives the full
+    * lifecycle — v1 overwrite (first corpus half), v2 append (second
+    * half), v3 compaction (layout-only rewrite), v4 metadata-only band
+    * delete — and [[graft.sources.dsv2.BandStoreMaintenance.changes]]
+    * over (1, 4] must surface EXACTLY the second-half inserts at commit
+    * 2 and the band-2/5 deletes at commit 4, with the compaction
+    * cancelling to NOTHING (row-multiset semantics: rows that merely
+    * moved files annihilate). The oracle rebuilds both deltas
+    * relationally from the parquet; the compaction contributes no rows
+    * to it at all — equality IS the cancellation proof, plus the
+    * delete's pre-image correctness (deletes carry the FULL corpus's
+    * band-2/5 rows, both halves, because the delete ran after the
+    * append).
+    */
+  def dsv2ChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = staged("graft-src-cdf")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    require(!maxRow.isNullAt(0),
+      "src_dsv2_cdf: the documents table is empty — no history to diff")
+    val split = (maxRow.getLong(0) + 1) / 2
+    val bands = graft.operators.Dedup.bandsOf(
+      graft.operators.Dedup.minhashSignatures(docs))
+    bands.filter(col("doc_id") < split)
+      .write.format("graft-bands").mode("overwrite").save(out) // v1
+    bands.filter(col("doc_id") >= split)
+      .write.format("graft-bands").mode("append").save(out) // v2
+    graft.sources.dsv2.BandStoreMaintenance.compact(spark, out) // v3
+    new graft.sources.dsv2.BandStoreSource()
+      .getTable(graft.sources.dsv2.BandStore.Schema,
+        Array.empty, java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("band", Array[Any](2, 5)))) // v4
+    graft.sources.dsv2.BandStoreMaintenance.changes(spark, out, 1L, 4L)
+      .withColumn("h", portableHash60(
+        concat_ws("\u0001", col("doc_id"), col("bkey"))))
+      .groupBy(col("_change_type"), col("_commit_version"), col("band"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        expr("bit_xor(h)").as("checksum_xor"),
+        (sum((col("h") % 1000000007L).cast(DecimalType(38, 0)))
+          % lit(1000000007L)).cast("long").as("checksum_sum"))
+      .orderBy("_change_type", "_commit_version", "band")
+  }
+
   def dsv2TopN(spark: SparkSession, sfDir: String): DataFrame = {
     val out = staged("graft-src-topn")
     val bands = graft.operators.Dedup.bandsOf(
@@ -615,6 +662,7 @@ object Sources {
     "src_dsv2_merge" -> ((s, d) => dsv2MergeRoundTrip(s, d)),
     "src_dsv2_spj" -> ((s, d) => dsv2SpjJoin(s, d)),
     "src_dsv2_topn" -> ((s, d) => dsv2TopN(s, d)),
+    "src_dsv2_cdf" -> ((s, d) => dsv2ChangeFeed(s, d)),
     "src_jdbc" -> ((s, d) => jdbcRoundTrip(s, d)),
   )
 
@@ -739,6 +787,33 @@ object Sources {
          |  bit_xor(h) AS checksum_xor,
          |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
          |FROM fh GROUP BY band ORDER BY band""".stripMargin,
+    // src_dsv2_cdf: the oracle rebuilds the two REAL deltas relationally
+    // — second-half inserts at commit 2, full-corpus band-2/5 deletes at
+    // commit 4 — and nothing else; the in-between compaction (v3) must
+    // contribute ZERO rows (row-multiset cancellation), so equality is
+    // simultaneously the insert/delete correctness AND the layout-change
+    // annihilation proof
+    "src_dsv2_cdf" ->
+      s"""WITH ${graft.operators.Dedup.BANDS_CTES},
+         |sp AS (SELECT (max(doc_id) + 1) // 2 AS split FROM documents),
+         |cdf AS (
+         |  SELECT 'insert' AS _change_type, CAST(2 AS BIGINT)
+         |           AS _commit_version, band, doc_id, bkey
+         |  FROM bands, sp WHERE doc_id >= split
+         |  UNION ALL
+         |  SELECT 'delete', CAST(4 AS BIGINT), band, doc_id, bkey
+         |  FROM bands WHERE band IN (2, 5)),
+         |ch AS (SELECT _change_type, _commit_version,
+         |        CAST(band AS INTEGER) AS band, doc_id,
+         |        CAST(concat('0x', substr(md5(concat_ws(chr(1),
+         |          doc_id, bkey)), 1, 15)) AS BIGINT) AS h
+         |      FROM cdf)
+         |SELECT _change_type, _commit_version, band,
+         |  count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+         |  bit_xor(h) AS checksum_xor,
+         |  CAST(sum(h % 1000000007) % 1000000007 AS BIGINT) AS checksum_sum
+         |FROM ch GROUP BY 1, 2, 3
+         |ORDER BY _change_type, _commit_version, band""".stripMargin,
     // src_dsv2_tt: version 1 must serve EXACTLY the first-half build and
     // the current pointer the union — the oracle rebuilds both off the
     // parquet (band signatures are per-doc, so banding the half equals

@@ -288,6 +288,91 @@ object BandStoreMaintenance {
       f.delete(new Path(root, s"${BandStore.VersionPrefix}$v"), false))
     (dropped.size, victims.size)
   }
+
+  /** Change-data-feed between two committed store versions — the
+    * row-level delta a downstream incremental consumer (a dedup-index
+    * mirror, a cache, an audit log) applies instead of re-reading the
+    * store: one row per inserted/deleted row image per commit step, with
+    * `_change_type` ('insert' | 'delete') and `_commit_version` columns
+    * appended to the store schema. An UPDATE surfaces as its delete +
+    * insert pair (copy-on-write rewrites the affected file), and a
+    * commit that only changes LAYOUT — compaction — cancels to NO
+    * change rows, because the delta is computed over ROW MULTISETS, not
+    * file names: per step, inserts = rows(files added) EXCEPT ALL
+    * rows(files removed) and deletes = the converse, so rows that merely
+    * moved files annihilate. This is exactly the semantics Delta's CDF
+    * publishes (with dataChange=false commits skipped by flag where we
+    * prove it by content).
+    *
+    * Unlike the streaming source — which must REFUSE rewriting commits
+    * (a name-level file delta would re-read moved rows) — the change
+    * feed handles them correctly by construction; it is the catch-up
+    * path for a consumer whose offset window a compaction crossed.
+    *
+    * Scale: each step reads ONLY the two versions' symmetric-difference
+    * files (a pure append reads just the appended files; a 0.1% MERGE
+    * reads ~0.2% of the store), distributed via `spark.read.text` over
+    * the explicit file list with the band joined back from the (tiny,
+    * broadcast) manifest — never a full-store scan unless the step
+    * itself rewrote the store. The EXCEPT ALL is one hash shuffle over
+    * the changed-file rows. Versions must still be un-vacuumed; the
+    * manifest read refuses loudly otherwise.
+    */
+  def changes(spark: SparkSession, path: String,
+              from: Long, to: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val versions = BandStore.listVersions(root, conf)
+    require(versions.contains(from),
+      s"graft-bands changes: version $from not in history " +
+        s"(${versions.mkString(", ")})")
+    require(versions.contains(to) && from < to,
+      s"graft-bands changes: need committed from < to, got $from..$to " +
+        s"(history: ${versions.mkString(", ")})")
+    val hist = from +: versions.filter(v => v > from && v <= to)
+
+    def rowsOf(entries: Seq[BandStore.ManifestEntry])
+        : org.apache.spark.sql.DataFrame = {
+      if (entries.isEmpty)
+        return spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](), BandStore.Schema)
+      val byName = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          entries.map(e => org.apache.spark.sql.Row(e.name, e.band)), 1),
+        StructType(Seq(StructField("f", StringType, nullable = false),
+          StructField("band", IntegerType, nullable = false))))
+      spark.read.textFile(
+          entries.map(e => new Path(root, e.name).toString): _*)
+        .select(element_at(split(input_file_name(), "/"), -1).as("f"),
+          col("value"))
+        .join(broadcast(byName), "f")
+        .select(
+          expr("CAST(substring_index(value, '\t', 1) AS BIGINT)")
+            .as("doc_id"),
+          col("band"),
+          expr("substring(value, instr(value, '\t') + 1)").as("bkey"))
+    }
+
+    hist.sliding(2).collect { case Seq(a, b) =>
+      val ea = BandStore.readManifest(root, conf, Some(a))
+      val eb = BandStore.readManifest(root, conf, Some(b))
+      val na = ea.map(_.name).toSet
+      val nb = eb.map(_.name).toSet
+      val addedRows = rowsOf(eb.filterNot(e => na(e.name)))
+      val removedRows = rowsOf(ea.filterNot(e => nb(e.name)))
+      addedRows.exceptAll(removedRows)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(removedRows.exceptAll(addedRows)
+          .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(b))
+    }.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](),
+        BandStore.Schema
+          .add(StructField("_change_type", StringType, nullable = false))
+          .add(StructField("_commit_version", LongType, nullable = false))))
+  }
 }
 
 class BandStoreSource extends TableProvider with DataSourceRegister {

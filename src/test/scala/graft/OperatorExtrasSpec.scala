@@ -90,6 +90,34 @@ class OperatorExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("matrix profile: planted motif scores 0 at both copies, the " +
+      "discord carries the max profile, exclusion zone respected") {
+    import graft.queries.Relational.matrixProfile
+    // 24-month series with an identical 6-month motif at pos 0 and 12,
+    // and a one-off spike (discord) inside 18..23
+    val motif = Array[Long](5, 9, 2, 7, 3, 8)
+    val a = motif ++ Array[Long](1, 1, 1, 1, 1, 1) ++ motif ++
+      Array[Long](1, 1, 900, 1, 1, 1)
+    val mp = matrixProfile(a, 6).map(t => t._1 -> ((t._2, t._3))).toMap
+    // the two motif copies are each other's nearest neighbors at SSD 0
+    assert(mp(0) === ((0L, 12)))
+    assert(mp(12) === ((0L, 0)))
+    // every position containing the spike scores the spike against a 1
+    // somewhere — the profile max lives in the spike's windows
+    val discordPos = mp.maxBy { case (i, (s, _)) => (s, -i) }._1
+    assert(discordPos >= 13 && discordPos <= 18, s"discord at $discordPos")
+    // exclusion: no position reports a neighbor within |i-j| < 6
+    mp.foreach { case (i, (_, j)) => assert(math.abs(i - j) >= 6) }
+    // short series: no admissible neighbor pairs -> empty, never a crash
+    assert(matrixProfile(Array[Long](1, 2, 3, 4, 5, 6, 7), 6).isEmpty)
+    assert(matrixProfile(Array[Long](1, 2, 3), 6).isEmpty)
+    // tie-break: constant series — every neighbor SSD 0, smallest j wins
+    val const = Array.fill(18)(4L)
+    matrixProfile(const, 6).foreach { case (i, s, j) =>
+      assert(s == 0L && j == (if (i >= 6) 0 else i + 6), s"pos $i -> $j")
+    }
+  }
+
   test("ReduceFAggregator: wc reducef via typed Dataset agg == sequential") {
     val files = TestSpark.corpus(20)
     val kvs: Seq[KV] = files.flatMap { case (f, c) => Apps.WordCount.map(f, c) }
@@ -2101,6 +2129,27 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("supplier", 0L, 3L, 4L, 450000000000L),  // node 1
       ("supplier", 1L, 3L, 6L, 300000000000L),  // node 3
       ("supplier", 4L, 1L, 1L, 200000000000L))  // node 9
+    assert(got === want)
+  }
+
+  test("harmonic centrality: hand-computed on the same planted graph; " +
+      "disconnection degrades gracefully") {
+    // same path 0-1-2-3 + isolated edge 8-9 as the closeness spec; n=6.
+    // Path end (0): 1/1+1/2+1/3 -> 1e12 + 5e11 + 333333333333;
+    // path middle (1): 1/1+1/1+1/2 -> 2.5e12; isolated (8): 1/1 -> 1e12.
+    // Unreachable nodes contribute ZERO terms (never poison the sum).
+    val half = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Relational.harmonicFromEdges(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val want = Set(
+      ("customer", 0L, 3L, 1833333333333L, 366666666666L), // node 0
+      ("customer", 1L, 3L, 2500000000000L, 500000000000L), // node 2
+      ("customer", 4L, 1L, 1000000000000L, 200000000000L), // node 8
+      ("supplier", 0L, 3L, 2500000000000L, 500000000000L), // node 1
+      ("supplier", 1L, 3L, 1833333333333L, 366666666666L), // node 3
+      ("supplier", 4L, 1L, 1000000000000L, 200000000000L)) // node 9
     assert(got === want)
   }
 }

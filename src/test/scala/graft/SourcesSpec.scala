@@ -533,6 +533,45 @@ class SourcesSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
   }
 
+  test("graft-bands change feed: appends insert, deletes delete, " +
+    "compaction cancels, and the window refuses vacuumed versions") {
+    import graft.sources.dsv2.{BandStore, BandStoreMaintenance}
+    val out = TestSpark.tempDir("graft-dsv2-cdf").toString
+    val bands = bandsFrame().localCheckpoint(true)
+    val half = bands.filter(col("doc_id") % 2 === 0)
+    half.write.format("graft-bands").mode("overwrite").save(out) // v1
+    bands.filter(col("doc_id") % 2 =!= 0)
+      .write.format("graft-bands").mode("append").save(out) // v2
+    BandStoreMaintenance.compact(spark, out) // v3, layout-only
+    // v2 window: the appended rows, as inserts, nothing else
+    val d12 = BandStoreMaintenance.changes(spark, out, 1L, 2L)
+    assert(d12.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(d12.count() === bands.filter(col("doc_id") % 2 =!= 0).count())
+    // a layout-only commit cancels to zero change rows
+    assert(BandStoreMaintenance.changes(spark, out, 2L, 3L).count() === 0)
+    // ... and crossing it changes nothing about the v1→v2 delta
+    val d13 = BandStoreMaintenance.changes(spark, out, 1L, 3L)
+      .select("doc_id", "band", "bkey", "_change_type")
+    assert(d13.exceptAll(d12.select("doc_id", "band", "bkey",
+      "_change_type")).count() === 0)
+    // a metadata-only band delete surfaces as row-level deletes with the
+    // pre-image content
+    val table = new graft.sources.dsv2.BandStoreSource()
+      .getTable(BandStore.Schema, Array.empty, java.util.Map.of("path", out))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("band", 3))) // v4
+    val d34 = BandStoreMaintenance.changes(spark, out, 3L, 4L)
+    assert(d34.filter(col("_change_type") =!= "delete").count() === 0)
+    assert(d34.count() === bands.filter(col("band") === 3).count())
+    // a vacuumed start version refuses loudly instead of guessing
+    BandStoreMaintenance.vacuum(spark, out, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      BandStoreMaintenance.changes(spark, out, 1L, 4L).count()
+    }
+    assert(e.getMessage.contains("version"), e.getMessage)
+  }
+
   test("graft-bands: a torn publish (version file written, pointer swap " +
     "never happened) is invisible and later commits number past it") {
     import graft.sources.dsv2.BandStore
