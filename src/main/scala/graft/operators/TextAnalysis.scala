@@ -527,6 +527,73 @@ object TextAnalysis {
           .cast("int").as("keep"))
   }
 
+  /** Corpus bigram counts — the one corpus-sized reduction under the
+    * Kneser–Ney model, factored so st_kneser_ney can FOLD exactly this
+    * aggregate in-stream (explode is stateless; the state is the bigram
+    * vocabulary) and finalize sink-side.
+    */
+  private[graft] def bigramCounts(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", tokens(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("v"),
+          element_at(col("ws"), i + 1).as("n")))).as("b"))
+      .groupBy(col("b.v").as("v"), col("b.n").as("w2"))
+      .agg(count(lit(1)).as("c_vw"))
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999's benchmark winner) — the smoothing every
+    * n-gram LM production system shipped before neural LMs, and a
+    * probability the add-k models [[lmScores]] family can't imitate:
+    * the backoff weight is the CONTINUATION count N1+(·w) ("how many
+    * contexts does w complete"), not raw frequency, which is why KN
+    * doesn't over-score corpus-frequent-but-context-bound words.
+    *
+    * Exactness: the standard discount d = 0.75 is the RATIONAL 3/4, so
+    * multiplying through by 4 makes the whole interpolation one exact
+    * fraction —
+    * P = [max(4·c(vw)−3, 0)·N1+(··) + 3·N1+(v·)·N1+(·w)]
+    *     / [4·c(v)·N1+(··)]
+    * — and `pkn_pico` = ⌊10¹²·P⌋ is ONE integral division of
+    * DECIMAL(38,0)/HUGEINT-exact positive integers (10¹²·4·c·N nears
+    * 10³⁰ at web scale — decimal inside, longs out). No floats, no
+    * logs: the probabilities themselves gate, where a perplexity would
+    * drag in engine-specific log/exp.
+    *
+    * Scale: bigram counts are one explode + partial-agg shuffle; the
+    * context (c(v), N1+(v·)) and continuation (N1+(·w)) tables derive
+    * from the COUNTS, not the corpus; both joins are keyed on open
+    * vocabulary (shuffled, never broadcast); N1+(··) is a scalarRow;
+    * top-50 is a TakeOrdered with a total (pico, v, w) tie-break.
+    */
+  def kneserNey(docs: DataFrame): DataFrame =
+    kneserNeyFromBigrams(bigramCounts(docs))
+
+  /** The KN finalize over a (v, w2, c_vw) bigram-count frame — shared
+    * verbatim by ta_kneser_ney and st_kneser_ney.
+    */
+  private[graft] def kneserNeyFromBigrams(bigrams: DataFrame): DataFrame = {
+    val bg = bigrams.localCheckpoint(true) // four consumers below
+    val ctx = bg.groupBy("v").agg(sum(col("c_vw")).as("c_v"),
+      count(lit(1)).as("n1p_fwd"))
+    val cont = bg.groupBy("w2").agg(count(lit(1)).as("n1p_back"))
+    val nbg = graft.tools.Scalar.scalarRow(
+      bg.agg(count(lit(1)).as("n_bigrams")))
+    bg.join(ctx, "v").join(cont, "w2")
+      .crossJoin(broadcast(nbg))
+      .select(col("v"), col("w2").as("w"),
+        col("c_vw").cast("long").as("c_vw"),
+        col("c_v").cast("long").as("c_v"),
+        expr("CAST((CAST(1000000000000 AS DECIMAL(38,0)) * " +
+          "(greatest(4 * c_vw - 3, 0) * CAST(n_bigrams AS DECIMAL(38,0))" +
+          " + 3 * CAST(n1p_fwd AS DECIMAL(38,0)) * n1p_back)) DIV " +
+          "(4 * CAST(c_v AS DECIMAL(38,0)) * n_bigrams) AS BIGINT)")
+          .as("pkn_pico"))
+      .orderBy(desc("pkn_pico"), col("v"), col("w"))
+      .limit(50)
+  }
+
   /** Distinctive vocabulary per source — the data-mixing QA view: which
     * words over- or under-represent a source against the whole corpus.
     * Ranked by the EXACT cross-multiplied frequency deviation
@@ -1586,6 +1653,8 @@ object TextAnalysis {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_fuzzy_search" -> ((s, d) =>
       fuzzySearch(Tables.load(s, d, "documents"))),
+    "ta_kneser_ney" -> ((s, d) =>
+      kneserNey(Tables.load(s, d, "documents"))),
     "ta_phrase" -> ((s, d) =>
       phraseSearch(Tables.load(s, d, "documents"))),
     "ta_textrank" -> ((s, d) =>
@@ -1805,6 +1874,28 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = {
     val base: Map[String, String] = Map(
+    // ta_kneser_ney: the same exact fraction — HUGEINT mirrors
+    // DECIMAL(38,0), greatest() handles the d-discount floor, one
+    // integral division; bigrams via the positional list idiom
+    "ta_kneser_ney" ->
+      s"""WITH t AS (SELECT $W AS ws FROM documents),
+         |bg AS (SELECT ws[i] AS v, ws[i + 1] AS w
+         |       FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+         |             FROM t WHERE len(ws) >= 2)),
+         |bc AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1p_fwd
+         |        FROM bc GROUP BY 1),
+         |cont AS (SELECT w, count(*) AS n1p_back FROM bc GROUP BY 1),
+         |nb AS (SELECT count(*) AS n_bigrams FROM bc)
+         |SELECT bc.v, bc.w, CAST(c_vw AS BIGINT) AS c_vw,
+         |  CAST(c_v AS BIGINT) AS c_v,
+         |  CAST((CAST(1000000000000 AS HUGEINT)
+         |        * (greatest(4 * c_vw - 3, 0) * CAST(n_bigrams AS HUGEINT)
+         |           + 3 * CAST(n1p_fwd AS HUGEINT) * n1p_back))
+         |       // (4 * CAST(c_v AS HUGEINT) * n_bigrams) AS BIGINT)
+         |    AS pkn_pico
+         |FROM bc JOIN ctx USING (v) JOIN cont USING (w), nb
+         |ORDER BY pkn_pico DESC, v, w LIMIT 50""".stripMargin,
     // ta_fuzzy_search: brute-force baseline — the identically-derived
     // corrupted query log crossed with the whole vocab (banded by the
     // |len diff| <= 1 implication of distance <= 1), exact levenshtein.

@@ -1043,6 +1043,39 @@ object EventStream {
         s.table("st_chi2_sink").localCheckpoint(true),
         s.table("st_chi2_docs").localCheckpoint(true))
     }),
+    // Streaming matrix profile: the per-(class, day) cents rollup folds
+    // as a watermarked day-window aggregate (st_dtw's fold, shared
+    // shape); the O(L²) motif/discord kernel finalizes sink-side over
+    // the calendar-bounded series through the shared
+    // matrixProfileFromDaily — the live "is this revenue shape a rerun
+    // of a past regime or an anomaly" monitor. Own events-table oracle
+    // (q160's pair logic on the day grain).
+    "st_matrix_profile" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cents")),
+        "st_mp_sink", OutputMode.Complete)
+      graft.queries.Relational.matrixProfileFromDaily(
+        s.table("st_mp_sink").localCheckpoint(true))
+    }),
+    // Streaming Kneser–Ney: the corpus bigram counts — the model's only
+    // corpus-sized reduction — fold in-stream as a Complete-mode
+    // aggregate (explode stateless, state = the bigram vocabulary); the
+    // context/continuation tables and the exact-fraction interpolation
+    // finalize sink-side through the shared kneserNeyFromBigrams. A live
+    // LM over a crawl ingest; shares ta_kneser_ney's oracle verbatim.
+    "st_kneser_ney" -> ((s, d) => {
+      runToMemory(
+        graft.operators.TextAnalysis.bigramCounts(readDocuments(s, d)),
+        "st_kn_sink", OutputMode.Complete)
+      graft.operators.TextAnalysis.kneserNeyFromBigrams(
+        s.table("st_kn_sink").localCheckpoint(true))
+    }),
     // Streaming phonetic resolution: the term-count vocabulary — the only
     // corpus-sized reduction in the phonetic resolver — folds in-stream
     // (tokenize/explode stateless, the rollup a Complete-mode aggregate,
@@ -1260,6 +1293,50 @@ object EventStream {
     "st_bitmap" -> graft.queries.Relational.oracle("q114_bitmap_index"),
     "st_interpolate" -> graft.queries.Relational.oracle("q119_interpolate"),
     "st_holt" -> graft.queries.Relational.oracle("q136_holt"),
+    // st_kneser_ney folds ta_kneser_ney's bigram counts in-stream and
+    // shares its oracle verbatim
+    "st_kneser_ney" -> graft.operators.TextAnalysis.oracle("ta_kneser_ney"),
+    // st_matrix_profile: q160's window-pair SSD logic on the events
+    // table's per-(class, day) units series — dense zero-filled spine,
+    // |i−j| ≥ 6 exclusion, smallest-j tie-break as a min() join-back
+    "st_matrix_profile" ->
+      """WITH rev AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) // 1000 AS units
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(min(day) AS DATE) AS lo,
+        |                  CAST(max(day) AS DATE) AS hi FROM rev),
+        |spine AS (
+        |  SELECT t.event_type, strftime(s.d, '%Y-%m-%d') AS day
+        |  FROM (SELECT DISTINCT event_type FROM rev) t,
+        |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        |        FROM bounds) s),
+        |ser AS (
+        |  SELECT sp.event_type, list(coalesce(r.units, 0) ORDER BY sp.day)
+        |    AS a
+        |  FROM spine sp LEFT JOIN rev r
+        |    ON sp.event_type = r.event_type AND sp.day = r.day
+        |  GROUP BY sp.event_type),
+        |pos AS (SELECT event_type, a, unnest(range(1, len(a) - 4)) AS i
+        |        FROM ser),
+        |pairs AS (
+        |  SELECT p.event_type, p.i, q.i AS j,
+        |    list_sum([(p.a[p.i + k] - p.a[q.i + k])
+        |              * (p.a[p.i + k] - p.a[q.i + k])
+        |              FOR k IN range(0, 6)]) AS ssd
+        |  FROM pos p JOIN pos q
+        |    ON p.event_type = q.event_type AND abs(p.i - q.i) >= 6),
+        |best AS (SELECT event_type, i, min(ssd) AS profile_ssd
+        |         FROM pairs GROUP BY 1, 2)
+        |SELECT b.event_type, CAST(b.i - 1 AS BIGINT) AS pos,
+        |  CAST(b.profile_ssd AS BIGINT) AS profile_ssd,
+        |  CAST(min(p.j) - 1 AS BIGINT) AS nn_pos
+        |FROM best b JOIN pairs p
+        |  ON p.event_type = b.event_type AND p.i = b.i
+        | AND p.ssd = b.profile_ssd
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin,
     // st_dtw: the q154 anti-diagonal recursive-CTE DP, over the events
     // table's per-(class, day) cents series on a dense zero-filled
     // calendar spine — two independent implementations of the integer
