@@ -503,9 +503,89 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
+  /** Engine-exact Lloyd k-means over the embedding column — the clustering
+    * primitive a curation pipeline runs BEFORE SemDeDup-style semantic
+    * dedup or cluster-balanced sampling. [[graft.operators.Similarity]]
+    * has carried Lloyd refinement since round 5 (`kmeansCentroids`), but
+    * only ungated: float centroid means sum in engine-dependent order, so
+    * the refined quantizer could never hash against an oracle. This
+    * variant makes Lloyd itself oracle-checkable by keeping every step in
+    * exact integer arithmetic:
+    *
+    *  - components quantize to a GLOBAL milli-grid `⌊x·1000⌋` (float →
+    *    double widening is exact, one correctly-rounded multiply, exact
+    *    floor — bit-identical in any IEEE engine), unlike the per-vector
+    *    int8 scale of [[quantizeInt8]] (a per-vector scale would warp
+    *    inter-vector distances);
+    *  - assignment = argmin of exact int64 SSDs, ties to the LOWEST
+    *    cluster index (array_position finds the first minimum);
+    *  - the centroid update is a component-wise FLOOR-division mean,
+    *    `(s − pmod(s, n)) div n`: component sums are signed, and Spark's
+    *    `div` truncates toward zero where DuckDB's `//` floors — they
+    *    disagree on negatives — so the pmod subtraction makes the
+    *    numerator exactly divisible first, after which every integral
+    *    division is exact in both engines (the q159 signed-quotient rule,
+    *    solved with modular arithmetic instead of IEEE);
+    *  - a cluster that comes up empty keeps its PREVIOUS centroid.
+    *
+    * Scale shape: assignment is scan-stage in-row math against the k×dim
+    * literal centroid matrix (no crossJoin, no window); the update is one
+    * posexplode + partial-agg shuffle whose key space is k×dim —
+    * independent of row count; the driver holds k×dim longs between
+    * passes (the same parameter-bounded collect as `centroidsLocal` /
+    * the IVF codebooks). `iters` is fixed, so the whole job is
+    * iters+1 scans. Component sums ride int64: |comp| ≤ 1000·max|x|, so
+    * overflow needs ~9·10¹⁵ unit-scale rows per cluster; the 100 TB form
+    * swaps the sum column to DECIMAL(38,0) unchanged.
+    */
+  def kmeansExact(emb: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val qv = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+    // bounded collect: the k seed vectors — parameters, never the corpus
+    val seeds: Seq[Seq[Long]] = qv.orderBy("vec_id").limit(k).collect().toSeq
+      .map(_.getSeq[Long](1).toVector)
+    require(seeds.nonEmpty,
+      "emb_kmeans: embeddings table is empty — no seed centroids")
+    val dim = seeds.head.length
+
+    def assign(cents: Seq[Seq[Long]]): DataFrame = {
+      val ssds = cents.map { c =>
+        aggregate(zip_with(col("q"), typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, y) => acc + y)
+      }
+      qv.withColumn("ssds", array(ssds: _*))
+        .withColumn("ssd", array_min(col("ssds")))
+        .withColumn("cluster",
+          (array_position(col("ssds"), col("ssd")) - 1).cast("int"))
+    }
+
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      // one distributed pass: k×dim keys out of the partial agg
+      val upd = assign(cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c", expr("(s - pmod(s, n)) div n"))
+        .select("cluster", "pos", "c")
+        .collect() // bounded: k × dim rows
+      val m = upd.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        if (m.contains((j, 0))) Vector.tabulate(dim)(p => m((j, p)))
+        else prev // empty cluster: previous centroid survives
+      }
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cluster"), col("ssd"))
+      .orderBy("vec_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_silhouette" -> ((s, d) =>
       silhouette(Tables.load(s, d, "embeddings"))),
+    "emb_kmeans" -> ((s, d) =>
+      kmeansExact(Tables.load(s, d, "embeddings"))),
     "emb_stats" -> ((s, d) =>
       stats(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "emb_centroids" -> ((s, d) =>
@@ -533,6 +613,57 @@ object Embeddings {
   )
 
   def oracle: Map[String, String] = Map(
+    // emb_kmeans: the full Lloyd replay, unrolled — per iteration, a
+    // k-bounded cross to exact int64 SSDs, the (ssd, c) argmin, and the
+    // pmod-floor-division centroid mean ((s − ((s%n)+n)%n) // n ≡ Spark's
+    // (s − pmod(s,n)) div n on an exactly-divisible numerator); empty
+    // clusters coalesce to the previous iteration's centroid
+    "emb_kmeans" -> {
+      def it(t: Int): String =
+        s"""a$t AS (
+           |  SELECT vec_id, q, c,
+           |    list_aggregate(list_transform(list_zip(q, cent),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS ssd
+           |  FROM qv, c${t - 1}),
+           |b$t AS (
+           |  SELECT vec_id, q, c, ssd, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY ssd, c) AS rn
+           |  FROM a$t),
+           |u$t AS (
+           |  SELECT c, i.p AS pos,
+           |    CAST(sum(q[i.p]) AS BIGINT) AS s, count(*) AS n
+           |  FROM b$t, idx i WHERE rn = 1 GROUP BY 1, 2),
+           |n$t AS (
+           |  SELECT c, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT)
+           |                 ORDER BY pos) AS cent
+           |  FROM u$t GROUP BY 1),
+           |c$t AS (
+           |  SELECT p.c, coalesce(n$t.cent, p.cent) AS cent
+           |  FROM c${t - 1} p LEFT JOIN n$t ON n$t.c = p.c)""".stripMargin
+      val iters = 3
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |idx AS (SELECT unnest(range(1,
+         |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1
+         |   FROM embeddings))) AS p),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, q AS cent
+         |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+         |${(1 to iters).map(it).mkString(",\n")},
+         |fin AS (
+         |  SELECT vec_id, c,
+         |    list_aggregate(list_transform(list_zip(q, cent),
+         |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS ssd
+         |  FROM qv, c$iters)
+         |SELECT vec_id, CAST(c AS INTEGER) AS cluster,
+         |  CAST(ssd AS BIGINT) AS ssd
+         |FROM (SELECT vec_id, c, ssd, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY ssd, c) AS rn FROM fin)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     // emb_silhouette: the same rounded-DECIMAL centroid means, the
     // same position-order zip fold (round-6 on both engines — the
     // emb_stats convention), the same (d2, label) argmin order

@@ -2645,7 +2645,9 @@ object Relational {
     * the next event in the same (hour, class), the last one holding to
     * the bucket's end. All weights are exact integers; value·dt
     * accumulates in DECIMAL ((18,2) × a ≤3.6·10^12 ns gap stays far
-    * inside DECIMAL(38,2)); ONE IEEE division at the end.
+    * inside DECIMAL(38,2)); the quotient is ONE exact integral division
+    * to micro units (see the in-code note on why the earlier
+    * cast-both-sides-to-double form was a latent 1-ulp hash hazard).
     *
     * Scale: q83's exact shuffle envelope — one hash exchange on
     * (bucket, class), the lead window and the aggregate reuse it.
@@ -2668,10 +2670,24 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(col("dt_ns")).as("covered_ns"),
-        (sum(d2(col("value")) * col("dt_ns")).cast("double")
-          / sum(col("dt_ns")).cast("double")).as("twap"),
-        (sum(d2(col("value"))).cast("double") / count(lit(1)))
-          .as("naive_mean"))
+        sum(d2(col("value")) * col("dt_ns")).as("vdt"),
+        sum(d2(col("value"))).as("vsum"))
+      // Σ value·dt reaches ~10^16 cents·ns — PAST 2^53, where the two
+      // engines' DECIMAL→DOUBLE casts can land one ulp apart (Spark goes
+      // through BigDecimal's correctly-rounded conversion, DuckDB divides
+      // a casted int128 by 10^scale: two roundings). So the quotient is
+      // taken EXACTLY first — cents·ns cleared to DECIMAL(38,0), one
+      // integral division of positive integers to micro units — and the
+      // published double derives from twap_micro (≤ ~10^10: exactly
+      // representable) by one correctly-rounded division. Bit-identical
+      // in any IEEE engine at any corpus size.
+      .select(col("bucket"), col("event_type"), col("n"), col("covered_ns"),
+        expr("CAST((CAST(vdt * 100 AS DECIMAL(38,0)) * 10000)" +
+          " div covered_ns AS BIGINT)").as("twap_micro"),
+        expr("CAST((CAST(vsum * 100 AS DECIMAL(38,0)) * 10000)" +
+          " div n AS BIGINT)").as("naive_micro"))
+      .withColumn("twap", col("twap_micro").cast("double") / 1000000.0)
+      .withColumn("naive_mean", col("naive_micro").cast("double") / 1000000.0)
       .orderBy("bucket", "event_type")
   }
 
@@ -7838,13 +7854,20 @@ object Relational {
         |        PARTITION BY bucket, event_type
         |        ORDER BY ts_ns, event_id), bucket_end_ns) - ts_ns AS dt_ns
         |  FROM e)
-        |SELECT bucket, event_type, count(*) AS n,
-        |  CAST(sum(dt_ns) AS BIGINT) AS covered_ns,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_ns) AS DOUBLE)
-        |    / CAST(sum(dt_ns) AS DOUBLE) AS twap,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |    AS naive_mean
-        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |SELECT bucket, event_type, n, covered_ns, twap_micro, naive_micro,
+        |  CAST(twap_micro AS DOUBLE) / 1000000.0 AS twap,
+        |  CAST(naive_micro AS DOUBLE) / 1000000.0 AS naive_mean
+        |FROM (
+        |  SELECT bucket, event_type, count(*) AS n,
+        |    CAST(sum(dt_ns) AS BIGINT) AS covered_ns,
+        |    CAST((CAST(sum(CAST(value AS DECIMAL(18,2)) * dt_ns) * 100
+        |            AS HUGEINT) * 10000)
+        |         // CAST(sum(dt_ns) AS HUGEINT) AS BIGINT) AS twap_micro,
+        |    CAST((CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+        |            AS HUGEINT) * 10000)
+        |         // count(*) AS BIGINT) AS naive_micro
+        |  FROM d GROUP BY 1, 2)
+        |ORDER BY 1, 2""".stripMargin,
     // q87: the oracle is the QUADRATIC dominance self-join — equality
     // proves the cummax frontier plan
     "q87_skyline" ->

@@ -129,6 +129,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cents((1, 0)) === 1.0 && cents((1, 1)) === 0.0)
   }
 
+  test("kmeansExact: separated groups converge; ties to lowest index; " +
+      "empty cluster keeps centroid; floor-div mean on negatives") {
+    // two well-separated groups; seeds (ids 0,1) land one per group
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0), (3L, Array(0.1f, 0.9f), 0),
+      (4L, Array(1.1f, 0.0f), 0), (5L, Array(0.0f, 1.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Embeddings.kmeansExact(emb, k = 2, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(Seq(0L, 2L, 4L).forall(r(_) == 0) &&
+      Seq(1L, 3L, 5L).forall(r(_) == 1))
+
+    // iters=0 assigns against the raw seeds: (1,0) is exactly equidistant
+    // from (0,0) and (2,0) -> the argmin tie goes to cluster 0
+    val tie = Seq(
+      (0L, Array(0.0f), 0), (1L, Array(2.0f), 0), (2L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val t = Embeddings.kmeansExact(tie, k = 2, iters = 0)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(t(2L) == 0)
+
+    // fully degenerate corpus (all vectors identical): every SSD ties to
+    // cluster 0 every iteration, cluster 1 stays empty and keeps its seed
+    // centroid (no crash, no NaN, no resurrection)
+    val dup = Seq(
+      (0L, Array(1.0f), 0), (1L, Array(1.0f), 0), (2L, Array(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val d = Embeddings.kmeansExact(dup, k = 2, iters = 2).collect()
+    assert(d.forall(_.getInt(1) == 0))
+
+    // signed floor-div mean: q-grid components -4 and 1 (sum -3, n=2) must
+    // mean to floor(-3/2) = -2, never the toward-zero -1 — final SSDs
+    // against the updated 1-cluster centroid prove which division ran
+    val neg = Seq(
+      (0L, Array(-0.0035f), 0), (1L, Array(0.0012f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val n = Embeddings.kmeansExact(neg, k = 1, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(n(0L) == 4L && n(1L) == 9L) // centroid -2: (-4+2)^2, (1+2)^2
+  }
+
   test("poly31 rolling hash column matches the JVM fold and stays in codegen") {
     // over a real scan — a literal input would constant-fold away the plan
     val df = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
