@@ -195,6 +195,11 @@ object Relational {
     "q160_matrix_profile" -> q160,
     "q161_eigencentrality" -> q161,
     "q162_harmonic" -> q162,
+    "q163_katz" -> q163,
+    "q164_betweenness" -> q164,
+    "q165_wilson" -> q165,
+    "q166_ppr" -> q166,
+    "q167_calibration" -> q167,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5947,6 +5952,170 @@ object Relational {
       .orderBy("node_type", "node_id")
   }
 
+  /** Wilson score interval for the per-class "big event" proportion —
+    * the eval-family member that turns a raw rate into a defensible
+    * range (a 3/4 success rate and a 3000/4000 one have the same p̂ and
+    * wildly different evidence; the Wilson interval (Wilson 1927) is the
+    * standard small-n-safe fix for the Wald interval's zero-width-at-
+    * extremes failure). x = events at value ≥ $100, n = all events,
+    * z = 1.96 (95%).
+    *
+    * Float discipline: this query is deliberately IEEE — the interval
+    * has a sqrt, so no integral-division rescue exists — but every
+    * operand is EXACT (x, n are counts < 2^53) and the expression TREE
+    * is pinned identically in both engines: +, −, ×, ÷, √ are all
+    * correctly rounded by IEEE 754, so identical trees over identical
+    * inputs are bit-identical, engine-independent. (Contrast q86: the
+    * hazard there was an INEXACT operand — a >2^53 decimal cast — not
+    * the arithmetic.) The z² literal is written as the decimal string
+    * "3.8416" in both engines, parsing to the same nearest double.
+    */
+  private def q165(spark: SparkSession, dir: String): DataFrame =
+    wilsonFromCounts(Tables.events(spark, dir)
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"), col("event_type"))
+      .groupBy("event_type")
+      .agg(sum(when(col("cents") >= 10000L, 1L).otherwise(0L)).as("x"),
+        count(lit(1)).as("n")))
+
+  /** The Wilson finalization over a (event_type, x, n) counts frame —
+    * the single definition q165 and st_wilson share (the stream folds
+    * only the bounded per-class counts; this finalize is classes-sized).
+    * Every subexpression is parenthesized to pin one evaluation tree —
+    * see q165 on why that makes the doubles engine-exact.
+    */
+  private[graft] def wilsonFromCounts(counts: DataFrame): DataFrame = {
+    val xd = col("x").cast("double")
+    val nd = col("n").cast("double")
+    val z = lit(1.96)
+    val z2 = lit(3.8416)
+    val phat = xd / nd
+    val den = lit(1.0) + z2 / nd
+    val center = phat + z2 / (nd * 2.0)
+    val rad = z * sqrt((phat * (lit(1.0) - phat) + z2 / (nd * 4.0)) / nd)
+    counts.select(col("event_type"), col("x"), col("n"),
+      phat.as("phat"),
+      ((center - rad) / den).as("wilson_lo"),
+      ((center + rad) / den).as("wilson_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Personalized PageRank (random walk with restart) from the K=8
+    * deterministic seed accounts — the recommendation/expansion
+    * primitive global PageRank can't express: "important NEAR these
+    * seeds", the scoring behind related-item panels and seed-set
+    * expansion in curation (find domains like these vetted ones).
+    * Same exact integer arithmetic as q39, with the teleport mass
+    * restricted to the seed set:
+    * r'(v) = [v ∈ S]·⌊0.15·10⁹/|S|⌋ + ⌊0.85·Σ_{u→v} ⌊r_u/deg_u⌋⌋,
+    * five fixed iterations from r₀ = [v ∈ S]·⌊10⁹/|S|⌋. Published rows
+    * are the nodes with POSITIVE mass — PPR is sparse by design (the
+    * 5-hop neighborhood of the seeds), which is what makes it usable
+    * at graph scale.
+    *
+    * Scale: q39's envelope exactly — per iteration one ranks⋈edges
+    * join and one partial-agg groupBy(dst); the rank frame stays
+    * distributed; mass stays on the seeds' neighborhood so the join's
+    * left side is the SMALL live set, not the node table.
+    */
+  private def q166(spark: SparkSession, dir: String): DataFrame =
+    pprFromEdges(tradeEdges(spark, dir))
+
+  /** The random-walk-with-restart body over any (src, dst) edge list —
+    * factored so the spec can replay the integer recurrence in the
+    * driver and compare maps.
+    */
+  private[graft] def pprFromEdges(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val seeds = deg.select(col("src").as("snode")).orderBy("snode").limit(8)
+    val nSeeds = seeds.count() // bounded: ≤ 8 rows
+    require(nSeeds > 0,
+      "q166_ppr: the trade graph is empty — no seeds to personalize on")
+    val base = deg.join(seeds.withColumn("is_seed", lit(1L)),
+        col("src") === col("snode"), "left")
+      .select(col("src").as("node"), col("deg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    val scale = 1000000000L
+    val teleport = (scale * 15L / 100L) / nSeeds
+    var ranks = base.select(col("node"), col("deg"), col("is_seed"),
+      (col("is_seed") * lit(scale / nSeeds)).as("rank"))
+    for (_ <- 0 until 5) {
+      val contrib = ranks.filter(col("rank") > 0)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("share"))
+        .groupBy("dst")
+        .agg(sum(col("share")).as("inflow"))
+      ranks = base.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("is_seed"),
+          (col("is_seed") * lit(teleport) +
+            expr("(85 * coalesce(inflow, 0)) div 100")).as("rank"))
+    }
+    ranks.filter(col("rank") > 0)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("rank").as("ppr_scaled"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** Calibration (reliability diagram) of event value as a purchase
+    * predictor — the eval-family member q155 (AUC, discrimination) and
+    * q158 (PR sweep, thresholding) don't cover: per score decile, is
+    * the PREDICTED level actually the OBSERVED positive rate? Ten
+    * equal-width buckets over the cents range (q40's all-integer bucket
+    * arithmetic — `((x−lo)·10) div (hi−lo+1)` cannot straddle a ULP);
+    * per bucket the mean normalized score and the positive rate publish
+    * as exact micro units (integral divisions of nonnegative integers),
+    * and the gap is their exact difference. A constant corpus (hi = lo)
+    * publishes NULL prediction, never a fake ratio.
+    *
+    * Scale: one scan to (cents, pos), a scalarRow bounds cross (1 row,
+    * plan-provable), one partial agg to the 10-bucket grid.
+    */
+  private def q167(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    calibrationFromScored(ev)
+  }
+
+  /** The reliability-diagram finalization over a (cents, pos) scored
+    * frame — factored for the spec's planted-grid cases. Reduces to the
+    * per-cents counts grid FIRST (one partial agg, value-range-bounded),
+    * then finalizes through [[calibrationFromCounts]] — the same grid a
+    * stream folds, so st_calibration shares this code and q167's oracle
+    * verbatim.
+    */
+  private[graft] def calibrationFromScored(ev: DataFrame): DataFrame =
+    calibrationFromCounts(ev.groupBy("cents")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives")))
+
+  /** The bucket finalization over a (cents, n, positives) counts grid:
+    * Σ_rows (c−lo) ≡ Σ_grid (c−lo)·n, so grid-side finalization is
+    * EXACT, not an approximation of the row form.
+    */
+  private[graft] def calibrationFromCounts(counts: DataFrame): DataFrame = {
+    val bounds = graft.tools.Scalar.scalarRow(
+      counts.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi")))
+    counts.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("((cents - lo) * 10) div (hi - lo + 1)"))
+      .groupBy("bucket")
+      .agg(sum(col("n")).as("n"), sum(col("positives")).as("positives"),
+        sum((col("cents") - col("lo")) * col("n")).as("soff"),
+        max(col("hi") - col("lo")).as("span"))
+      .select(col("bucket"), col("n"), col("positives"),
+        expr("CAST((CAST(soff AS DECIMAL(38,0)) * 1000000) div " +
+          "nullif(n * span, 0L) AS BIGINT)").as("pred_micro"),
+        expr("CAST((positives * 1000000) div n AS BIGINT)").as("obs_micro"))
+      .withColumn("gap_micro", col("pred_micro") - col("obs_micro"))
+      .orderBy("bucket")
+  }
+
   /** The matrix-profile finalization over a per-(event_type, day) cents
     * rollup — st_matrix_profile's batch-side half: the stream folds the
     * corpus-sized reduction (events → daily cents, watermarked day
@@ -6201,6 +6370,162 @@ object Relational {
         .as("node_type"),
       expr("node div 2").as("node_id"),
       col("rank").cast("long").as("score_scaled"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** Katz centrality over the trade graph — the attenuation member of
+    * the centrality panel between raw degree and eigenvector/PageRank:
+    * K(v) = Σ_{k=1..T} β^k · walks_k(v), counting WALKS of length k
+    * ending at v (Katz 1953). β = 1/4, T = 4, and the published score is
+    * the exact integer katz_scaled = 4^T·K(v) = Σ_k walks_k(v)·4^(T−k) —
+    * NO division anywhere: walk counts accumulate in DECIMAL(38,0)
+    * (they grow like deg^k) and the attenuation is a power-of-4 literal
+    * weight per level. The oracle replays the same 4 unrolled
+    * walk-count iterations.
+    *
+    * Scale: each level is one frontier⋈edges shuffle keyed on node (the
+    * q161 shape, localCheckpointed per level so lineage stays flat); the
+    * final union+groupBy is one more partial-agg exchange; T is fixed.
+    * Bidirectional edges mean every node has in-edges, so no level
+    * loses nodes (q161's invariant).
+    */
+  private def q163(spark: SparkSession, dir: String): DataFrame =
+    katzFromEdges(tradeEdges(spark, dir))
+
+  /** The walk-count Katz body over any (src, dst) edge list — factored
+    * so the spec can drive a planted path graph with hand-counted walks.
+    */
+  private[graft] def katzFromEdges(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val T = 4
+    var w = nodes.select(col("node"),
+      lit(1L).cast("decimal(38,0)").as("w"))
+    var contrib: DataFrame = null
+    for (k <- 1 to T) {
+      w = w.join(edges, col("node") === col("src"))
+        .groupBy("dst")
+        .agg(sum(col("w")).cast("decimal(38,0)").as("w"))
+        .select(col("dst").as("node"), col("w"))
+        .localCheckpoint(true)
+      val weight = 1L << (2 * (T - k)) // 4^(T-k): 64, 16, 4, 1
+      val c = w.select(col("node"),
+        (col("w") * lit(weight)).cast("decimal(38,0)").as("c"))
+      contrib = if (contrib == null) c else contrib.unionByName(c)
+    }
+    contrib.groupBy("node")
+      .agg(sum(col("c")).as("katz"))
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("katz").cast("long").as("katz_scaled"))
+      .orderBy("node_type", "node_id")
+  }
+
+  /** Seeded betweenness centrality (Brandes 2001) over the trade graph —
+    * "which accounts BROKER the market's shortest paths", the member of
+    * the centrality panel that degree/closeness/eigenvector can't
+    * approximate (a low-degree node bridging two communities scores
+    * high). Exact Brandes is all-sources; this is the standard K-seed
+    * estimator (Brandes–Pich 2007) from the same K=8 deterministic
+    * seeds and a fixed 6-hop horizon the closeness/harmonic panel uses.
+    */
+  private def q164(spark: SparkSession, dir: String): DataFrame =
+    brandesFromEdges(tradeEdges(spark, dir))
+
+  /** The seeded-Brandes body over any (src, dst) edge list — factored
+    * so the spec can drive a planted diamond graph with hand-computed
+    * dependencies.
+    *
+    * Forward pass: the multi-source BFS additionally carries σ (the
+    * shortest-path COUNT), folded on first discovery — σ_v = Σ σ_u over
+    * dist-(k−1) predecessors, an exact DECIMAL(38,0) integer.
+    * Backward pass: per level from deep to shallow, the dependency
+    * δ(v) = Σ_{w : succ} ⌊σ_v · (10¹² + δ(w)) / σ_w⌋ — one integral
+    * division of POSITIVE integers per DAG edge (Spark DIV ≡ DuckDB //
+    * there), so both engines replay the identical floor recurrence
+    * level by level. Published: betweenness_pico = Σ_seeds δ(v), v not
+    * a seed, zero-dependency nodes dropped.
+    *
+    * The oracle replays the forward pass as WALK COUNTS: a walk of
+    * length dist(v) from the seed IS a shortest path, so
+    * σ(v) = walks_{dist(v)}(v) — equality of the BFS-folded σ and the
+    * walk-count σ is itself a differential proof of the forward pass.
+    *
+    * Scale: forward = the multiSourceBfs envelope with one extra sum
+    * per frontier fold; backward = one (seed,node)-keyed join per level
+    * (6, fixed); K bounds everything; per-hop localCheckpoint keeps
+    * lineage flat (q78's discipline). σ·(10¹²+δ) stays far inside
+    * DECIMAL(38,0) for any graph whose in-horizon σ ≤ ~10¹².
+    */
+  private[graft] def brandesFromEdges(edges: DataFrame): DataFrame = {
+    val maxHops = 6
+    val pico = "CAST(1000000000000 AS DECIMAL(38,0))"
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val seeds = nodes.orderBy("node").limit(8)
+      .select(col("node").as("seed")).localCheckpoint(true)
+    // forward: (seed, node, dist, sigma); sigma folds on first discovery
+    var visited = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0).as("dist"), lit(1L).cast("decimal(38,0)").as("sigma"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var step = 1
+    while (step <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+        .select(col("seed"), col("dst").as("node"), col("sigma"))
+        .join(visited.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .withColumn("dist", lit(step))
+        .select("seed", "node", "dist", "sigma")
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      step += 1
+    }
+    // backward: dependencies level by level, deepest first; nodes at
+    // the horizon start at zero dependency
+    var deltaNext: DataFrame = null // (seed, node, delta) at level k+1
+    var acc: DataFrame = null
+    for (k <- (maxHops - 1) to 0 by -1) {
+      val vThis = visited.filter(col("dist") === k)
+        .select(col("seed"), col("node"), col("sigma"))
+      val wNextBase = visited.filter(col("dist") === k + 1)
+        .select(col("seed").as("wseed"), col("node").as("wnode"),
+          col("sigma").as("wsigma"))
+      val wNext =
+        if (deltaNext == null)
+          wNextBase.withColumn("dw", lit(0L).cast("decimal(38,0)"))
+        else wNextBase.join(deltaNext
+            .select(col("seed").as("dseed"), col("node").as("dnode"),
+              col("delta").as("dw0")),
+          col("wseed") === col("dseed") && col("wnode") === col("dnode"),
+          "left")
+          .select(col("wseed"), col("wnode"), col("wsigma"),
+            coalesce(col("dw0"), lit(0L).cast("decimal(38,0)")).as("dw"))
+      val dThis = vThis.join(edges, col("node") === col("src"))
+        .join(wNext, col("seed") === col("wseed")
+          && col("dst") === col("wnode"))
+        .select(col("seed"), col("node"),
+          expr(s"CAST((sigma * ($pico + dw)) div wsigma " +
+            "AS DECIMAL(38,0))").as("term"))
+        .groupBy("seed", "node")
+        .agg(sum(col("term")).cast("decimal(38,0)").as("delta"))
+        .localCheckpoint(true)
+      deltaNext = dThis
+      acc = if (acc == null) dThis else acc.unionByName(dThis)
+    }
+    acc.filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(sum(col("delta")).as("bp"))
+      .filter(col("bp") > 0)
+      .select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("bp").cast("long").as("betweenness_pico"))
       .orderBy("node_type", "node_id")
   }
 
@@ -7082,6 +7407,172 @@ object Relational {
          |  node // 2 AS node_id, CAST(rank AS BIGINT) AS score_scaled
          |FROM r5 ORDER BY 1, 2""".stripMargin
     },
+    // q163: unrolled walk-count levels; katz_scaled = Σ walks_k · 4^(T−k)
+    // is an exact integer — no division, HUGEINT ≡ DECIMAL(38,0)
+    "q163_katz" -> {
+      def lvl(k: Int): String =
+        s"""w$k AS (SELECT e.dst AS node, sum(w.w) AS w
+           |        FROM w${k - 1} w JOIN e ON w.node = e.src GROUP BY 1)"""
+          .stripMargin
+      s"""WITH pe AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pe
+         |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |w0 AS (SELECT node, CAST(1 AS HUGEINT) AS w FROM n),
+         |${(1 to 4).map(lvl).mkString(",\n")},
+         |c AS (SELECT node, w * 64 AS c FROM w1
+         |      UNION ALL SELECT node, w * 16 FROM w2
+         |      UNION ALL SELECT node, w * 4 FROM w3
+         |      UNION ALL SELECT node, w FROM w4)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |  node // 2 AS node_id, CAST(sum(c) AS BIGINT) AS katz_scaled
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // q164: forward σ replayed as WALK COUNTS (a length-dist(v) walk IS
+    // a shortest path, so σ(v) = walks_{dist(v)}(v)), backward δ as the
+    // identical floor recurrence, both unrolled over the fixed 6-hop
+    // horizon; HUGEINT ≡ DECIMAL(38,0), every division positive
+    "q164_betweenness" -> {
+      def wlvl(k: Int): String =
+        s"""u$k AS (SELECT u.seed, e.dst AS node, sum(u.w) AS w
+           |        FROM u${k - 1} u JOIN e ON u.node = e.src GROUP BY 1, 2)"""
+          .stripMargin
+      def dlvl(k: Int): String = {
+        val dw =
+          if (k == 5) "CAST(0 AS HUGEINT)"
+          else "coalesce(dn.delta, CAST(0 AS HUGEINT))"
+        val dnJoin =
+          if (k == 5) ""
+          else s"\n        LEFT JOIN d${k + 1} dn" +
+            " ON dn.seed = w.seed AND dn.node = w.node"
+        s"""d$k AS (SELECT v.seed, v.node,
+           |          sum((v.sigma * (1000000000000 + $dw)) // w.sigma)
+           |            AS delta
+           |        FROM vis v JOIN e ON v.node = e.src
+           |        JOIN vis w ON w.seed = v.seed AND w.node = e.dst
+           |          AND w.dist = ${k + 1}$dnJoin
+           |        WHERE v.dist = $k GROUP BY 1, 2)""".stripMargin
+      }
+      s"""WITH pe AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pe
+         |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |seeds AS (SELECT node AS seed FROM n ORDER BY node LIMIT 8),
+         |u0 AS (SELECT seed, seed AS node, CAST(1 AS HUGEINT) AS w
+         |       FROM seeds),
+         |${(1 to 6).map(wlvl).mkString(",\n")},
+         |lv AS (SELECT seed, node, 0 AS k, w FROM u0
+         |${(1 to 6).map(k =>
+            s"       UNION ALL SELECT seed, node, $k, w FROM u$k")
+            .mkString("\n")}),
+         |dist AS (SELECT seed, node, min(k) AS dist FROM lv GROUP BY 1, 2),
+         |vis AS (SELECT l.seed, l.node, d.dist, l.w AS sigma
+         |        FROM lv l JOIN dist d
+         |          ON d.seed = l.seed AND d.node = l.node AND l.k = d.dist),
+         |${(0 to 5).reverse.map(dlvl).mkString(",\n")},
+         |alld AS (${(0 to 5).map(k => s"SELECT * FROM d$k")
+            .mkString("\n       UNION ALL ")})
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |  node // 2 AS node_id, CAST(sum(delta) AS BIGINT)
+         |    AS betweenness_pico
+         |FROM alld WHERE node <> seed GROUP BY 1, 2
+         |HAVING sum(delta) > 0 ORDER BY 1, 2""".stripMargin
+    },
+    // q165: IEEE by necessity (sqrt), engine-exact by construction —
+    // exact count operands and the IDENTICAL parenthesized expression
+    // tree; every IEEE op is correctly rounded, so the trees agree
+    // bit-for-bit (see the q165 Scaladoc)
+    "q165_wilson" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN CAST(value AS DECIMAL(18,2)) * 100 >= 10000
+        |             THEN 1 ELSE 0 END) AS x,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, CAST(x AS BIGINT) AS x, n,
+        |  CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+        |  ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 3.8416 / (CAST(n AS DOUBLE) * 2.0))
+        |   - 1.96 * sqrt(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + 3.8416 / (CAST(n AS DOUBLE) * 4.0))
+        |       / CAST(n AS DOUBLE)))
+        |  / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lo,
+        |  ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 3.8416 / (CAST(n AS DOUBLE) * 2.0))
+        |   + 1.96 * sqrt(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + 3.8416 / (CAST(n AS DOUBLE) * 4.0))
+        |       / CAST(n AS DOUBLE)))
+        |  / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
+        |FROM c ORDER BY event_type""".stripMargin,
+    // q166: q39's unrolled exact-integer iterations with the teleport
+    // mass restricted to the seed rows; every division is a positive
+    // floor division
+    "q166_ppr" -> {
+      def it(k: Int): String =
+        s"""it$k AS (
+           |  SELECT b.node, b.deg, b.is_seed,
+           |    b.is_seed * (CAST(150000000 AS BIGINT) // (SELECT ns FROM ns))
+           |      + (85 * COALESCE(f.inflow, 0)) // 100 AS rank
+           |  FROM base b LEFT JOIN (
+           |    SELECT e.dst, sum(r.rank // r.deg) AS inflow
+           |    FROM it${k - 1} r JOIN edges e ON r.node = e.src
+           |    GROUP BY 1) f ON b.node = f.dst)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM pairs
+         |          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |seeds AS (SELECT src AS node FROM deg ORDER BY src LIMIT 8),
+         |ns AS (SELECT count(*) AS ns FROM seeds),
+         |base AS (SELECT d.src AS node, d.deg,
+         |           CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END
+         |             AS is_seed
+         |         FROM deg d LEFT JOIN seeds s ON s.node = d.src),
+         |it0 AS (SELECT node, deg, is_seed,
+         |          is_seed * (CAST(1000000000 AS BIGINT)
+         |                     // (SELECT ns FROM ns)) AS rank
+         |        FROM base),
+         |${(1 to 5).map(it).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |         AS node_type,
+         |  node // 2 AS node_id, CAST(rank AS BIGINT) AS ppr_scaled
+         |FROM it5 WHERE rank > 0 ORDER BY node_type, node_id""".stripMargin
+    },
+    // q167: the q40 integer bucket arithmetic, micro rates as integral
+    // divisions of nonnegative integers, NULL prediction on a constant
+    // corpus
+    "q167_calibration" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM ev),
+        |g AS (
+        |  SELECT ((cents - lo) * 10) // (hi - lo + 1) AS bucket,
+        |    cents - lo AS off, pos
+        |  FROM ev, b),
+        |a AS (SELECT bucket, count(*) AS n, sum(pos) AS positives,
+        |        CAST(sum(off) AS HUGEINT) AS soff
+        |      FROM g GROUP BY 1)
+        |SELECT bucket, n, CAST(positives AS BIGINT) AS positives,
+        |  CAST((soff * 1000000)
+        |       // nullif(n * (SELECT hi - lo FROM b), 0) AS BIGINT)
+        |    AS pred_micro,
+        |  CAST((positives * 1000000) // n AS BIGINT) AS obs_micro,
+        |  CAST((soff * 1000000)
+        |       // nullif(n * (SELECT hi - lo FROM b), 0) AS BIGINT)
+        |    - CAST((positives * 1000000) // n AS BIGINT) AS gap_micro
+        |FROM a ORDER BY bucket""".stripMargin,
     // q159: exact signed numerator/denominator (HUGEINT ≡ DECIMAL(38,0)),
     // ONE IEEE division — no integral division of a signed value (the
     // engines disagree on negative truncation)

@@ -702,6 +702,43 @@ object EventStream {
     // values live, not in a nightly audit). Zero-cent values carry no
     // leading nonzero digit and are filtered at the fold. The deviation
     // finalization is q101's, shared via benfordFromCounts.
+    // Streaming Wilson interval: the per-class (x, n) proportion counts
+    // fold in-stream — state is one row per event class — and the
+    // interval finalizes sink-side through the shared wilsonFromCounts,
+    // so a live dashboard gets a defensible uncertainty band per class,
+    // not a bare rate. Shares q165's oracle VERBATIM.
+    "st_wilson" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(col("event_type"),
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"))
+          .groupBy("event_type")
+          .agg(sum(when(col("cents") >= 10000L, 1L).otherwise(0L)).as("x"),
+            count(lit(1)).as("n")),
+        "st_wilson_sink", OutputMode.Complete)
+      graft.queries.Relational.wilsonFromCounts(
+        s.table("st_wilson_sink").localCheckpoint(true))
+    }),
+    // Streaming calibration: the per-cents (n, positives) counts grid
+    // folds in-stream (value-range-bounded state, the st_ks discipline)
+    // and the reliability buckets finalize sink-side through the shared
+    // calibrationFromCounts — live "is the score still calibrated"
+    // drift monitoring. Shares q167's oracle VERBATIM.
+    "st_calibration" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+          .groupBy("cents")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives")),
+        "st_calibration_sink", OutputMode.Complete)
+      graft.queries.Relational.calibrationFromCounts(
+        s.table("st_calibration_sink").localCheckpoint(true))
+    }),
     "st_benford" -> ((s, d) => {
       runToMemory(
         readEvents(s, d)
@@ -1400,6 +1437,12 @@ object EventStream {
     // st_pr_curve folds q158's score grid in-stream and shares its
     // finalizer — same oracle verbatim
     "st_pr_curve" -> graft.queries.Relational.oracle("q158_pr_curve"),
+    // st_wilson: the stream folds the same (x, n) per-class counts the
+    // batch query aggregates — identical final table, oracle verbatim
+    "st_wilson" -> graft.queries.Relational.oracle("q165_wilson"),
+    // st_calibration: the stream's cents grid finalizes to the identical
+    // bucket table (grid-side soff is exact) — q167's oracle verbatim
+    "st_calibration" -> graft.queries.Relational.oracle("q167_calibration"),
     // st_benford: q101's digit-histogram finalization over event VALUE
     // cents (zero-cent rows carry no leading nonzero digit — filtered);
     // expectations are string-quoted literal doubles, q101's convention

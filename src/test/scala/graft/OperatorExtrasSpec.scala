@@ -2132,6 +2132,120 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("wilson interval: differential vs a scalar double replay; " +
+      "extremes stay ordered and bounded") {
+    val counts = Seq(("a", 8L, 10L), ("b", 0L, 7L), ("c", 7L, 7L),
+      ("d", 3000L, 4000L)).toDF("event_type", "x", "n")
+    val got = Relational.wilsonFromCounts(counts).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // independent scalar replay of the identical expression tree
+    def wilson(x: Long, n: Long): (Double, Double, Double) = {
+      val xd = x.toDouble; val nd = n.toDouble
+      val phat = xd / nd
+      val den = 1.0 + 3.8416 / nd
+      val center = phat + 3.8416 / (nd * 2.0)
+      val rad = 1.96 * math.sqrt(
+        (phat * (1.0 - phat) + 3.8416 / (nd * 4.0)) / nd)
+      (phat, (center - rad) / den, (center + rad) / den)
+    }
+    for ((k, x, n) <- Seq(("a", 8L, 10L), ("b", 0L, 7L), ("c", 7L, 7L),
+      ("d", 3000L, 4000L))) {
+      assert(got(k) === wilson(x, n), s"class $k")
+      val (p, lo, hi) = got(k)
+      assert(lo <= p && p <= hi && lo >= -1e-12 && hi <= 1.0 + 1e-12)
+    }
+    // more evidence -> tighter interval at the same phat (8/10 vs
+    // 3000/4000 ~ same rate, wildly different n)
+    assert(got("d")._3 - got("d")._2 < got("a")._3 - got("a")._2)
+  }
+
+  test("ppr: differential vs a driver integer replay on a planted path; " +
+      "mass localizes near the seeds") {
+    // path 0-1-2-...-11 undirected; seeds are the 8 lowest ids (0..7)
+    val half = (0L to 10L).map(i => (i, i + 1))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Relational.pprFromEdges(edges).collect()
+      .map { r =>
+        val id = r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0)
+        id -> r.getLong(2)
+      }.toMap
+    // independent replay of the identical integer recurrence
+    val adj = (half ++ half.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val nodes = adj.keys.toSeq.sorted
+    val seeds = nodes.take(8).toSet
+    val tele = (1000000000L * 15L / 100L) / 8L
+    var rank = nodes.map(n =>
+      n -> (if (seeds(n)) 1000000000L / 8L else 0L)).toMap
+    for (_ <- 0 until 5) {
+      val inflow = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (n <- nodes; if rank(n) > 0; m <- adj(n))
+        inflow(m) += rank(n) / deg(n)
+      rank = nodes.map(n =>
+        n -> ((if (seeds(n)) tele else 0L) + 85L * inflow(n) / 100L)).toMap
+    }
+    assert(got === rank.filter(_._2 > 0))
+    // locality: the node adjacent to the seed set outranks the far end
+    assert(got(8L) > got.getOrElse(11L, 0L))
+  }
+
+  test("calibration: hand-computed buckets on a planted unit grid; " +
+      "constant corpus publishes NULL prediction") {
+    // cents 0..9 one row each, positives at cents >= 5: lo=0, hi=9,
+    // bucket = (c*10) div 10 = c, pred = (c*1e6) div 9, obs = pos*1e6
+    val ev = (0L to 9L).map(c => (c, if (c >= 5) 1L else 0L))
+      .toDF("cents", "pos")
+    val got = Relational.calibrationFromScored(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    for (c <- 0L to 9L)
+      assert(got(c) === (c * 1000000L / 9L, if (c >= 5) 1000000L else 0L))
+
+    val const = Seq((42L, 1L), (42L, 0L)).toDF("cents", "pos")
+    val cg = Relational.calibrationFromScored(const).collect()
+    assert(cg.length == 1 && cg(0).isNullAt(3) &&
+      cg(0).getLong(4) == 500000L)
+  }
+
+  test("katz centrality: hand-counted walks on a planted path graph") {
+    // path 0-1-2 undirected. Walk counts from the all-ones start:
+    // w1 = [1,2,1], w2 = [2,2,2], w3 = [2,4,2], w4 = [4,4,4];
+    // katz_scaled = 64*w1 + 16*w2 + 4*w3 + w4
+    val half = Seq((0L, 1L), (1L, 2L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Relational.katzFromEdges(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      ("customer", 0L, 108L),  // node 0: 64+32+8+4
+      ("supplier", 0L, 180L),  // node 1: 128+32+16+4
+      ("customer", 1L, 108L))  // node 2
+    assert(got === want)
+  }
+
+  test("betweenness: hand-computed seeded Brandes on a planted diamond " +
+      "with a tail; path-count splits floor at pico grain") {
+    // diamond 0-1-3 / 0-2-3 plus tail 3-4, undirected; 5 nodes, so all
+    // are seeds. Hand-run of the floor recurrence
+    // delta(v) = sum_w floor(sigma_v * (1e12 + delta_w) / sigma_w):
+    //   seed 0: delta(1)=delta(2)=delta(3)=1e12
+    //   seed 1: delta(0)=5e11 (sigma split 1/2), delta(3)=1.5e12
+    //   seed 2: symmetric to seed 1
+    //   seed 3: delta(1)=delta(2)=5e11
+    //   seed 4: delta(3)=3e12, delta(1)=delta(2)=5e11
+    // totals: node0 1e12, node1 2e12, node2 2e12, node3 7e12, node4 0
+    val half = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Relational.brandesFromEdges(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      ("customer", 0L, 1000000000000L),  // node 0
+      ("supplier", 0L, 2000000000000L),  // node 1
+      ("customer", 1L, 2000000000000L),  // node 2
+      ("supplier", 1L, 7000000000000L))  // node 3; node 4 dropped (0)
+    assert(got === want)
+  }
+
   test("harmonic centrality: hand-computed on the same planted graph; " +
       "disconnection degrades gracefully") {
     // same path 0-1-2-3 + isolated edge 8-9 as the closeness spec; n=6.
