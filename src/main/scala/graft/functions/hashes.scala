@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,6 +78,62 @@ object FnvHash {
     while (i < 7) { v = (v << 8) | (d(i) & 0xff); i += 1 }
     (v << 4) | ((d(7) & 0xff) >>> 4)
   }
+}
+
+
+/** Hilbert curve index math — static so generated code calls it directly
+  * (the FnvHash convention). The iterative xy→d walk (Hilbert 1891; the
+  * public-domain iterative rendering popularized by Wikipedia's
+  * "Hilbert curve" article and Hacker's Delight ch. 16): per square size
+  * s = 2^(order−1)..1, accumulate s²·((3·rx) xor ry) and rotate the
+  * frame. Unlike the Z-order interleave (one long diagonal jump per bit
+  * carry), consecutive Hilbert indices are ALWAYS grid-adjacent, which
+  * is why Hilbert clustering gives tighter per-file min/max boxes than
+  * Z-order at the same sort cost.
+  */
+object HilbertCurve {
+  final val Order = 8 // 256 x 256 grid, d in [0, 65536)
+
+  /** Coordinates are taken mod 2^order (callers pre-mask; the mask here
+    * keeps the loop total on any input).
+    */
+  def xy2d(xIn: Long, yIn: Long): Long = {
+    val mask = (1L << Order) - 1
+    var x = xIn & mask
+    var y = yIn & mask
+    var d = 0L
+    var s = 1L << (Order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Codegen'd Hilbert-curve index of two integer grid coordinates — the
+  * layout key behind Hilbert clustering (the lakehouse OPTIMIZE ZORDER
+  * alternative with strictly better locality). Stays inside whole-stage
+  * codegen like the hash expressions.
+  */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    HilbertCurve.xy2d(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HilbertCurve.xy2d($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd 60-bit md5-prefix hash — the engine-portable hash (identical
@@ -196,6 +252,10 @@ object hashes {
 
   /** Rabin–Karp polynomial rolling hash of a string column (codegen'd). */
   def poly31Hash(c: Column): Column = GraftShims.column(Poly31Hash(expression(c)))
+
+  /** Hilbert-curve index of two integer grid coordinates (codegen'd). */
+  def hilbertIndex(x: Column, y: Column): Column =
+    GraftShims.column(HilbertIndex(expression(x), expression(y)))
 
   /** Membership probe of a pre-built `util.sketch.BloomFilter` (pass its
     * serialized form) over a string column, as a codegen'd expression.

@@ -200,6 +200,10 @@ object Relational {
     "q165_wilson" -> q165,
     "q166_ppr" -> q166,
     "q167_calibration" -> q167,
+    "q168_community" -> q168,
+    "q169_hopplot" -> q169,
+    "q170_kmv_setops" -> q170,
+    "q171_hilbert" -> q171,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5904,6 +5908,9 @@ object Relational {
     * frontier⋈edges shuffle keyed (seed, node); per-hop localCheckpoint
     * keeps lineage flat (q78's discipline); empty-frontier exit.
     */
+  private[graft] def multiSourceBfsForSpec(edges: DataFrame)
+      : (DataFrame, DataFrame) = multiSourceBfs(edges)
+
   private def multiSourceBfs(edges: DataFrame): (DataFrame, DataFrame) = {
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
@@ -6114,6 +6121,200 @@ object Relational {
         expr("CAST((positives * 1000000) div n AS BIGINT)").as("obs_micro"))
       .withColumn("gap_micro", col("pred_micro") - col("obs_micro"))
       .orderBy("bucket")
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the trade graph, with the partition scored by exact
+    * Newman modularity terms — the missing member between q107
+    * (connected components: WHICH nodes touch) and the centrality panel
+    * (WHO matters): which nodes form densely-traded BLOCS. Four fixed
+    * synchronous rounds; each node adopts the plurality label among its
+    * neighbors PLUS ITSELF (the self-vote damps the 2-cycle oscillation
+    * synchronous LPA exhibits on bipartite graphs), ties broken (count
+    * DESC, label ASC) — fully deterministic, so the oracle replays the
+    * identical 4 rounds.
+    *
+    * Modularity: with m2 = directed edge count (= 2m), e_c = intra-
+    * community directed edges, d_c = community degree sum, the
+    * community's term is (e_c·m2 − d_c²)/m2². Numerator SIGNED → q159's
+    * rule: exact BIGINT numerator + ONE IEEE division, no signed
+    * integral division.
+    *
+    * Scale: per round one labels⋈edges shuffle + a (node,label) partial
+    * agg + a node-partitioned argmin window; labels localCheckpoint per
+    * round (q78's lineage discipline). The modularity tally is two more
+    * label-keyed partial aggs; m2 rides a scalarRow 1-row relation.
+    */
+  private def q168(spark: SparkSession, dir: String): DataFrame =
+    communityFromEdges(tradeEdges(spark, dir))
+
+  private[graft] def communityFromEdges(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 0 until 4) {
+      val votes = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("vnode"), col("label"))
+        .unionByName(labels.select(col("node").as("vnode"), col("label")))
+        .groupBy(col("vnode"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("vnode")
+        .orderBy(col("cnt").desc, col("label").asc)
+      labels = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vnode").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    val m2 = graft.tools.Scalar.scalarRow(
+      edges.agg(count(lit(1)).as("m2")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, col("node") === col("src"))
+      .groupBy("label")
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("size"))
+    val a = labels.select(col("node").as("n1"), col("label").as("lab1"))
+    val b = labels.select(col("node").as("n2"), col("label").as("lab2"))
+    val ic = edges.join(a, col("src") === col("n1"))
+      .join(b, col("dst") === col("n2"))
+      .filter(col("lab1") === col("lab2"))
+      .groupBy(col("lab1").as("label"))
+      .agg(count(lit(1)).as("e_c0"))
+    dc.join(ic, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("label").as("community"), col("size"),
+        coalesce(col("e_c0"), lit(0L)).as("e_c"), col("d_c"),
+        expr("CAST(CAST(coalesce(e_c0, 0) AS DECIMAL(38,0)) * m2 " +
+          "- CAST(d_c AS DECIMAL(38,0)) * d_c AS BIGINT)").as("q_num"),
+        expr("CAST(CAST(m2 AS DECIMAL(38,0)) * m2 AS BIGINT)").as("q_den"))
+      .withColumn("q_term",
+        col("q_num").cast("double") / col("q_den").cast("double"))
+      .orderBy("community")
+  }
+
+  /** Hop plot from the K=8 seed panel — the distance-distribution view
+    * (effective diameter, neighborhood growth) the closeness/harmonic
+    * scalars summarize away: per seed, one row per hop with the node
+    * count at that distance and the seed's eccentricity-within-horizon.
+    * Reuses [[multiSourceBfs]] verbatim.
+    */
+  private def q169(spark: SparkSession, dir: String): DataFrame = {
+    val (visited, _) = multiSourceBfs(tradeEdges(spark, dir))
+    val byCnt = visited.groupBy("seed", "dist")
+      .agg(count(lit(1)).as("n_at_dist"))
+    val wEcc = Window.partitionBy("seed")
+    byCnt.withColumn("ecc", max(col("dist")).over(wEcc))
+      .select(
+        when(col("seed") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("seed div 2").as("node_id"),
+        col("dist"), col("n_at_dist"), col("ecc"))
+      .orderBy("node_type", "node_id", "dist")
+  }
+
+  /** KMV set-operation estimates between event-type user sets — the
+    * sketch algebra q53's single-set cardinality stops short of: for
+    * every pair of event classes, estimate |A∪B|, Jaccard, and |A∩B|
+    * from the two k=64 bottom-k sketches ALONE (Beyer et al. 2007) —
+    * the "how much do these two crawls overlap" question answered
+    * without ever co-shuffling the full sets. KMV merges losslessly:
+    * the k smallest of (KMV(A) ∪ KMV(B)) ARE the union's KMV, so
+    * J ≈ |KMV(A∪B) ∩ KMV(A) ∩ KMV(B)| / k exactly as published here
+    * (matches/n_u as an exact micro integral division). Exact truth
+    * columns ride the same scan for the eval story (dropped at 100 TB
+    * like q53's).
+    *
+    * Engine parity: the portable md5-prefix hash, est = 63·2⁶⁰/h_k and
+    * inter_est = (matches·est)/n_u are the q53 single-IEEE-op
+    * discipline over exact operands. Under-filled sketches (n_u < k)
+    * publish the exact union — both engines take the same branch.
+    *
+    * Scale: sketches are one distinct + per-class bottom-k (native
+    * TopKPerKey heaps, no global sort); the pair stage is a
+    * plan-bounded ≤12×12 class cross over k-row sketches; only the
+    * TRUTH columns touch a corpus-sized h-keyed shuffle.
+    */
+  private def q170(spark: SparkSession, dir: String): DataFrame =
+    kmvSetopsFromSets(Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.hashes.portableHash60(col("user_id").cast("string"))
+          .as("h"))
+      .distinct()
+      .localCheckpoint(true))
+
+  /** The KMV set-operation body over a distinct (event_type, h) frame —
+    * factored so the spec can plant literal hash sets and pin the
+    * exact under-filled branch.
+    */
+  private[graft] def kmvSetopsFromSets(ev: DataFrame, k: Int = 64)
+      : DataFrame = {
+    val kmv = graft.plans.TopKPerKey.perKey(ev,
+      keys = Seq("event_type"), order = Seq("h" -> true), k = k)
+    val types = ev.select("event_type").distinct().limit(12)
+    val pairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val withPair = kmv.join(broadcast(pairs),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy("ta", "tb", "h")
+      .agg(max(when(col("event_type") === col("ta"), 1).otherwise(0))
+          .as("ia"),
+        max(when(col("event_type") === col("tb"), 1).otherwise(0))
+          .as("ib"))
+    val w = Window.partitionBy("ta", "tb").orderBy("h")
+    val ka = withPair.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("kth"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .as("matches"))
+    val sz = ev.groupBy("event_type").agg(count(lit(1)).as("sz"))
+    val it = ev.select(col("event_type").as("xa"), col("h"))
+      .join(ev.select(col("event_type").as("xb"), col("h")), "h")
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa").as("ita"), col("xb").as("itb"))
+      .agg(count(lit(1)).as("inter_true0"))
+    val two60d = lit(1152921504606846976L).cast("double")
+    ka.join(sz.select(col("event_type").as("ea"), col("sz").as("n_a")),
+        col("ta") === col("ea"))
+      .join(sz.select(col("event_type").as("eb"), col("sz").as("n_b")),
+        col("tb") === col("eb"))
+      .join(it, col("ta") === col("ita") && col("tb") === col("itb"),
+        "left")
+      .withColumn("inter_true", coalesce(col("inter_true0"), lit(0L)))
+      .withColumn("union_true", col("n_a") + col("n_b") - col("inter_true"))
+      .withColumn("est_union",
+        when(col("n_u") < k, col("union_true").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * two60d
+            / col("kth").cast("double")))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("inter_true"), col("union_true"), col("n_u"), col("kth"),
+        col("est_union"), col("matches"),
+        expr("CAST((matches * 1000000) div n_u AS BIGINT)")
+          .as("jaccard_micro"),
+        (col("matches").cast("double") * col("est_union")
+          / col("n_u").cast("double")).as("inter_est"))
+      .orderBy("ta", "tb")
+  }
+
+  /** Hilbert-curve clustering key on the (partkey, suppkey) grid — the
+    * locality-optimal sibling of q34's Z-order: consecutive Hilbert
+    * indices are ALWAYS grid-adjacent (Z-order takes a long diagonal
+    * jump at every bit carry), so sorting by hval gives tighter per-file
+    * min/max boxes for two-dimensional skipping at the same sort cost —
+    * the OPTIMIZE ZORDER alternative lakehouses ship. Computed by the
+    * native codegen'd [[graft.functions.HilbertIndex]] expression (the
+    * iterative xy→d rotation walk); checked output is per-bucket
+    * occupancy, q34's convention, so the curve itself is what's
+    * verified — the oracle replays all 8 rotation levels in SQL.
+    */
+  private def q171(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val x = (col("l_partkey") % 256).cast("bigint")
+    val y = (col("l_suppkey") % 256).cast("bigint")
+    li.select(graft.functions.hashes.hilbertIndex(x, y).as("hval"))
+      .groupBy(shiftright(col("hval"), 6).as("hbucket"))
+      .agg(count(lit(1)).as("n"), min(col("hval")).as("hmin"),
+        max(col("hval")).as("hmax"))
+      .orderBy("hbucket")
   }
 
   /** The matrix-profile finalization over a per-(event_type, day) cents
@@ -7573,6 +7774,162 @@ object Relational {
         |       // nullif(n * (SELECT hi - lo FROM b), 0) AS BIGINT)
         |    - CAST((positives * 1000000) // n AS BIGINT) AS gap_micro
         |FROM a ORDER BY bucket""".stripMargin,
+    // q168: the identical 4 synchronous LPA rounds unrolled (self-vote
+    // damps bipartite oscillation; (cnt DESC, label) tie-break), then
+    // exact modularity terms — signed numerator + ONE IEEE division
+    "q168_community" -> {
+      def round(k: Int): String =
+        s"""v$k AS (SELECT vnode, label, count(*) AS cnt FROM (
+           |  SELECT e.dst AS vnode, l.label
+           |  FROM l${k - 1} l JOIN e ON l.node = e.src
+           |  UNION ALL SELECT node AS vnode, label FROM l${k - 1}) x
+           |  GROUP BY 1, 2),
+           |l$k AS (SELECT vnode AS node, label FROM (
+           |  SELECT vnode, label, row_number() OVER (
+           |    PARTITION BY vnode ORDER BY cnt DESC, label) AS rn
+           |  FROM v$k) WHERE rn = 1)""".stripMargin
+      s"""WITH pe AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pe
+         |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |l0 AS (SELECT node, node AS label FROM n),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |m2 AS (SELECT count(*) AS m2 FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |dc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c,
+         |         count(*) AS size
+         |       FROM l4 l JOIN deg d ON d.src = l.node GROUP BY 1),
+         |ic AS (SELECT a.label, count(*) AS e_c
+         |       FROM e JOIN l4 a ON a.node = e.src
+         |       JOIN l4 b ON b.node = e.dst
+         |       WHERE a.label = b.label GROUP BY 1)
+         |SELECT dc.label AS community, size,
+         |  coalesce(e_c, 0) AS e_c, d_c,
+         |  CAST(CAST(coalesce(e_c, 0) AS HUGEINT) * (SELECT m2 FROM m2)
+         |       - CAST(d_c AS HUGEINT) * d_c AS BIGINT) AS q_num,
+         |  CAST(CAST((SELECT m2 FROM m2) AS HUGEINT)
+         |       * (SELECT m2 FROM m2) AS BIGINT) AS q_den,
+         |  CAST(CAST(CAST(coalesce(e_c, 0) AS HUGEINT)
+         |         * (SELECT m2 FROM m2)
+         |       - CAST(d_c AS HUGEINT) * d_c AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(CAST((SELECT m2 FROM m2) AS HUGEINT)
+         |         * (SELECT m2 FROM m2) AS BIGINT) AS DOUBLE) AS q_term
+         |FROM dc LEFT JOIN ic ON ic.label = dc.label
+         |ORDER BY community""".stripMargin
+    },
+    // q169: q156's unrolled min-dist chain, grouped to the per-hop
+    // histogram with a per-seed max as the horizon eccentricity
+    "q169_hopplot" ->
+      ("""WITH pe AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM pe
+        |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |seeds AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 8),
+        |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist
+        |       FROM seeds),
+        |""".stripMargin +
+        (1 to 8).map(i =>
+          s"""d$i AS (SELECT seed, node, min(dist) AS dist FROM (
+             |  SELECT seed, node, dist FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT d${i - 1}.seed, e.dst AS node, d${i - 1}.dist + 1
+             |  FROM d${i - 1} JOIN e ON e.src = d${i - 1}.node)
+             |  GROUP BY 1, 2)""".stripMargin).mkString(",\n") +
+        """,
+        |h AS (SELECT seed, dist, count(*) AS n_at_dist
+        |      FROM d8 GROUP BY 1, 2)
+        |SELECT CASE WHEN seed % 2 = 0 THEN 'customer'
+        |            ELSE 'supplier' END AS node_type,
+        |  seed // 2 AS node_id, dist, n_at_dist,
+        |  max(dist) OVER (PARTITION BY seed) AS ecc
+        |FROM h ORDER BY 1, 2, dist""".stripMargin),
+
+    // q170: the identical KMV chain — portable md5-prefix hashes,
+    // per-class bottom-64 (row_number replay of the native heap),
+    // merged bottom-64, est/inter_est as q53's single-IEEE-op forms,
+    // jaccard as an exact micro integral division
+    "q170_kmv_setops" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, CAST(concat('0x',
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM u),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |      FROM ty a, ty b WHERE a.event_type < b.event_type),
+        |kmv AS (SELECT event_type, h FROM (
+        |  SELECT event_type, h, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM u)
+        |  WHERE rn <= 64),
+        |wp AS (SELECT p.ta, p.tb, k.h,
+        |    max(CASE WHEN k.event_type = p.ta THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN k.event_type = p.tb THEN 1 ELSE 0 END) AS ib
+        |  FROM p JOIN kmv k
+        |    ON k.event_type = p.ta OR k.event_type = p.tb
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY ta, tb ORDER BY h) AS rn FROM wp),
+        |ka AS (SELECT ta, tb, count(*) AS n_u, max(h) AS kth,
+        |    CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS matches
+        |  FROM rk WHERE rn <= 64 GROUP BY 1, 2),
+        |sz AS (SELECT event_type, count(*) AS sz FROM u GROUP BY 1),
+        |it AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |    count(*) AS inter_true
+        |  FROM u x JOIN u y ON x.h = y.h
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ka.ta, ka.tb, sa.sz AS n_a, sb.sz AS n_b,
+        |  coalesce(it.inter_true, 0) AS inter_true,
+        |  sa.sz + sb.sz - coalesce(it.inter_true, 0) AS union_true,
+        |  n_u, kth,
+        |  CASE WHEN n_u < 64
+        |    THEN CAST(sa.sz + sb.sz - coalesce(it.inter_true, 0)
+        |              AS DOUBLE)
+        |    ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |         / CAST(kth AS DOUBLE) END AS est_union,
+        |  matches,
+        |  CAST((matches * 1000000) // n_u AS BIGINT) AS jaccard_micro,
+        |  CAST(matches AS DOUBLE)
+        |    * (CASE WHEN n_u < 64
+        |        THEN CAST(sa.sz + sb.sz - coalesce(it.inter_true, 0)
+        |                  AS DOUBLE)
+        |        ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+        |             / CAST(kth AS DOUBLE) END)
+        |    / CAST(n_u AS DOUBLE) AS inter_est
+        |FROM ka JOIN sz sa ON sa.event_type = ka.ta
+        |JOIN sz sb ON sb.event_type = ka.tb
+        |LEFT JOIN it ON it.ta = ka.ta AND it.tb = ka.tb
+        |ORDER BY ka.ta, ka.tb""".stripMargin,
+    // q171: all 8 Hilbert rotation levels unrolled — per level the
+    // quadrant term s²·xor(3·rx, ry) and the conditional flip+swap,
+    // pure integer CASE arithmetic in both engines
+    "q171_hilbert" -> {
+      def lvl(k: Int): String = {
+        val s = 1L << (7 - k)
+        s"""h${k + 1} AS (
+           |  SELECT
+           |    CASE WHEN yb = 0 THEN (CASE WHEN xb = 1
+           |      THEN $s - 1 - y ELSE y END) ELSE x END AS x,
+           |    CASE WHEN yb = 0 THEN (CASE WHEN xb = 1
+           |      THEN $s - 1 - x ELSE x END) ELSE y END AS y,
+           |    d + ${s * s} * xor(3 * xb, yb) AS d
+           |  FROM (SELECT x, y, d,
+           |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS xb,
+           |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS yb
+           |        FROM h$k))""".stripMargin
+      }
+      s"""WITH h0 AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+         |              0 AS d
+         |            FROM lineitem),
+         |${(0 to 7).map(lvl).mkString(",\n")}
+         |SELECT CAST(d >> 6 AS BIGINT) AS hbucket, count(*) AS n,
+         | CAST(min(d) AS BIGINT) AS hmin, CAST(max(d) AS BIGINT) AS hmax
+         |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // q159: exact signed numerator/denominator (HUGEINT ≡ DECIMAL(38,0)),
     // ONE IEEE division — no integral division of a signed value (the
     // engines disagree on negative truncation)

@@ -2208,6 +2208,64 @@ class OperatorExtrasSpec extends AnyFunSuite {
       cg(0).getLong(4) == 500000L)
   }
 
+  test("community LPA: two planted triangles joined by a bridge split " +
+      "into two blocs; modularity terms hand-computed") {
+    // triangles {0,1,2} and {3,4,5}, bridge 2-3. Synchronous LPA with
+    // self-vote: round 1 all-distinct votes tie to the min label
+    // ([0,0,0,2,3,3]), round 2 pluralities settle [0,0,0,3,3,3], stable.
+    // m2 = 14 directed edges. Each bloc: d_c = 7, e_c = 6 ->
+    // q_num = 6*14 - 49 = 35, q_den = 196 (Q = 2*35/196 ~ 0.357).
+    val half = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val got = Relational.communityFromEdges(edges).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got === Map(
+      0L -> (3L, 6L, 7L, 35L, 196L),
+      3L -> (3L, 6L, 7L, 35L, 196L)))
+  }
+
+  test("hop plot: per-seed distance histogram and eccentricity on a " +
+      "planted path") {
+    // path 0-1-2: seeds are all three nodes. Seed 0: one node at each
+    // of hops 0,1,2 (ecc 2); seed 1: itself + two at hop 1 (ecc 1).
+    val half = Seq((0L, 1L), (1L, 2L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val (visited, _) = Relational.multiSourceBfsForSpec(edges)
+    val got = visited.groupBy("seed", "dist")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 2L,
+      (2L, 0L) -> 1L, (2L, 1L) -> 1L, (2L, 2L) -> 1L))
+  }
+
+  test("kmv set ops: under-filled sketches publish exact set algebra; " +
+      "a tight k degrades to the estimator branch") {
+    // A = {1..6}, B = {4..9}: inter 3, union 9 — with k=64 both
+    // sketches hold everything, so every column is EXACT
+    val ev = ((1L to 6L).map(h => ("a", h)) ++ (4L to 9L).map(h => ("b", h)))
+      .toDF("event_type", "h")
+    val r = Relational.kmvSetopsFromSets(ev).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(2) == 6L && row.getLong(3) == 6L)   // n_a, n_b
+    assert(row.getLong(4) == 3L && row.getLong(5) == 9L)   // inter, union
+    assert(row.getLong(6) == 9L)                           // n_u
+    assert(row.getDouble(8) == 9.0)                        // est exact
+    assert(row.getLong(9) == 3L)                           // matches
+    assert(row.getLong(10) == 333333L)                     // 3e6 div 9
+    assert(row.getDouble(11) == 3.0)                       // inter_est
+    // k=4 < union: the estimator branch runs — merged bottom-4 of the
+    // unit-spaced hashes is {1,2,3,4}, kth=4, est = 3*2^60/4
+    val t = Relational.kmvSetopsFromSets(ev, k = 4).collect()(0)
+    assert(t.getLong(6) == 4L && t.getLong(7) == 4L)
+    assert(t.getDouble(8) == 3.0 * 1152921504606846976L.toDouble / 4.0)
+  }
+
   test("katz centrality: hand-counted walks on a planted path graph") {
     // path 0-1-2 undirected. Walk counts from the all-ones start:
     // w1 = [1,2,1], w2 = [2,2,2], w3 = [2,4,2], w4 = [4,4,4];

@@ -21,6 +21,40 @@ class VectorExprSpec extends AnyFunSuite {
     emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq
 
+  test("HilbertIndex: full-grid bijection + unit-step adjacency; " +
+      "column == JVM replay over a real scan inside codegen") {
+    import graft.functions.HilbertCurve.xy2d
+    // the defining property: d is a BIJECTION onto [0, 65536) and
+    // consecutive indices are grid-ADJACENT (|dx|+|dy| = 1) — the
+    // locality guarantee Z-order does not have
+    val cells = new Array[(Int, Int)](65536)
+    for (x <- 0 until 256; y <- 0 until 256) {
+      val d = xy2d(x, y).toInt
+      assert(cells(d) == null, s"collision at d=$d")
+      cells(d) = (x, y)
+    }
+    for (d <- 0 until 65535) {
+      val (x1, y1) = cells(d); val (x2, y2) = cells(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    assert(xy2d(0, 0) == 0L)
+    // out-of-grid coordinates are taken mod 2^order
+    assert(xy2d(256 + 3, 512 + 7) == xy2d(3, 7))
+
+    // the column expression over a real scan == the JVM replay, and the
+    // plan stays in whole-stage codegen (the poly31 discipline)
+    val df = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select((col("l_partkey") % 256).cast("bigint").as("x"),
+        (col("l_suppkey") % 256).cast("bigint").as("y"))
+      .withColumn("h", graft.functions.hashes.hilbertIndex(col("x"), col("y")))
+    assert(df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    df.limit(500).collect().foreach { r =>
+      assert(r.getLong(2) == xy2d(r.getLong(0), r.getLong(1)))
+    }
+  }
+
   test("TopCentroids == driver-side cosine argmax with (sim desc, id asc) ties") {
     val cents = vecs.take(7).map { case (id, v) => (id, v: Seq[Double]) }
     val got = emb
