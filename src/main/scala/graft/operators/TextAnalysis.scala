@@ -1330,6 +1330,43 @@ object TextAnalysis {
     }.toDF("rank", "token", "freq", "rf", "rf_norm")
   }
 
+  /** Vocabulary-frequency profile — the corpus-growth health check next
+    * to [[zipfProfile]]'s head view: total tokens, vocabulary size
+    * (types), hapax/dis legomena counts (words seen once/twice — a
+    * healthy natural corpus keeps hapax/vocab near ~0.5; far below
+    * signals template spam, far above signals OCR noise or tokenizer
+    * breakage), and type-token ratio, all per language bucket. Ratios
+    * publish at the exact micro grain.
+    *
+    * Scale: one tokenize+explode scan, one (lang, word) partial-agg
+    * shuffle (open vocabulary — shuffled, never broadcast), then a
+    * lang-keyed rollup over the frequency histogram.
+    */
+  def hapaxProfile(docs: DataFrame): DataFrame =
+    hapaxFromFreq(docs
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("f")))
+
+  /** The profile finalization over a (lang, w, f) frequency grid — the
+    * single definition ta_hapax and st_hapax share (the stream folds
+    * the open-vocabulary counts, the st_chi2 precedent; this finalize
+    * is vocabulary-sized).
+    */
+  def hapaxFromFreq(freq: DataFrame): DataFrame = {
+    freq.groupBy("lang")
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        expr("CAST((hapax * 1000000) div vocab AS BIGINT)")
+          .as("hapax_ratio_micro"),
+        expr("CAST((vocab * 1000000) div n_tokens AS BIGINT)")
+          .as("ttr_micro"))
+      .orderBy("lang")
+  }
+
   /** Hashed term-frequency features (the HashingTF / feature-hashing
     * vectorizer of Weinberger et al.): each term maps to one of `nBuckets`
     * buckets by portable hash, and each document becomes its sparse
@@ -1667,6 +1704,8 @@ object TextAnalysis {
       collocations(Tables.load(s, d, "documents"))),
     "ta_zipf" -> ((s, d) =>
       zipfProfile(Tables.load(s, d, "documents")).orderBy("rank")),
+    "ta_hapax" -> ((s, d) =>
+      hapaxProfile(Tables.load(s, d, "documents"))),
     "ta_burstiness" -> ((s, d) =>
       burstiness(Tables.load(s, d, "documents"))),
     "ta_rank_normalize" -> ((s, d) =>
@@ -2181,6 +2220,23 @@ object TextAnalysis {
         |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
     // ta_chi2: HUGEINT mirrors DECIMAL(38,0); one integral division of
     // exact positive operands (numerator is a square times positives)
+    // ta_hapax: one (lang, word) frequency table, exact micro ratios
+    "ta_hapax" ->
+      """WITH f AS (
+        |  SELECT lang, w, count(*) AS f FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^\p{L}]+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hapax,
+        |  CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        |  CAST((sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1000000)
+        |       // count(*) AS BIGINT) AS hapax_ratio_micro,
+        |  CAST((count(*) * 1000000) // sum(f) AS BIGINT) AS ttr_micro
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "ta_chi2" ->
       """WITH present AS (
         |  SELECT DISTINCT doc_id, lang, unnest(list_filter(

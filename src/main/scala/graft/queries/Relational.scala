@@ -204,6 +204,8 @@ object Relational {
     "q169_hopplot" -> q169,
     "q170_kmv_setops" -> q170,
     "q171_hilbert" -> q171,
+    "q172_isotonic" -> q172,
+    "q173_ab_test" -> q173,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -6317,6 +6319,122 @@ object Relational {
       .orderBy("hbucket")
   }
 
+  /** Isotonic (monotone) calibration fit by the minimax closed form —
+    * the PAV (pool-adjacent-violators) result computed declaratively:
+    * over q167's 10-bucket reliability grid, the isotonic fit at bucket
+    * i is max_{j≤i} min_{k≥i} rate(j..k) (Barlow et al. 1972: the
+    * greatest convex minorant's segment-average form, which equals
+    * PAV's merged pools) — the standard monotone recalibration a score
+    * gets before thresholding. Rates compare at the micro grain
+    * (integral division first, then min/max over exact ints), so both
+    * engines walk identical comparisons — the documented quantization
+    * of the fit.
+    *
+    * Scale: the grid is 10 rows by construction (plan-visible limit),
+    * so the j≤i≤k triple cross is ≤10³ rows of driver-free arithmetic;
+    * the corpus is touched once by the same scan q167 runs.
+    */
+  private def q172(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    isotonicFromScored(ev)
+  }
+
+  /** The minimax isotonic fit over a (cents, pos) scored frame —
+    * factored for the spec's planted-violation grid.
+    */
+  private[graft] def isotonicFromScored(ev: DataFrame): DataFrame =
+    isotonicFromCounts(ev.groupBy("cents")
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives")))
+
+  /** The minimax fit over a (cents, n, positives) counts grid — the
+    * same grid a stream folds (st_calibration's discipline), so
+    * st_isotonic shares this code and q172's oracle verbatim.
+    */
+  private[graft] def isotonicFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val bounds = graft.tools.Scalar.scalarRow(
+      counts.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi")))
+    // the corpus reduces to the ≤10-bucket grid ONCE; the grid collects
+    // (parameter-bounded, the codebook convention) and re-injects as a
+    // literal local relation, so the triple cross below is PLAN-PROVABLY
+    // ≤10³ (a localCheckpoint here would truncate lineage and make the
+    // cross indistinguishable from an unbounded cartesian — the same
+    // trap tools.Scalar.scalarRow solves for 1-row aggregates)
+    val g = counts.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr("((cents - lo) * 10) div (hi - lo + 1)"))
+      .groupBy("bucket")
+      .agg(sum(col("n")).as("n"), sum(col("positives")).as("positives"))
+      .limit(10)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("bucket", "n", "positives")
+    val segs = g.select(col("bucket").as("jb"))
+      .crossJoin(g.select(col("bucket").as("kb")))
+      .filter(col("jb") <= col("kb"))
+      .join(g.select(col("bucket").as("mb"), col("n"), col("positives")),
+        col("jb") <= col("mb") && col("mb") <= col("kb"))
+      .groupBy("jb", "kb")
+      .agg(expr("CAST((sum(positives) * 1000000) div sum(n) AS BIGINT)")
+        .as("f_micro"))
+    val iso = segs
+      .join(g.select(col("bucket").as("ib")),
+        col("jb") <= col("ib") && col("ib") <= col("kb"))
+      .groupBy("ib", "jb")
+      .agg(min(col("f_micro")).as("mn"))
+      .groupBy("ib")
+      .agg(max(col("mn")).as("iso_micro"))
+    g.join(iso, col("bucket") === col("ib"))
+      .select(col("bucket"), col("n"), col("positives"),
+        expr("CAST((positives * 1000000) div n AS BIGINT)").as("obs_micro"),
+        col("iso_micro"))
+      .withColumn("pooled",
+        (col("iso_micro") =!=
+          expr("CAST((positives * 1000000) div n AS BIGINT)")).cast("int"))
+      .orderBy("bucket")
+  }
+
+  /** Two-proportion z-test between CONSECUTIVE WEEKS' purchase rates —
+    * the A/B-shaped significance readout every eval dashboard needs:
+    * did conversion actually move, or is the delta noise? Pooled
+    * z = (p1 − p2) / sqrt(p̂(1−p̂)(1/n1 + 1/n2)); q165's IEEE
+    * discipline (exact count operands, one pinned expression tree —
+    * correctly-rounded ops make identical trees bit-identical), and the
+    * significance flag is an exact comparison on that deterministic
+    * double. Adjacent weeks pair by a self-join on week_start + 7 days
+    * — no window, no global sort.
+    */
+  private def q173(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+        .as("week"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"),
+        count(lit(1)).as("n"))
+    val a = wk.select(col("week").as("w1"), col("x").as("x1"),
+      col("n").as("n1"))
+    val b = wk.select(col("week").as("w2"), col("x").as("x2"),
+      col("n").as("n2"))
+    val paired = a.join(b,
+      expr("CAST(w2 AS DATE) = CAST(w1 AS DATE) + INTERVAL 7 DAY"))
+    val p1 = col("x1").cast("double") / col("n1").cast("double")
+    val p2 = col("x2").cast("double") / col("n2").cast("double")
+    val pp = (col("x1") + col("x2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val z = (p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n1").cast("double")
+          + lit(1.0) / col("n2").cast("double")))
+    paired.select(col("w1"), col("w2"), col("x1"), col("n1"),
+      col("x2"), col("n2"), z.as("z"),
+      (abs(z) > 1.96).cast("int").as("significant"))
+      .orderBy("w1")
+  }
+
   /** The matrix-profile finalization over a per-(event_type, day) cents
     * rollup — st_matrix_profile's batch-side half: the stream folds the
     * corpus-sized reduction (events → daily cents, watermarked day
@@ -7930,6 +8048,70 @@ object Relational {
          | CAST(min(d) AS BIGINT) AS hmin, CAST(max(d) AS BIGINT) AS hmax
          |FROM h8 GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // q172: the same micro-quantized minimax — segment rates floored to
+    // micro FIRST, then min/max over exact ints (identical comparisons
+    // in both engines); j≤i≤k triple cross over the 10-row grid
+    "q172_isotonic" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM ev),
+        |g AS (
+        |  SELECT ((cents - lo) * 10) // (hi - lo + 1) AS bucket,
+        |    count(*) AS n, sum(pos) AS positives
+        |  FROM ev, b GROUP BY 1),
+        |segs AS (
+        |  SELECT j.bucket AS jb, k.bucket AS kb,
+        |    CAST((sum(m.positives) * 1000000) // sum(m.n) AS BIGINT)
+        |      AS f_micro
+        |  FROM g j, g k, g m
+        |  WHERE j.bucket <= k.bucket
+        |    AND m.bucket BETWEEN j.bucket AND k.bucket
+        |  GROUP BY 1, 2),
+        |mn AS (
+        |  SELECT i.bucket AS ib, s.jb, min(s.f_micro) AS mn
+        |  FROM segs s JOIN g i
+        |    ON s.jb <= i.bucket AND i.bucket <= s.kb
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT ib, max(mn) AS iso_micro FROM mn GROUP BY 1)
+        |SELECT g.bucket, n, CAST(positives AS BIGINT) AS positives,
+        |  CAST((positives * 1000000) // n AS BIGINT) AS obs_micro,
+        |  iso_micro,
+        |  CAST(iso_micro <> CAST((positives * 1000000) // n AS BIGINT)
+        |       AS INTEGER) AS pooled
+        |FROM g JOIN iso ON iso.ib = g.bucket
+        |ORDER BY g.bucket""".stripMargin,
+    // q173: q165's pinned-IEEE-tree discipline — identical
+    // parenthesization, exact count operands, one sqrt
+    "q173_ab_test" ->
+      """WITH wk AS (
+        |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS x,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT a.week AS w1, b.week AS w2,
+        |  CAST(a.x AS BIGINT) AS x1, a.n AS n1,
+        |  CAST(b.x AS BIGINT) AS x2, b.n AS n2,
+        |  (CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |   - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |  / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+        |      * (1.0 - CAST(a.x + b.x AS DOUBLE)
+        |          / CAST(a.n + b.n AS DOUBLE))
+        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
+        |    AS z,
+        |  CAST(abs((CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |   - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |  / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+        |      * (1.0 - CAST(a.x + b.x AS DOUBLE)
+        |          / CAST(a.n + b.n AS DOUBLE))
+        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))))
+        |    > 1.96 AS INTEGER) AS significant
+        |FROM wk a JOIN wk b
+        |  ON CAST(b.week AS DATE) = CAST(a.week AS DATE) + INTERVAL 7 DAY
+        |ORDER BY a.week""".stripMargin,
     // q159: exact signed numerator/denominator (HUGEINT ≡ DECIMAL(38,0)),
     // ONE IEEE division — no integral division of a signed value (the
     // engines disagree on negative truncation)

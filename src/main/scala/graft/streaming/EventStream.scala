@@ -739,6 +739,24 @@ object EventStream {
       graft.queries.Relational.calibrationFromCounts(
         s.table("st_calibration_sink").localCheckpoint(true))
     }),
+    // Streaming isotonic recalibration: the same cents grid as
+    // st_calibration folds in-stream; the minimax PAV fit finalizes
+    // sink-side through the shared isotonicFromCounts — the live
+    // monotone-recalibration curve. Shares q172's oracle VERBATIM.
+    "st_isotonic" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .select(
+            expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+              .as("cents"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("pos"))
+          .groupBy("cents")
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("positives")),
+        "st_isotonic_sink", OutputMode.Complete)
+      graft.queries.Relational.isotonicFromCounts(
+        s.table("st_isotonic_sink").localCheckpoint(true))
+    }),
     "st_benford" -> ((s, d) => {
       runToMemory(
         readEvents(s, d)
@@ -836,6 +854,22 @@ object EventStream {
     // heap finalize over the vocabulary-sized sink. Shares q140's
     // oracle verbatim — the native operator proven again behind a
     // streaming fold.
+    // Streaming vocabulary-health profile: the (lang, word) frequency
+    // grid folds in-stream (open-vocabulary Complete-mode state, the
+    // st_chi2 precedent) and the hapax/TTR profile finalizes sink-side
+    // through the shared hapaxFromFreq — the live "is this crawl's
+    // vocabulary degrading" monitor. Shares ta_hapax's oracle VERBATIM.
+    "st_hapax" -> ((s, d) => {
+      runToMemory(
+        readDocuments(s, d)
+          .select(col("lang"), explode(graft.operators.TextAnalysis
+            .tokens(lower(col("text")))).as("w"))
+          .groupBy("lang", "w")
+          .agg(count(lit(1)).as("f")),
+        "st_hapax_sink", OutputMode.Complete)
+      graft.operators.TextAnalysis.hapaxFromFreq(
+        s.table("st_hapax_sink").localCheckpoint(true))
+    }),
     "st_prefix_topk" -> ((s, d) => {
       runToMemory(
         readDocuments(s, d)
@@ -1443,6 +1477,9 @@ object EventStream {
     // st_calibration: the stream's cents grid finalizes to the identical
     // bucket table (grid-side soff is exact) — q167's oracle verbatim
     "st_calibration" -> graft.queries.Relational.oracle("q167_calibration"),
+    // st_isotonic: the stream's cents grid finalizes to the identical
+    // minimax fit — q172's oracle verbatim
+    "st_isotonic" -> graft.queries.Relational.oracle("q172_isotonic"),
     // st_benford: q101's digit-histogram finalization over event VALUE
     // cents (zero-cent rows carry no leading nonzero digit — filtered);
     // expectations are string-quoted literal doubles, q101's convention
@@ -1500,6 +1537,9 @@ object EventStream {
     // st_chi2 folds ta_chi2's two count grids in-stream and shares its
     // finalizer — same oracle verbatim
     "st_chi2" -> graft.operators.TextAnalysis.oracle("ta_chi2"),
+    // st_hapax: the stream folds the same (lang, word) grid the batch
+    // query aggregates — identical final table, oracle verbatim
+    "st_hapax" -> graft.operators.TextAnalysis.oracle("ta_hapax"),
     // st_phonetic folds dd_phonetic's vocabulary in-stream and shares its
     // oracle verbatim — stream-folded ≡ batch-rolled to any consumer
     "st_phonetic" -> graft.operators.Dedup.oracle("dd_phonetic"),

@@ -2266,6 +2266,65 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(t.getDouble(8) == 3.0 * 1152921504606846976L.toDouble / 4.0)
   }
 
+  test("isotonic minimax == hand-run PAV on a planted violation; " +
+      "monotone output; already-monotone input passes through") {
+    // 4 occupied buckets with rates [0.2, 0.5, 0.3, 0.8] (10 rows each;
+    // cents 0..3 span -> buckets 0,2,5,7). PAV pools the 0.5/0.3
+    // violator to 8/20 = 0.4: iso = [0.2, 0.4, 0.4, 0.8]. The minimax
+    // values were hand-verified cell by cell (e.g. bucket 2:
+    // max(min(350000,333333,450000), min(500000,400000,533333))
+    // = max(333333, 400000) = 400000).
+    val rates = Seq(0L -> 2, 1L -> 5, 2L -> 3, 3L -> 8)
+    val ev = rates.flatMap { case (c, p) =>
+      (0 until 10).map(i => (c, if (i < p) 1L else 0L))
+    }.toDF("cents", "pos")
+    val got = Relational.isotonicFromScored(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getInt(5))).toMap
+    assert(got === Map(
+      0L -> (200000L, 0), 2L -> (400000L, 1),
+      5L -> (400000L, 1), 7L -> (800000L, 0)))
+    // monotone input is a fixpoint: iso == obs everywhere
+    val mono = Seq(0L -> 1, 1L -> 4, 2L -> 6, 3L -> 9).flatMap {
+      case (c, p) => (0 until 10).map(i => (c, if (i < p) 1L else 0L))
+    }.toDF("cents", "pos")
+    val m = Relational.isotonicFromScored(mono).collect()
+    assert(m.forall(r => r.getLong(3) == r.getLong(4) && r.getInt(5) == 0))
+    // output is always non-decreasing in bucket order
+    val isoSeq = Relational.isotonicFromScored(ev)
+      .orderBy("bucket").collect().map(_.getLong(4)).toSeq
+    assert(isoSeq == isoSeq.sorted)
+  }
+
+  test("ab z-test: differential vs a scalar replay; equal rates give " +
+      "z = 0 and no significance") {
+    val wk = Relational.defs("q173_ab_test")(spark, TestSpark.sf0001)
+      .collect()
+    assert(wk.nonEmpty)
+    def zOf(x1: Long, n1: Long, x2: Long, n2: Long): Double = {
+      val p1 = x1.toDouble / n1.toDouble
+      val p2 = x2.toDouble / n2.toDouble
+      val pp = (x1 + x2).toDouble / (n1 + n2).toDouble
+      (p1 - p2) / math.sqrt(pp * (1.0 - pp) *
+        (1.0 / n1.toDouble + 1.0 / n2.toDouble))
+    }
+    wk.foreach { r =>
+      val want = zOf(r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+      assert(r.getDouble(6) == want)
+      assert(r.getInt(7) == (if (math.abs(want) > 1.96) 1 else 0))
+    }
+  }
+
+  test("hapax profile: hand-counted vocabulary on a planted corpus") {
+    // 'a' appears 3x, 'bb' 2x, 'cc' 1x, 'dd' 1x -> tokens 7, vocab 4,
+    // hapax 2, dis 1; ratios 2e6 div 4 and 4e6 div 7
+    val docs = Seq((1L, "a bb a", "en"), (2L, "a bb cc dd", "en"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.operators.TextAnalysis.hapaxProfile(docs).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((7L, 4L, 2L, 1L, 500000L, 571428L)))
+  }
+
   test("katz centrality: hand-counted walks on a planted path graph") {
     // path 0-1-2 undirected. Walk counts from the all-ones start:
     // w1 = [1,2,1], w2 = [2,2,2], w3 = [2,4,2], w4 = [4,4,4];
