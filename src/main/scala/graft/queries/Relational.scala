@@ -206,6 +206,7 @@ object Relational {
     "q171_hilbert" -> q171,
     "q172_isotonic" -> q172,
     "q173_ab_test" -> q173,
+    "q174_ktruss" -> q174,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5822,6 +5823,83 @@ object Relational {
       .limit(100)
   }
 
+  /** 4-truss decomposition of the co-purchase graph — the EDGE-grain
+    * cohesion member beside q112's node-grain k-core: an edge survives
+    * the k-truss iff it closes ≥ k−2 triangles among surviving edges
+    * (Cohen 2008), the standard "strong tie" filter that k-core can't
+    * express (a high-degree node's edges die here unless they sit in
+    * triangles). Peeling only REMOVES edges over a fixed edge set, so
+    * an unchanged edge count is a PROVED fixpoint (the q112/q107 exit
+    * discipline) — the loop stops when provably done, and the oracle's
+    * fixed 6 unrolled rounds are the identity past it. Support is
+    * recomputed WITHIN the surviving subgraph each round (that
+    * recursive containment is what makes a truss different from a
+    * one-shot triangle-count filter).
+    *
+    * Scale: per round one wedge join keyed on the shared endpoint plus
+    * an (a,b) partial agg — the q54/q157 triangle envelope — with the
+    * edge frame localCheckpointed per round; the co-purchase projection
+    * reuses q157's part-degree cap (2..40) so per-part fan-out is
+    * parameter-bounded.
+    */
+  private def q174(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .distinct()
+    val pdeg = buyers.groupBy("part").agg(count(lit(1)).as("pdeg"))
+    val capped = buyers
+      .join(broadcast(pdeg.filter(col("pdeg").between(2, 40))), "part")
+    // STRONG ties only: a pair must co-purchase >= 4 distinct parts —
+    // the truss question is about cohesive cores, and the weight floor
+    // keeps both the graph and the oracle's unrolled wedge joins sparse
+    val edges = capped.as("x")
+      .join(capped.as("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("a"), col("y.cust").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 4)
+      .select("a", "b")
+    trussFromEdges(edges)
+  }
+
+  /** The truss peel over any canonical (a < b) undirected edge list —
+    * factored so the spec can drive a planted K4-plus-pendant-triangle
+    * graph with hand-computed survivors.
+    */
+  private[graft] def trussFromEdges(rawEdges: DataFrame, k: Int = 4,
+      maxRounds: Int = 6): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val d = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      e.join(d.select(col("src").as("xa"), col("dst").as("w1")),
+          col("a") === col("xa"))
+        .join(d.select(col("src").as("xb"), col("dst").as("w2")),
+          col("b") === col("xb") && col("w1") === col("w2"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+    }
+    var e = rawEdges.localCheckpoint(true)
+    var n = e.count()
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed && n > 0) {
+      e = e.join(support(e), Seq("a", "b"))
+        .filter(col("supp") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n2 = e.count()
+      changed = n2 != n // peeling only removes: equal count == fixpoint
+      n = n2
+      round += 1
+    }
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("supp"), lit(0L)).as("supp"))
+      .orderBy("a", "b")
+  }
+
   /** Exact ROC AUC, one-vs-rest per event class — the classifier-eval
     * staple of a training-data pipeline (which curation score actually
     * separates the classes?), here scoring `value` cents against each
@@ -8171,6 +8249,45 @@ object Relational {
     // q157: the oracle replays the capped pair generation, the
     // (deg, id) orientation, and the wedge+closer triangle join —
     // exact integers end to end, HUGEINT mirroring DECIMAL(38,0)
+    // q174: q157's co-purchase chain, then 6 unrolled peel rounds (the
+    // fixpoint's identity past convergence) — support recomputed within
+    // each round's survivors, inner-join filter (no-triangle edges have
+    // no support row and need supp >= 2 anyway)
+    "q174_ktruss" -> {
+      def round(r: Int): String =
+        s"""d${r - 1} AS MATERIALIZED (SELECT a AS src, b AS dst FROM e${r - 1}
+           |     UNION ALL SELECT b AS src, a AS dst FROM e${r - 1}),
+           |s$r AS MATERIALIZED (SELECT e.a, e.b, count(*) AS supp
+           |        FROM e${r - 1} e
+           |        JOIN d${r - 1} x ON x.src = e.a
+           |        JOIN d${r - 1} y ON y.src = e.b AND y.dst = x.dst
+           |        GROUP BY 1, 2),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |        JOIN s$r s ON s.a = e.a AND s.b = e.b
+           |        WHERE s.supp >= 2)""".stripMargin
+      s"""WITH buyers AS (
+         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |pd AS (SELECT part, count(*) AS pdeg FROM buyers GROUP BY 1),
+         |capped AS (SELECT b.part, b.cust FROM buyers b JOIN pd USING (part)
+         |           WHERE pdeg BETWEEN 2 AND 40),
+         |e0 AS MATERIALIZED (
+         |  SELECT x.cust AS a, y.cust AS b
+         |  FROM capped x JOIN capped y
+         |    ON x.part = y.part AND x.cust < y.cust
+         |  GROUP BY 1, 2 HAVING count(*) >= 4),
+         |${(1 to 6).map(round).mkString(",\n")},
+         |d6 AS (SELECT a AS src, b AS dst FROM e6
+         |       UNION ALL SELECT b AS src, a AS dst FROM e6),
+         |sf AS (SELECT e.a, e.b, count(*) AS supp
+         |       FROM e6 e
+         |       JOIN d6 x ON x.src = e.a
+         |       JOIN d6 y ON y.src = e.b AND y.dst = x.dst
+         |       GROUP BY 1, 2)
+         |SELECT e.a, e.b, coalesce(s.supp, 0) AS supp
+         |FROM e6 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
     "q157_clustering" ->
       """WITH buyers AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust

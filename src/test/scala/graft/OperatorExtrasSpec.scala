@@ -2325,6 +2325,23 @@ class OperatorExtrasSpec extends AnyFunSuite {
       r.getLong(5), r.getLong(6)) === ((7L, 4L, 2L, 1L, 500000L, 571428L)))
   }
 
+  test("k-truss: K4 plus a pendant triangle — the triangle peels, " +
+      "K4 survives with support 2; a pure triangle dies entirely") {
+    // K4 on {0,1,2,3}: every edge in 2 triangles -> survives 4-truss.
+    // Pendant triangle {3,4,5}: its edges have support 1 -> peeled in
+    // round 1 (and their removal doesn't touch K4's supports).
+    val k4 = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    val tri = Seq((3L, 4L), (3L, 5L), (4L, 5L))
+    val edges = (k4 ++ tri).toDF("a", "b")
+    val got = Relational.trussFromEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === k4.toSet)
+    assert(got.values.forall(_ == 2L))
+    // a lone triangle has no 4-truss at all (supports are 1 everywhere)
+    val lone = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a", "b")
+    assert(Relational.trussFromEdges(lone).collect().isEmpty)
+  }
+
   test("katz centrality: hand-counted walks on a planted path graph") {
     // path 0-1-2 undirected. Walk counts from the all-ones start:
     // w1 = [1,2,1], w2 = [2,2,2], w3 = [2,4,2], w4 = [4,4,4];
