@@ -239,6 +239,120 @@ object Similarity {
       .orderBy("query_id", "sel_rank")
   }
 
+  /** Mutual-nearest-neighbor pair mining between two embedding sets —
+    * the alignment-mining operator behind bitext mining and image–text
+    * pair construction (Artetxe & Schwenk 2019): emit (a, b) iff b is
+    * a's top-1 in B AND a is b's top-1 in A. Mutuality is the cheap
+    * high-precision filter (a one-directional top-1 pairs everything,
+    * including garbage); the published runner-up scores (`a_second`,
+    * `b_second`) are the margin signal — consumers threshold
+    * best/second-best however they like without this operator baking in
+    * a ratio (and without any division beyond exactScos2's single one).
+    *
+    * Determinism: all ranking is [[Embeddings.exactScos2]] over exact
+    * int8-code integers (ties to the smaller id), so best/second values
+    * are bit-identical in both engines.
+    *
+    * Scale: THIS form scores A×B exactly — the documented exact
+    * baseline, parameter-bounded in the gated query (≤500×500 int8
+    * pairs). The 100 TB path is the same mutual-top-1 over IVF-cell-
+    * restricted candidates ([[ivfTopK]]'s cell join) or banded SRP
+    * buckets ([[lshTopK]]), both already built: mutuality composes with
+    * any candidate generator. Rank windows partition by a_id / b_id —
+    * per-partition size is the OTHER side's candidate count, a
+    * parameter, not the corpus.
+    */
+  def mnnPairs(a: DataFrame, b: DataFrame): DataFrame = {
+    val qa = quantized(a, "a_id")
+    val qb = quantized(b, "b_id")
+    val scored = qa.select(col("a_id"), col("q").as("qa"))
+      .crossJoin(broadcast(qb.select(col("b_id"), col("q").as("qb"))))
+      .withColumn("dot", vecDot(col("qa"), col("qb")).cast("long"))
+      .withColumn("na", vecDot(col("qa"), col("qa")).cast("long"))
+      .withColumn("nb", vecDot(col("qb"), col("qb")).cast("long"))
+      .withColumn("scos2",
+        Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
+      .select("a_id", "b_id", "dot", "na", "nb", "scos2")
+    val wA = Window.partitionBy("a_id")
+      .orderBy(col("scos2").desc, col("b_id"))
+    val wB = Window.partitionBy("b_id")
+      .orderBy(col("scos2").desc, col("a_id"))
+    scored
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("a_second", lead(col("scos2"), 1).over(wA))
+      .withColumn("rb", row_number().over(wB))
+      .withColumn("b_second", lead(col("scos2"), 1).over(wB))
+      .filter(col("ra") === 1 && col("rb") === 1)
+      .select(col("a_id"), col("b_id"), col("dot"), col("na"), col("nb"),
+        col("scos2"), col("a_second"), col("b_second"))
+      .orderBy("a_id")
+  }
+
+  /** Triplet hard-negative mining over a labeled embedding corpus — the
+    * metric-learning data op (FaceNet / SBERT training batches): per
+    * anchor, the hardest positive is its top-1 SAME-label neighbor and
+    * the hardest negative its top-1 DIFFERENT-label neighbor, both by
+    * [[Embeddings.exactScos2]] over exact int8 codes (ties to the
+    * smaller id). `violation` = the negative scores at least as high as
+    * the positive (a zero-margin triplet-loss violation — exactly the
+    * triplets worth training on). Anchors lacking any same-label or
+    * any different-label peer drop out (inner joins, mirrored in the
+    * oracle).
+    *
+    * Scale: anchors are a parameter-bounded broadcast sample (the
+    * bruteForceTopK envelope — one pass over the candidate corpus, no
+    * candidate shuffle); rank windows partition by anchor. A full-
+    * corpus mining run swaps the anchor sample for IVF-cell-bucketed
+    * candidates, same as [[mnnPairs]].
+    */
+  def hardNegatives(emb: DataFrame, nAnchors: Int = 40): DataFrame = {
+    // labels ride THROUGH the quantization (no join back — a join would
+    // both add a shuffle and hide the anchor side's row bound from the
+    // plan); the limit never binds (dense ids ⇒ ≤ nAnchors rows) but
+    // proves that bound in-plan (the ann_bruteforce convention)
+    def quantizedLabeled(df: DataFrame, idAs: String,
+        labelAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("label").as(labelAs),
+          asDouble(col("embedding")).as("v"))
+        .withColumn("m", array_max(transform(col("v"), x => abs(x))))
+        .filter(col("m") > 0.0)
+        .select(col(idAs), col(labelAs),
+          transform(col("v"), x => Embeddings.int8Code(x, col("m")))
+            .as("q"))
+    val anchors = quantizedLabeled(
+      emb.filter(col("vec_id") < nAnchors).limit(nAnchors),
+      "anchor_id", "a_label")
+    val cands = quantizedLabeled(emb, "cand_id", "c_label")
+    val scored = broadcast(anchors
+        .select(col("anchor_id"), col("a_label"), col("q").as("qa")))
+      .join(cands.select(col("cand_id"), col("c_label"),
+          col("q").as("qc")),
+        col("anchor_id") =!= col("cand_id"))
+      .withColumn("dot", vecDot(col("qa"), col("qc")).cast("long"))
+      .withColumn("na", vecDot(col("qa"), col("qa")).cast("long"))
+      .withColumn("nb", vecDot(col("qc"), col("qc")).cast("long"))
+      .withColumn("scos2",
+        Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
+      .select("anchor_id", "a_label", "cand_id", "c_label", "scos2")
+    val wAnchor = Window.partitionBy("anchor_id")
+      .orderBy(col("scos2").desc, col("cand_id"))
+    val pos = scored.filter(col("c_label") === col("a_label"))
+      .withColumn("rn", row_number().over(wAnchor))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("cand_id").as("pos_id"), col("scos2").as("pos_scos2"))
+    val neg = scored.filter(col("c_label") =!= col("a_label"))
+      .withColumn("rn", row_number().over(wAnchor))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id").as("n_anchor"),
+        col("cand_id").as("neg_id"), col("scos2").as("neg_scos2"))
+    pos.join(neg, col("anchor_id") === col("n_anchor"))
+      .select(col("anchor_id"), col("label"), col("pos_id"),
+        col("pos_scos2"), col("neg_id"), col("neg_scos2"),
+        (col("neg_scos2") >= col("pos_scos2")).cast("int").as("violation"))
+      .orderBy("anchor_id")
+  }
+
   /** In-row nearest-centroid assignment: [[graft.functions.TopCentroids]],
     * a native codegen'd expression holding the k × dim centroid matrix as
     * ONE reference object. Round 5 expressed the same semantics as k
@@ -566,6 +680,23 @@ object Similarity {
     }),
     "ann_mmr" -> ((s, d) =>
       mmrTopK(Tables.load(s, d, "embeddings"))),
+    // even vec_ids play modality A, odd play modality B — a synthetic
+    // split (the corpus has one embedding space); the operator itself is
+    // the real surface, and the A×B demo is parameter-bounded to
+    // ≤500×500 int8 pairs
+    "ann_mnn" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      // limit(500) never binds (dense ids: < 1000 ∧ parity ⇒ ≤ 500 rows)
+      // but makes the broadcast side's bound PLAN-PROVED (GlobalLimit) —
+      // the ann_bruteforce convention the roster audit keys on
+      mnnPairs(
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 1000)
+          .limit(500),
+        e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 1000)
+          .limit(500))
+    }),
+    "ann_hard_negatives" -> ((s, d) =>
+      hardNegatives(Tables.load(s, d, "embeddings"))),
     // Recall@5 of every approximate index vs the exact brute force —
     // the quality claim the DedupSpec recall floors assert, made
     // DRIVER-VISIBLE and hash-gated: all five methods are
@@ -696,6 +827,62 @@ object Similarity {
          |    AS rrf
          |FROM lex FULL JOIN sem USING (id)
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // ann_mnn: the identical A×B exact-scos2 grid, both-direction rank-1
+    // with lead() runner-ups, ties to the smaller id
+    "ann_mnn" ->
+      s"""WITH $QQ,
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+         |    CAST(list_dot_product(a.q, a.q) AS BIGINT) AS na,
+         |    CAST(list_dot_product(b.q, b.q) AS BIGINT) AS nb
+         |  FROM qq a JOIN qq b
+         |    ON a.vec_id % 2 = 0 AND a.vec_id < 1000
+         |    AND b.vec_id % 2 = 1 AND b.vec_id < 1000),
+         |sc AS (SELECT *, $SCOS2 AS scos2 FROM pairs),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY a_id
+         |      ORDER BY scos2 DESC, b_id) AS ra,
+         |    lead(scos2) OVER (PARTITION BY a_id
+         |      ORDER BY scos2 DESC, b_id) AS a_second,
+         |    row_number() OVER (PARTITION BY b_id
+         |      ORDER BY scos2 DESC, a_id) AS rb,
+         |    lead(scos2) OVER (PARTITION BY b_id
+         |      ORDER BY scos2 DESC, a_id) AS b_second
+         |  FROM sc)
+         |SELECT a_id, b_id, dot, na, nb, scos2, a_second, b_second
+         |FROM r WHERE ra = 1 AND rb = 1 ORDER BY a_id""".stripMargin,
+    // ann_hard_negatives: same anchor×corpus exact-scos2 scoring, rank-1
+    // within same-label / different-label strata, zero-margin violation
+    "ann_hard_negatives" ->
+      s"""WITH $QQ,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sc AS (
+         |  SELECT p.vec_id AS anchor_id, la.label AS a_label,
+         |    p.cid AS cand_id, lc.label AS c_label,
+         |    $SCOS2 AS scos2
+         |  FROM (SELECT a.vec_id, c.vec_id AS cid,
+         |          CAST(list_dot_product(a.q, c.q) AS BIGINT) AS dot,
+         |          CAST(list_dot_product(a.q, a.q) AS BIGINT) AS na,
+         |          CAST(list_dot_product(c.q, c.q) AS BIGINT) AS nb
+         |        FROM qq a JOIN qq c
+         |          ON a.vec_id < 40 AND c.vec_id <> a.vec_id) p
+         |  JOIN lab la ON la.vec_id = p.vec_id
+         |  JOIN lab lc ON lc.vec_id = p.cid),
+         |pos AS (SELECT anchor_id, a_label AS label, cand_id AS pos_id,
+         |    scos2 AS pos_scos2
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY scos2 DESC, cand_id) AS rn
+         |        FROM sc WHERE c_label = a_label) WHERE rn = 1),
+         |neg AS (SELECT anchor_id, cand_id AS neg_id, scos2 AS neg_scos2
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY scos2 DESC, cand_id) AS rn
+         |        FROM sc WHERE c_label <> a_label) WHERE rn = 1)
+         |SELECT pos.anchor_id, pos.label, pos.pos_id, pos.pos_scos2,
+         |  neg.neg_id, neg.neg_scos2,
+         |  CAST(neg.neg_scos2 >= pos.pos_scos2 AS INTEGER) AS violation
+         |FROM pos JOIN neg ON neg.anchor_id = pos.anchor_id
+         |ORDER BY pos.anchor_id""".stripMargin,
     "ann_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -527,6 +527,67 @@ object TextAnalysis {
           .cast("int").as("keep"))
   }
 
+  /** CCNet-style perplexity buckets — the head/middle/tail split the
+    * CCNet/RedPajama curation pipeline makes per LANGUAGE before keeping
+    * the head (Wenzek et al. 2020): docs are scored by the corpus-LM
+    * rare-bigram fraction ([[lmScores]]'s perplexity proxy, quantized to
+    * exact micro units), and each language's score distribution is cut
+    * at its ⅓ and ⅔ cumulative-mass points. Published per doc: the
+    * score, the bucket name, and keep = bucket ≠ tail.
+    *
+    * Determinism: rare_micro = (n_rare·10⁶) div n_bigrams is ONE
+    * integral division of exact positive integers; bucket assignment is
+    * pure integer arithmetic on the histogram (3·below vs 1·tot / 2·tot
+    * cross-multiplication — no division at all), and equal scores land
+    * in the same bucket by construction, so no tie-break is ever needed.
+    *
+    * Scale: this is the CUTOFF-TABLE design, not a per-doc rank — the
+    * corpus-sized work is one tokenize+explode, the no-fan-out model
+    * join (each (doc, bigram) row matches ONE model row), and a per-doc
+    * partial agg; the cumulative window then runs over the per-language
+    * HISTOGRAM of quantized scores (≤ 10⁶+1 grid values by
+    * construction, in practice ≤ distinct (rare, n) floor values — a
+    * value-grid bound, not a corpus bound), and docs get their bucket
+    * back through a key-partitioned join on (lang, rare_micro). A
+    * per-doc ntile/rank window per language would serialize each
+    * language through one reducer at 100 TB; the histogram form is why
+    * CCNet itself computes cutoffs first.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dbg = docs.withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1)))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+    val model = dbg.groupBy("bg").agg(sum(col("k")).as("c"))
+    val per = dbg.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(when(col("c") === 1, col("k")).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(n_rare * 1000000) div n_bigrams").as("rare_micro"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val wCum = Window.partitionBy("lang").orderBy("rare_micro")
+    val grid = per.groupBy("lang", "rare_micro")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("below", sum(col("cnt")).over(wCum) - col("cnt"))
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy("lang")))
+      .select(col("lang").as("glang"), col("rare_micro").as("gmicro"),
+        when(col("below") * 3 >= col("tot") * 2, lit("tail"))
+          .when(col("below") * 3 >= col("tot"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+    per.join(grid, col("lang") === col("glang")
+        && col("rare_micro") === col("gmicro"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("rare_micro"), col("bucket"),
+        (col("bucket") =!= "tail").cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram counts — the one corpus-sized reduction under the
     * Kneser–Ney model, factored so st_kneser_ney can FOLD exactly this
     * aggregate in-stream (explode is stateless; the state is the bigram
@@ -1780,6 +1841,8 @@ object TextAnalysis {
       sourceCap(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_shard" -> ((s, d) =>
       shuffleShards(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "ta_ppl_buckets" -> ((s, d) =>
+      pplBuckets(Tables.load(s, d, "documents"))),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -2526,6 +2589,40 @@ object TextAnalysis {
          |       <= 0.5 AS INTEGER) AS keep
          |FROM bi JOIN model USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ta_ppl_buckets: the identical histogram-cutoff chain — lm model,
+    // micro quantization, per-lang cumulative mass, 3·below vs 1/2·tot
+    // integer cross-multiplication (no division, no per-doc rank)
+    "ta_ppl_buckets" ->
+      s"""WITH bi AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+         |  FROM (SELECT doc_id, $W AS w FROM documents) WHERE len(w) >= 2),
+         |model AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1),
+         |per AS (
+         |  SELECT d.doc_id, d.lang, p.n_bigrams,
+         |    CAST((p.n_rare * 1000000) // p.n_bigrams AS BIGINT)
+         |      AS rare_micro
+         |  FROM (SELECT doc_id, count(*) AS n_bigrams,
+         |          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_rare
+         |        FROM bi JOIN model USING (bg) GROUP BY doc_id) p
+         |  JOIN documents d ON d.doc_id = p.doc_id),
+         |grid AS (
+         |  SELECT lang, rare_micro,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY rare_micro) - cnt
+         |      AS below,
+         |    sum(cnt) OVER (PARTITION BY lang) AS tot
+         |  FROM (SELECT lang, rare_micro, count(*) AS cnt
+         |        FROM per GROUP BY 1, 2)),
+         |g2 AS (
+         |  SELECT lang, rare_micro,
+         |    CASE WHEN below * 3 >= tot * 2 THEN 'tail'
+         |         WHEN below * 3 >= tot THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM grid)
+         |SELECT per.doc_id, per.lang, per.n_bigrams, per.rare_micro,
+         |  g2.bucket, CAST(g2.bucket <> 'tail' AS INTEGER) AS keep
+         |FROM per JOIN g2 ON g2.lang = per.lang
+         |  AND g2.rare_micro = per.rare_micro
+         |ORDER BY per.doc_id""".stripMargin,
     "ta_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents),

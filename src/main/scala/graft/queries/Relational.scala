@@ -32,6 +32,24 @@ object Relational {
   /** Exact decimal sum, exported as double. */
   private def money(c: Column): Column = sum(d2(c)).cast("double")
 
+  /** DECIMAL(38,0) → BIGINT with an EXPLICIT overflow guard. Spark's
+    * non-ANSI cast silently NULLs on overflow where DuckDB's
+    * HUGEINT→BIGINT cast raises — on a dense-enough graph (walk counts
+    * grow like deg^T) the two engines would fail DIFFERENTLY. The guard
+    * makes both fail loudly and identically: raise_error here, error()
+    * in the oracle's mirrored CASE; in-range values are untouched.
+    */
+  private[graft] def boundedLong(c: Column, what: String): Column =
+    when(c.between(Long.MinValue, Long.MaxValue), c.cast("long"))
+      .otherwise(raise_error(
+        concat(lit(s"$what overflows BIGINT: "), c.cast("string"))))
+
+  /** The oracle-side mirror of [[boundedLong]] over a SQL expression. */
+  private def boundedLongSql(e: String, what: String): String =
+    s"CASE WHEN $e BETWEEN -9223372036854775808 AND 9223372036854775807" +
+      s" THEN CAST($e AS BIGINT) ELSE" +
+      s" CAST(error('$what overflows BIGINT') AS BIGINT) END"
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_pushdown" -> q02,
@@ -207,6 +225,7 @@ object Relational {
     "q172_isotonic" -> q172,
     "q173_ab_test" -> q173,
     "q174_ktruss" -> q174,
+    "q175_random_walks" -> q175,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5753,9 +5772,16 @@ object Relational {
     *
     * Scale: edges come from q153's part-keyed pair generation (part-
     * degree cap 2..40 bounds per-key fan-out to C(40,2); hubs predict
-    * nothing and would dominate quadratically). Triangles use q54's
-    * degree-ordered orientation — every edge points from its (deg, id)-
-    * smaller endpoint, so each triangle counts once and wedge fan-out is
+    * nothing and would dominate quadratically), then a STRONG-TIE floor
+    * — a pair must co-purchase ≥ 3 distinct parts (q174's convention,
+    * one notch looser). The floor is semantic (clustering asks about
+    * cohesive neighborhoods; weight-1 incidental pairs are noise) and
+    * it is the density control: the raw co-purchase graph approaches
+    * complete on a small customer base (≈8M edges on 15k nodes at
+    * sf0.1), where exact per-node triangles cost O(m^1.5) no matter how
+    * they're oriented. Triangles then use q54's degree-ordered
+    * orientation — every edge points from its (deg, id)-smaller
+    * endpoint, so each triangle counts once and wedge fan-out is
     * bounded by C(out-degree, 2) with out-degrees O(√m) REGARDLESS of
     * skew: this is the orientation's whole point on an unbounded node
     * set (q54 runs it on 25 nations; this runs it on every customer).
@@ -5775,8 +5801,10 @@ object Relational {
     val edges = capped.as("x")
       .join(capped.as("y"),
         col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
-      .select(col("x.cust").as("a"), col("y.cust").as("b"))
-      .distinct()
+      .groupBy(col("x.cust").as("a"), col("y.cust").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+      .select("a", "b")
     clusteringFromEdges(edges)
   }
 
@@ -5864,6 +5892,74 @@ object Relational {
       .filter(col("w") >= 4)
       .select("a", "b")
     trussFromEdges(edges)
+  }
+
+  /** Deterministic DeepWalk-style random-walk corpus over the trade
+    * graph — the graph→sequence operator an embedding pipeline trains
+    * on (Perozzi et al. 2014): W walks per node, each taking L
+    * hash-seeded uniform steps over the ranked adjacency list. The
+    * "randomness" is the portable md5-prefix hash of (seed, walk_no,
+    * step) mod out-degree — fully deterministic, so the emitted corpus
+    * is reproducible run-to-run AND engine-identical (the oracle
+    * replays the same hash and the same dst-ascending neighbor ranks).
+    * A float RNG could never hash-gate; seeded-hash choice is also what
+    * you actually want at 100 TB (retries and speculative tasks must
+    * not fork the corpus).
+    *
+    * Scale: the adjacency rank window is PARTITIONED by src (per-key
+    * cost O(deg), no global sort); each of the L steps is two
+    * key-partitioned joins (walk-frontier⋈degree on node, then
+    * ⋈adjacency on (src, idx)) — O(nodes·W) rows per step, linear in
+    * the graph, no fan-out (exactly one adjacency row matches each
+    * frontier row). Frontiers localCheckpoint per step so lineage
+    * stays flat (the q161 loop discipline).
+    */
+  private def q175(spark: SparkSession, dir: String): DataFrame =
+    randomWalksFromEdges(tradeEdges(spark, dir))
+
+  /** The walk generator over any directed (src, dst) edge list where
+    * every frontier node has at least one out-edge (tradeEdges is
+    * bidirectional, so that holds) — factored so the spec can drive a
+    * planted graph and replay the hash arithmetic by hand.
+    */
+  private[graft] def randomWalksFromEdges(edges: DataFrame,
+      walksPerNode: Int = 2, steps: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val wAdj = Window.partitionBy("src").orderBy("dst")
+    val adj = edges
+      .withColumn("idx", (row_number().over(wAdj) - 1).cast("long"))
+      .localCheckpoint(true) // reused by every step join
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val walkNos = (0 until walksPerNode).toDF("wno")
+    var cur = edges.select(col("src").as("seed")).distinct()
+      .crossJoin(broadcast(walkNos)) // plan-visible bound: W rows
+      .select(col("seed"), col("wno"), col("seed").as("node"))
+    var out = cur.select(col("seed"), col("wno"),
+      lit(0).as("step"), col("node"))
+    for (k <- 0 until steps) {
+      val pick = graft.functions.hashes.portableHash60(
+        concat_ws(":", col("seed").cast("string"),
+          col("wno").cast("string"), lit(k.toString)))
+      cur = cur.join(deg, col("node") === deg("src"))
+        .select(col("seed"), col("wno"), col("node"),
+          pmod(pick, col("deg")).as("pick"))
+        .join(adj, col("node") === adj("src") && col("pick") === adj("idx"))
+        .select(col("seed"), col("wno"), col("dst").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.select(col("seed"), col("wno"),
+        lit(k + 1).as("step"), col("node")))
+    }
+    out.select(
+      when(col("seed") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("node_type"),
+      expr("seed div 2").as("node_id"),
+      col("wno"), col("step"),
+      when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+        .as("visit_type"),
+      expr("node div 2").as("visit_id"))
+      .orderBy("node_type", "node_id", "wno", "step")
   }
 
   /** The truss peel over any canonical (a < b) undirected edge list —
@@ -6262,9 +6358,10 @@ object Relational {
       .crossJoin(broadcast(m2))
       .select(col("label").as("community"), col("size"),
         coalesce(col("e_c0"), lit(0L)).as("e_c"), col("d_c"),
-        expr("CAST(CAST(coalesce(e_c0, 0) AS DECIMAL(38,0)) * m2 " +
-          "- CAST(d_c AS DECIMAL(38,0)) * d_c AS BIGINT)").as("q_num"),
-        expr("CAST(CAST(m2 AS DECIMAL(38,0)) * m2 AS BIGINT)").as("q_den"))
+        boundedLong(expr("CAST(coalesce(e_c0, 0) AS DECIMAL(38,0)) * m2 " +
+          "- CAST(d_c AS DECIMAL(38,0)) * d_c"), "q_num").as("q_num"),
+        boundedLong(expr("CAST(m2 AS DECIMAL(38,0)) * m2"), "q_den")
+          .as("q_den"))
       .withColumn("q_term",
         col("q_num").cast("double") / col("q_den").cast("double"))
       .orderBy("community")
@@ -6328,7 +6425,12 @@ object Relational {
       : DataFrame = {
     val kmv = graft.plans.TopKPerKey.perKey(ev,
       keys = Seq("event_type"), order = Seq("h" -> true), k = k)
-    val types = ev.select("event_type").distinct().limit(12)
+    // deterministic class cap: ordered before the limit (an unordered
+    // limit(12) would pick an ARBITRARY subset if classes ever exceed
+    // 12 and silently diverge from the oracle) — mirrored in the
+    // oracle's ORDER BY event_type LIMIT 12
+    val types = ev.select("event_type").distinct()
+      .orderBy("event_type").limit(12)
     val pairs = types.select(col("event_type").as("ta"))
       .crossJoin(types.select(col("event_type").as("tb")))
       .filter(col("ta") < col("tb"))
@@ -6503,10 +6605,15 @@ object Relational {
     val p2 = col("x2").cast("double") / col("n2").cast("double")
     val pp = (col("x1") + col("x2")).cast("double") /
       (col("n1") + col("n2")).cast("double")
-    val z = (p1 - p2) /
-      sqrt(pp * (lit(1.0) - pp) *
-        (lit(1.0) / col("n1").cast("double")
-          + lit(1.0) / col("n2").cast("double")))
+    // pooled variance is EXACTLY 0.0 when both weeks are all-purchase or
+    // no-purchase (pp ∈ {0,1} exactly — integer/integer, then ×0); the
+    // naive 0/0 = NaN is a Spark-vs-DuckDB parity seam (NaN ordering,
+    // ieee_floating_point_ops), so the degenerate pair publishes NULL z
+    // explicitly and both engines take the same branch
+    val v = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n1").cast("double")
+        + lit(1.0) / col("n2").cast("double"))
+    val z = when(v > 0.0, (p1 - p2) / sqrt(v))
     paired.select(col("w1"), col("w2"), col("x1"), col("n1"),
       col("x2"), col("n2"), z.as("z"),
       (abs(z) > 1.96).cast("int").as("significant"))
@@ -6815,7 +6922,7 @@ object Relational {
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("node_id"),
-        col("katz").cast("long").as("katz_scaled"))
+        boundedLong(col("katz"), "katz_scaled").as("katz_scaled"))
       .orderBy("node_type", "node_id")
   }
 
@@ -6922,7 +7029,7 @@ object Relational {
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("node_id"),
-        col("bp").cast("long").as("betweenness_pico"))
+        boundedLong(col("bp"), "betweenness_pico").as("betweenness_pico"))
       .orderBy("node_type", "node_id")
   }
 
@@ -7825,7 +7932,8 @@ object Relational {
          |      UNION ALL SELECT node, w FROM w4)
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
          |            ELSE 'supplier' END AS node_type,
-         |  node // 2 AS node_id, CAST(sum(c) AS BIGINT) AS katz_scaled
+         |  node // 2 AS node_id,
+         |  ${boundedLongSql("sum(c)", "katz_scaled")} AS katz_scaled
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     // q164: forward σ replayed as WALK COUNTS (a length-dist(v) walk IS
@@ -7876,7 +7984,8 @@ object Relational {
             .mkString("\n       UNION ALL ")})
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer'
          |            ELSE 'supplier' END AS node_type,
-         |  node // 2 AS node_id, CAST(sum(delta) AS BIGINT)
+         |  node // 2 AS node_id,
+         |  ${boundedLongSql("sum(delta)", "betweenness_pico")}
          |    AS betweenness_pico
          |FROM alld WHERE node <> seed GROUP BY 1, 2
          |HAVING sum(delta) > 0 ORDER BY 1, 2""".stripMargin
@@ -8000,19 +8109,21 @@ object Relational {
          |ic AS (SELECT a.label, count(*) AS e_c
          |       FROM e JOIN l4 a ON a.node = e.src
          |       JOIN l4 b ON b.node = e.dst
-         |       WHERE a.label = b.label GROUP BY 1)
-         |SELECT dc.label AS community, size,
-         |  coalesce(e_c, 0) AS e_c, d_c,
-         |  CAST(CAST(coalesce(e_c, 0) AS HUGEINT) * (SELECT m2 FROM m2)
-         |       - CAST(d_c AS HUGEINT) * d_c AS BIGINT) AS q_num,
-         |  CAST(CAST((SELECT m2 FROM m2) AS HUGEINT)
-         |       * (SELECT m2 FROM m2) AS BIGINT) AS q_den,
-         |  CAST(CAST(CAST(coalesce(e_c, 0) AS HUGEINT)
-         |         * (SELECT m2 FROM m2)
-         |       - CAST(d_c AS HUGEINT) * d_c AS BIGINT) AS DOUBLE)
-         |    / CAST(CAST(CAST((SELECT m2 FROM m2) AS HUGEINT)
-         |         * (SELECT m2 FROM m2) AS BIGINT) AS DOUBLE) AS q_term
-         |FROM dc LEFT JOIN ic ON ic.label = dc.label
+         |       WHERE a.label = b.label GROUP BY 1),
+         |raw AS (
+         |  SELECT dc.label AS community, size,
+         |    coalesce(e_c, 0) AS e_c, d_c,
+         |    CAST(coalesce(e_c, 0) AS HUGEINT) * (SELECT m2 FROM m2)
+         |      - CAST(d_c AS HUGEINT) * d_c AS qn,
+         |    CAST((SELECT m2 FROM m2) AS HUGEINT)
+         |      * (SELECT m2 FROM m2) AS qd
+         |  FROM dc LEFT JOIN ic ON ic.label = dc.label)
+         |SELECT community, size, e_c, d_c,
+         |  ${boundedLongSql("qn", "q_num")} AS q_num,
+         |  ${boundedLongSql("qd", "q_den")} AS q_den,
+         |  CAST(${boundedLongSql("qn", "q_num")} AS DOUBLE)
+         |    / CAST(${boundedLongSql("qd", "q_den")} AS DOUBLE) AS q_term
+         |FROM raw
          |ORDER BY community""".stripMargin
     },
     // q169: q156's unrolled min-dist chain, grouped to the per-hop
@@ -8053,7 +8164,8 @@ object Relational {
         |  SELECT DISTINCT event_type, CAST(concat('0x',
         |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM events),
-        |ty AS (SELECT DISTINCT event_type FROM u),
+        |ty AS (SELECT DISTINCT event_type FROM u
+        |       ORDER BY event_type LIMIT 12),
         |p AS (SELECT a.event_type AS ta, b.event_type AS tb
         |      FROM ty a, ty b WHERE a.event_type < b.event_type),
         |kmv AS (SELECT event_type, h FROM (
@@ -8170,26 +8282,26 @@ object Relational {
         |      AS x,
         |    count(*) AS n
         |  FROM events GROUP BY 1)
-        |SELECT a.week AS w1, b.week AS w2,
-        |  CAST(a.x AS BIGINT) AS x1, a.n AS n1,
-        |  CAST(b.x AS BIGINT) AS x2, b.n AS n2,
-        |  (CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
-        |   - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
-        |  / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+        |, z0 AS (
+        |  SELECT a.week AS w1, b.week AS w2,
+        |    CAST(a.x AS BIGINT) AS x1, a.n AS n1,
+        |    CAST(b.x AS BIGINT) AS x2, b.n AS n2,
+        |    CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE) AS dp,
+        |    (CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
         |      * (1.0 - CAST(a.x + b.x AS DOUBLE)
         |          / CAST(a.n + b.n AS DOUBLE))
-        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))
-        |    AS z,
-        |  CAST(abs((CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE)
-        |   - CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE))
-        |  / sqrt((CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
-        |      * (1.0 - CAST(a.x + b.x AS DOUBLE)
-        |          / CAST(a.n + b.n AS DOUBLE))
-        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))))
-        |    > 1.96 AS INTEGER) AS significant
-        |FROM wk a JOIN wk b
-        |  ON CAST(b.week AS DATE) = CAST(a.week AS DATE) + INTERVAL 7 DAY
-        |ORDER BY a.week""".stripMargin,
+        |      * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))
+        |      AS v
+        |  FROM wk a JOIN wk b
+        |    ON CAST(b.week AS DATE) = CAST(a.week AS DATE)
+        |       + INTERVAL 7 DAY)
+        |SELECT w1, w2, x1, n1, x2, n2,
+        |  CASE WHEN v > 0 THEN dp / sqrt(v) END AS z,
+        |  CAST(CASE WHEN v > 0 THEN abs(dp / sqrt(v)) > 1.96 END
+        |    AS INTEGER) AS significant
+        |FROM z0
+        |ORDER BY w1""".stripMargin,
     // q159: exact signed numerator/denominator (HUGEINT ≡ DECIMAL(38,0)),
     // ONE IEEE division — no integral division of a signed value (the
     // engines disagree on negative truncation)
@@ -8288,6 +8400,41 @@ object Relational {
          |FROM e6 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
          |ORDER BY e.a, e.b""".stripMargin
     },
+    // q175: the identical hash-seeded walk — dst-ascending neighbor
+    // ranks, md5-prefix pick mod out-degree, 4 unrolled steps
+    "q175_random_walks" -> {
+      def step(k: Int): String =
+        s"""s${k + 1} AS (
+           |  SELECT s.seed, s.wno, a.dst AS node
+           |  FROM s$k s JOIN deg d ON d.src = s.node
+           |  JOIN adj a ON a.src = s.node AND a.idx =
+           |    CAST(concat('0x', substr(md5(concat(
+           |      CAST(s.seed AS VARCHAR), ':', CAST(s.wno AS VARCHAR),
+           |      ':', '$k')), 1, 15)) AS BIGINT) % d.deg)""".stripMargin
+      s"""WITH pe AS (
+         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM pe
+         |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+         |adj AS (SELECT src, dst, row_number() OVER (
+         |    PARTITION BY src ORDER BY dst) - 1 AS idx FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |s0 AS (SELECT node AS seed, wno, node
+         |       FROM (SELECT DISTINCT src AS node FROM e),
+         |            (VALUES (0), (1)) w(wno)),
+         |${(0 until 4).map(step).mkString(",\n")},
+         |walk AS (SELECT seed, wno, 0 AS step, node FROM s0
+         |${(1 to 4).map(k =>
+            s"  UNION ALL SELECT seed, wno, $k, node FROM s$k")
+            .mkString("\n")})
+         |SELECT CASE WHEN seed % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS node_type,
+         |  seed // 2 AS node_id, wno, step,
+         |  CASE WHEN node % 2 = 0 THEN 'customer'
+         |       ELSE 'supplier' END AS visit_type,
+         |  node // 2 AS visit_id
+         |FROM walk ORDER BY 1, 2, 3, 4""".stripMargin
+    },
     "q157_clustering" ->
       """WITH buyers AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
@@ -8296,9 +8443,10 @@ object Relational {
         |capped AS (SELECT b.part, b.cust FROM buyers b JOIN pd USING (part)
         |           WHERE pdeg BETWEEN 2 AND 40),
         |edges AS (
-        |  SELECT DISTINCT x.cust AS a, y.cust AS b
+        |  SELECT x.cust AS a, y.cust AS b
         |  FROM capped x JOIN capped y
-        |    ON x.part = y.part AND x.cust < y.cust),
+        |    ON x.part = y.part AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
         |deg AS (SELECT node, count(*) AS deg FROM (
         |  SELECT a AS node FROM edges
         |  UNION ALL SELECT b AS node FROM edges) GROUP BY 1),

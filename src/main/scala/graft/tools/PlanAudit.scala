@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftSemi}
-import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, UnionExec}
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, GlobalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
@@ -85,6 +85,12 @@ object PlanAudit {
     case l: LocalTableScanExec => Some(l.rows.size.toLong)
     case r: RangeExec => Some(r.numElements.min(BigInt(Long.MaxValue)).toLong)
     case g: GlobalLimitExec if g.limit >= 0 => Some(g.limit.toLong)
+    // ordered and collect limits bound rows exactly like a plain limit —
+    // Spark plans orderBy+limit as TakeOrderedAndProject, so a
+    // DETERMINISTIC cap (sorted before limiting) must not audit worse
+    // than an arbitrary-subset limit(n)
+    case t: TakeOrderedAndProjectExec if t.limit >= 0 => Some(t.limit.toLong)
+    case c: CollectLimitExec if c.limit >= 0 => Some(c.limit.toLong)
     case r: ReusedExchangeExec => boundedRowCount(r.child)
     case q: QueryStageExec => boundedRowCount(q.plan)
     case j: BaseJoinExec if j.joinType == Inner || j.joinType == Cross ||

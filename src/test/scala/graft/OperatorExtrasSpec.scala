@@ -2400,4 +2400,136 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("supplier", 4L, 1L, 1000000000000L, 200000000000L)) // node 9
     assert(got === want)
   }
+
+  test("random walks: a forced cycle walks deterministically; free " +
+      "walks stay on edges, have full shape, and are reproducible") {
+    // directed 3-cycle 0 -> 1 -> 2 -> 0: every node has out-degree 1,
+    // so every hash pick is mod 1 = 0 and the walk is FORCED — exact
+    // expected output with no hash replay needed
+    val cyc = Seq((0L, 2L), (2L, 5L), (5L, 0L)).toDF("src", "dst")
+    val gotCyc = Relational.randomWalksFromEdges(cyc, walksPerNode = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getLong(5)))
+    // seed 0 (customer 0): 0,2,5,0,2; seed 2 (customer 1): 2,5,0,2,5;
+    // seed 5 (supplier 2): 5,0,2,5,0
+    def t(n: Long) = if (n % 2 == 0) "customer" else "supplier"
+    val wantCyc = for {
+      (seed, path) <- Seq(0L -> Seq(0L, 2L, 5L, 0L, 2L),
+        2L -> Seq(2L, 5L, 0L, 2L, 5L), 5L -> Seq(5L, 0L, 2L, 5L, 0L))
+      (v, k) <- path.zipWithIndex
+    } yield (t(seed), seed / 2, 0, k, t(v), v / 2)
+    assert(gotCyc.toSeq === wantCyc)
+
+    // free graph: structural invariants + reproducibility
+    val half = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val w1 = Relational.randomWalksFromEdges(edges).collect()
+    val w2 = Relational.randomWalksFromEdges(edges).collect()
+    assert(w1.toSeq === w2.toSeq, "walks are not reproducible")
+    // 4 nodes x 2 walks x 5 positions
+    assert(w1.length === 40)
+    val edgeSet = half.flatMap(e => Seq(e, e.swap)).toSet
+    def nid(t: String, i: Long) = if (t == "customer") i * 2 else i * 2 + 1
+    val byWalk = w1.map(r => ((r.getString(0), r.getLong(1), r.getInt(2)),
+        (r.getInt(3), nid(r.getString(4), r.getLong(5)))))
+      .groupBy(_._1).values
+    byWalk.foreach { steps =>
+      val path = steps.map(_._2).sortBy(_._1).map(_._2)
+      path.sliding(2).foreach { p =>
+        assert(edgeSet.contains((p(0), p(1))),
+          s"walk left the graph: ${path.mkString("->")}")
+      }
+    }
+  }
+
+  test("mnn pairs: planted two-set geometry emits exactly the mutual " +
+      "top-1 pairs with the right runner-up margins") {
+    import graft.operators.Similarity
+    // max |x| = 127 makes the int8 codes equal the raw values, so the
+    // exact-scos2 arithmetic can be replayed verbatim below
+    val a = Seq((0L, Array(127f, 0f)), (2L, Array(0f, 127f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(127f, 13f)), (3L, Array(0f, 127f)))
+      .toDF("vec_id", "embedding")
+    def scos2(x: Array[Long], y: Array[Long]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      val na = x.map(v => v * v).sum; val nb = y.map(v => v * v).sum
+      val num = if (dot < 0) -(dot * dot) else dot * dot
+      num.toDouble / (na * nb).toDouble
+    }
+    val v0 = Array(127L, 0L); val v2 = Array(0L, 127L)
+    val v1 = Array(127L, 13L); val v3 = Array(0L, 127L)
+    val got = Similarity.mnnPairs(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // a0's top-1 is b1 (b3 orthogonal); a2's is b3 (exact match); both
+    // directions agree, so BOTH pairs are mutual
+    val want = Seq(
+      (0L, 1L, 127L * 127, 127L * 127, 127L * 127 + 13 * 13,
+        scos2(v0, v1), scos2(v0, v3), scos2(v2, v1)),
+      (2L, 3L, 127L * 127, 127L * 127, 127L * 127,
+        scos2(v2, v3), scos2(v2, v1), scos2(v0, v3)))
+    assert(got.toSeq === want)
+  }
+
+  test("hard negatives: planted labels yield the expected positive and " +
+      "the near-duplicate wrong-label violation") {
+    import graft.operators.Similarity
+    val raw = Map(0L -> Array(127f, 0f), 1L -> Array(126f, 1f),
+      2L -> Array(0f, 127f), 3L -> Array(127f, 1f))
+    val emb = Seq((0L, raw(0L), 1), (1L, raw(1L), 1),
+      (2L, raw(2L), 2), (3L, raw(3L), 2))
+      .toDF("vec_id", "embedding", "label")
+    def scos2(x: Array[Long], y: Array[Long]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      val na = x.map(v => v * v).sum; val nb = y.map(v => v * v).sum
+      val num = if (dot < 0) -(dot * dot) else dot * dot
+      num.toDouble / (na * nb).toDouble
+    }
+    // the operator ranks int8 CODES, so the replay must quantize too:
+    // (126,1) normalizes to (127,1) — identical to vec 3's code
+    def quant(a: Array[Float]): Array[Long] = {
+      val m = a.map(x => math.abs(x.toDouble)).max
+      a.map(x => math.floor(x.toDouble * 127.0 / m + 0.5).toLong)
+    }
+    val v = raw.map { case (k, a) => k -> quant(a) }
+    val got = Similarity.hardNegatives(emb, nAnchors = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))
+    def row(anchor: Long, pos: Long, neg: Long) = {
+      val p = scos2(v(anchor), v(pos)); val n = scos2(v(anchor), v(neg))
+      (anchor, 1, pos, p, neg, n, if (n >= p) 1 else 0)
+    }
+    // both anchors' hardest negative is 3 (the near-duplicate with the
+    // WRONG label — the triplet worth training on), not the orthogonal 2
+    val want = Seq(row(0L, 1L, 3L), row(1L, 0L, 3L))
+    assert(got.toSeq === want)
+    assert(got.forall(_._7 == 1), "planted near-dup must violate")
+  }
+
+  test("ppl buckets: hand-built corpus lands head/middle/tail exactly " +
+      "and equal scores share a bucket") {
+    import graft.operators.TextAnalysis
+    // shared bigram "x x" (c > 1 everywhere); u*/v*/w*/y* bigrams are
+    // corpus-unique (c = 1). rare_micro: d1,d5 -> 0; d3,d6 -> 500000;
+    // d2 -> 666666; d4 -> 1000000. tot=6: below 0,2 -> head/middle
+    // boundary at 2 (3*2>=6), tail at >= 4 (3*4>=12)
+    val docs = Seq(
+      (1L, "x x x", "en"), (2L, "x x ua ub", "en"),
+      (3L, "x x va", "en"), (4L, "wa wb", "en"),
+      (5L, "x x x x", "en"), (6L, "x x yy", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.pplBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getInt(5)))
+    val want = Seq(
+      (1L, "en", 2L, 0L, "head", 1),
+      (2L, "en", 3L, 666666L, "tail", 0),
+      (3L, "en", 2L, 500000L, "middle", 1),
+      (4L, "en", 1L, 1000000L, "tail", 0),
+      (5L, "en", 3L, 0L, "head", 1),
+      (6L, "en", 2L, 500000L, "middle", 1))
+    assert(got.toSeq === want)
+  }
 }
