@@ -406,6 +406,117 @@ object TextAnalysis {
         "dup3", "score", "keep")
   }
 
+  /** Bulk inference of a hashed-feature linear classifier — the
+    * fastText-style serving shape (Joulin et al. 2017) every curation
+    * stack runs to apply a TRAINED quality/topic model at corpus scale:
+    * each document's bigrams hash into `buckets` feature slots, the
+    * slot weights come from a broadcast weight table, and the document
+    * score is the exact integer Σ count·weight with verdict = score ≥ 0.
+    * The weight table here is hash-DERIVED (md5-prefix of "ftw:bucket"
+    * mapped to [−1000, 1000]) — an honest deterministic stand-in for a
+    * trained vector, replayable by the oracle; a production run
+    * broadcasts its trained weights through the IDENTICAL plumbing
+    * (the shape is what this operator owns: feature hashing, bucket
+    * partial-agg, bounded weight join, integer accumulate).
+    *
+    * Determinism: bucket = portable hash mod `buckets`, weights are
+    * exact integers, the score is an exact long sum — no floats at all.
+    *
+    * Scale: one tokenize+explode, a (doc, bucket) partial agg (the
+    * hashing BOUNDS feature cardinality at `buckets` — that is feature
+    * hashing's entire point, and why the weight side can broadcast
+    * where open-vocabulary sides never can), a plan-proved 4096-row
+    * broadcast join (Range), and a per-doc partial agg.
+    */
+  def hashClassifierScores(docs: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = broadcast(spark.range(buckets.toLong)
+      .select(col("id").as("bucket"),
+        (portableHash60(concat(lit("ftw:"), col("id").cast("string")))
+          % 2001 - 1000).as("w")))
+    val feats = docs.withColumn("ws", tokens(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+      .select(col("doc_id"),
+        (portableHash60(concat(lit("ftb:"), col("bg"))) % buckets)
+          .as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("k"))
+    feats.join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("w")).as("score"))
+      .select(col("doc_id"), col("n_bigrams"), col("score"),
+        (col("score") >= 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Inter-rater agreement of the three independent quality gates —
+    * Fleiss' κ (Fleiss 1971) over the hand-feature model
+    * ([[qualityModelScores]]), the Gopher rule battery ([[gopherRules]])
+    * and the corpus-LM filter ([[lmScores]]) as three binary raters per
+    * document: the meta-eval that tells a curation pipeline whether its
+    * gates measure one notion of quality (κ → 1), independent notions
+    * (κ ≈ 0), or are fighting (κ < 0) — chance-corrected, unlike raw
+    * overlap. Universe = docs all three raters cover (inner join;
+    * lmScores needs ≥ 2 tokens).
+    *
+    * Exact arithmetic: with n = 3 raters the per-doc agreement term is
+    * k(k−1)+(3−k)(2−k) ∈ {6,2,2,6} for k keeps; κ reduces to the
+    * single exact rational (3N·Σa − 2Q) / (18N² − 2Q) with
+    * Q = K² + (3N−K)² — accumulated in DECIMAL(38,0), published through
+    * [[graft.queries.Relational.boundedLong]]'s convention as exact
+    * num/den + ONE IEEE division (the q159/q168 signed-rational rule).
+    * Pairwise raw agreements ship as exact micro integral divisions.
+    *
+    * Scale: three scan-shaped raters (each one partial-agg pass), an
+    * id-keyed 3-way join, one global partial agg to a single row.
+    */
+  def raterAgreement(docs: DataFrame): DataFrame = {
+    val q = qualityModelScores(docs).select(col("doc_id"),
+      col("keep").cast("long").as("kq"))
+    val g = gopherRules(docs).select(col("doc_id"),
+      col("keep").cast("long").as("kg"))
+    val l = lmScores(docs).select(col("doc_id"),
+      col("keep").cast("long").as("kl"))
+    val big = "decimal(38,0)"
+    q.join(g, "doc_id").join(l, "doc_id")
+      .select(col("doc_id"), col("kq"), col("kg"), col("kl"),
+        (col("kq") + col("kg") + col("kl")).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kq")).as("keep_q"), sum(col("kg")).as("keep_g"),
+        sum(col("kl")).as("keep_l"),
+        sum(expr("k * (k - 1) + (3 - k) * (2 - k)")).as("sa"),
+        sum(col("k")).as("kk"),
+        sum((col("kq") === col("kg")).cast("long")).as("agree_qg"),
+        sum((col("kq") === col("kl")).cast("long")).as("agree_ql"),
+        sum((col("kg") === col("kl")).cast("long")).as("agree_gl"))
+      .select(col("n_docs"), col("keep_q"), col("keep_g"), col("keep_l"),
+        expr("(agree_qg * 1000000) div n_docs").as("agree_qg_micro"),
+        expr("(agree_ql * 1000000) div n_docs").as("agree_ql_micro"),
+        expr("(agree_gl * 1000000) div n_docs").as("agree_gl_micro"),
+        expr(s"CAST(3 AS $big) * n_docs * sa" +
+          s" - 2 * (CAST(kk AS $big) * kk" +
+          s" + CAST(3 * n_docs - kk AS $big) * (3 * n_docs - kk))")
+          .as("kn"),
+        expr(s"CAST(18 AS $big) * n_docs * n_docs" +
+          s" - 2 * (CAST(kk AS $big) * kk" +
+          s" + CAST(3 * n_docs - kk AS $big) * (3 * n_docs - kk))")
+          .as("kd"))
+      .select(col("n_docs"), col("keep_q"), col("keep_g"), col("keep_l"),
+        col("agree_qg_micro"), col("agree_ql_micro"), col("agree_gl_micro"),
+        graft.queries.Relational.boundedLong(col("kn"), "kappa_num")
+          .as("kappa_num"),
+        graft.queries.Relational.boundedLong(col("kd"), "kappa_den")
+          .as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") =!= 0,
+          col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+  }
+
   /** Tokenize the corpus WITH the learned BPE vocabulary — the apply half
     * of [[bpeVocab]] (a pipeline learns merges once, then encodes every
     * document): per document, the token count after applying the merge
@@ -1843,6 +1954,10 @@ object TextAnalysis {
       shuffleShards(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "ta_ppl_buckets" -> ((s, d) =>
       pplBuckets(Tables.load(s, d, "documents"))),
+    "ta_hash_infer" -> ((s, d) =>
+      hashClassifierScores(Tables.load(s, d, "documents"))),
+    "ta_rater_agreement" -> ((s, d) =>
+      raterAgreement(Tables.load(s, d, "documents"))),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -2623,6 +2738,30 @@ object TextAnalysis {
          |FROM per JOIN g2 ON g2.lang = per.lang
          |  AND g2.rare_micro = per.rare_micro
          |ORDER BY per.doc_id""".stripMargin,
+    // ta_hash_infer: same md5 feature/weight hashing — buckets from
+    // range(4096), all-integer accumulate, verdict at score >= 0
+    "ta_hash_infer" ->
+      s"""WITH w AS (
+         |  SELECT bucket,
+         |    CAST(concat('0x', substr(md5('ftw:' ||
+         |      CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % 2001 - 1000 AS w
+         |  FROM range(4096) t(bucket)),
+         |bi AS (
+         |  SELECT doc_id, unnest([wd[i] || ' ' || wd[i+1] FOR i IN range(1, len(wd))]) AS bg
+         |  FROM (SELECT doc_id, $W AS wd FROM documents)
+         |  WHERE len(wd) >= 2),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('ftb:' || bg), 1, 15)) AS BIGINT)
+         |      % 4096 AS bucket,
+         |    count(*) AS k
+         |  FROM bi GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(k * w.w) AS BIGINT) AS score,
+         |  CAST(sum(k * w.w) >= 0 AS INTEGER) AS keep
+         |FROM f JOIN w USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens FROM documents),
@@ -2666,7 +2805,61 @@ object TextAnalysis {
          |    CAST(CAST(n_docs AS HUGEINT) * n_agree - pe_num AS DOUBLE)
          |    / CAST(CAST(n_docs AS HUGEINT) * n_docs - pe_num AS DOUBLE)
          |  END AS kappa
-         |FROM t, pe""".stripMargin) + ("ta_langid_eval" ->
+         |FROM t, pe""".stripMargin) + ("ta_rater_agreement" ->
+      // Fleiss' kappa over the three quality raters (the ta_kappa
+      // composition pattern: base oracles embedded verbatim as CTEs);
+      // n=3 collapses the per-doc term to k(k-1)+(3-k)(2-k), kappa to
+      // ONE exact rational — HUGEINT ≡ DECIMAL(38,0), bounds-checked
+      // casts, one IEEE division, NULL on the all-same-verdict
+      // degenerate (kd = 0)
+      s"""WITH q AS (${base("ta_quality_score")}),
+         |g AS (${base("ta_gopher")}),
+         |l AS (${base("ta_lm_score")}),
+         |j AS (
+         |  SELECT q.keep AS kq, g.keep AS kg, l.keep AS kl,
+         |    q.keep + g.keep + l.keep AS k
+         |  FROM q JOIN g ON g.doc_id = q.doc_id
+         |  JOIN l ON l.doc_id = q.doc_id),
+         |a AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(kq) AS BIGINT) AS keep_q,
+         |    CAST(sum(kg) AS BIGINT) AS keep_g,
+         |    CAST(sum(kl) AS BIGINT) AS keep_l,
+         |    sum(k * (k - 1) + (3 - k) * (2 - k)) AS sa,
+         |    sum(k) AS kk,
+         |    sum(CASE WHEN kq = kg THEN 1 ELSE 0 END) AS agree_qg,
+         |    sum(CASE WHEN kq = kl THEN 1 ELSE 0 END) AS agree_ql,
+         |    sum(CASE WHEN kg = kl THEN 1 ELSE 0 END) AS agree_gl
+         |  FROM j),
+         |r AS (
+         |  SELECT *,
+         |    CAST(3 AS HUGEINT) * n_docs * sa
+         |      - 2 * (CAST(kk AS HUGEINT) * kk
+         |        + CAST(3 * n_docs - kk AS HUGEINT) * (3 * n_docs - kk))
+         |      AS kn,
+         |    CAST(18 AS HUGEINT) * n_docs * n_docs
+         |      - 2 * (CAST(kk AS HUGEINT) * kk
+         |        + CAST(3 * n_docs - kk AS HUGEINT) * (3 * n_docs - kk))
+         |      AS kd
+         |  FROM a)
+         |SELECT n_docs, keep_q, keep_g, keep_l,
+         |  CAST((agree_qg * 1000000) // n_docs AS BIGINT)
+         |    AS agree_qg_micro,
+         |  CAST((agree_ql * 1000000) // n_docs AS BIGINT)
+         |    AS agree_ql_micro,
+         |  CAST((agree_gl * 1000000) // n_docs AS BIGINT)
+         |    AS agree_gl_micro,
+         |  CASE WHEN kn BETWEEN -9223372036854775808 AND
+         |    9223372036854775807 THEN CAST(kn AS BIGINT)
+         |    ELSE CAST(error('kappa_num overflows BIGINT') AS BIGINT)
+         |  END AS kappa_num,
+         |  CASE WHEN kd BETWEEN -9223372036854775808 AND
+         |    9223372036854775807 THEN CAST(kd AS BIGINT)
+         |    ELSE CAST(error('kappa_den overflows BIGINT') AS BIGINT)
+         |  END AS kappa_den,
+         |  CASE WHEN kd <> 0 THEN CAST(kn AS DOUBLE) / CAST(kd AS DOUBLE)
+         |  END AS kappa
+         |FROM r""".stripMargin) + ("ta_langid_eval" ->
       s"""WITH pred AS (${base("ta_langid")}),
          |conf AS (SELECT lang_actual, lang_pred, count(*) AS n
          |         FROM pred GROUP BY 1, 2),

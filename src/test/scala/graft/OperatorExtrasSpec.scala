@@ -2508,6 +2508,66 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(got.forall(_._7 == 1), "planted near-dup must violate")
   }
 
+  test("hash classifier: scores equal an independent md5 replay on a " +
+      "planted corpus; verdict flips at zero") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "delta epsilon", "en"),
+      (3L, "alpha beta alpha beta gamma delta", "en"))
+      .toDF("doc_id", "text", "lang")
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def expected(text: String): (Long, Long) = {
+      val w = text.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val bgs = w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val scores = bgs.toSeq.map { bg =>
+        h60("ftw:" + (h60("ftb:" + bg) % 4096)) % 2001 - 1000
+      }
+      (scores.size.toLong, scores.sum)
+    }
+    val got = TextAnalysis.hashClassifierScores(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val want = Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon",
+      3L -> "alpha beta alpha beta gamma delta").map { case (id, t) =>
+      val (n, s) = expected(t)
+      (id, n, s, if (s >= 0) 1 else 0)
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("rater agreement: kappa equals a differential Fleiss replay over " +
+      "the three raters' own outputs") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sf0001, "documents")
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("doc_id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val kq = keeps(TextAnalysis.qualityModelScores(docs))
+    val kg = keeps(TextAnalysis.gopherRules(docs))
+    val kl = keeps(TextAnalysis.lmScores(docs))
+    val ids = kq.keySet & kg.keySet & kl.keySet
+    val n = ids.size.toLong
+    val ks = ids.toSeq.map(i => kq(i) + kg(i) + kl(i))
+    val sa = ks.map(k => k * (k - 1) + (3 - k) * (2 - k)).sum
+    val kk = ks.sum
+    val q2 = BigInt(kk) * kk + BigInt(3 * n - kk) * (3 * n - kk)
+    val kn = (BigInt(3) * n * sa - 2 * q2).toLong
+    val kd = (BigInt(18) * n * n - 2 * q2).toLong
+    val r = TextAnalysis.raterAgreement(docs).collect()(0)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === kq.filterKeys(ids).values.sum)
+    assert(r.getLong(7) === kn)
+    assert(r.getLong(8) === kd)
+    assert(r.getDouble(9) === kn.toDouble / kd.toDouble)
+    // pairwise raw agreement, replayed
+    val qg = ids.count(i => kq(i) == kg(i)).toLong
+    assert(r.getLong(4) === qg * 1000000 / n)
+  }
+
   test("ppl buckets: hand-built corpus lands head/middle/tail exactly " +
       "and equal scores share a bucket") {
     import graft.operators.TextAnalysis
