@@ -226,6 +226,7 @@ object Relational {
     "q173_ab_test" -> q173,
     "q174_ktruss" -> q174,
     "q175_random_walks" -> q175,
+    "q176_removal_effect" -> q176,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -5962,6 +5963,122 @@ object Relational {
       .orderBy("node_type", "node_id", "wno", "step")
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * channel-attribution model q98's position-based split can't express:
+    * build the first-order journey chain (q102's transition extraction,
+    * truncated at each user's FIRST conversion), compute the
+    * probability of absorbing in CONV within T = 8 steps, then for each
+    * channel recompute it with that channel KNOCKED OUT (its inbound
+    * edges redirected to the NULL absorber — the standard removal); the
+    * channel's credit is 1 − P_removed/P_base. A channel whose removal
+    * barely moves conversions was never load-bearing, however many
+    * touches it logged — exactly what touch-counting attribution gets
+    * wrong.
+    *
+    * Determinism: the recurrence runs in exact micro integers —
+    * p₀(CONV) = 10⁶, each step p' (s) = (Σ_t c(s,t)·p(t)) div c(s)
+    * (sum FIRST, one floor per state per step — q164's pico-floor
+    * recurrence discipline), and the published removal is one more
+    * integral division. Both engines replay the identical 8 unrolled
+    * steps.
+    *
+    * Scale: corpus-sized work is ONLY the journey extraction (per-user
+    * rank window, q79's envelope) and the transition partial agg; the
+    * recurrence operates on the (scenario × transition-grid) frame —
+    * scenarios are the ordered-limit(12) channel cap (q170's
+    * convention) plus base, the grid is class-cardinality², never
+    * corpus-sized. Redirect-to-NULL needs no modified matrix: NULL's
+    * p is 0, so knocking out channel r is just EXCLUDING t = r terms
+    * (row sums are unchanged — redirection renames a target, it does
+    * not change out-degree).
+    */
+  private def q176(spark: SparkSession, dir: String): DataFrame = {
+    val conv = "__conv__"
+    val nul = "__null__"
+    val start = "__start__"
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("event_id"))
+    val byUser = Window.partitionBy("user_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        when(col("event_type") === "purchase", lit(conv))
+          .otherwise(col("event_type")).as("st"))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("crn",
+        min(when(col("st") === conv, col("rn"))).over(byUser))
+      .filter(col("crn").isNull || col("rn") <= col("crn"))
+      .withColumn("lrn", max(col("rn")).over(byUser))
+      .localCheckpoint(true) // three transition reads + the spine
+    val withNext = ev.withColumn("next_st",
+      lead(col("st"), 1).over(Window.partitionBy("user_id")
+        .orderBy(col("rn"))))
+    val trans = withNext.filter(col("rn") === 1)
+      .select(lit(start).as("f"), col("st").as("t"))
+      .unionByName(withNext.filter(col("next_st").isNotNull)
+        .select(col("st").as("f"), col("next_st").as("t")))
+      .unionByName(withNext.filter(col("rn") === col("lrn")
+          && col("st") =!= conv)
+        .select(col("st").as("f"), lit(nul).as("t")))
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    removalFromTransitions(trans)
+  }
+
+  /** The scenario-expanded T-step absorption recurrence over any
+    * (f, t, n) transition-count frame using the `__start__`/`__conv__`/
+    * `__null__` state names — factored from [[q176]] so the spec can
+    * plant a matrix with a hand-computed removal effect.
+    */
+  private[graft] def removalFromTransitions(trans: DataFrame): DataFrame = {
+    val spark = trans.sparkSession
+    val conv = "__conv__"
+    val nul = "__null__"
+    val start = "__start__"
+    val rowsum = trans.groupBy("f").agg(sum(col("n")).as("cn"))
+    val states = trans.select(col("f").as("s"))
+      .unionByName(trans.select(col("t").as("s"))).distinct()
+    val channels = trans.select(col("t").as("removed"))
+      .filter(col("removed") =!= conv && col("removed") =!= nul)
+      .distinct().orderBy("removed").limit(12)
+    val scenarios = channels.unionByName(
+      spark.range(1).select(lit("__none__").as("removed")))
+    val spine = states.crossJoin(broadcast(scenarios))
+      .join(rowsum, col("s") === col("f"), "left")
+      .select(col("removed"), col("s"), col("cn"))
+      .localCheckpoint(true) // reused every step
+    var p = spine.select(col("removed"), col("s"),
+      when(col("s") === conv, lit(1000000L)).otherwise(lit(0L)).as("p"))
+    for (_ <- 1 to 8) {
+      val inflow = p.select(col("removed").as("ir"), col("s").as("ts"),
+          col("p").as("pt"))
+        .join(trans, col("ts") === col("t"))
+        .filter(col("ts") =!= col("ir")) // knocked-out inbound → NULL (p=0)
+        .groupBy(col("ir"), col("f"))
+        .agg(sum(col("n").cast(DecimalType(38, 0)) * col("pt")).as("acc"))
+      p = spine.join(inflow,
+          col("removed") === col("ir") && col("s") === col("f"), "left")
+        .select(col("removed"), col("s"),
+          when(col("s") === conv, lit(1000000L))
+            .when(col("s") === nul || col("s") === col("removed"), lit(0L))
+            .otherwise(coalesce(
+              expr("CAST(acc div cn AS BIGINT)"), lit(0L))).as("p"))
+        .localCheckpoint(true)
+    }
+    val atStart = p.filter(col("s") === start)
+      .select(col("removed"), col("p"))
+    val base = graft.tools.Scalar.scalarRow(
+      atStart.filter(col("removed") === "__none__")
+        .select(col("p").as("p_base")))
+    atStart.filter(col("removed") =!= "__none__")
+      .crossJoin(broadcast(base))
+      .select(col("removed").as("channel"), col("p_base"),
+        col("p").as("p_removed"),
+        when(col("p_base") > 0,
+          lit(1000000L) - expr("(p * 1000000) div p_base"))
+          .as("removal_micro"))
+      .orderBy("channel")
+  }
+
   /** The truss peel over any canonical (a < b) undirected edge list —
     * factored so the spec can drive a planted K4-plus-pendant-triangle
     * graph with hand-computed survivors.
@@ -8399,6 +8516,66 @@ object Relational {
          |SELECT e.a, e.b, coalesce(s.supp, 0) AS supp
          |FROM e6 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
          |ORDER BY e.a, e.b""".stripMargin
+    },
+    // q176: the identical journey truncation, 8 unrolled micro-floor
+    // recurrence steps over the tiny (scenario × grid) frame, and the
+    // same knocked-out-channel exclusion (p(removed) pinned 0)
+    "q176_removal_effect" -> {
+      def step(k: Int): String =
+        s"""p$k AS (
+           |  SELECT sp.removed, sp.s, sp.cn,
+           |    CAST(CASE WHEN sp.s = '__conv__' THEN 1000000
+           |      WHEN sp.s = '__null__' OR sp.s = sp.removed THEN 0
+           |      ELSE coalesce(i.acc // sp.cn, 0) END AS BIGINT) AS p
+           |  FROM sp LEFT JOIN (
+           |    SELECT pp.removed, c.f,
+           |      sum(CAST(c.n AS HUGEINT) * pp.p) AS acc
+           |    FROM p${k - 1} pp JOIN c ON c.t = pp.s
+           |    WHERE pp.s <> pp.removed
+           |    GROUP BY 1, 2) i
+           |    ON i.removed = sp.removed AND i.f = sp.s)""".stripMargin
+      s"""WITH ev0 AS (
+         |  SELECT user_id, event_id,
+         |    CASE WHEN event_type = 'purchase' THEN '__conv__'
+         |         ELSE event_type END AS st,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ns(ts), event_id) AS rn
+         |  FROM events),
+         |fc AS (SELECT user_id, min(rn) AS crn FROM ev0
+         |       WHERE st = '__conv__' GROUP BY 1),
+         |ev AS (
+         |  SELECT e.user_id, e.st, e.rn,
+         |    max(e.rn) OVER (PARTITION BY e.user_id) AS lrn,
+         |    lead(e.st) OVER (PARTITION BY e.user_id ORDER BY e.rn)
+         |      AS next_st
+         |  FROM ev0 e LEFT JOIN fc USING (user_id)
+         |  WHERE fc.crn IS NULL OR e.rn <= fc.crn),
+         |tr AS (
+         |  SELECT '__start__' AS f, st AS t FROM ev WHERE rn = 1
+         |  UNION ALL SELECT st, next_st FROM ev WHERE next_st IS NOT NULL
+         |  UNION ALL SELECT st, '__null__' FROM ev
+         |    WHERE rn = lrn AND st <> '__conv__'),
+         |c AS (SELECT f, t, count(*) AS n FROM tr GROUP BY 1, 2),
+         |rs AS (SELECT f, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+         |stt AS (SELECT f AS s FROM c UNION SELECT t AS s FROM c),
+         |ch AS (SELECT DISTINCT t AS removed FROM c
+         |       WHERE t NOT IN ('__conv__', '__null__')
+         |       ORDER BY 1 LIMIT 12),
+         |sc AS (SELECT removed FROM ch UNION ALL SELECT '__none__'),
+         |sp AS (SELECT sc.removed, stt.s, rs.cn
+         |       FROM stt CROSS JOIN sc LEFT JOIN rs ON rs.f = stt.s),
+         |p0 AS (SELECT removed, s, cn,
+         |         CAST(CASE WHEN s = '__conv__' THEN 1000000 ELSE 0 END
+         |           AS BIGINT) AS p FROM sp),
+         |${(1 to 8).map(step).mkString(",\n")}
+         |SELECT pr.removed AS channel, b.p AS p_base, pr.p AS p_removed,
+         |  CASE WHEN b.p > 0
+         |    THEN 1000000 - (pr.p * 1000000) // b.p END AS removal_micro
+         |FROM p8 pr,
+         |  (SELECT p FROM p8
+         |   WHERE removed = '__none__' AND s = '__start__') b
+         |WHERE pr.s = '__start__' AND pr.removed <> '__none__'
+         |ORDER BY channel""".stripMargin
     },
     // q175: the identical hash-seeded walk — dst-ascending neighbor
     // ranks, md5-prefix pick mod out-degree, 4 unrolled steps

@@ -2508,6 +2508,23 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(got.forall(_._7 == 1), "planted near-dup must violate")
   }
 
+  test("removal effect: hand-computed absorption on a planted chain — " +
+      "a load-bearing channel gets full credit, a shortcut half") {
+    // START->A (2 users), A->B, A->CONV, B->CONV. Base: p(B)=1e6,
+    // p(A)=(1e6+1e6) div 2 = 1e6, p(START)=1e6. Remove B: p(A)=
+    // (0+1e6) div 2 = 5e5 -> credit 5e5. Remove A: START loses its only
+    // route -> credit 1e6.
+    val trans = Seq(
+      ("__start__", "A", 2L), ("A", "B", 1L),
+      ("A", "__conv__", 1L), ("B", "__conv__", 1L))
+      .toDF("f", "t", "n")
+    val got = Relational.removalFromTransitions(trans).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("A", 1000000L, 0L, 1000000L),
+      ("B", 1000000L, 500000L, 500000L)))
+  }
+
   test("hash classifier: scores equal an independent md5 replay on a " +
       "planted corpus; verdict flips at zero") {
     import graft.operators.TextAnalysis
