@@ -454,6 +454,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Row-local twin of [[hashClassifierScores]]: because this library's
+    * stand-in weights are hash-DERIVED, the whole score computes inside
+    * the scan row (weight = hash(hash(bigram) mod buckets), folded with
+    * an in-row aggregate) — zero shuffle, zero state, which is what
+    * makes the STREAMING form (`st_hash_infer`) a stateless Append-mode
+    * map over arriving documents. A trained weight table would instead
+    * broadcast-join exactly as the batch form does (in a stream too —
+    * broadcast joins are stream-safe); the two forms are proven
+    * equivalent by sharing the ta_hash_infer oracle verbatim.
+    */
+  def hashClassifierRowLocal(docs: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    val bgs = transform(
+      sequence(lit(1), size(col("ws")) - 1),
+      i => concat_ws(" ", element_at(col("ws"), i),
+        element_at(col("ws"), i + 1)))
+    val weights = transform(col("bgs"), bg =>
+      portableHash60(concat(lit("ftw:"),
+        (portableHash60(concat(lit("ftb:"), bg)) % buckets)
+          .cast("string"))) % 2001 - 1000)
+    docs.withColumn("ws", tokens(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("bgs", bgs)
+      .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+        aggregate(weights, lit(0L), (a, x) => a + x).as("score"))
+      .select(col("doc_id"), col("n_bigrams"), col("score"),
+        (col("score") >= 0).cast("int").as("keep"))
+  }
+
   /** Inter-rater agreement of the three independent quality gates —
     * Fleiss' κ (Fleiss 1971) over the hand-feature model
     * ([[qualityModelScores]]), the Gopher rule battery ([[gopherRules]])

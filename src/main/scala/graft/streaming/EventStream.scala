@@ -1083,6 +1083,16 @@ object EventStream {
         "st_phrase_sink", OutputMode.Append)
       s.table("st_phrase_sink").orderBy("doc_id")
     }),
+    // streaming hashed-classifier inference: hash-derived weights fold
+    // INSIDE each arriving row (see hashClassifierRowLocal) — zero
+    // state, pure Append-mode map; shares ta_hash_infer's oracle
+    "st_hash_infer" -> ((s, d) => {
+      runToMemory(
+        graft.operators.TextAnalysis.hashClassifierRowLocal(
+          readDocuments(s, d)),
+        "st_hash_infer_sink", OutputMode.Append)
+      s.table("st_hash_infer_sink").orderBy("doc_id")
+    }),
     // the ingest-time shape of a crawler pipeline: score-and-filter as
     // documents arrive, not in a nightly batch.
     "st_curation" -> ((s, d) => {
@@ -1534,6 +1544,7 @@ object EventStream {
          |WHERE a.doc_id < split AND b.doc_id >= split
          |ORDER BY 1, 2""".stripMargin,
     "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
+    "st_hash_infer" -> graft.operators.TextAnalysis.oracle("ta_hash_infer"),
     // st_chi2 folds ta_chi2's two count grids in-stream and shares its
     // finalizer — same oracle verbatim
     "st_chi2" -> graft.operators.TextAnalysis.oracle("ta_chi2"),
