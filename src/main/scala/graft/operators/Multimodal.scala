@@ -1160,6 +1160,39 @@ object Multimodal {
     }).toDF()
   }
 
+  final case class KeyFrame(doc_id: Long, t: Int, frame_diff: Long,
+                            is_key: Int)
+
+  /** Keyframe selection over the DECODED clip stream — the
+    * frame-sampling operator a multimodal training pipeline runs before
+    * the expensive per-frame work (captioning, embedding): the first
+    * frame is always emitted, and a later frame is a keyframe iff its
+    * |Δ| mass against the previous frame reaches the scene-cut grade
+    * ([[CutMeanDelta]]·W·H, the [[motionStats]] threshold — compared
+    * exactly as integers). Emits one row PER FRAME with its diff and
+    * verdict, so downstream stages filter `is_key = 1` instead of
+    * decoding everything again. Same envelope as every codec operator:
+    * mapPartitions scan-stage over real decoded animated-GIF frames,
+    * zero shuffle; the oracle replays the scrolled pixel recipe's
+    * closed-form differences.
+    */
+  def keyFrames(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    synthesizeClips(docs).mapPartitions(_.flatMap { f =>
+      val (w, h, frames) = decodeGifGrayFrames(f.doc_id, f.payload)
+      val thr = CutMeanDelta.toLong * w * h
+      (0 until frames.length).map { t =>
+        if (t == 0) KeyFrame(f.doc_id, 0, 0L, 1)
+        else {
+          val a = frames(t - 1); val c = frames(t)
+          var fd = 0L; var i = 0
+          while (i < c.length) { fd += math.abs(c(i) - a(i)); i += 1 }
+          KeyFrame(f.doc_id, t, fd, if (fd >= thr) 1 else 0)
+        }
+      }
+    }).toDF()
+  }
+
   /** Gradient statistics over the DECODED grayscale stream — the
     * sharpness/blur/flatness signal an image-curation filter reads (a
     * blurry or synthetic-flat image has low |Δ| mass and few strong
@@ -1226,6 +1259,8 @@ object Multimodal {
       edgeStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_motion_stats" -> ((s, d) =>
       motionStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "mm_keyframes" -> ((s, d) =>
+      keyFrames(Tables.load(s, d, "documents")).orderBy("doc_id", "t")),
     "mm_audio_autocorr" -> ((s, d) => {
       import s.implicits._
       audioAutocorr(synthesizeMedia(Tables.load(s, d, "documents")))
@@ -1443,6 +1478,28 @@ object Multimodal {
          |  CAST(sum(CASE WHEN fd >= 24 * 960 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_cuts
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-frame keyframe verdicts from the same scrolled-recipe
+    // closed-form diffs; frame 0 is always a key with diff 0
+    "mm_keyframes" ->
+      s"""WITH r AS ($R),
+         |d AS (
+         |  SELECT doc_id, t,
+         |    CAST(sum(abs(
+         |      ((h % 256 + 7 * ((x + t) % 40) + 13 * y
+         |        + ((((x + t) % 40) * y) % 5) * 29) % 256)
+         |      - ((h % 256 + 7 * ((x + t - 1) % 40) + 13 * y
+         |        + ((((x + t - 1) % 40) * y) % 5) * 29) % 256)))
+         |      AS BIGINT) AS fd
+         |  FROM r, range(1, 8) tt(t), range(0, 40) tx(x), range(0, 24) ty(y)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(t AS INTEGER) AS t, fd AS frame_diff,
+         |  CAST(fd >= 24 * 960 AS INTEGER) AS is_key
+         |FROM d
+         |UNION ALL
+         |SELECT doc_id, CAST(0 AS INTEGER), CAST(0 AS BIGINT),
+         |  CAST(1 AS INTEGER)
+         |FROM r
+         |ORDER BY doc_id, t""".stripMargin,
     // byte-pair replay (the mm_audio_stats discipline) + window LEADs:
     // lead(val, L) is NULL past the stream end, and sum() skips NULLs —
     // exactly the i+L < n loop bound of the Spark-side kernel

@@ -431,4 +431,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) === ((expect, ones)), s"doc $id")
     }
   }
+
+  test("keyframes reconcile with motion stats: per-frame diffs sum to " +
+      "sum_motion, cut count matches, frame 0 is always a key") {
+    import graft.operators.Multimodal
+    val docs = graft.tables.Tables.load(spark, TestSpark.sf0001, "documents")
+      .limit(40)
+    val kf = Multimodal.keyFrames(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    val ms = Multimodal.motionStats(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(4)))).toMap
+    val byDoc = kf.groupBy(_._1)
+    assert(byDoc.keySet === ms.keySet)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length === 8, s"doc $id frame count")
+      val f0 = rows.find(_._2 == 0).get
+      assert(f0._3 === 0L && f0._4 === 1, s"doc $id frame 0")
+      val later = rows.filter(_._2 > 0)
+      assert(later.map(_._3).sum === ms(id)._1, s"doc $id sum_motion")
+      assert(later.count(_._4 == 1).toLong === ms(id)._2, s"doc $id cuts")
+    }
+  }
 }
