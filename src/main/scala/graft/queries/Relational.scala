@@ -227,6 +227,8 @@ object Relational {
     "q174_ktruss" -> q174,
     "q175_random_walks" -> q175,
     "q176_removal_effect" -> q176,
+    "q177_theilsen" -> q177,
+    "q178_mann_kendall" -> q178,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -6079,6 +6081,109 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** The per-nation monthly revenue series (q160's rollup over ALL
+    * nations, sparse — observed months only) shared by the trend-test
+    * duo q177/q178.
+    */
+  private def monthlyRevSeries(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        ((year(col("o_orderdate")) - 1992) * 12
+          + month(col("o_orderdate")) - 1).cast("long").as("m"))
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) " +
+        "AS BIGINT) div 1000").as("units"))
+
+  /** All within-nation month pairs (m1 < m2) with exact integer rise and
+    * run and the single-IEEE-division slope — shared by q177/q178.
+    */
+  private def monthPairs(ser: DataFrame): DataFrame =
+    ser.select(col("nation"), col("m").as("m1"), col("units").as("u1"))
+      .join(ser.select(col("nation").as("n2"), col("m").as("m2"),
+          col("units").as("u2")),
+        col("nation") === col("n2") && col("m1") < col("m2"))
+      .select(col("nation"), col("m1"), col("m2"),
+        (col("u2") - col("u1")).as("dy"), (col("m2") - col("m1")).as("dx"))
+
+  /** Theil–Sen robust trend slope per nation — the estimator OLS (q111)
+    * is not: the MEDIAN of all pairwise slopes, with breakdown point
+    * ~29% (one crazy month barely moves it where it drags a least-
+    * squares fit). Median = the exact ELEMENT at rank ⌈n/2⌉ under
+    * (slope, m1, m2) ordering — the q103 median-element convention, so
+    * no averaging, and the published (med_dy, med_dx) are the exact
+    * integers behind the chosen slope. Each slope is ONE IEEE division
+    * of exact integers; the double ordering is engine-identical because
+    * the doubles are.
+    *
+    * Scale: pairs are CALENDAR-bounded (C(84,2) per nation ≈ 3.5k);
+    * nations parallelize; the rank window partitions by nation over
+    * that bounded pair set. A 100× corpus grows only the rollup input.
+    */
+  private def q177(spark: SparkSession, dir: String): DataFrame =
+    theilSenFromSeries(monthlyRevSeries(spark, dir))
+
+  /** Factored for the spec's planted series. */
+  private[graft] def theilSenFromSeries(ser: DataFrame): DataFrame = {
+    val pairs = monthPairs(ser)
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val w = Window.partitionBy("nation")
+      .orderBy(col("slope"), col("m1"), col("m2"))
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy("nation")))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("nation"), col("n_pairs"), col("dy").as("med_dy"),
+        col("dx").as("med_dx"), col("slope"))
+      .orderBy("nation")
+  }
+
+  /** Mann–Kendall trend test per nation — Theil–Sen's significance
+    * companion (the standard nonparametric trend duo): S = Σ sign(Δ)
+    * over all month pairs (exact integer), the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_g t(t−1)(2t+5) (exact integer; g ranges
+    * over tied revenue values), and the continuity-corrected
+    * z = (S∓1)/√(var18/18). The 18.0 literal and the sqrt chain are
+    * identical correctly-rounded IEEE trees in both engines; an
+    * all-tied series has var18 = 0 and publishes NULL z explicitly
+    * (q173's degenerate-branch lesson) rather than 0/0.
+    *
+    * Scale: q177's calendar-bounded pair frame plus two per-nation
+    * partial aggs (sign sum, tie histogram).
+    */
+  private def q178(spark: SparkSession, dir: String): DataFrame =
+    mannKendallFromSeries(monthlyRevSeries(spark, dir))
+
+  /** Factored for the spec's planted series. */
+  private[graft] def mannKendallFromSeries(ser: DataFrame): DataFrame = {
+    val s = monthPairs(ser).groupBy("nation")
+      .agg(sum(when(col("dy") > 0, 1L).when(col("dy") < 0, -1L)
+        .otherwise(0L)).as("s_stat"))
+    val nm = ser.groupBy("nation").agg(count(lit(1)).as("n_months"))
+    val ties = ser.groupBy("nation", "units")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("nation")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val d = sqrt(col("var18").cast("double") / lit(18.0))
+    nm.join(ties, "nation").join(s, "nation")
+      .withColumn("var18",
+        expr("n_months * (n_months - 1) * (2 * n_months + 5) - tie_term"))
+      .withColumn("z",
+        when(col("var18") > 0,
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / d)
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / d)
+          .otherwise(lit(0.0))))
+      .select(col("nation"), col("n_months"), col("s_stat"), col("var18"),
+        col("z"), (abs(col("z")) > 1.96).cast("int").as("trend"))
+      .orderBy("nation")
+  }
+
   /** The truss peel over any canonical (a < b) undirected edge list —
     * factored so the spec can drive a planted K4-plus-pendant-triangle
     * graph with hand-computed survivors.
@@ -8517,6 +8622,80 @@ object Relational {
          |FROM e6 e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
          |ORDER BY e.a, e.b""".stripMargin
     },
+    // q177/q178 share the sparse monthly rollup + pair frame; slope
+    // ordering is over identical doubles, median is an exact ELEMENT
+    "q177_theilsen" ->
+      """WITH rev AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) // 1000 AS units
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.nation, a.m AS m1, b.m AS m2,
+        |    b.units - a.units AS dy, b.m - a.m AS dx,
+        |    CAST(b.units - a.units AS DOUBLE)
+        |      / CAST(b.m - a.m AS DOUBLE) AS slope
+        |  FROM rev a JOIN rev b ON a.nation = b.nation AND a.m < b.m),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY nation
+        |      ORDER BY slope, m1, m2) AS rn,
+        |    count(*) OVER (PARTITION BY nation) AS n_pairs
+        |  FROM pairs)
+        |SELECT nation, n_pairs, dy AS med_dy, dx AS med_dx, slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY nation""".stripMargin,
+    // q178: exact sign sum + tie-corrected integer variance; the z tree
+    // (cast, /18.0, sqrt, one division) is IEEE-identical; var18 = 0
+    // (all-tied) publishes NULL
+    "q178_mann_kendall" ->
+      """WITH rev AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |      AS BIGINT) // 1000 AS units
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.nation,
+        |    CAST(sum(CASE WHEN b.units > a.units THEN 1
+        |                  WHEN b.units < a.units THEN -1
+        |                  ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM rev a JOIN rev b ON a.nation = b.nation AND a.m < b.m
+        |  GROUP BY 1),
+        |nm AS (SELECT nation, count(*) AS n_months FROM rev GROUP BY 1),
+        |ties AS (
+        |  SELECT nation,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT nation, units, count(*) AS t FROM rev GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT nm.nation, nm.n_months, s.s_stat,
+        |    n_months * (n_months - 1) * (2 * n_months + 5) - tie_term
+        |      AS var18
+        |  FROM nm JOIN ties ON ties.nation = nm.nation
+        |  JOIN s ON s.nation = nm.nation)
+        |SELECT nation, n_months, s_stat, var18,
+        |  CASE WHEN var18 > 0 THEN
+        |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         ELSE 0.0 END
+        |  END AS z,
+        |  CAST(abs(CASE WHEN var18 > 0 THEN
+        |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         ELSE 0.0 END
+        |  END) > 1.96 AS INTEGER) AS trend
+        |FROM v ORDER BY nation""".stripMargin,
     // q176: the identical journey truncation, 8 unrolled micro-floor
     // recurrence steps over the tiny (scenario × grid) frame, and the
     // same knocked-out-channel exclusion (p(removed) pinned 0)

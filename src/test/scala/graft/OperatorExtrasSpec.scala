@@ -2525,6 +2525,31 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("B", 1000000L, 500000L, 500000L)))
   }
 
+  test("theil-sen and mann-kendall: hand-computed median slope and " +
+      "trend statistics; all-tied series publishes NULL z") {
+    // nation 0: units [10,12,11,20,10] over months 0..4; nation 1 all-tied
+    val ser = (Seq((0L, 0L, 10L), (0L, 1L, 12L), (0L, 2L, 11L),
+      (0L, 3L, 20L), (0L, 4L, 10L)) ++
+      Seq((1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 5L)))
+      .toDF("nation", "m", "units")
+    // 10 slopes sorted: -10,-1,-2/3,-1/2,0,1/2,2,10/3,4,9 -> rank 5 = 0
+    val ts = Relational.theilSenFromSeries(ser).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // tied nation: slopes all 0, rank-2 of ((0,1),(0,2),(1,2)) is (0,2)
+    assert(ts.toSeq === Seq((0L, 10L, 0L, 4L, 0.0),
+      (1L, 3L, 0L, 2L, 0.0)))
+    // MK nation 0: S = 1, var18 = 5*4*15 - 2*1*9 = 282, z = 0, no trend;
+    // nation 1: var18 = 66 - 66 = 0 -> NULL z and NULL trend
+    val mk = Relational.mannKendallFromSeries(ser).collect()
+    val r0 = mk.find(_.getLong(0) == 0L).get
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getDouble(4),
+      r0.getInt(5)) === ((5L, 1L, 282L, 0.0, 0)))
+    val r1 = mk.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(3) === 0L)
+    assert(r1.isNullAt(4) && r1.isNullAt(5))
+  }
+
   test("hash classifier: scores equal an independent md5 replay on a " +
       "planted corpus; verdict flips at zero") {
     import graft.operators.TextAnalysis
