@@ -1144,6 +1144,54 @@ object EventStream {
       graft.queries.Relational.matrixProfileFromDaily(
         s.table("st_mp_sink").localCheckpoint(true))
     }),
+    // Streaming Theil–Sen: the live "is this class's revenue actually
+    // trending" monitor — the per-(class, day) cents rollup folds as a
+    // watermarked day-window aggregate (st_matrix_profile's fold) and
+    // the robust median-slope finalizer runs sink-side through the
+    // shared theilSenFromSeries over the calendar-bounded day pairs.
+    "st_theilsen" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cents")),
+        "st_ts_sink", OutputMode.Complete)
+      val ser = s.table("st_ts_sink").localCheckpoint(true)
+        .select(col("event_type").as("nation"),
+          datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
+            .cast("long").as("m"),
+          expr("cents div 1000").as("units"))
+      graft.queries.Relational.theilSenFromSeries(ser)
+        .withColumnRenamed("nation", "event_type")
+        .orderBy("event_type")
+    }),
+    // Streaming Mann–Kendall: the significance companion over the same
+    // fold (own sink — streams are one-consumer); sign sum + the
+    // tie-corrected integer variance finalize through the shared
+    // mannKendallFromSeries, NULL z on the all-tied degenerate.
+    "st_mann_kendall" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cents")),
+        "st_mk_sink", OutputMode.Complete)
+      val ser = s.table("st_mk_sink").localCheckpoint(true)
+        .select(col("event_type").as("nation"),
+          datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
+            .cast("long").as("m"),
+          expr("cents div 1000").as("units"))
+      graft.queries.Relational.mannKendallFromSeries(ser)
+        .withColumnRenamed("nation", "event_type")
+        .withColumnRenamed("n_months", "n_days")
+        .orderBy("event_type")
+    }),
     // Streaming Kneser–Ney: the corpus bigram counts — the model's only
     // corpus-sized reduction — fold in-stream as a Complete-mode
     // aggregate (explode stateless, state = the bigram vocabulary); the
@@ -1380,6 +1428,82 @@ object EventStream {
     // st_matrix_profile: q160's window-pair SSD logic on the events
     // table's per-(class, day) units series — dense zero-filled spine,
     // |i−j| ≥ 6 exclusion, smallest-j tie-break as a min() join-back
+    // st_theilsen / st_mann_kendall: q177/q178's pair logic over the
+    // events table's per-(class, day) cents rollup (sparse — observed
+    // days), day index = days since epoch
+    "st_theilsen" ->
+      """WITH rev AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) // 1000 AS units
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type,
+        |    CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS m,
+        |    units
+        |  FROM rev),
+        |pairs AS (
+        |  SELECT a.event_type, a.m AS m1, b.m AS m2,
+        |    b.units - a.units AS dy, b.m - a.m AS dx,
+        |    CAST(b.units - a.units AS DOUBLE)
+        |      / CAST(b.m - a.m AS DOUBLE) AS slope
+        |  FROM ser a JOIN ser b
+        |    ON a.event_type = b.event_type AND a.m < b.m),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope, m1, m2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM pairs)
+        |SELECT event_type, n_pairs, dy AS med_dy, dx AS med_dx, slope
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+    "st_mann_kendall" ->
+      """WITH rev AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) // 1000 AS units
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type,
+        |    CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS m,
+        |    units
+        |  FROM rev),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.units > a.units THEN 1
+        |                  WHEN b.units < a.units THEN -1
+        |                  ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM ser a JOIN ser b
+        |    ON a.event_type = b.event_type AND a.m < b.m
+        |  GROUP BY 1),
+        |nm AS (SELECT event_type, count(*) AS n_days FROM ser GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, units, count(*) AS t
+        |        FROM ser GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |v AS (
+        |  SELECT nm.event_type, nm.n_days, s.s_stat,
+        |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+        |  FROM nm JOIN ties ON ties.event_type = nm.event_type
+        |  JOIN s ON s.event_type = nm.event_type)
+        |SELECT event_type, n_days, s_stat, var18,
+        |  CASE WHEN var18 > 0 THEN
+        |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         ELSE 0.0 END
+        |  END AS z,
+        |  CAST(abs(CASE WHEN var18 > 0 THEN
+        |    CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |           / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |         ELSE 0.0 END
+        |  END) > 1.96 AS INTEGER) AS trend
+        |FROM v ORDER BY event_type""".stripMargin,
     "st_matrix_profile" ->
       """WITH rev AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
