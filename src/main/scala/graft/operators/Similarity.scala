@@ -288,6 +288,62 @@ object Similarity {
       .orderBy("a_id")
   }
 
+  /** Dimension-truncation recall panel — the Matryoshka-representation
+    * eval (Kusupati et al. 2022) a pipeline runs before shipping
+    * truncated embeddings: top-k by only the FIRST d code dimensions vs
+    * the full-width exact top-k, recall@k per d. Quantifies how much
+    * ANN quality a 4–8× storage/bandwidth cut costs on THIS corpus —
+    * measured, not assumed (the ann_recall discipline).
+    *
+    * Determinism: all ranking is exact-integer scos2 over int8-code
+    * PREFIXES (array slice, then the same codegen dot); a truncated
+    * prefix can quantize to all-zero, so the score carries an explicit
+    * na>0 ∧ nb>0 guard publishing 0 (no direction ⇒ orthogonal) — a
+    * 0/0 NaN would be a cross-engine ordering seam (the q173 lesson).
+    *
+    * Scale: one broadcast-queries pass over the candidates per d (the
+    * bruteForceTopK envelope, parameter-bounded queries); rank windows
+    * partition by query.
+    */
+  def dimTruncationRecall(emb: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32, 48), k: Int = 5): DataFrame = {
+    val qc = quantized(emb, "neighbor_id")
+    val qq = quantized(emb.filter(col("vec_id") < 20).limit(20), "query_id")
+    def guardedScos2: Column =
+      when(col("na") > 0 && col("nb") > 0,
+        Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
+        .otherwise(lit(0.0))
+    def top(d: Option[Int]): DataFrame = {
+      val qa = d.map(n => slice(col("qa0"), 1, n)).getOrElse(col("qa0"))
+      val qb = d.map(n => slice(col("qb0"), 1, n)).getOrElse(col("qb0"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("scos2").desc, col("neighbor_id"))
+      broadcast(qq.select(col("query_id"), col("q").as("qa0")))
+        .join(qc.select(col("neighbor_id"), col("q").as("qb0")),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", vecDot(qa, qb).cast("long"))
+        .withColumn("na", vecDot(qa, qa).cast("long"))
+        .withColumn("nb", vecDot(qb, qb).cast("long"))
+        .withColumn("scos2", guardedScos2)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val truth = top(None).localCheckpoint(true)
+    val tot = truth.agg(count(lit(1)).as("total"))
+    dims.map { d =>
+      top(Some(d))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("caught"))
+        .select(lit(d).as("dims"), col("caught"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(tot))
+      .select(col("dims"), col("caught"), col("total"),
+        (col("caught").cast("double") / col("total").cast("double"))
+          .as("recall"))
+      .orderBy("dims")
+  }
+
   /** Triplet hard-negative mining over a labeled embedding corpus — the
     * metric-learning data op (FaceNet / SBERT training batches): per
     * anchor, the hardest positive is its top-1 SAME-label neighbor and
@@ -697,6 +753,8 @@ object Similarity {
     }),
     "ann_hard_negatives" -> ((s, d) =>
       hardNegatives(Tables.load(s, d, "embeddings"))),
+    "ann_dim_truncation" -> ((s, d) =>
+      dimTruncationRecall(Tables.load(s, d, "embeddings"))),
     // Recall@5 of every approximate index vs the exact brute force —
     // the quality claim the DedupSpec recall floors assert, made
     // DRIVER-VISIBLE and hash-gated: all five methods are
@@ -827,6 +885,45 @@ object Similarity {
          |    AS rrf
          |FROM lex FULL JOIN sem USING (id)
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // ann_dim_truncation: per-d top-5 on code PREFIXES (list slices)
+    // vs the full-width truth, the guarded (na>0 ∧ nb>0) scos2, and
+    // recall as one IEEE division of exact counts
+    "ann_dim_truncation" -> {
+      def top(name: String, d: Option[Int]): String = {
+        val qs = d.map(n => s"q.q[1:$n]").getOrElse("q.q")
+        val cs = d.map(n => s"c.q[1:$n]").getOrElse("c.q")
+        s"""$name AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY
+           |        CASE WHEN na > 0 AND nb > 0 THEN
+           |          CAST(CASE WHEN dot < 0 THEN -(dot * dot)
+           |               ELSE dot * dot END AS DOUBLE)
+           |            / CAST(na * nb AS DOUBLE)
+           |        ELSE 0.0 END DESC, neighbor_id) AS rnk
+           |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |            CAST(list_dot_product($qs, $cs) AS BIGINT) AS dot,
+           |            CAST(list_dot_product($qs, $qs) AS BIGINT) AS na,
+           |            CAST(list_dot_product($cs, $cs) AS BIGINT) AS nb
+           |          FROM qq q JOIN qq c
+           |            ON q.vec_id < 20 AND c.vec_id <> q.vec_id))
+           |  WHERE rnk <= 5)""".stripMargin
+      }
+      val dims = Seq(8, 16, 32, 48)
+      s"""WITH $QQ,
+         |${top("tr", None)},
+         |${dims.map(d => top(s"m$d", Some(d))).mkString(",\n")},
+         |tot AS (SELECT count(*) AS total FROM tr)
+         |SELECT dims, caught, total,
+         |  CAST(caught AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+         |FROM (
+         |${dims.map(d =>
+            s"  SELECT $d AS dims, (SELECT count(*) FROM m$d " +
+              "JOIN tr USING (query_id, neighbor_id)) AS caught")
+            .mkString("\n  UNION ALL\n")}
+         |) x, tot
+         |ORDER BY dims""".stripMargin
+    },
     // ann_mnn: the identical A×B exact-scos2 grid, both-direction rank-1
     // with lead() runner-ups, ties to the smaller id
     "ann_mnn" ->

@@ -454,6 +454,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature (α = ½) source-mixture weights with an exact
+    * largest-remainder quota — the multilingual/multi-source α-sampling
+    * every LLM training mixture applies (raw proportions drown the tail
+    * sources; uniform over-trains them; w ∝ size^α is the standard
+    * compromise): per source, its exact character mass, the α = ½
+    * weight as an EXACT integer square root, the raw vs temperature
+    * share side by side (the flattening IS the point), and a
+    * largest-remainder allocation of a 10⁶-sample budget (q105's quota
+    * machinery — fractional parts ranked, ties to source order, so the
+    * quotas sum to the budget exactly).
+    *
+    * Exact isqrt: floor(sqrt(x)) over a double is wrong by one exactly
+    * at perfect-square boundaries where the correctly-rounded sqrt
+    * lands on an integer from below (x = k²±ε); the ±1 CASE guard
+    * ((s+1)² ≤ x → s+1; s² > x → s−1) repairs both directions and is
+    * the SAME expression in the oracle — engine-exact for any x an
+    * int64 can hold.
+    *
+    * Scale: one partial-agg shuffle to per-source mass; everything
+    * after runs on O(sources) rows. The remainder rank is a global
+    * window over one row per SOURCE — waived with that named bound
+    * (q105's stratum convention).
+    */
+  def temperatureMix(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.groupBy("source").agg(sum(col("n_chars")).as("chars"))
+    val w = tok
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= chars THEN s0 + 1 " +
+          "WHEN s0 * s0 > chars THEN s0 - 1 ELSE s0 END"))
+    val wt = w.crossJoin(broadcast(w.agg(sum(col("w")).as("w_tot"),
+        sum(col("chars")).as("chars_tot"))))
+      .withColumn("base", expr(s"($budget * w) div w_tot"))
+      .withColumn("frac", expr(s"($budget * w) % w_tot"))
+    wt.crossJoin(broadcast(wt.agg(sum(col("base")).as("sum_base"))))
+      .withColumn("xr", row_number().over(
+        Window.orderBy(col("frac").desc, col("source").asc)))
+      .select(col("source"), col("chars"), col("w"),
+        expr("(chars * 1000000) div chars_tot").as("raw_share_micro"),
+        expr("(w * 1000000) div w_tot").as("share_micro"),
+        (col("base") + when(col("xr") <= lit(budget) - col("sum_base"), 1L)
+          .otherwise(0L)).as("quota"))
+      .orderBy("source")
+  }
+
   /** Row-local twin of [[hashClassifierScores]]: because this library's
     * stand-in weights are hash-DERIVED, the whole score computes inside
     * the scan row (weight = hash(hash(bigram) mod buckets), folded with
@@ -1987,6 +2034,8 @@ object TextAnalysis {
       hashClassifierScores(Tables.load(s, d, "documents"))),
     "ta_rater_agreement" -> ((s, d) =>
       raterAgreement(Tables.load(s, d, "documents"))),
+    "ta_temperature_mix" -> ((s, d) =>
+      temperatureMix(Tables.load(s, d, "documents"))),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -2767,6 +2816,36 @@ object TextAnalysis {
          |FROM per JOIN g2 ON g2.lang = per.lang
          |  AND g2.rare_micro = per.rare_micro
          |ORDER BY per.doc_id""".stripMargin,
+    // ta_temperature_mix: identical guarded exact isqrt, micro shares,
+    // and the q105 largest-remainder quota (frac DESC, source tiebreak)
+    "ta_temperature_mix" ->
+      """WITH tok AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |s0 AS (SELECT source, chars,
+        |    CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM tok),
+        |w AS (SELECT source, chars,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= chars THEN s0 + 1
+        |         WHEN s0 * s0 > chars THEN s0 - 1 ELSE s0 END AS w
+        |  FROM s0),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot,
+        |             CAST(sum(chars) AS BIGINT) AS chars_tot FROM w),
+        |b AS (SELECT source, chars, w, w_tot, chars_tot,
+        |    CAST((1000000 * w) // w_tot AS BIGINT) AS base,
+        |    CAST((1000000 * w) % w_tot AS BIGINT) AS frac
+        |  FROM w, t),
+        |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source)
+        |        AS xr
+        |      FROM b, sb)
+        |SELECT source, chars, w,
+        |  CAST((chars * 1000000) // chars_tot AS BIGINT)
+        |    AS raw_share_micro,
+        |  CAST((w * 1000000) // w_tot AS BIGINT) AS share_micro,
+        |  CAST(base + CASE WHEN xr <= 1000000 - sum_base THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM r ORDER BY source""".stripMargin,
     // ta_hash_infer: same md5 feature/weight hashing — buckets from
     // range(4096), all-integer accumulate, verdict at score >= 0
     "ta_hash_infer" ->

@@ -2550,6 +2550,57 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(r1.isNullAt(4) && r1.isNullAt(5))
   }
 
+  test("temperature mix: exact isqrt boundary, quotas sum to budget, " +
+      "and the tail source gains share vs raw") {
+    import graft.operators.TextAnalysis
+    // 9999 exercises the isqrt guard (floor(sqrt) = 99, 100^2 > 9999)
+    val docs = Seq(("a", 100L), ("b", 400L), ("c", 9999L))
+      .toDF("source", "n_chars")
+    val got = TextAnalysis.temperatureMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    def isqrt(x: Long): Long = {
+      val s = math.floor(math.sqrt(x.toDouble)).toLong
+      if ((s + 1) * (s + 1) <= x) s + 1 else if (s * s > x) s - 1 else s
+    }
+    val chars = Map("a" -> 100L, "b" -> 400L, "c" -> 9999L)
+    val w = chars.map { case (k, v) => k -> isqrt(v) }
+    assert(w === Map("a" -> 10L, "b" -> 20L, "c" -> 99L))
+    val wTot = w.values.sum; val cTot = chars.values.sum
+    val base = w.map { case (k, v) => k -> (1000000L * v) / wTot }
+    val frac = w.map { case (k, v) => k -> (1000000L * v) % wTot }
+    val left = 1000000L - base.values.sum
+    val order = frac.toSeq.sortBy { case (k, f) => (-f, k) }.map(_._1)
+    val quota = base.map { case (k, b) =>
+      k -> (b + (if (order.indexOf(k) < left) 1L else 0L))
+    }
+    val want = Seq("a", "b", "c").map { k =>
+      (k, chars(k), w(k), chars(k) * 1000000 / cTot,
+        w(k) * 1000000 / wTot, quota(k))
+    }
+    assert(got.toSeq === want)
+    assert(got.map(_._6).sum === 1000000L, "quotas must sum to budget")
+    // temperature flattens: the dominant source's share drops, tails gain
+    assert(got.find(_._1 == "c").get._5 < got.find(_._1 == "c").get._4)
+    assert(got.find(_._1 == "a").get._5 > got.find(_._1 == "a").get._4)
+  }
+
+  test("dim truncation recall: panel shape, bounds, and exact totals " +
+      "on the real corpus") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val got = Similarity.dimTruncationRecall(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(8, 16, 32, 48))
+    val total = got.head._3
+    assert(total === 100L) // 20 queries x 5
+    got.foreach { case (d, caught, t, rec) =>
+      assert(t === total)
+      assert(caught >= 0 && caught <= t, s"dims $d caught $caught")
+      assert(rec === caught.toDouble / t.toDouble)
+    }
+  }
+
   test("hash classifier: scores equal an independent md5 replay on a " +
       "planted corpus; verdict flips at zero") {
     import graft.operators.TextAnalysis

@@ -48,6 +48,8 @@ class RosterAuditSpec extends AnyFunSuite {
       "fixed by the histogram width parameter, not the data)"),
     "q105_stratified" -> ("largest-remainder ranking window over one row " +
       "per STRATUM (category cardinality, not corpus size)"),
+    "ta_temperature_mix" -> ("largest-remainder rank window over one row " +
+      "per SOURCE (corpus-level source cardinality, q105's convention)"),
     "q114_bitmap_index" -> ("nested-loop probe against the 60-entry " +
       "bitmap-bucket index (user_id % 60 masks — fixed 60-row side)"),
     "st_bitmap" -> ("batch twin of q114: same fixed 60-row bitmap-bucket " +
