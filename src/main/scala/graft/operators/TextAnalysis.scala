@@ -477,9 +477,17 @@ object TextAnalysis {
     * window over one row per SOURCE — waived with that named bound
     * (q105's stratum convention).
     */
-  def temperatureMix(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+  def temperatureMix(docs: DataFrame, budget: Long = 1000000L): DataFrame =
+    temperatureMixFromMass(
+      docs.groupBy("source").agg(sum(col("n_chars")).as("chars")), budget)
+
+  /** The finalization over a per-source (source, chars) mass table —
+    * shared by ta_temperature_mix (batch rollup) and st_temperature_mix
+    * (the same rollup folded by a stream). See [[temperatureMix]].
+    */
+  private[graft] def temperatureMixFromMass(tok: DataFrame,
+      budget: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.groupBy("source").agg(sum(col("n_chars")).as("chars"))
     val w = tok
       .withColumn("s0",
         expr("CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT)"))

@@ -1192,6 +1192,20 @@ object EventStream {
         .withColumnRenamed("n_months", "n_days")
         .orderBy("event_type")
     }),
+    // Streaming temperature mixture: per-source char mass folds as a
+    // Complete-mode aggregate (state = one row per source) and the
+    // exact-isqrt + largest-remainder finalizer runs sink-side — the
+    // live "what should the mixture be" readout while a crawl ingests;
+    // shares ta_temperature_mix's oracle verbatim.
+    "st_temperature_mix" -> ((s, d) => {
+      runToMemory(
+        readDocuments(s, d).groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("chars")),
+        "st_tmix_sink", OutputMode.Complete)
+      graft.operators.TextAnalysis.temperatureMixFromMass(
+        s.table("st_tmix_sink").localCheckpoint(true))
+        .orderBy("source")
+    }),
     // Streaming Kneser–Ney: the corpus bigram counts — the model's only
     // corpus-sized reduction — fold in-stream as a Complete-mode
     // aggregate (explode stateless, state = the bigram vocabulary); the
@@ -1669,6 +1683,8 @@ object EventStream {
          |ORDER BY 1, 2""".stripMargin,
     "st_curation" -> graft.operators.TextAnalysis.oracle("ta_curation"),
     "st_hash_infer" -> graft.operators.TextAnalysis.oracle("ta_hash_infer"),
+    "st_temperature_mix" ->
+      graft.operators.TextAnalysis.oracle("ta_temperature_mix"),
     // st_chi2 folds ta_chi2's two count grids in-stream and shares its
     // finalizer — same oracle verbatim
     "st_chi2" -> graft.operators.TextAnalysis.oracle("ta_chi2"),

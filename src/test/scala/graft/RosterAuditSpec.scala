@@ -50,6 +50,8 @@ class RosterAuditSpec extends AnyFunSuite {
       "per STRATUM (category cardinality, not corpus size)"),
     "ta_temperature_mix" -> ("largest-remainder rank window over one row " +
       "per SOURCE (corpus-level source cardinality, q105's convention)"),
+    "st_temperature_mix" -> ("batch twin of ta_temperature_mix: same " +
+      "one-row-per-SOURCE largest-remainder window over the folded mass"),
     "q114_bitmap_index" -> ("nested-loop probe against the 60-entry " +
       "bitmap-bucket index (user_id % 60 masks — fixed 60-row side)"),
     "st_bitmap" -> ("batch twin of q114: same fixed 60-row bitmap-bucket " +
