@@ -309,30 +309,38 @@ object Similarity {
       dims: Seq[Int] = Seq(8, 16, 32, 48), k: Int = 5): DataFrame = {
     val qc = quantized(emb, "neighbor_id")
     val qq = quantized(emb.filter(col("vec_id") < 20).limit(20), "query_id")
-    def guardedScos2: Column =
-      when(col("na") > 0 && col("nb") > 0,
-        Embeddings.exactScos2(col("dot"), col("na"), col("nb")))
+    def g(dot: Column, na: Column, nb: Column): Column =
+      when(na > 0 && nb > 0, Embeddings.exactScos2(dot, na, nb))
         .otherwise(lit(0.0))
-    def top(d: Option[Int]): DataFrame = {
-      val qa = d.map(n => slice(col("qa0"), 1, n)).getOrElse(col("qa0"))
-      val qb = d.map(n => slice(col("qb0"), 1, n)).getOrElse(col("qb0"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("scos2").desc, col("neighbor_id"))
+    // ONE broadcast-queries pass scores every width: the per-width dot
+    // products ride the same candidate scan as extra columns (5 widths
+    // × 3 dots per row is the same arithmetic as 5 passes — minus 4
+    // redundant scans/joins of the candidate table)
+    val widths: Seq[(String, Option[Int])] =
+      ("full", None) +: dims.map(d => (s"d$d", Some(d)))
+    val scored = widths.foldLeft(
       broadcast(qq.select(col("query_id"), col("q").as("qa0")))
         .join(qc.select(col("neighbor_id"), col("q").as("qb0")),
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("dot", vecDot(qa, qb).cast("long"))
-        .withColumn("na", vecDot(qa, qa).cast("long"))
-        .withColumn("nb", vecDot(qb, qb).cast("long"))
-        .withColumn("scos2", guardedScos2)
-        .withColumn("rank", row_number().over(w))
+          col("query_id") =!= col("neighbor_id"))) { case (df, (nm, d)) =>
+      val qa = d.map(n => slice(col("qa0"), 1, n)).getOrElse(col("qa0"))
+      val qb = d.map(n => slice(col("qb0"), 1, n)).getOrElse(col("qb0"))
+      df.withColumn(s"scos2_$nm",
+        g(vecDot(qa, qb).cast("long"), vecDot(qa, qa).cast("long"),
+          vecDot(qb, qb).cast("long")))
+    }.select(col("query_id") +: col("neighbor_id") +:
+        widths.map { case (nm, _) => col(s"scos2_$nm") }: _*)
+      .localCheckpoint(true) // reused by all 5 rank passes
+    def top(nm: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col(s"scos2_$nm").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select("query_id", "neighbor_id")
     }
-    val truth = top(None).localCheckpoint(true)
+    val truth = top("full").localCheckpoint(true)
     val tot = truth.agg(count(lit(1)).as("total"))
     dims.map { d =>
-      top(Some(d))
+      top(s"d$d")
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("caught"))
         .select(lit(d).as("dims"), col("caught"))
