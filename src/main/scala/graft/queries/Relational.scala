@@ -44,6 +44,36 @@ object Relational {
       .otherwise(raise_error(
         concat(lit(s"$what overflows BIGINT: "), c.cast("string"))))
 
+  /** The q175 walk chain as oracle CTEs (pe/e/adj/deg/s0..s4/walk) —
+    * shared verbatim by the q175 and q179 oracles.
+    */
+  private def walkOracleCtes: String = {
+    def step(k: Int): String =
+      s"""s${k + 1} AS (
+         |  SELECT s.seed, s.wno, a.dst AS node
+         |  FROM s$k s JOIN deg d ON d.src = s.node
+         |  JOIN adj a ON a.src = s.node AND a.idx =
+         |    CAST(concat('0x', substr(md5(concat(
+         |      CAST(s.seed AS VARCHAR), ':', CAST(s.wno AS VARCHAR),
+         |      ':', '$k')), 1, 15)) AS BIGINT) % d.deg)""".stripMargin
+    s"""pe AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM pe
+       |      UNION ALL SELECT s AS src, c AS dst FROM pe),
+       |adj AS (SELECT src, dst, row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) - 1 AS idx FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |s0 AS (SELECT node AS seed, wno, node
+       |       FROM (SELECT DISTINCT src AS node FROM e),
+       |            (VALUES (0), (1)) w(wno)),
+       |${(0 until 4).map(step).mkString(",\n")},
+       |walk AS (SELECT seed, wno, 0 AS step, node FROM s0
+       |${(1 to 4).map(k =>
+          s"  UNION ALL SELECT seed, wno, $k, node FROM s$k")
+          .mkString("\n")})""".stripMargin
+  }
+
   /** The oracle-side mirror of [[boundedLong]] over a SQL expression. */
   private def boundedLongSql(e: String, what: String): String =
     s"CASE WHEN $e BETWEEN -9223372036854775808 AND 9223372036854775807" +
@@ -229,6 +259,7 @@ object Relational {
     "q176_removal_effect" -> q176,
     "q177_theilsen" -> q177,
     "q178_mann_kendall" -> q178,
+    "q179_skipgram" -> q179,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -6081,6 +6112,59 @@ object Relational {
       .orderBy("channel")
   }
 
+  /** Skip-gram training pairs from the q175 walk corpus — the step
+    * DeepWalk actually trains on (Perozzi et al. 2014 §4.2): every
+    * (center, context) node pair within a ±2 window of the SAME walk,
+    * weighted by co-occurrence count across the corpus. This is the
+    * (walks → pairs) half of graph-embedding data prep; the q175 walks
+    * are the (graph → walks) half, and the two compose end to end.
+    * Published per (center, context) with the pair count and the
+    * window-distance histogram (n_d1/n_d2) — a trainer consuming this
+    * can reweight by distance without re-walking.
+    *
+    * Scale: one self-join of the walk frame keyed on (seed, walk) —
+    * each walk is L+1 = 5 rows, so per-key fan-out is the WINDOW
+    * parameter (≤ 4 context rows per center), never the corpus — plus
+    * one (center, context) partial agg. Walks come from the factored
+    * generator; the localCheckpoint keeps the two join sides off a
+    * double generation.
+    */
+  private def q179(spark: SparkSession, dir: String): DataFrame =
+    skipgramFromWalks(randomWalksFromEdges(tradeEdges(spark, dir))
+      .localCheckpoint(true))
+
+  /** The pair extraction over any (node_type, node_id, wno, step,
+    * visit_type, visit_id) walk frame — factored so the spec can plant
+    * a literal walk and hand-count the pairs.
+    */
+  private[graft] def skipgramFromWalks(walks: DataFrame,
+      window: Int = 2): DataFrame = {
+    val w = walks.select(
+      col("node_type"), col("node_id"), col("wno"), col("step"),
+      (when(col("visit_type") === "customer", col("visit_id") * 2)
+        .otherwise(col("visit_id") * 2 + 1)).as("visit"))
+    val a = w.select(col("node_type"), col("node_id"), col("wno"),
+      col("step").as("s1"), col("visit").as("center"))
+    val b = w.select(col("node_type").as("t2"), col("node_id").as("i2"),
+      col("wno").as("w2"), col("step").as("s2"), col("visit").as("context"))
+    a.join(b, col("node_type") === col("t2") && col("node_id") === col("i2")
+        && col("wno") === col("w2") && col("s1") =!= col("s2")
+        && abs(col("s1") - col("s2")) <= window)
+      .groupBy(
+        when(col("center") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("center_type"),
+        expr("center div 2").as("center_id"),
+        when(col("context") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("context_type"),
+        expr("context div 2").as("context_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(abs(col("s1") - col("s2")) === 1, 1L).otherwise(0L))
+          .as("n_d1"),
+        sum(when(abs(col("s1") - col("s2")) === 2, 1L).otherwise(0L))
+          .as("n_d2"))
+      .orderBy("center_type", "center_id", "context_type", "context_id")
+  }
+
   /** The per-nation monthly revenue series (q160's rollup over ALL
     * nations, sparse — observed months only) shared by the trend-test
     * duo q177/q178.
@@ -8758,39 +8842,37 @@ object Relational {
     },
     // q175: the identical hash-seeded walk — dst-ascending neighbor
     // ranks, md5-prefix pick mod out-degree, 4 unrolled steps
-    "q175_random_walks" -> {
-      def step(k: Int): String =
-        s"""s${k + 1} AS (
-           |  SELECT s.seed, s.wno, a.dst AS node
-           |  FROM s$k s JOIN deg d ON d.src = s.node
-           |  JOIN adj a ON a.src = s.node AND a.idx =
-           |    CAST(concat('0x', substr(md5(concat(
-           |      CAST(s.seed AS VARCHAR), ':', CAST(s.wno AS VARCHAR),
-           |      ':', '$k')), 1, 15)) AS BIGINT) % d.deg)""".stripMargin
-      s"""WITH pe AS (
-         |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |e AS (SELECT c AS src, s AS dst FROM pe
-         |      UNION ALL SELECT s AS src, c AS dst FROM pe),
-         |adj AS (SELECT src, dst, row_number() OVER (
-         |    PARTITION BY src ORDER BY dst) - 1 AS idx FROM e),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         |s0 AS (SELECT node AS seed, wno, node
-         |       FROM (SELECT DISTINCT src AS node FROM e),
-         |            (VALUES (0), (1)) w(wno)),
-         |${(0 until 4).map(step).mkString(",\n")},
-         |walk AS (SELECT seed, wno, 0 AS step, node FROM s0
-         |${(1 to 4).map(k =>
-            s"  UNION ALL SELECT seed, wno, $k, node FROM s$k")
-            .mkString("\n")})
+    "q175_random_walks" ->
+      s"""WITH $walkOracleCtes
          |SELECT CASE WHEN seed % 2 = 0 THEN 'customer'
          |            ELSE 'supplier' END AS node_type,
          |  seed // 2 AS node_id, wno, step,
          |  CASE WHEN node % 2 = 0 THEN 'customer'
          |       ELSE 'supplier' END AS visit_type,
          |  node // 2 AS visit_id
-         |FROM walk ORDER BY 1, 2, 3, 4""".stripMargin
-    },
+         |FROM walk ORDER BY 1, 2, 3, 4""".stripMargin,
+    // q179: the same walk CTEs + the ±2 same-walk pair join and the
+    // distance histogram
+    "q179_skipgram" ->
+      s"""WITH $walkOracleCtes,
+         |pr AS (
+         |  SELECT a.node AS center, b.node AS context,
+         |    abs(a.step - b.step) AS d
+         |  FROM walk a JOIN walk b
+         |    ON a.seed = b.seed AND a.wno = b.wno
+         |    AND a.step <> b.step AND abs(a.step - b.step) <= 2)
+         |SELECT CASE WHEN center % 2 = 0 THEN 'customer'
+         |            ELSE 'supplier' END AS center_type,
+         |  center // 2 AS center_id,
+         |  CASE WHEN context % 2 = 0 THEN 'customer'
+         |       ELSE 'supplier' END AS context_type,
+         |  context // 2 AS context_id,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_d1,
+         |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_d2
+         |FROM pr GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "q157_clustering" ->
       """WITH buyers AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust

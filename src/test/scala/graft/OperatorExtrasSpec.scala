@@ -2550,6 +2550,33 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(r1.isNullAt(4) && r1.isNullAt(5))
   }
 
+  test("skip-gram pairs: hand-counted window pairs on a planted walk, " +
+      "including the repeated-node self-context") {
+    // one walk visiting nodes [0, 3, 4, 3, 1] (cust0, supp1, cust2,
+    // supp1, supp0) — node 3 repeats at steps 1 and 3, so (supp1, supp1)
+    // is a REAL distance-2 pair, not a self-join artifact
+    def t(n: Long) = if (n % 2 == 0) "customer" else "supplier"
+    val walk = Seq(0L, 3L, 4L, 3L, 1L).zipWithIndex.map { case (v, s) =>
+      ("customer", 0L, 0, s, t(v), v / 2)
+    }.toDF("node_type", "node_id", "wno", "step", "visit_type", "visit_id")
+    val got = Relational.skipgramFromWalks(walk).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val want = Seq(
+      ("customer", 0L, "customer", 2L, 1L, 0L, 1L),
+      ("customer", 0L, "supplier", 1L, 1L, 1L, 0L),
+      ("customer", 2L, "customer", 0L, 1L, 0L, 1L),
+      ("customer", 2L, "supplier", 0L, 1L, 0L, 1L),
+      ("customer", 2L, "supplier", 1L, 2L, 2L, 0L),
+      ("supplier", 0L, "customer", 2L, 1L, 0L, 1L),
+      ("supplier", 0L, "supplier", 1L, 1L, 1L, 0L),
+      ("supplier", 1L, "customer", 0L, 1L, 1L, 0L),
+      ("supplier", 1L, "customer", 2L, 2L, 2L, 0L),
+      ("supplier", 1L, "supplier", 0L, 1L, 1L, 0L),
+      ("supplier", 1L, "supplier", 1L, 2L, 0L, 2L))
+    assert(got.toSeq === want)
+  }
+
   test("temperature mix: exact isqrt boundary, quotas sum to budget, " +
       "and the tail source gains share vs raw") {
     import graft.operators.TextAnalysis
