@@ -468,9 +468,15 @@ object TextAnalysis {
     * Exact isqrt: floor(sqrt(x)) over a double is wrong by one exactly
     * at perfect-square boundaries where the correctly-rounded sqrt
     * lands on an integer from below (x = k²±ε); the ±1 CASE guard
-    * ((s+1)² ≤ x → s+1; s² > x → s−1) repairs both directions and is
-    * the SAME expression in the oracle — engine-exact for any x an
-    * int64 can hold.
+    * ((s+1)² ≤ x → s+1; s² > x → s−1) repairs both directions, so the
+    * result IS ⌊√x⌋ for every x in the double-exact domain (< 2⁵³ —
+    * nine peta-chars per source; spec-pinned by a boundary-heavy
+    * property sweep). Past 2⁵³ the x→double conversion itself can move
+    * by > 1 and the guard no longer guarantees ⌊√x⌋ — but ENGINE PARITY
+    * still holds at any scale, because both engines run the identical
+    * cast → correctly-rounded sqrt → guard pipeline on the identical
+    * integer; the weights just become "deterministic ≈^α", which is all
+    * a mixture needs.
     *
     * Scale: one partial-agg shuffle to per-source mass; everything
     * after runs on O(sources) rows. The remainder rank is a global

@@ -2577,6 +2577,31 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("guarded isqrt: floor(sqrt) law holds across the boundary-heavy " +
+      "double-exact domain") {
+    def isqrt(x: Long): Long = {
+      val s = math.floor(math.sqrt(x.toDouble)).toLong
+      if ((s + 1) * (s + 1) <= x) s + 1 else if (s * s > x) s - 1 else s
+    }
+    // perfect squares and their +-1 neighbors are exactly where the
+    // unguarded floor(sqrt) breaks; sweep them up to the 2^53 domain
+    // edge plus a seeded random sample
+    val ks = (1L to 2000L) ++ Seq(1L << 20, (1L << 26) - 1, 1L << 26,
+      94906265L /* floor(sqrt(2^53)) */)
+    ks.foreach { k =>
+      Seq(k * k - 1, k * k, k * k + 1).filter(_ >= 0).foreach { x =>
+        val s = isqrt(x)
+        assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 5000).foreach { _ =>
+      val x = math.abs(rnd.nextLong()) % (1L << 53)
+      val s = isqrt(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+    }
+  }
+
   test("temperature mix: exact isqrt boundary, quotas sum to budget, " +
       "and the tail source gains share vs raw") {
     import graft.operators.TextAnalysis
