@@ -5949,7 +5949,17 @@ object Relational {
     * stays flat (the q161 loop discipline).
     */
   private def q175(spark: SparkSession, dir: String): DataFrame =
-    randomWalksFromEdges(tradeEdges(spark, dir))
+    memoizedWalks(spark, dir)
+
+  /** The walk corpus, built once per (session, dir) and shared by q175
+    * and q179 (Dedup's in-session memo — the imageTable discipline:
+    * the expensive generation runs once, projections are free).
+    */
+  private def memoizedWalks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.memoized("walks",
+        Tables.load(spark, dir, "orders")) {
+      randomWalksFromEdges(tradeEdges(spark, dir)).localCheckpoint(true)
+    }
 
   /** The walk generator over any directed (src, dst) edge list where
     * every frontier node has at least one out-edge (tradeEdges is
@@ -6130,8 +6140,7 @@ object Relational {
     * double generation.
     */
   private def q179(spark: SparkSession, dir: String): DataFrame =
-    skipgramFromWalks(randomWalksFromEdges(tradeEdges(spark, dir))
-      .localCheckpoint(true))
+    skipgramFromWalks(memoizedWalks(spark, dir))
 
   /** The pair extraction over any (node_type, node_id, wno, step,
     * visit_type, visit_id) walk frame — factored so the spec can plant
