@@ -1332,6 +1332,15 @@ object EventStream {
         "st_silence_sink", OutputMode.Append)
       s.table("st_silence_sink").orderBy("doc_id")
     }),
+    // streaming keyframe selection: the per-frame decode + diff verdict
+    // is row-local (the st_phash/st_silence codec envelope), so the
+    // stream form is a stateless Append map; shares mm_keyframes' oracle
+    "st_keyframes" -> ((s, d) => {
+      runToMemory(
+        graft.operators.Multimodal.keyFrames(readDocuments(s, d)),
+        "st_keyframes_sink", OutputMode.Append)
+      s.table("st_keyframes_sink").orderBy("doc_id", "t")
+    }),
     // streaming transition matrix: q102's lag() replaced by carried
     // per-user state; each event emits its one transition in Append
     // mode, the sink aggregate reproduces the batch matrix exactly
@@ -1415,6 +1424,7 @@ object EventStream {
     "st_markov" -> graft.queries.Relational.oracle("q102_markov"),
     // the stream is stateless scan compute — byte-identical to batch
     "st_silence" -> graft.operators.Multimodal.oracle("mm_silence"),
+    "st_keyframes" -> graft.operators.Multimodal.oracle("mm_keyframes"),
     // the streamed bounded heap must retain exactly the true top-k —
     // the oracle is the full-table window form
     "st_topk" ->
