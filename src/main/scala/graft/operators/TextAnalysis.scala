@@ -515,6 +515,39 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Overlapping context-window chunk plan — the RAG/eval sibling of
+    * [[packSequences]] (packing concatenates documents to fill training
+    * windows; chunking SPLITS long documents into windows with overlap
+    * so no boundary loses context): per document, one row per chunk
+    * with its token span. Stride/window are parameters (defaults 256
+    * window, 192 stride = 64-token overlap, the common RAG shape);
+    * chunk count = 1 + ⌈(n−W)/S⌉ for n > W else 1, all exact integer
+    * arithmetic (the ceil is the add-S−1-then-div form in both
+    * engines).
+    *
+    * Scale: row-local sequence + explode inside the scan — zero
+    * shuffle, zero state; output is input-linear × the chunk factor.
+    */
+  def chunkPlan(docs: DataFrame, window: Int = 256,
+      stride: Int = 192): DataFrame = {
+    docs.withColumn("n", size(tokens(col("text"))))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= window, lit(1)).otherwise(
+          lit(1) + expr(s"CAST((n - $window + $stride - 1) div $stride " +
+            "AS INT)")))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + window, col("n_tokens"))
+          .as("end_tok"))
+      .withColumn("n_in_chunk", col("end_tok") - col("start_tok"))
+      .withColumn("is_last",
+        (col("end_tok") === col("n_tokens")).cast("int"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Row-local twin of [[hashClassifierScores]]: because this library's
     * stand-in weights are hash-DERIVED, the whole score computes inside
     * the scan row (weight = hash(hash(bigram) mod buckets), folded with
@@ -2050,6 +2083,8 @@ object TextAnalysis {
       raterAgreement(Tables.load(s, d, "documents"))),
     "ta_temperature_mix" -> ((s, d) =>
       temperatureMix(Tables.load(s, d, "documents"))),
+    "ta_chunk_plan" -> ((s, d) =>
+      chunkPlan(Tables.load(s, d, "documents"))),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -2830,6 +2865,24 @@ object TextAnalysis {
          |FROM per JOIN g2 ON g2.lang = per.lang
          |  AND g2.rare_micro = per.rare_micro
          |ORDER BY per.doc_id""".stripMargin,
+    // ta_chunk_plan: same integer ceil chunk count + span arithmetic
+    "ta_chunk_plan" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($W) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n <= 256 THEN 1
+         |         ELSE 1 + (n - 256 + 191) // 192 END AS n_chunks
+         |  FROM t WHERE n > 0),
+         |x AS (
+         |  SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_idx
+         |  FROM c)
+         |SELECT doc_id, n AS n_tokens, chunk_idx,
+         |  chunk_idx * 192 AS start_tok,
+         |  least(chunk_idx * 192 + 256, n) AS end_tok,
+         |  least(chunk_idx * 192 + 256, n) - chunk_idx * 192 AS n_in_chunk,
+         |  CAST(least(chunk_idx * 192 + 256, n) = n AS INTEGER) AS is_last
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     // ta_temperature_mix: identical guarded exact isqrt, micro shares,
     // and the q105 largest-remainder quota (frac DESC, source tiebreak)
     "ta_temperature_mix" ->

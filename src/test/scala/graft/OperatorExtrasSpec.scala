@@ -2577,6 +2577,30 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("chunk plan: hand-computed spans with overlap, full coverage, " +
+      "and single-chunk short docs") {
+    import graft.operators.TextAnalysis
+    // 500 tokens, W=256, S=192: chunks [0,256), [192,448), [384,500)
+    val long = ("w " * 500).trim
+    val docs = Seq((1L, long), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    val want = Seq(
+      (1L, 500, 0, 0, 256, 256, 0),
+      (1L, 500, 1, 192, 448, 256, 0),
+      (1L, 500, 2, 384, 500, 116, 1),
+      (2L, 3, 0, 0, 3, 3, 1))
+    assert(got.toSeq === want)
+    // coverage law: consecutive chunks overlap (no token falls between)
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(b._4 < a._5, "gap between chunks")
+        case _ => ()
+      }
+    }
+  }
+
   test("guarded isqrt: floor(sqrt) law holds across the boundary-heavy " +
       "double-exact domain") {
     def isqrt(x: Long): Long = {
