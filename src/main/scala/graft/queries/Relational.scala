@@ -2341,13 +2341,13 @@ object Relational {
     audits.reduce(_.unionByName(_)).orderBy("relationship")
   }
 
-  /** The customer/supplier trade graph shared by q39 (PageRank) and q78
-    * (BFS): undirected bipartite edges between customers (even node ids)
-    * and suppliers (odd) that traded, derived once from orders⋈lineitem
-    * and localCheckpointed so iterative consumers never replay the fact
-    * join per iteration.
+  /** The un-materialized trade-graph PLAN — the canonical lineage key
+    * (it names BOTH source tables, orders and lineitem) that
+    * [[tradeEdges]] and [[memoizedWalks]] memoize on. Never executed
+    * directly: consumers go through the memo so the orders⋈lineitem
+    * derivation runs once per (session, dir).
     */
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def tradeEdgesPlan(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(spark, dir, "lineitem")
@@ -2357,8 +2357,77 @@ object Relational {
       .distinct()
     pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      .localCheckpoint(true)
   }
+
+  /** The customer/supplier trade graph shared by the whole graph family
+    * (q39/q78/q144/q156/q157/q161/q162/q163/q164/q166/q169, LPA, the
+    * walk corpus): undirected bipartite edges between customers (even
+    * node ids) and suppliers (odd) that traded, derived from
+    * orders⋈lineitem ONCE PER SESSION per dir via the in-session memo
+    * ([[graft.operators.Dedup.memoized]] — the walk-corpus/imageTable
+    * discipline, promoted family-wide per the r12 verdict: eleven
+    * consumers were each re-running the fact join + distinct). The memo
+    * key is the un-executed [[tradeEdgesPlan]], so a DIFFERENT dir (or a
+    * changed source table lineage) builds its own graph; in-session
+    * only — no cross-run state.
+    */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val plan = tradeEdgesPlan(spark, dir)
+    graft.operators.Dedup.memoized("trade_edges", plan)(plan)
+  }
+
+  /** The node list of an edge frame, memoized per edge lineage — three
+    * centrality consumers (closeness, harmonic, Brandes seeds) each need
+    * the same distinct-src shuffle.
+    */
+  private def graphNodes(edges: DataFrame): DataFrame =
+    graft.operators.Dedup.memoized("graph_nodes", edges)(
+      edges.select(col("src").as("node")).distinct())
+
+  /** The shared K=8-seed, 8-hop, σ-carrying multi-source BFS — ONE
+    * forward pass feeding four consumers: closeness (q156) and harmonic
+    * (q162) reduce the distance frame, the hop plot (q169) histograms
+    * it, and seeded Brandes (q164) additionally reads σ (the
+    * shortest-path count, folded on first discovery as an exact
+    * DECIMAL(38,0) sum over dist-(k−1) predecessors). Memoized per edge
+    * lineage: before r13 each consumer re-ran the K-seed frontier
+    * expansion from scratch (~the single largest block of the named
+    * bench). σ rides for free for the distance-only consumers — the
+    * groupBy(seed, dst) fold produces exactly the distinct row set the
+    * old distinct() produced.
+    *
+    * Scale: all K searches share each iteration's frontier⋈edges shuffle
+    * keyed (seed, node); per-hop localCheckpoint keeps lineage flat
+    * (q78's discipline); empty-frontier exit. Brandes consumes only
+    * dist ≤ 6 — a prefix of this frame, identical to a 6-capped run,
+    * since a row's (dist, σ) is fixed at first discovery.
+    */
+  private def seededBfsSigma(edges: DataFrame): DataFrame =
+    graft.operators.Dedup.memoized("seeded_bfs", edges) {
+      val seeds = graphNodes(edges).orderBy("node").limit(8)
+        .select(col("node").as("seed")).localCheckpoint(true)
+      var visited = seeds
+        .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"),
+          lit(1L).cast("decimal(38,0)").as("sigma"))
+        .localCheckpoint(true)
+      var frontier = visited
+      var step = 1
+      while (step <= 8 && !frontier.isEmpty) {
+        val next = frontier.join(edges, col("node") === col("src"))
+          .groupBy(col("seed"), col("dst"))
+          .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
+          .select(col("seed"), col("dst").as("node"), col("sigma"))
+          .join(visited.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("dist", lit(step.toLong))
+          .select("seed", "node", "dist", "sigma")
+          .localCheckpoint(true)
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+        step += 1
+      }
+      visited
+    }
 
   /** BFS hop distance from a deterministic source (the smallest node id)
     * over the trade graph — the iterative frontier-expansion shape behind
@@ -5956,8 +6025,11 @@ object Relational {
     * the expensive generation runs once, projections are free).
     */
   private def memoizedWalks(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.memoized("walks",
-        Tables.load(spark, dir, "orders")) {
+    // keyed on the trade-graph PLAN — it names BOTH parents (orders AND
+    // lineitem), so a changed lineage in either source builds a fresh
+    // corpus (the r12 ADVICE fix: keying on orders alone would serve a
+    // stale corpus after a same-session lineitem change)
+    graft.operators.Dedup.memoized("walks", tradeEdgesPlan(spark, dir)) {
       randomWalksFromEdges(tradeEdges(spark, dir)).localCheckpoint(true)
     }
 
@@ -6190,6 +6262,10 @@ object Relational {
       .groupBy(col("c_nationkey").cast("long").as("nation"),
         ((year(col("o_orderdate")) - 1992) * 12
           + month(col("o_orderdate")) - 1).cast("long").as("m"))
+      // `div` (trunc) vs the oracle's `//` (floor) agree here because
+      // the numerator is a sum of POSITIVE prices — non-negativity is a
+      // schema guarantee for l_extendedprice, unlike events.value (whose
+      // consumers use the pmod floor-consistent grain)
       .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) " +
         "AS BIGINT) div 1000").as("units"))
 
@@ -6402,29 +6478,8 @@ object Relational {
   private[graft] def multiSourceBfsForSpec(edges: DataFrame)
       : (DataFrame, DataFrame) = multiSourceBfs(edges)
 
-  private def multiSourceBfs(edges: DataFrame): (DataFrame, DataFrame) = {
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    val seeds = nodes.orderBy("node").limit(8)
-      .select(col("node").as("seed")).localCheckpoint(true)
-    var visited = seeds
-      .select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
-    var frontier = visited.select("seed", "node")
-    var step = 1
-    while (step <= 8 && !frontier.isEmpty) {
-      val next = frontier.join(edges, col("node") === col("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited, Seq("seed", "node"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited
-        .unionByName(next.withColumn("dist", lit(step.toLong)))
-        .localCheckpoint(true)
-      frontier = next
-      step += 1
-    }
-    (visited, nodes)
-  }
+  private def multiSourceBfs(edges: DataFrame): (DataFrame, DataFrame) =
+    (seededBfsSigma(edges).select("seed", "node", "dist"), graphNodes(edges))
 
   /** The multi-source-BFS closeness body over any (src, dst) edge list —
     * factored from [[q156]] so the spec can drive a planted path graph
@@ -6948,8 +7003,13 @@ object Relational {
   private[graft] def matrixProfileFromDaily(daily: DataFrame): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
+    // floor-consistent grain: Spark's `div` truncates toward zero while
+    // the DuckDB oracle's `//` floors — subtracting pmod first makes the
+    // numerator exactly divisible, so trunc ≡ floor for EITHER sign of
+    // the daily cents sum (the r12 ADVICE seam: events.value carries no
+    // non-negativity guarantee)
     val d = daily.select(to_date(col("day")).as("day"), col("event_type"),
-      expr("cents div 1000").as("units"))
+      expr("(cents - pmod(cents, 1000)) div 1000").as("units"))
     val bounds = graft.tools.Scalar.scalarRow(
       d.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
     val spine = d.select("event_type").distinct().limit(12)
@@ -7119,6 +7179,10 @@ object Relational {
       .groupBy(col("c_nationkey").cast("long").as("nation"),
         ((year(col("o_orderdate")) - 1992) * 12
           + month(col("o_orderdate")) - 1).as("m"))
+      // `div` (trunc) vs the oracle's `//` (floor) agree here because
+      // the numerator is a sum of POSITIVE prices — non-negativity is a
+      // schema guarantee for l_extendedprice, unlike events.value (whose
+      // consumers use the pmod floor-consistent grain)
       .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) " +
         "AS BIGINT) div 1000").as("units"))
     val bounds = graft.tools.Scalar.scalarRow(
@@ -7280,30 +7344,12 @@ object Relational {
   private[graft] def brandesFromEdges(edges: DataFrame): DataFrame = {
     val maxHops = 6
     val pico = "CAST(1000000000000 AS DECIMAL(38,0))"
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    val seeds = nodes.orderBy("node").limit(8)
-      .select(col("node").as("seed")).localCheckpoint(true)
-    // forward: (seed, node, dist, sigma); sigma folds on first discovery
-    var visited = seeds.select(col("seed"), col("seed").as("node"),
-      lit(0).as("dist"), lit(1L).cast("decimal(38,0)").as("sigma"))
-      .localCheckpoint(true)
-    var frontier = visited
-    var step = 1
-    while (step <= maxHops && !frontier.isEmpty) {
-      val next = frontier.join(edges, col("node") === col("src"))
-        .groupBy(col("seed"), col("dst"))
-        .agg(sum(col("sigma")).cast("decimal(38,0)").as("sigma"))
-        .select(col("seed"), col("dst").as("node"), col("sigma"))
-        .join(visited.select("seed", "node"), Seq("seed", "node"),
-          "left_anti")
-        .withColumn("dist", lit(step))
-        .select("seed", "node", "dist", "sigma")
-        .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
-      frontier = next
-      step += 1
-    }
+    // forward: the SHARED σ-carrying seeded BFS ([[seededBfsSigma]] —
+    // memoized with closeness/harmonic/hop-plot). Its 8-hop horizon is a
+    // strict superset of this query's: a row's (dist, σ) is fixed at
+    // first discovery, so filtering to dist ≤ 6 is identical to running
+    // the forward pass with a 6-hop cap.
+    val visited = seededBfsSigma(edges).filter(col("dist") <= maxHops)
     // backward: dependencies level by level, deepest first; nodes at
     // the horizon start at zero dependency
     var deltaNext: DataFrame = null // (seed, node, delta) at level k+1

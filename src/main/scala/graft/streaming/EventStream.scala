@@ -1163,7 +1163,9 @@ object EventStream {
         .select(col("event_type").as("nation"),
           datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
             .cast("long").as("m"),
-          expr("cents div 1000").as("units"))
+          // floor-consistent grain (trunc ≡ floor after the pmod
+          // subtraction) — matches the oracle's `//` for either sign
+          expr("(cents - pmod(cents, 1000)) div 1000").as("units"))
       graft.queries.Relational.theilSenFromSeries(ser)
         .withColumnRenamed("nation", "event_type")
         .orderBy("event_type")
@@ -1186,7 +1188,9 @@ object EventStream {
         .select(col("event_type").as("nation"),
           datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
             .cast("long").as("m"),
-          expr("cents div 1000").as("units"))
+          // floor-consistent grain (trunc ≡ floor after the pmod
+          // subtraction) — matches the oracle's `//` for either sign
+          expr("(cents - pmod(cents, 1000)) div 1000").as("units"))
       graft.queries.Relational.mannKendallFromSeries(ser)
         .withColumnRenamed("nation", "event_type")
         .withColumnRenamed("n_months", "n_days")
