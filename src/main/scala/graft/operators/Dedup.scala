@@ -506,7 +506,10 @@ object Dedup {
   // session would be served the prior file's stored signatures — the
   // driver test dirs are write-once; a live-ingest deployment keys its
   // store on snapshot ids instead.
-  private val MaxStoreEntries = 16
+  // 32 = two test dirs x the ~9 memoized stages (sig/pairs/phash/walks/
+  // trade graph/nodes/BFS/co-purchase x2) with headroom — a full suite
+  // run stays eviction-free while the bound still stops monotonic growth
+  private val MaxStoreEntries = 32
   private val corpusStore = new java.util.LinkedHashMap[
     (SparkSession, String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
     DataFrame]()

@@ -293,27 +293,116 @@ object Embeddings {
     * stage underneath stays hash-checked (emb_gram).
     */
   def pcaProject(emb: DataFrame, topK: Int = 8): DataFrame = {
+    val basis = pcaBasis(emb, topK)
+    projectOn(emb, basis)
+  }
+
+  /** Driver-side PCA basis over one collected [[gramMatrix]] pass —
+    * the shared front half of [[pcaProject]] and [[pcaContract]]:
+    * top-k eigenpairs (6-dp-rounded components — the projection's
+    * published grain), the code-space mean, the corpus size, and the
+    * EXACT integer covariance-trace numerator
+    * Σ_i (n·G_ii − s_i²) = n²·trace(C) — the oracle-checkable scalar
+    * the contract panel publishes (each term ≤ n²·127², so the sum is
+    * far inside int64 for any driver-collectable d).
+    */
+  private[operators] final case class PcaBasis(
+      eig: Seq[(Double, Array[Double])], mean: Array[Double],
+      n: Long, traceNum: Long)
+
+  private[operators] def pcaBasis(emb: DataFrame, topK: Int): PcaBasis = {
     val rows = gramMatrix(emb).collect()
     val dimSums = rows.filter(_.getInt(1) == -1)
       .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1).map(_._2)
     val gram = rows.filter(_.getInt(1) >= 0)
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
-    require(dimSums.nonEmpty, "pcaProject: empty embedding table")
+    require(dimSums.nonEmpty, "pcaBasis: empty embedding table")
     val n = rows.head.getLong(3)
+    val diag = gram.collect { case ((i, j), s) if i == j => i -> s }.toMap
+    val traceNum = dimSums.indices
+      .map(i => n * diag(i) - dimSums(i) * dimSums(i)).sum
     val eig = pcaFromGram(gram, dimSums, n).take(topK)
-    val mean = dimSums.map(_.toDouble / n)
-    val comps = eig.map { case (_, v) =>
-      typedLit(v.toSeq.map(x => BigDecimal(x).setScale(6,
-        BigDecimal.RoundingMode.HALF_UP).toDouble))
-    }
+      .map { case (l, v) => (l, v.map(x => BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+    PcaBasis(eig, dimSums.map(_.toDouble / n), n, traceNum)
+  }
+
+  /** The in-row projection onto a driver-side basis — scan-stage, zero
+    * shuffle (components ride as literal constants, like
+    * [[randomProject]]'s planes).
+    */
+  private def projectOn(emb: DataFrame, basis: PcaBasis): DataFrame = {
     import graft.functions.vector.vecDot
+    val comps = basis.eig.map { case (_, v) => typedLit(v.toSeq) }
     val centered = int8CodesWithId(emb)
       .withColumn("c", transform(col("q"),
-        (x, i) => x.cast("double") - element_at(typedLit(mean.toSeq), i + 1)))
+        (x, i) => x.cast("double") -
+          element_at(typedLit(basis.mean.toSeq), i + 1)))
     centered.select(col("vec_id") +:
       comps.zipWithIndex.map { case (v, k) =>
         vecDot(col("c"), v).as(s"p$k")
       }: _*)
+  }
+
+  /** The hash-gated PCA CONTRACT panel — the r12 verdict's ask to close
+    * the roster's last `no_oracle` entry. Float eigenvectors have no
+    * cross-engine SQL replay, so (q21's accuracy-contract pattern) the
+    * gated row per component k publishes what an independent engine CAN
+    * check — the corpus size and the exact integer n²·trace(C) (the
+    * oracle recomputes both from the raw table via the emb_gram
+    * quantization) — next to four machine-checked eigen LAWS the oracle
+    * asserts hold (TRUE):
+    *
+    *  - `var_matches`: the distributed sample variance of projection k
+    *    equals its eigenvalue (rel 1e-3 — absorbs the 6-dp component
+    *    rounding) — the defining property of a principal axis;
+    *  - `orthonormal_ok`: pairwise |vᵢ·vⱼ − δᵢⱼ| ≤ 1e-4 over the top-k (the 6-dp
+    *    rounding moves a dot by ≤ 2·√d·5e-7 ≈ 8e-6 at d=64);
+    *  - `descending_ok`: eigenvalues sorted non-increasing;
+    *  - `explained_le_trace`: Σ top-k eigenvalues ≤ trace(C) (+1e-6) —
+    *    captured variance cannot exceed total variance.
+    *
+    * A Jacobi regression, a broken projection, or a quantization drift
+    * flips a law to FALSE and turns the entry hash-red. The full
+    * per-row projections remain the library API ([[pcaProject]],
+    * property-tested in PipelineOpsSpec); the Gram sufficient
+    * statistics underneath stay value-gated as emb_gram.
+    */
+  def pcaContract(emb: DataFrame, topK: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val basis = pcaBasis(emb, topK)
+    val k = basis.eig.length
+    val d = basis.mean.length
+    val trace = basis.traceNum.toDouble / (basis.n.toDouble * basis.n)
+    val descending = basis.eig.map(_._1).sliding(2)
+      .forall(p => p.length < 2 || p(0) >= p(1))
+    val orthonormal = (for {
+      i <- 0 until k; j <- i until k
+    } yield {
+      val dot = (0 until d)
+        .map(x => basis.eig(i)._2(x) * basis.eig(j)._2(x)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).forall(_ <= 1e-4)
+    val explainedLe = basis.eig.map(_._1).sum <= trace + 1e-6
+    // one distributed agg pass: Σp and Σp² per component
+    val proj = projectOn(emb, basis)
+    val aggs = (0 until k).flatMap(i => Seq(
+      sum(col(s"p$i")).as(s"s$i"),
+      sum(col(s"p$i") * col(s"p$i")).as(s"ss$i")))
+    val m = proj.agg(aggs.head, aggs.tail: _*).first()
+    val varMatches = (0 until k).map { i =>
+      val s = m.getDouble(2 * i)
+      val ss = m.getDouble(2 * i + 1)
+      val v = ss / basis.n - (s / basis.n) * (s / basis.n)
+      val lambda = basis.eig(i)._1
+      math.abs(v - lambda) <= 1e-3 * math.max(math.abs(lambda), 1.0)
+    }
+    (0 until k).map(i => (i, basis.n, basis.traceNum, varMatches(i),
+        orthonormal, descending, explainedLe))
+      .toDF("k", "n", "trace_num", "var_matches", "orthonormal_ok",
+        "descending_ok", "explained_le_trace")
+      .orderBy("k")
   }
 
   /** THE int8 code builder — (vec_id, m, q) with m = max|component| and q
@@ -605,11 +694,13 @@ object Embeddings {
       outlierFlags(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
     "emb_gram" -> ((s, d) =>
       gramMatrix(Tables.load(s, d, "embeddings"))),
-    // rows-only by design (float eigenvectors have no SQL replay); the
-    // Gram stage underneath is the hash-checked emb_gram, and the
-    // eigen-semantics are property-tested in PipelineOpsSpec
+    // hash-gated CONTRACT panel (float eigenvectors have no SQL replay,
+    // so the gate is q21's accuracy-contract pattern: oracle-checkable
+    // exact integers + machine-checked eigen laws); the per-row
+    // projections remain the pcaProject library API, property-tested in
+    // PipelineOpsSpec, and the Gram stage stays value-gated as emb_gram
     "emb_pca" -> ((s, d) =>
-      pcaProject(Tables.load(s, d, "embeddings")).orderBy("vec_id")),
+      pcaContract(Tables.load(s, d, "embeddings"))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -723,6 +814,37 @@ object Embeddings {
         |SELECT i, j, s, n FROM gram
         |UNION ALL SELECT i, j, s, n FROM dims
         |ORDER BY i, j""".stripMargin,
+    // emb_pca: the contract panel — the oracle independently recomputes
+    // the corpus size and the exact integer n²·trace(C) from the raw
+    // table (the emb_gram quantization, diagonal + dim sums only) and
+    // asserts the four eigen laws hold; the Spark side publishes the
+    // actually-measured law verdicts (see Embeddings.pcaContract)
+    "emb_pca" ->
+      """WITH qq AS (
+        |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |idx AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1 FROM embeddings))) AS p),
+        |cell AS (
+        |  SELECT a.p AS i,
+        |    CAST(sum(q[a.p] * q[a.p]) AS BIGINT) AS gii,
+        |    CAST(sum(q[a.p]) AS BIGINT) AS si,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM qq, idx a GROUP BY 1),
+        |tr AS (
+        |  SELECT CAST(sum(n * gii - si * si) AS BIGINT) AS trace_num,
+        |    max(n) AS n
+        |  FROM cell)
+        |SELECT CAST(ks.k AS INTEGER) AS k, n, trace_num,
+        |  TRUE AS var_matches, TRUE AS orthonormal_ok,
+        |  TRUE AS descending_ok, TRUE AS explained_le_trace
+        |FROM tr, (SELECT unnest(range(8)) AS k) ks
+        |ORDER BY k""".stripMargin,
     "emb_stats" ->
       """SELECT vec_id,
         | CAST(len(embedding) AS INTEGER) AS dim,

@@ -547,9 +547,18 @@ object Relational {
       .orderBy("status", "priority")
   }
 
-  /** Sketch aggregation: HyperLogLog++ approximate distinct next to the
-    * exact count. Approximate by construction -> no SQL oracle (DuckDB's
-    * HLL differs); AggregatesSpec bounds the relative error instead.
+  /** Sketch aggregation: HyperLogLog++ approximate distinct gated as an
+    * ACCURACY CONTRACT. The raw estimate is engine-private (DuckDB's HLL
+    * differs), so the hash-gated columns are the exact count plus
+    * `within_3rsd` — the sketch's documented guarantee (|err| ≤ 3·rsd =
+    * 6% at rsd 0.02, a ≥ 99.7% bound that the DETERMINISTIC sketch
+    * either always meets or never meets on a given corpus; measured
+    * ≤ 1.03% on all three test SFs), checked by exact integer
+    * cross-multiplication. The oracle asserts the contract holds
+    * (TRUE), so a sketch regression — or an engine upgrade that breaks
+    * the estimator — turns the entry hash-red. The raw estimate's
+    * portable twin is q36 (bit-reproducible registers, value-gated);
+    * AggregatesSpec additionally bounds this entry's raw error.
     */
   private def q21(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -557,6 +566,10 @@ object Relational {
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (col("approx_parts") * 100 >= col("exact_parts") * 94 &&
+          col("approx_parts") * 100 <= col("exact_parts") * 106)
+          .as("within_3rsd"))
       .orderBy("l_returnflag")
   }
 
@@ -1563,7 +1576,11 @@ object Relational {
     * the bounded backbone (localCheckpointed — ~300 rows — so the
     * scalar-threshold and edge branches don't re-execute the fact join).
     */
-  private def q54(spark: SparkSession, dir: String): DataFrame = {
+  /** q54's nation-level trade backbone (edges at ≥ mean volume) —
+    * factored so the sparsity gauge measures the SAME frame the query
+    * consumes; bounded by C(25, 2) nation pairs regardless of corpus.
+    */
+  private def q54Backbone(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     val o = Tables.load(spark, dir, "orders")
     val c = Tables.load(spark, dir, "customer")
@@ -1579,9 +1596,13 @@ object Relational {
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .localCheckpoint()
     val thr = und.agg(sum(col("w")).as("sw"), count(lit(1)).as("ne"))
-    val edges = und.crossJoin(thr)
+    und.crossJoin(thr)
       .filter(col("w") * col("ne") >= col("sw"))
       .select("a", "b")
+  }
+
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q54Backbone(spark, dir)
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -4244,26 +4265,41 @@ object Relational {
     * hot customer contributes its suppliers' degrees but not its d²
     * pairs (exactly dd_ngram's df-cap trade, documented there).
     */
-  private def q115(spark: SparkSession, dir: String): DataFrame = {
-    val cap = 50L
+  /** q115's capped customer–supplier incidence and its co-supplier pair
+    * frame (common ≥ 3) — factored so the sparsity gauge measures the
+    * SAME frames the query consumes. The cust-degree cap (≤ 50) is the
+    * density control: pair fan-out per customer is ≤ C(50, 2) by
+    * pigeonhole, so the pair stage is linear in customers.
+    */
+  private def q115Incidence(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val pw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
       .localCheckpoint(true)
-    val deg = pw.groupBy("supp").agg(count(lit(1)).as("n"))
+  }
+
+  private def q115Capped(pw: DataFrame): DataFrame = {
     val keep = pw.groupBy("cust").agg(count(lit(1)).as("d"))
-      .filter(col("d") <= cap).select("cust")
-    val capped = pw.join(keep, Seq("cust"), "left_semi")
-    val pairs = capped.as("a")
+      .filter(col("d") <= 50L).select("cust")
+    pw.join(keep, Seq("cust"), "left_semi")
+  }
+
+  private def q115Pairs(capped: DataFrame): DataFrame =
+    capped.as("a")
       .join(capped.as("b"),
         col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
       .groupBy(col("a.supp").as("s1"), col("b.supp").as("s2"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= 3)
+
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    val pw = q115Incidence(spark, dir)
+    val deg = pw.groupBy("supp").agg(count(lit(1)).as("n"))
+    val pairs = q115Pairs(q115Capped(pw))
     pairs
       .join(broadcast(deg.select(col("supp").as("s1"), col("n").as("n1"))), "s1")
       .join(broadcast(deg.select(col("supp").as("s2"), col("n").as("n2"))), "s2")
@@ -5655,7 +5691,14 @@ object Relational {
     * quadratically dominate the join. Degrees broadcast (O(customers));
     * top-100 is a TakeOrdered, never a global sort.
     */
-  private def q153(spark: SparkSession, dir: String): DataFrame = {
+  /** The part-degree-capped (part, cust, pdeg) incidence frame behind the
+    * co-purchase family — q153's derivation, memoized because THREE
+    * queries (q153 link-predict, q157 clustering, q174 k-truss) build the
+    * identical orders⋈lineitem projection + degree cap. The 2..40 pdeg
+    * cap is the family's density control: hubs predict nothing and would
+    * otherwise fan out quadratically.
+    */
+  private def coPurchaseCapped(spark: SparkSession, dir: String): DataFrame = {
     val buyers = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.load(spark, dir, "lineitem")
@@ -5663,19 +5706,109 @@ object Relational {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
       .distinct()
-      .localCheckpoint(true) // reused 3×: degrees, capped sides
     val pdeg = buyers.groupBy("part").agg(count(lit(1)).as("pdeg"))
-    val capped = buyers
+    val plan = buyers
       .join(broadcast(pdeg.filter(col("pdeg").between(2, 40))), "part")
-    val cdeg = capped.groupBy("cust").agg(count(lit(1)).as("cd"))
-    val scored = capped.as("x")
+    graft.operators.Dedup.memoized("copurchase_capped", plan)(plan)
+  }
+
+  /** The aggregated co-purchase pair frame (a < b, w = distinct common
+    * parts, ra_pico = the Adamic–Adar-style resource-allocation sum) —
+    * the ONE expensive A×A stage of the family, memoized so q153 (reads
+    * both columns, top-100), q157 (w ≥ 3 tie floor) and q174 (w ≥ 4)
+    * share a single pair generation. Per-key fan-out is C(40, 2) by the
+    * pdeg cap; the tie floors downstream are the density controls the
+    * r11 q157 postmortem made a family rule.
+    */
+  /** The pair-generation body over any capped (part, cust, pdeg)
+    * incidence — factored so the planted-dense spec can drive the REAL
+    * derivation through the sparsity gauge.
+    */
+  private[graft] def coPurchasePairsFromCapped(capped: DataFrame): DataFrame =
+    capped.as("x")
       .join(capped.as("y"),
         col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
-      .select(col("x.cust").as("cust_a"), col("y.cust").as("cust_b"),
+      .select(col("x.cust").as("a"), col("y.cust").as("b"),
         col("x.pdeg").as("pdeg"))
-      .groupBy("cust_a", "cust_b")
-      .agg(count(lit(1)).as("cn"),
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("w"),
         sum(expr("1000000000000 DIV pdeg")).as("ra_pico"))
+
+  private def coPurchaseScored(spark: SparkSession, dir: String): DataFrame = {
+    val plan = coPurchasePairsFromCapped(coPurchaseCapped(spark, dir))
+    graft.operators.Dedup.memoized("copurchase_scored", plan)(plan)
+  }
+
+  /** The shared in-session corpora, in dependency order — Bench forces
+    * each build under its own timed `_build_*` entry so per-query bench
+    * figures report MARGINAL cost (the r12 verdict's attribution ask:
+    * before this, the alphabetically-first consumer paid the whole memo
+    * build and its per-query figure read ~4 s high).
+    */
+  private[graft] def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      "trade_graph" -> ((s, d) => { tradeEdges(s, d).count(); () }),
+      "seeded_bfs" -> ((s, d) => { seededBfsSigma(tradeEdges(s, d)).count(); () }),
+      "walk_corpus" -> ((s, d) => { memoizedWalks(s, d).count(); () }),
+      "copurchase" -> ((s, d) => { coPurchaseScored(s, d).count(); () }))
+
+  /** Declared sparsity budgets for every roster operator whose cost is
+    * super-linear in its DERIVED graph's edges — the mechanized form of
+    * the r11 q157 postmortem rule ("every super-linear graph derivation
+    * states and enforces a sparsity parameter"). Each gauge returns
+    * (measured edge count, declared budget, the bound's name) at the
+    * given dir; RosterBudgetSpec asserts measured ≤ budget at sf0.01, so
+    * a future edit that drops a cap or a tie floor fails the suite
+    * BEFORE a dense graph can hang the driver's Verify run (the r11
+    * zeroing mode). Budgets are either plan pigeonholes (a per-key cap
+    * makes fan-out C(cap, 2)) or measured-density ceilings with named
+    * headroom — the r11 regression they exist to catch measured ~750
+    * avg tie-degree at sf0.01 vs the ~76 the floor yields.
+    */
+  private[graft] def sparsityGauges
+      : Map[String, (SparkSession, String) => (Long, Long, String)] = Map(
+    "trade_graph" -> ((s, d) => {
+      val e = tradeEdges(s, d).count()
+      val nli = Tables.load(s, d, "lineitem").count()
+      (e, 2 * nli,
+        "<= one bidirectional edge pair per order line (the distinct " +
+          "(cust, supp) projection of the fact join; consumers q39/q78/" +
+          "q112/q144/centrality are linear in these edges)")
+    }),
+    "q54_backbone" -> ((s, d) =>
+      (q54Backbone(s, d).count(), 300L,
+        "C(25, 2) nation pairs — the node set is the fixed nation " +
+          "dimension, not the corpus")),
+    "q153_scored_pairs" -> ((s, d) => {
+      val parts = coPurchaseCapped(s, d).select("part").distinct().count()
+      (coPurchaseScored(s, d).count(), 780L * parts,
+        "C(40, 2) pairs per part in the 2..40 pdeg band (cap pigeonhole)")
+    }),
+    "q157_tie_graph" -> ((s, d) => {
+      val nodes = coPurchaseCapped(s, d).select("cust").distinct().count()
+      (coPurchaseScored(s, d).filter(col("w") >= 3).count(), 128L * nodes,
+        "w >= 3 tie floor: avg tie-degree <= 128 at sf0.01 (measured ~76; " +
+          "the unfloored r11 graph measured ~750 and fails this gauge)")
+    }),
+    "q174_truss_graph" -> ((s, d) => {
+      val nodes = coPurchaseCapped(s, d).select("cust").distinct().count()
+      (coPurchaseScored(s, d).filter(col("w") >= 4).count(), 64L * nodes,
+        "w >= 4 strong-tie floor: avg tie-degree <= 64 at sf0.01 " +
+          "(measured ~10)")
+    }),
+    "q115_cosupplier_pairs" -> ((s, d) => {
+      val capped = q115Capped(q115Incidence(s, d)).localCheckpoint(true)
+      val custs = capped.select("cust").distinct().count()
+      (q115Pairs(capped).count(), 1225L * custs,
+        "C(50, 2) pairs per cust-degree-capped customer (cap pigeonhole)")
+    }))
+
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    val capped = coPurchaseCapped(spark, dir)
+    val cdeg = capped.groupBy("cust").agg(count(lit(1)).as("cd"))
+    val scored = coPurchaseScored(spark, dir)
+      .select(col("a").as("cust_a"), col("b").as("cust_b"),
+        col("w").as("cn"), col("ra_pico"))
     scored
       .join(broadcast(cdeg.select(col("cust").as("cust_a"),
         col("cd").as("da"))), "cust_a")
@@ -5890,26 +6023,9 @@ object Relational {
     * set (q54 runs it on 25 nations; this runs it on every customer).
     * Top-100 is a TakeOrdered with a total (pico desc, cust) tie-break.
     */
-  private def q157(spark: SparkSession, dir: String): DataFrame = {
-    val buyers = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
-      .distinct()
-    val pdeg = buyers.groupBy("part").agg(count(lit(1)).as("pdeg"))
-    val capped = buyers
-      .join(broadcast(pdeg.filter(col("pdeg").between(2, 40))), "part")
-    val edges = capped.as("x")
-      .join(capped.as("y"),
-        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
-      .groupBy(col("x.cust").as("a"), col("y.cust").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3)
-      .select("a", "b")
-    clusteringFromEdges(edges)
-  }
+  private def q157(spark: SparkSession, dir: String): DataFrame =
+    clusteringFromEdges(
+      coPurchaseScored(spark, dir).filter(col("w") >= 3).select("a", "b"))
 
   /** The orientation + wedge-close + coefficient body over any
     * canonical (a < b) undirected edge list — factored from [[q157]] so
@@ -5973,29 +6089,12 @@ object Relational {
     * reuses q157's part-degree cap (2..40) so per-part fan-out is
     * parameter-bounded.
     */
-  private def q174(spark: SparkSession, dir: String): DataFrame = {
-    val buyers = Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
-      .distinct()
-    val pdeg = buyers.groupBy("part").agg(count(lit(1)).as("pdeg"))
-    val capped = buyers
-      .join(broadcast(pdeg.filter(col("pdeg").between(2, 40))), "part")
+  private def q174(spark: SparkSession, dir: String): DataFrame =
     // STRONG ties only: a pair must co-purchase >= 4 distinct parts —
     // the truss question is about cohesive cores, and the weight floor
     // keeps both the graph and the oracle's unrolled wedge joins sparse
-    val edges = capped.as("x")
-      .join(capped.as("y"),
-        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
-      .groupBy(col("x.cust").as("a"), col("y.cust").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 4)
-      .select("a", "b")
-    trussFromEdges(edges)
-  }
+    trussFromEdges(
+      coPurchaseScored(spark, dir).filter(col("w") >= 4).select("a", "b"))
 
   /** Deterministic DeepWalk-style random-walk corpus over the trade
     * graph — the graph→sequence operator an embedding pipeline trains
@@ -9442,6 +9541,14 @@ object Relational {
         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q22_correlated_subquery" -> q22Sql,
+    // q21: the accuracy-contract gate — the oracle asserts the HLL++
+    // sketch's documented 3·rsd bound HOLDS (TRUE) next to the exact
+    // count; the Spark side publishes the actually-measured predicate
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_3rsd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,

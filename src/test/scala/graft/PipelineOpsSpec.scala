@@ -394,6 +394,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(cov01) / denom < 0.01, s"corr(p0,p1) = ${cov01 / denom}")
   }
 
+  test("pcaContract: all laws hold and trace_num replays from the Gram") {
+    val emb = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val panel = Embeddings.pcaContract(emb).collect()
+    assert(panel.length === 8)
+    assert(panel.map(_.getInt(0)).toSeq === (0 until 8))
+    panel.foreach { r =>
+      assert(r.getBoolean(3), s"k=${r.getInt(0)}: var_matches false")
+      assert(r.getBoolean(4), "orthonormal_ok false")
+      assert(r.getBoolean(5), "descending_ok false")
+      assert(r.getBoolean(6), "explained_le_trace false")
+    }
+    // independent replay of the exact trace numerator from the Gram rows
+    val rows = Embeddings.gramMatrix(emb).collect()
+    val n = rows.head.getLong(3)
+    val sums = rows.filter(_.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val diag = rows.filter(r => r.getInt(1) == r.getInt(0))
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val want = sums.keys.map(i => n * diag(i) - sums(i) * sums(i)).sum
+    panel.foreach { r =>
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === want, "trace_num mismatch")
+    }
+  }
+
   test("q37 incremental LWW merge == global latest-event rule") {
     val dir = TestSpark.sf0001
     val got = graft.queries.Relational.defs("q37_cdc_upsert")(spark, dir)
