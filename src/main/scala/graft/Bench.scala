@@ -36,6 +36,25 @@ object Bench {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // attribution entries (counted in the total — they really ran):
+    //  - `_build_*`: the shared in-session corpora (trade graph, seeded
+    //    BFS, walk corpus, co-purchase pairs) forced ONCE here so the
+    //    consumer queries below report MARGINAL cost instead of the
+    //    first-touch query absorbing the build;
+    //  - `_st_harness_floor`: the measured per-twin micro-batch floor
+    //    (stage + start + read + drain + stop with ~zero query work) —
+    //    subtract it mentally from every st_* figure to read query work.
+    val overhead =
+      (graft.queries.Relational.memoWarmers.map { case (n, w) =>
+        (s"_build_$n", () => w(spark, sfDir))
+      } :+ ("_st_harness_floor",
+        () => graft.streaming.EventStream.harnessFloorProbe(spark, sfDir)))
+        .map { case (name, run) =>
+          val t0 = System.nanoTime()
+          val ok = try { run(); true } catch { case _: Throwable => false }
+          (name, (System.nanoTime() - t0) / 1e9, ok)
+        }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -43,7 +62,7 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       (name, secs, ok)
     }
-    println(renderLine(results, sfDir))
+    println(renderLine(overhead ++ results, sfDir))
     spark.stop()
   }
 

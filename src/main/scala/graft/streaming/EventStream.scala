@@ -547,6 +547,23 @@ object EventStream {
       df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     }
 
+  /** The per-twin harness FLOOR, measured: the cheapest possible
+    * end-to-end micro-batch over the events source (one global count
+    * into a memory sink). Everything this costs — file staging, stream
+    * start, source read, state-store setup, drain, stop — is paid by
+    * EVERY `st_*` entry before its actual operator does any work, so
+    * Bench runs this once as the `_st_harness_floor` entry: the ladder's
+    * per-twin figures can be read as floor + query work (the r12
+    * verdict's ask — ~80 s of the 377 s bench total was this fixed
+    * scaffolding across 47 twins, not query cost). A real deployment
+    * amortizes the floor over an unbounded stream; the bench pays it
+    * per-entry by construction.
+    */
+  def harnessFloorProbe(spark: SparkSession, dir: String): Unit =
+    runToMemory(
+      readEvents(spark, dir).groupBy().count(),
+      "st_harness_floor_sink", OutputMode.Complete)
+
   // --- driver-checked query surface: the streaming pipeline itself runs
   // (file source -> watermark -> window agg -> memory sink) and its output
   // is hash-checked against the SAME DuckDB oracle as the batch twin q17.

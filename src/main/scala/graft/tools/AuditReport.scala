@@ -21,18 +21,24 @@ object AuditReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var (errors, warnings) = (0, 0)
+    var (errors, warnings, proved) = (0, 0, 0)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try PlanAudit.audit(fn(spark, sfDir)).foreach { f =>
-        if (f.error) errors += 1 else warnings += 1
+        if (f.error) errors += 1
+        else if (f.proved) proved += 1
+        else warnings += 1
         println(s"$name\t$f")
       }
       catch { case e: Throwable =>
         println(s"$name\t[BUILD-ERROR] ${e.getMessage}")
       }
     }
+    // errors are re-justified by RosterAuditSpec's named-bound waivers;
+    // proved findings carry their own plan-derived proof; warnings are
+    // the UNEXPLAINED remainder — a clean roster reports zero
     println(s"# ${graft.SparkEntry.queries.size} queries audited: " +
-      s"$errors error(s), $warnings warning(s)")
+      s"$errors error(s), $warnings unexplained warning(s), " +
+      s"$proved machine-proved idiom(s)")
     spark.stop()
   }
 }

@@ -12,7 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchContractSpec extends AnyFunSuite {
 
-  private val names = SparkEntry.queries.keys.toSeq.sorted
+  private val names = (SparkEntry.queries.keys.toSeq ++
+    graft.queries.Relational.memoWarmers.map("_build_" + _._1) :+
+    "_st_harness_floor").sorted
   private val sfDir = "/root/testdata/sf0.1"
 
   // pessimistic widths: every query at 9.99 s (4 chars at 2 decimals) and a
@@ -152,9 +154,9 @@ class BenchContractSpec extends AnyFunSuite {
     // a dangling oracle key is a silent typo: the driver would run SQL for
     // a query that writes no parquet and record a confusing miss
     assert((o -- q).isEmpty, s"oracle keys without a query: ${(o -- q).mkString(", ")}")
-    // every query is hash-gated except the two documented rows-only
-    // entries (approximate-by-construction, each with a hash-checked twin)
-    assert(q -- o === Set("q21_approx_distinct", "emb_pca"),
+    // every query is hash-gated — the two former rows-only entries
+    // (q21, emb_pca) were closed in r13 with accuracy-contract oracles
+    assert((q -- o).isEmpty,
       s"unexpected rows-only queries: ${(q -- o).mkString(", ")}")
   }
 

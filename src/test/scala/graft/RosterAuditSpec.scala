@@ -87,13 +87,15 @@ class RosterAuditSpec extends AnyFunSuite {
             s"$name has ${errors.size} scale-killer finding(s) and no " +
               s"waiver:\n${errors.mkString("\n")}")
       }
-      // pruning tripwire: the roster currently has ZERO unpruned wide
-      // scans (measured r11, tools.AuditReport) — keep it that way. A
-      // query that reads every column of a wide table multiplies scan
-      // bytes by the stored/used ratio at 100 TB.
-      val wide = findings.filter(_.rule == "wide-scan")
-      assert(wide.isEmpty,
-        s"$name reads all columns of a wide table:\n${wide.mkString("\n")}")
+      // zero-unexplained-warning gate (r13): every non-error finding must
+      // carry its own plan-derived proof (`proved`) — anything else (an
+      // unpruned wide scan, a future warning-grade rule) is unexplained
+      // and fails here. This subsumes the r11 wide-scan tripwire: a query
+      // reading every column of a wide table multiplies scan bytes by the
+      // stored/used ratio at 100 TB.
+      val unexplained = findings.filter(f => !f.error && !f.proved)
+      assert(unexplained.isEmpty,
+        s"$name has unexplained warning(s):\n${unexplained.mkString("\n")}")
     }
   }
 }
