@@ -1867,13 +1867,18 @@ object Dedup {
          |  ON p.a_id = ip.a_id AND p.b_id = ip.b_id
          |ORDER BY 1, 2""".stripMargin,
     // dd_snm: the oracle sorts GLOBALLY with row_number — equality
+    // NOTE (r13 fuzzer): DuckDB's array_to_string of an EMPTY list is
+    // NULL (sorts LAST under NULLS LAST) while Spark's concat_ws is ''
+    // (sorts first) — an empty-token doc silently lands at the opposite
+    // end of the SNM order. coalesce('') pins the oracle to Spark's
+    // total order; applied to all four bk derivations below.
     // proves the two-level bucket rank reproduces the global order
     "dd_snm" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
-         |    substr(array_to_string(
+         |    substr(coalesce(array_to_string(
          |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
-         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |                  x -> x <> ''), ' '), ''), 1, 12) AS bk
          |  FROM documents),
          |r AS (SELECT doc_id, text, bk,
          |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
@@ -1893,9 +1898,9 @@ object Dedup {
     "dd_damerau" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
-         |    substr(array_to_string(
+         |    substr(coalesce(array_to_string(
          |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
-         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |                  x -> x <> ''), ' '), ''), 1, 12) AS bk
          |  FROM documents),
          |r AS (SELECT doc_id, text, bk,
          |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
@@ -1915,9 +1920,9 @@ object Dedup {
     "dd_jaro" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,
-         |    substr(array_to_string(
+         |    substr(coalesce(array_to_string(
          |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
-         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |                  x -> x <> ''), ' '), ''), 1, 12) AS bk
          |  FROM documents),
          |r AS (SELECT doc_id, text, bk,
          |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
@@ -1967,9 +1972,9 @@ object Dedup {
       s"""WITH $PAIR_CTES,
          |t AS (
          |  SELECT doc_id,
-         |    substr(array_to_string(
+         |    substr(coalesce(array_to_string(
          |      list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
-         |                  x -> x <> ''), ' '), 1, 12) AS bk
+         |                  x -> x <> ''), ' '), ''), 1, 12) AS bk
          |  FROM documents),
          |r AS (SELECT doc_id, bk,
          |        row_number() OVER (ORDER BY bk, doc_id) AS rank FROM t),
@@ -2122,11 +2127,13 @@ object Dedup {
         |  JOIN qq qb ON qb.vec_id = b.vec_id),
         |scored AS (
         |  SELECT vec_id, nn_id,
-        |    CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
-        |      / CAST(na * nb AS DOUBLE) AS scos2,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |    CASE WHEN na * nb = 0 THEN -2.0 ELSE
         |      CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
-        |        / CAST(na * nb AS DOUBLE) DESC, nn_id) AS rn
+        |      / CAST(na * nb AS DOUBLE) END AS scos2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      CASE WHEN na * nb = 0 THEN -2.0 ELSE
+        |        CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
+        |        / CAST(na * nb AS DOUBLE) END DESC, nn_id) AS rn
         |  FROM pairs)
         |SELECT q.vec_id, q.bucket, s.n_bucket, t.nn_id, t.scos2,
         |  CAST(coalesce(t.scos2 >= 0.81, false) AS INTEGER) AS is_semdup

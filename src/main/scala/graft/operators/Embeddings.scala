@@ -100,10 +100,19 @@ object Embeddings {
     * sign(dot)·dot² / (na·nb) — numerator and denominator exact int64,
     * one IEEE division, monotone in cosine, bit-identical in any engine
     * (a raw float cosine chain is not: FMA contraction differs).
+    *
+    * Zero-norm guard (r13 fuzzer): a zero or tiny vector quantizes to
+    * all-zero codes, making na·nb = 0 — under Spark's ANSI default that
+    * division THROWS and kills the whole job, which is exactly what a
+    * 100 TB run cannot afford from one degenerate row. Cosine is
+    * undefined there; such pairs score the library's −2.0 sentinel
+    * (below every real scos2 ∈ [−1, 1] — the TopCentroids convention),
+    * mirrored in the oracle SQL fragments.
     */
   def exactScos2(dot: Column, na: Column, nb: Column): Column =
-    when(dot < 0, -(dot * dot)).otherwise(dot * dot).cast("double") /
-      (na * nb).cast("double")
+    when(na * nb === 0, lit(-2.0)).otherwise(
+      when(dot < 0, -(dot * dot)).otherwise(dot * dot).cast("double") /
+        (na * nb).cast("double"))
 
   def quantizeInt8(emb: DataFrame): DataFrame =
     int8CodesWithId(emb)

@@ -43,6 +43,13 @@ object Similarity {
     * stream through — one pass, no shuffle of the candidate table. Norms
     * are precomputed once per vector, not once per pair; sim values are
     * bit-identical to the naive cosine (same sqrt, same product order).
+    *
+    * Zero-norm guard (r13 fuzzer): a zero vector makes the norm product
+    * 0 and Spark's ANSI default turns the division into a job-killing
+    * error. Such pairs score −1.0 — DuckDB's own
+    * list_cosine_similarity convention for zero vectors, so the oracle
+    * replays verbatim; ties against true antipodal pairs resolve by the
+    * deterministic neighbor_id tie-break on both engines.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries
@@ -54,7 +61,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("sim",
+        when(col("qn") * col("cn") === 0.0, lit(-1.0))
+          .otherwise(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
@@ -849,9 +858,11 @@ object Similarity {
   /** Exact-integer signed squared cosine — the SQL twin of
     * [[Embeddings.exactScos2]].
     */
+  // mirrors Embeddings.exactScos2 including its zero-norm −2.0 sentinel
   private val SCOS2 =
-    """CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
-      |      / CAST(na * nb AS DOUBLE)""".stripMargin
+    """CASE WHEN na * nb = 0 THEN -2.0 ELSE
+      |      CAST(CASE WHEN dot < 0 THEN -(dot * dot) ELSE dot * dot END AS DOUBLE)
+      |      / CAST(na * nb AS DOUBLE) END""".stripMargin
 
   /** Portable cosine for integer code vectors: dot/na/nb are exact int64,
     * so sqrt/multiply/divide are three correctly-rounded IEEE ops on exact

@@ -6361,10 +6361,9 @@ object Relational {
       .groupBy(col("c_nationkey").cast("long").as("nation"),
         ((year(col("o_orderdate")) - 1992) * 12
           + month(col("o_orderdate")) - 1).cast("long").as("m"))
-      // `div` (trunc) vs the oracle's `//` (floor) agree here because
-      // the numerator is a sum of POSITIVE prices — non-negativity is a
-      // schema guarantee for l_extendedprice, unlike events.value (whose
-      // consumers use the pmod floor-consistent grain)
+      // `div` and the oracle's integer `//` both truncate toward zero
+      // (r13 fuzzer measurement), so the grain is engine-identical for
+      // any sign; these sums of positive prices never go negative anyway
       .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) " +
         "AS BIGINT) div 1000").as("units"))
 
@@ -7102,13 +7101,14 @@ object Relational {
   private[graft] def matrixProfileFromDaily(daily: DataFrame): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
-    // floor-consistent grain: Spark's `div` truncates toward zero while
-    // the DuckDB oracle's `//` floors — subtracting pmod first makes the
-    // numerator exactly divisible, so trunc ≡ floor for EITHER sign of
-    // the daily cents sum (the r12 ADVICE seam: events.value carries no
-    // non-negativity guarantee)
+    // engine-identical grain for EITHER sign of the daily cents sum:
+    // Spark's `div` truncates toward zero and so does DuckDB's integer
+    // `//` (measured: -7 // 2 = -3 — it does NOT floor). The r13 seam
+    // fuzzer proved this on a planted negative single-event class: a
+    // pmod-flooring "fix" here made Spark -73 where the oracle
+    // truncates to -72. Trunc-vs-trunc needs no guard.
     val d = daily.select(to_date(col("day")).as("day"), col("event_type"),
-      expr("(cents - pmod(cents, 1000)) div 1000").as("units"))
+      expr("cents div 1000").as("units"))
     val bounds = graft.tools.Scalar.scalarRow(
       d.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
     val spine = d.select("event_type").distinct().limit(12)
@@ -7278,10 +7278,9 @@ object Relational {
       .groupBy(col("c_nationkey").cast("long").as("nation"),
         ((year(col("o_orderdate")) - 1992) * 12
           + month(col("o_orderdate")) - 1).as("m"))
-      // `div` (trunc) vs the oracle's `//` (floor) agree here because
-      // the numerator is a sum of POSITIVE prices — non-negativity is a
-      // schema guarantee for l_extendedprice, unlike events.value (whose
-      // consumers use the pmod floor-consistent grain)
+      // `div` and the oracle's integer `//` both truncate toward zero
+      // (r13 fuzzer measurement), so the grain is engine-identical for
+      // any sign; these sums of positive prices never go negative anyway
       .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) " +
         "AS BIGINT) div 1000").as("units"))
     val bounds = graft.tools.Scalar.scalarRow(

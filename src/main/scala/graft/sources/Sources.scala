@@ -626,9 +626,12 @@ object Sources {
     val docs = decorate(Tables.load(spark, sfDir, "documents"))
     docs.coalesce(4).write.mode("overwrite")
       // explicit types: the Derby dialect maps StringType to CLOB, which
-      // cannot be compared/grouped; the corpus' text fits VARCHAR
+      // cannot be compared/grouped; VARCHAR at Derby's 32672-char ceiling
+      // (the r13 fuzzer planted a 9801-char doc that a VARCHAR(8000)
+      // column truncated into a write failure). A corpus with longer docs
+      // needs CLOB plus a hash-based fidelity summary instead.
       .option("createTableColumnTypes",
-        "text VARCHAR(8000), lang VARCHAR(16), source VARCHAR(64)")
+        "text VARCHAR(32672), lang VARCHAR(16), source VARCHAR(64)")
       .jdbc(url, "documents", props)
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
     require(!bounds.isNullAt(0),

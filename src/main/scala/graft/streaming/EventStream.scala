@@ -1180,9 +1180,9 @@ object EventStream {
         .select(col("event_type").as("nation"),
           datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
             .cast("long").as("m"),
-          // floor-consistent grain (trunc ≡ floor after the pmod
-          // subtraction) — matches the oracle's `//` for either sign
-          expr("(cents - pmod(cents, 1000)) div 1000").as("units"))
+          // engine-identical grain for either sign: Spark `div` and
+          // DuckDB integer `//` BOTH truncate toward zero (r13 fuzzer)
+          expr("cents div 1000").as("units"))
       graft.queries.Relational.theilSenFromSeries(ser)
         .withColumnRenamed("nation", "event_type")
         .orderBy("event_type")
@@ -1205,9 +1205,9 @@ object EventStream {
         .select(col("event_type").as("nation"),
           datediff(to_date(col("day")), lit("1970-01-01").cast("date"))
             .cast("long").as("m"),
-          // floor-consistent grain (trunc ≡ floor after the pmod
-          // subtraction) — matches the oracle's `//` for either sign
-          expr("(cents - pmod(cents, 1000)) div 1000").as("units"))
+          // engine-identical grain for either sign: Spark `div` and
+          // DuckDB integer `//` BOTH truncate toward zero (r13 fuzzer)
+          expr("cents div 1000").as("units"))
       graft.queries.Relational.mannKendallFromSeries(ser)
         .withColumnRenamed("nation", "event_type")
         .withColumnRenamed("n_months", "n_days")

@@ -2772,4 +2772,35 @@ class OperatorExtrasSpec extends AnyFunSuite {
       (6L, "en", 2L, 500000L, "middle", 1))
     assert(got.toSeq === want)
   }
+
+  test("zero-norm guards: degenerate vectors score sentinels, never throw") {
+    // the r13 fuzzer's finding: under Spark's ANSI default, a zero (or
+    // all-zero-quantizing) vector turned the cosine divisions into
+    // job-killing DIVIDE_BY_ZERO errors. The guards pin the library
+    // conventions instead: float cosine → −1.0 (DuckDB's own
+    // list_cosine_similarity convention, so oracles replay verbatim),
+    // exact-integer scos2 → −2.0 (the TopCentroids sentinel, below every
+    // real scos2 ∈ [−1, 1]).
+    import graft.operators.{Embeddings, Similarity}
+    val emb = Seq(
+      (0L, Seq.fill(4)(0.0f), 0),            // zero vector
+      (1L, Seq(1e-30f, 0f, 0f, 0f), 0),      // quantizes to all-zero codes
+      (2L, Seq(1f, 2f, 3f, 4f), 1),
+      (3L, Seq(4f, 3f, 2f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // bruteForceTopK: runs to completion; the zero vector ranks its real
+    // neighbors above nothing (its sims are all −1.0, ties by id)
+    val bf = Similarity.bruteForceTopK(emb, emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(bf.count(_._1 == 0L) === 3)
+    assert(bf.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+      === Seq(1L, 2L, 3L)) // all sims −1.0 → pure id tie-break
+    // exactScos2: sentinel on zero norms, real value otherwise
+    val scored = Seq((0L, 0L, 5L), (4L, 0L, 25L), (3L, 25L, 25L))
+      .toDF("dot", "na", "nb")
+      .select(Embeddings.exactScos2(col("dot"), col("na"), col("nb"))
+        .as("s")).collect().map(_.getDouble(0))
+    assert(scored(0) === -2.0 && scored(1) === -2.0)
+    assert(scored(2) === (3.0 * 3.0) / (25.0 * 25.0))
+  }
 }
