@@ -268,6 +268,19 @@ object Dedup {
     val probes = ranked.select(col("rank"), col("doc_id").as("a_id"))
       .withColumn("j", explode(sequence(lit(1), lit(window))))
       .select((col("rank") + col("j")).as("rank"), col("a_id"), col("j"))
+      // Re-balance the STREAMED side of the join chain with an explicit
+      // numPartitions (REPARTITION_BY_NUM — AQE leaves it alone). The
+      // frame upstream carries snmRanked's hashpartitioning(bucket),
+      // whose first-character buckets follow the corpus's letter
+      // frequencies — one hot initial can hold most of the corpus — and
+      // the small rank/text sides all broadcast, so WITHOUT this every
+      // downstream join AND the O(n·m) metric the consumers fuse on top
+      // run inside the skewed bucket task: the sf1 scaling probe
+      // measured the whole verify at ~1 core (90 % of shard-prefixed
+      // docs share one bucket), 75 s for work that balances to ~5 s.
+      // The shuffled rows are (rank, id, j) — trivially cheap.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("rank"))
     val txt = docs.select(col("doc_id"), col("text"))
     probes
       .join(ranked.select(col("rank"), col("doc_id").as("b_id")), "rank")
@@ -324,10 +337,19 @@ object Dedup {
     val maxLenRow = docs.agg(max(length(col("text")))).head()
     val k = if (maxLenRow.isNullAt(0)) 0
       else math.ceil((1.0 - minSim) * maxLenRow.getInt(0)).toInt
-    cands
+    // Materialization barrier between the gate and the metric: Catalyst
+    // otherwise pushes BOTH levenshtein conjuncts down into the join
+    // condition — ORDERED BEFORE the cheap length gate — so every raw
+    // candidate pays the DP twice and none pays the O(1) gate first (the
+    // sf1 probe measured 200 k × 2 evals where 73 k × ≤2 suffice). The
+    // checkpoint pins gate-then-metric staging; the gated frame is
+    // window·N-bounded with two ~doc-length strings per row.
+    val gated = cands
       .filter(abs(length(col("ta")) - length(col("tb")))
         <= (lit(1.0) - lit(minSim))
           * greatest(length(col("ta")), length(col("tb"))))
+      .localCheckpoint(true)
+    gated
       .withColumn("dist", levenshtein(col("ta"), col("tb"), k))
       .filter(col("dist") >= 0)
       .withColumn("edit_sim",

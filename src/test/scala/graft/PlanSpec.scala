@@ -798,4 +798,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!after.contains("mvdir"), after)
     assert(after.contains("factdir"), after)
   }
+
+  test("SNM candidate chain pins its parallelism against bucket skew") {
+    // The sf1 scaling probe (SCALING.md) caught the whole SNM verify
+    // running inside ONE task: the rank frame carries
+    // hashpartitioning(bucket) out of the per-bucket window, every join
+    // side broadcasts, and no later exchange re-balances — so the
+    // O(n·m) edit-distance stage inherits the hottest first-character
+    // bucket. The fix is an explicit user-numbered repartition on the
+    // probes frame (AQE must not coalesce it); these assertions keep it.
+    val docs = Tables.load(spark, dir, "documents")
+    val cands = graft.operators.Dedup.snmCandidatePairs(docs, 2)
+    val p = cands.queryExecution.executedPlan.toString
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"SNM probes repartition lost — verify stage can serialize on a hot bucket: $p")
+    // and the gate-vs-metric barrier: the expensive levenshtein must not
+    // be pushed below the length gate into the join condition
+    val full = graft.operators.Dedup.sortedNeighborhoodPairs(docs)
+    val joins = full.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Join")).mkString("\n")
+    assert(!joins.contains("levenshtein"),
+      s"levenshtein pushed into a join condition (runs pre-gate, serial): $joins")
+  }
 }
