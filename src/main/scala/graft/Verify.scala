@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RAM-backed shuffle scratch when available (see Bench.scratchDir:
+      // the virtual disk stalls identical shuffles 20-100x at random)
+      .config("spark.local.dir",
+        graft.Bench.scratchDir.getOrElse("/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1827,6 +1827,25 @@ object Relational {
 
   private def q60(spark: SparkSession, dir: String): DataFrame = {
     Tables.load(spark, dir, "documents").createOrReplaceTempView("documents")
+    q60OverView(spark)
+  }
+
+  /** The recursive walk over whatever `documents` view is registered —
+    * factored so the spec can plant a corpus that provably exceeds
+    * Spark's DEFAULT recursion-row tripwire.
+    *
+    * Spark 4 guards recursive CTEs with a 1 M-row default
+    * (spark.sql.cteRecursionRowLimit) — a runaway-recursion tripwire,
+    * not a semantic bound. This recursion provably terminates (node
+    * strictly halves, total rows = docs × log₂ maxId — LINEAR in the
+    * corpus), but the default already fails at the 10× probe corpus
+    * (50 k docs × ~24 levels > 1 M; caught by the sf1 full-roster
+    * bench). Raise the tripwire to the config's Int ceiling (~2³¹
+    * rows); the LEVEL limit (default 100) stays as the real runaway
+    * guard for a non-terminating recursion.
+    */
+  private[graft] def q60OverView(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
     spark.sql(q60Sql)
   }
 
@@ -2392,9 +2411,25 @@ object Relational {
     * changed source table lineage) builds its own graph; in-session
     * only — no cross-run state.
     */
+  private[graft] def tradeEdgesForDiag(spark: SparkSession, dir: String): DataFrame =
+    tradeEdges(spark, dir)
+
   private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val plan = tradeEdgesPlan(spark, dir)
-    graft.operators.Dedup.memoized("trade_edges", plan)(plan)
+    // Partition ONCE by src at build — the Pregel discipline. Every
+    // iterative consumer joins `frontier/ranks ⋈ edges ON node = src`;
+    // localCheckpoint PRESERVES physical partitioning (LogicalRDD keeps
+    // outputPartitioning), so each of the family's ~30 per-iteration
+    // joins co-locates on the stored layout and only the O(V) rank/
+    // frontier side ever moves. Without this the edge side's placement
+    // is arbitrary and each iteration either reshuffles all O(E) edges
+    // or flaps on an AQE broadcast decision — the sf1 probe measured the
+    // SAME q161 iteration at 3.3 s or 36.5 s depending on which way it
+    // fell. At 100 TB this is the difference between per-iteration
+    // message passing and per-iteration graph movement.
+    graft.operators.Dedup.memoized("trade_edges", plan)(
+      plan.repartition(spark.sessionState.conf.numShufflePartitions,
+        col("src")))
   }
 
   /** The node list of an edge frame, memoized per edge lineage — three

@@ -103,6 +103,47 @@ object EventStream {
     })._2
   }
 
+  /** [[stageDir]]'s SPLIT variant for the documents stream: the source
+    * table is one parquet file, and a one-file file-stream batch gets ONE
+    * partition — so every per-row-expensive stream stage (image decode in
+    * st_phash/st_keyframes, phrase mining in st_phrase) ran single-
+    * threaded no matter how many cores the session has. The sf1 probe
+    * measured st_phash at 100–400 s with 31 idle cores. A real deployment's
+    * stream source is partitioned (Kafka partitions, many files per
+    * micro-batch), so staging as `spark.sql.shuffle.partitions` split
+    * files is the HONEST emulation, not a bench trick: batch contents are
+    * identical (repartition preserves the multiset; every consumer's sink
+    * is order-insensitive or explicitly sorted). Same version-pinned
+    * lifecycle as [[stageDir]] under a distinct cache key.
+    */
+  private def stageDirSplit(src: java.nio.file.Path,
+                            spark: SparkSession): java.nio.file.Path = {
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val ver = s"${attrs.size}:" +
+      attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    stagedDirs.compute(src.toString + "#split", { (_, old) =>
+      if (old != null && old._1 == ver) old
+      else {
+        if (old != null) deleteStagedTree(old._2)
+        val d = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+        spark.read.parquet(src.toString)
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .write.mode("overwrite").parquet(d.toString)
+        sys.addShutdownHook(deleteStagedTree(d))
+        (ver, d)
+      }
+    })._2
+  }
+
+  private def deleteStagedTree(d: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Read the events table as a file stream with the batch-identical
     * schema (ts as exact nanosecond long, see graft.tables.Tables).
     * Sets `nanosAsLong` exactly as the batch reader [[graft.tables.Tables]]
@@ -135,7 +176,8 @@ object EventStream {
     */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.tables.Tables.load(spark, dir, "documents").schema
-    val streamDir = stageDir(java.nio.file.Paths.get(dir, "documents.parquet"))
+    val streamDir = stageDirSplit(
+      java.nio.file.Paths.get(dir, "documents.parquet"), spark)
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 

@@ -19,6 +19,10 @@ object TimeQueries {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // RAM-backed shuffle scratch when available (see Bench.scratchDir:
+      // the virtual disk stalls identical shuffles 20-100x at random)
+      .config("spark.local.dir",
+        graft.Bench.scratchDir.getOrElse("/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // same warmup discipline as Bench

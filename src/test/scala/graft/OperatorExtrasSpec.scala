@@ -2803,4 +2803,20 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(scored(0) === -2.0 && scored(1) === -2.0)
     assert(scored(2) === (3.0 * 3.0) / (25.0 * 25.0))
   }
+
+  test("q60 recursion survives corpora past the 1M-row default tripwire") {
+    // Spark 4's spark.sql.cteRecursionRowLimit defaults to 1e6 TOTAL rows
+    // across the recursion — the sf1 full-roster bench caught q60 dying
+    // on it (50k docs × ~24 ancestor levels). Plant a corpus that
+    // provably exceeds the default (100k docs with ids up to ~9.1M →
+    // ~2.2M recursion rows) and require the query to complete: the fix
+    // raises the row tripwire at query time, keeping the LEVEL limit as
+    // the runaway guard.
+    val docs = spark.range(100000)
+      .select((col("id") * 91 + 1).as("doc_id"), lit("t").as("text"),
+        lit("en").as("lang"), lit("s").as("source"), lit(1).as("n_chars"))
+    docs.createOrReplaceTempView("documents")
+    val res = Relational.q60OverView(spark)
+    assert(res.count() === 100000L)
+  }
 }

@@ -16,6 +16,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", tempDir("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // RAM-backed shuffle scratch when available (see Bench.scratchDir)
+      .config("spark.local.dir",
+        graft.Bench.scratchDir.getOrElse("/tmp"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
