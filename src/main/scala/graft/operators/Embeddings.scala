@@ -414,6 +414,87 @@ object Embeddings {
       .orderBy("k")
   }
 
+  /** PCA whitening projection — the decorrelation step a vector pipeline
+    * runs before PQ/IVF codebook training (product quantizers assume
+    * roughly isotropic residuals; OPQ's first move is exactly this
+    * rotation+rescale). Per row: wₖ = (q − mean)·eₖ / √λₖ over the
+    * RETAINED axes — components with λₖ ≤ 1e-9·max(tr(C)/d, 1) are
+    * dropped, not divided by ≈0 (a rank-deficient corpus must not mint
+    * ±∞; the planted-degenerate spec pins this). Same scan-stage shape as
+    * [[pcaProject]]: basis and scales ride as literals, zero shuffle.
+    */
+  def whitenProject(emb: DataFrame, topK: Int = 8): DataFrame = {
+    val basis = pcaBasis(emb, topK)
+    val d = basis.mean.length
+    val floor = 1e-9 * math.max(
+      basis.traceNum.toDouble / (basis.n.toDouble * basis.n * d), 1.0)
+    val kept = basis.eig.filter(_._1 > floor)
+    projectOn(emb, basis.copy(eig = kept))
+      .select(col("vec_id") +: kept.indices.map(k =>
+        (col(s"p$k") / math.sqrt(kept(k)._1)).as(s"w$k")): _*)
+  }
+
+  /** The hash-gated whitening CONTRACT panel (the emb_pca pattern: float
+    * projections have no SQL replay, so the gate publishes what an
+    * independent engine CAN check — n and the exact integer n²·trace(C),
+    * oracle-recomputed from the raw table — next to machine-checked
+    * LAWS the oracle asserts TRUE):
+    *  - `unit_var_ok`: the distributed population variance of wₖ is 1
+    *    (rel 1e-3 — absorbs the 6-dp component rounding). THE defining
+    *    property of whitening;
+    *  - `mean_zero_ok`: |mean(wₖ)| ≤ 1e-2 (centering survived the
+    *    rounded basis);
+    *  - `decorrelated_ok`: every pairwise |cov(wᵢ, wⱼ)| ≤ 1e-3 — the
+    *    identity covariance off-diagonal.
+    * The panel always publishes `topK` rows (the emb_pca oracle shape —
+    * the oracle's row count must be data-independent): axes DROPPED by
+    * the rank floor publish vacuous TRUE laws — the retention behavior
+    * itself is API-level and pinned by the planted-degenerate spec, not
+    * the hash gate. One distributed agg pass computes Σwₖ, Σwₖ², and all
+    * Σwᵢwⱼ (k(k+3)/2 partial-agg columns — 44 at k=8); a whitening
+    * regression flips a law FALSE and the entry goes hash-red.
+    */
+  def whitenContract(emb: DataFrame, topK: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val basis = pcaBasis(emb, topK)
+    val d = basis.mean.length
+    val floor = 1e-9 * math.max(
+      basis.traceNum.toDouble / (basis.n.toDouble * basis.n * d), 1.0)
+    val kept = basis.eig.filter(_._1 > floor)
+    val k = kept.length
+    val meanVarsCov: (Seq[Double], Seq[Double], Seq[Double]) =
+      if (k == 0) (Nil, Nil, Nil)
+      else {
+        val w = projectOn(emb, basis.copy(eig = kept))
+          .select(col("vec_id") +: kept.indices.map(i =>
+            (col(s"p$i") / math.sqrt(kept(i)._1)).as(s"w$i")): _*)
+        val aggs =
+          (0 until k).flatMap(i => Seq(
+            sum(col(s"w$i")).as(s"s$i"),
+            sum(col(s"w$i") * col(s"w$i")).as(s"ss$i"))) ++
+          (for { i <- 0 until k; j <- i + 1 until k } yield
+            sum(col(s"w$i") * col(s"w$j")).as(s"c${i}_$j"))
+        val m = w.agg(aggs.head, aggs.tail: _*).first()
+        val n = basis.n.toDouble
+        val mean = (0 until k).map(i => m.getDouble(2 * i) / n)
+        val vars = (0 until k).map(i =>
+          m.getDouble(2 * i + 1) / n - mean(i) * mean(i))
+        val cov = (for { i <- 0 until k; j <- i + 1 until k } yield
+          (i, j)).zipWithIndex.map { case ((i, j), x) =>
+            m.getDouble(2 * k + x) / n - mean(i) * mean(j) }
+        (mean, vars, cov)
+      }
+    val (mean, vars, cov) = meanVarsCov
+    val meanZero = mean.forall(x => math.abs(x) <= 1e-2)
+    val decorrelated = cov.forall(x => math.abs(x) <= 1e-3)
+    (0 until topK).map(i => (i, basis.n, basis.traceNum,
+        i >= k || math.abs(vars(i) - 1.0) <= 1e-3, meanZero, decorrelated))
+      .toDF("k", "n", "trace_num", "unit_var_ok", "mean_zero_ok",
+        "decorrelated_ok")
+      .orderBy("k")
+  }
+
   /** THE int8 code builder — (vec_id, m, q) with m = max|component| and q
     * the exact-integer code array. Every quantization consumer
     * ([[quantizeInt8]], [[int8Codes]], [[pcaProject]]) derives from this
@@ -429,6 +510,69 @@ object Embeddings {
         when(col("m") === 0.0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"),
             x => int8Code(x, col("m")).cast("bigint"))).as("q"): _*)
+
+  /** Corpus isotropy diagnostics — the "is there a dominant common
+    * direction?" panel a training-data pipeline runs before cosine-based
+    * dedup/ANN (anisotropic corpora make every pair look similar:
+    * Mu & Viswanath 2018 "all-but-the-top", Ethayarajh 2019). One summary
+    * row of EXACT integers over the int8 codes, from two algebraic
+    * identities that need only per-dimension sufficient statistics
+    * (sᵢ = Σ qᵢ, gᵢᵢ = Σ qᵢ², shared with the Gram/PCA family):
+    *   Σ_{a≠b} qₐ·q_b = ‖Σq‖² − Σ‖q‖²     (mean pairwise dot, NO pair join)
+    *   n²·tr(C)       = n·Σ‖q‖² − ‖Σq‖²   (total centered scatter)
+    *   top-dim share  = maxᵢ(n·gᵢᵢ − sᵢ²) / Σᵢ(n·gᵢᵢ − sᵢ²)
+    * A corpus with a strong common direction shows pair_dot_num ≫ 0 and a
+    * top_share_ppm far above 1e6/d; an isotropic one hovers near both
+    * floors. Squared terms ride DECIMAL(38,0) (sᵢ² passes 2⁶³ once
+    * n·127 crosses ~3·10⁹, i.e. ~2·10⁷ rows — well inside 100 TB) and
+    * publish through [[graft.queries.Relational.boundedLong]], so both
+    * engines fail loudly and identically past the BIGINT envelope.
+    *
+    * Scale shape: ONE corpus scan into a d-key partial aggregate (the
+    * posexplode inflates rows ×d but stays inside whole-stage codegen and
+    * combines map-side), then two aggregates over the d-row frame and a
+    * broadcast of the 1-row argmax — no pair join, no second scan, no
+    * driver collect. The quadratic quantities come from algebra, not
+    * enumeration, which is the only shape that survives n ~ 10¹⁰.
+    */
+  def isotropyPanel(emb: DataFrame): DataFrame = {
+    import Exact.{D38 => D}
+    import graft.queries.Relational.boundedLong
+    val per = int8CodesWithId(emb)
+      .select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(col("x")).as("si"),
+        sum(col("x") * col("x")).as("gii"),
+        count(lit(1)).as("nd"))
+      .withColumn("var_num",
+        col("nd").cast(D) * col("gii").cast(D)
+          - col("si").cast(D) * col("si").cast(D))
+    val tot = per.agg(
+      max(col("nd")).as("n"),
+      count(lit(1)).as("d"),
+      sum(col("gii")).cast("long").as("sum_norm2"),
+      sum(col("si").cast(D) * col("si").cast(D)).as("sv2"),
+      sum(col("var_num")).as("scatter"))
+    // d-row frame → 1-row argmax (ties → lowest dim); broadcast-bounded
+    val top = per.orderBy(col("var_num").desc, col("i").asc).limit(1)
+      .select(col("i").cast("long").as("top_dim"),
+        col("var_num").as("top_var"))
+    tot.crossJoin(broadcast(top)).select(
+      col("n"), col("d"), col("sum_norm2"),
+      boundedLong(col("sv2"), "sumvec_norm2").as("sumvec_norm2"),
+      boundedLong(col("sv2") - col("sum_norm2").cast(D), "pair_dot_num")
+        .as("pair_dot_num"),
+      boundedLong(col("n").cast(D) * (col("n") - 1).cast(D), "pair_den")
+        .as("pair_den"),
+      boundedLong(col("scatter"), "scatter_num").as("scatter_num"),
+      col("top_dim"),
+      boundedLong(col("top_var"), "top_var_num").as("top_var_num"),
+      // integral div of two non-negative DECIMALs: trunc ≡ floor, and
+      // Spark `div` ≡ DuckDB `//` (both truncate — the r13 fuzzer law)
+      when(col("scatter") > 0,
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * top_var)" +
+          " div scatter AS BIGINT)")).as("top_share_ppm"))
+  }
 
   /** Per-label embedding outlier flags — the mislabeled/noisy-vector
     * filter of a curation pipeline: each vector's squared L2 distance to
@@ -710,6 +854,10 @@ object Embeddings {
     // PipelineOpsSpec, and the Gram stage stays value-gated as emb_gram
     "emb_pca" -> ((s, d) =>
       pcaContract(Tables.load(s, d, "embeddings"))),
+    "emb_isotropy" -> ((s, d) =>
+      isotropyPanel(Tables.load(s, d, "embeddings"))),
+    "emb_whitening" -> ((s, d) =>
+      whitenContract(Tables.load(s, d, "embeddings"))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -823,6 +971,75 @@ object Embeddings {
         |SELECT i, j, s, n FROM gram
         |UNION ALL SELECT i, j, s, n FROM dims
         |ORDER BY i, j""".stripMargin,
+    // emb_isotropy: the same diagonal statistics as emb_pca's trace,
+    // extended with the sum-vector identities; HUGEINT mirrors Spark's
+    // DECIMAL(38,0) and the bounded CASEs mirror boundedLong
+    "emb_isotropy" -> {
+      import graft.queries.Relational.boundedLongSql
+      s"""WITH qq AS (
+        |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |idx AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1 FROM embeddings))) AS p),
+        |pv AS (
+        |  SELECT i, si, gii, nd, nd * gii - si * si AS var_num FROM (
+        |    SELECT a.p AS i,
+        |      CAST(sum(q[a.p]) AS HUGEINT) AS si,
+        |      CAST(sum(q[a.p] * q[a.p]) AS HUGEINT) AS gii,
+        |      CAST(count(*) AS HUGEINT) AS nd
+        |    FROM qq, idx a GROUP BY 1)),
+        |tot AS (
+        |  SELECT CAST(max(nd) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(gii) AS BIGINT) AS sum_norm2,
+        |    sum(si * si) AS sv2, sum(var_num) AS scatter
+        |  FROM pv),
+        |top AS (SELECT CAST(i - 1 AS BIGINT) AS top_dim, var_num AS top_var
+        |        FROM pv ORDER BY var_num DESC, i LIMIT 1)
+        |SELECT n, d, sum_norm2,
+        |  ${boundedLongSql("sv2", "sumvec_norm2")} AS sumvec_norm2,
+        |  ${boundedLongSql("sv2 - sum_norm2", "pair_dot_num")} AS pair_dot_num,
+        |  ${boundedLongSql("CAST(n AS HUGEINT) * (n - 1)", "pair_den")} AS pair_den,
+        |  ${boundedLongSql("scatter", "scatter_num")} AS scatter_num,
+        |  top_dim,
+        |  ${boundedLongSql("top_var", "top_var_num")} AS top_var_num,
+        |  CASE WHEN scatter > 0
+        |    THEN CAST((1000000 * top_var) // scatter AS BIGINT)
+        |  END AS top_share_ppm
+        |FROM tot, top""".stripMargin
+    },
+    // emb_whitening: emb_pca's oracle shape — the exact integers replay
+    // from the raw table, the whitening laws are asserted TRUE
+    "emb_whitening" ->
+      """WITH qq AS (
+        |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |idx AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1 FROM embeddings))) AS p),
+        |cell AS (
+        |  SELECT a.p AS i,
+        |    CAST(sum(q[a.p] * q[a.p]) AS BIGINT) AS gii,
+        |    CAST(sum(q[a.p]) AS BIGINT) AS si,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM qq, idx a GROUP BY 1),
+        |tr AS (
+        |  SELECT CAST(sum(n * gii - si * si) AS BIGINT) AS trace_num,
+        |    max(n) AS n
+        |  FROM cell)
+        |SELECT CAST(ks.k AS INTEGER) AS k, n, trace_num,
+        |  TRUE AS unit_var_ok, TRUE AS mean_zero_ok,
+        |  TRUE AS decorrelated_ok
+        |FROM tr, (SELECT unnest(range(8)) AS k) ks
+        |ORDER BY k""".stripMargin,
     // emb_pca: the contract panel — the oracle independently recomputes
     // the corpus size and the exact integer n²·trace(C) from the raw
     // table (the emb_gram quantization, diagonal + dim sums only) and

@@ -1102,6 +1102,81 @@ object TextAnalysis {
       .select("doc_id", "lang", "coin")
   }
 
+  /** Generic URL canonicalizer — the normalization every web-corpus
+    * pipeline runs before URL-level dedup (C4/CCNet/RefinedWeb all dedup
+    * on a canonical URL before touching content). Pure string
+    * expressions, applied to ANY url column:
+    *   1. fragment stripped;
+    *   2. host lowercased (path/query case-PRESERVED — they are
+    *      case-significant per RFC 3986 §6.2.2.1); the scheme FOLDS to
+    *      https (the dedup-key convention: http/https variants of one
+    *      resource must land in the same group);
+    *   3. default ports :80/:443 stripped;
+    *   4. duplicate path slashes collapsed, trailing slash dropped
+    *      (empty path → "/");
+    *   5. tracking params (utm_*) dropped, survivors sorted bytewise.
+    * Everything stays inside whole-stage codegen (regexp/array exprs, no
+    * UDF); the empty-query join is an explicit CASE because Spark's
+    * array_join(∅)='' but DuckDB's array_to_string(∅)=NULL (the r13
+    * fuzzer's finding #3 — the oracle mirrors the CASE).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = lower(regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      ":(443|80)$", ""))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/{2,}", "/"),
+      "(.)/$", "$1")
+    val kept = array_sort(filter(split(
+      regexp_extract(rest, "\\?(.*)$", 1), "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    concat(
+      lit("https://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** URL-level dedup over [[canonicalizeUrl]] — documents carry no URL
+    * column, so each derives a deterministic MESSY url from its keys
+    * (mixed-case scheme/host, default port, doubled and trailing slashes,
+    * utm params on both sides of the kept id param, fragments — one of
+    * each canonicalization hazard, oracle-replayed verbatim), then the
+    * canonical form groups and each group keeps its smallest doc_id.
+    * Groups form whenever a run of ≤7 consecutive doc ids shares
+    * (source, lang) — real variant clusters, not a global collapse.
+    *
+    * Scale shape: derivation + canonicalization are scan-stage codegen;
+    * the dedup is ONE exchange keyed by canonical url (dd_exact's shape —
+    * the key is a short string, not document content, so this is the
+    * cheap dedup that runs FIRST in a crawl pipeline, before any content
+    * hash).
+    */
+  def urlCanon(docs: DataFrame): DataFrame = {
+    val id = expr("(doc_id div 7) % 100").cast("string")
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 2 === 0, upper(col("source")))
+        .otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), col("lang"),
+      when(col("doc_id") % 5 === 0, lit("//")).otherwise(lit("/")),
+      lit("doc"), expr("CAST(doc_id div 7 AS STRING)"),
+      when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(lit("?utm_source=feed&id="), id))
+        .otherwise(concat(lit("?id="), id, lit("&utm_campaign=x"))),
+      when(col("doc_id") % 6 === 0, concat(lit("#sec-"), col("lang")))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"), canonicalizeUrl(raw).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_doc"))
+      .orderBy("canonical_url")
+  }
+
   /** Per-(source, lang) document cap — the "domain cap" every web-corpus
     * pipeline applies (C4 / RefinedWeb style) so no single site dominates
     * the training mixture: each group keeps at most `cap` documents,
@@ -2085,6 +2160,8 @@ object TextAnalysis {
       temperatureMix(Tables.load(s, d, "documents"))),
     "ta_chunk_plan" -> ((s, d) =>
       chunkPlan(Tables.load(s, d, "documents"))),
+    "ta_url_canon" -> ((s, d) =>
+      urlCanon(Tables.load(s, d, "documents"))),
   )
 
   private val W = "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> x <> '')"
@@ -2218,6 +2295,61 @@ object TextAnalysis {
 
   def oracle: Map[String, String] = {
     val base: Map[String, String] = Map(
+    // ta_url_canon: the identical messy-url derivation, then the mirrored
+    // canonicalization — DuckDB regexp_replace needs the explicit 'g'
+    // flag where Spark's is global-by-default, backrefs are \1 vs $1,
+    // and the empty-query seam takes the mirrored CASE (array_to_string
+    // of an empty list is NULL in DuckDB, '' in Spark)
+    "ta_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+        |    || '.Example.COM'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |    || '/' || lang
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '//' ELSE '/' END)
+        |    || 'doc' || CAST(doc_id // 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |          THEN '?utm_source=feed&id='
+        |               || CAST((doc_id // 7) % 100 AS VARCHAR)
+        |          ELSE '?id=' || CAST((doc_id // 7) % 100 AS VARCHAR)
+        |               || '&utm_campaign=x' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || lang ELSE '' END)
+        |      AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM raw),
+        |p2 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(regexp_extract(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      ':(443|80)$', '')) AS host,
+        |    regexp_replace(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, host,
+        |    regexp_replace(regexp_replace(regexp_extract(rest,
+        |      '^([^?]*)', 1), '/{2,}', '/', 'g'), '(.)/$', '\1') AS path,
+        |    list_sort(list_filter(string_split(
+        |      regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      p -> substr(p, 1, 4) <> 'utm_' AND p <> '')) AS kept
+        |  FROM p2),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://' || host
+        |    || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |    || (CASE WHEN len(kept) > 0
+        |          THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        |      AS canonical_url
+        |  FROM p3)
+        |SELECT canonical_url, count(*) AS n_variants,
+        |  min(doc_id) AS keeper_doc
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     // ta_kneser_ney: the same exact fraction — HUGEINT mirrors
     // DECIMAL(38,0), greatest() handles the d-discount floor, one
     // integral division; bigrams via the positional list idiom

@@ -75,7 +75,7 @@ object Relational {
   }
 
   /** The oracle-side mirror of [[boundedLong]] over a SQL expression. */
-  private def boundedLongSql(e: String, what: String): String =
+  private[graft] def boundedLongSql(e: String, what: String): String =
     s"CASE WHEN $e BETWEEN -9223372036854775808 AND 9223372036854775807" +
       s" THEN CAST($e AS BIGINT) ELSE" +
       s" CAST(error('$what overflows BIGINT') AS BIGINT) END"
@@ -260,6 +260,7 @@ object Relational {
     "q177_theilsen" -> q177,
     "q178_mann_kendall" -> q178,
     "q179_skipgram" -> q179,
+    "q180_rsi" -> q180,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -6380,6 +6381,52 @@ object Relational {
       .orderBy("center_type", "center_id", "context_type", "context_id")
   }
 
+  /** Relative Strength Index (simple-window form) over the per-class
+    * daily event-value series — the momentum oscillator missing from the
+    * finance band (q122 drawdown / q137 twap / q149 ohlc cover level,
+    * volume, and range; RSI covers MOMENTUM). Per (event_type, day):
+    * the daily close in exact cents, the 14-day gain/loss sums over the
+    * day-over-day diffs, and rsi_bp = ⌊10000·gains/(gains+losses)⌋ in
+    * basis points — published only once 14 FULL diffs exist (row 15+),
+    * NULL when the window is flat (gains+losses = 0, the 0/0 branch made
+    * explicit per the q173 degenerate-branch lesson). All arithmetic is
+    * exact int64: cents via the q155 DECIMAL(18,2) quantization, one
+    * integer division at publish (both engines truncate — gains and
+    * losses are non-negative, so trunc ≡ floor here).
+    *
+    * Scale: one partial agg to the per-(class, day) grain (bounded:
+    * classes × calendar days), then lag + two framed window sums inside
+    * that partition — no join, no second shuffle; the window partition
+    * key is the aggregation key, so the sort rides the agg exchange.
+    */
+  private def q180(spark: SparkSession, dir: String): DataFrame =
+    rsiFromDaily(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .cast("long").as("close_c")))
+
+  /** The RSI window chain over any (event_type, day, close_c) daily frame
+    * — factored so the spec can plant a hand-computed series.
+    */
+  private[graft] def rsiFromDaily(daily: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val win14 = byDay.rowsBetween(-13, 0)
+    daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("d", col("close_c") - lag("close_c", 1).over(byDay))
+      .withColumn("gain14", sum(greatest(col("d"), lit(0L))).over(win14))
+      .withColumn("loss14", sum(greatest(-col("d"), lit(0L))).over(win14))
+      // i ≥ 15 ⇔ the 14-row frame holds 14 non-NULL diffs (row 1's diff
+      // is NULL and would silently shorten the window for rows 2..14)
+      .filter(col("i") >= 15)
+      .select(col("event_type"), col("day"), col("close_c"),
+        col("gain14"), col("loss14"),
+        when(col("gain14") + col("loss14") > 0,
+          expr("(10000 * gain14) div (gain14 + loss14)")).as("rsi_bp"))
+      .orderBy("event_type", "day")
+  }
+
   /** The per-nation monthly revenue series (q160's rollup over ALL
     * nations, sparse — observed months only) shared by the trend-test
     * duo q177/q178.
@@ -9061,6 +9108,32 @@ object Relational {
          |  CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_d2
          |FROM pr GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+    // q180: same cents quantization as q155, same day grain as q104;
+    // gains/losses are non-negative so Spark `div` ≡ DuckDB `//`
+    "q180_rsi" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS close_c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day, close_c,
+        |    row_number() OVER w AS i,
+        |    close_c - lag(close_c) OVER w AS d
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (
+        |  SELECT event_type, day, close_c, i,
+        |    sum(greatest(d, 0)) OVER w14 AS gain14,
+        |    sum(greatest(-d, 0)) OVER w14 AS loss14
+        |  FROM d WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, close_c,
+        |  CAST(gain14 AS BIGINT) AS gain14,
+        |  CAST(loss14 AS BIGINT) AS loss14,
+        |  CASE WHEN gain14 + loss14 > 0
+        |    THEN CAST((10000 * gain14) // (gain14 + loss14) AS BIGINT)
+        |  END AS rsi_bp
+        |FROM g WHERE i >= 15 ORDER BY event_type, day""".stripMargin,
     "q157_clustering" ->
       """WITH buyers AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust

@@ -1229,6 +1229,24 @@ object EventStream {
         .withColumnRenamed("nation", "event_type")
         .orderBy("event_type")
     }),
+    // Streaming RSI: the live momentum monitor — the same watermarked
+    // day-window cents fold (own sink; streams are one-consumer), with
+    // q180's 14-day gain/loss window chain finalizing sink-side through
+    // the shared rsiFromDaily. Output is identical to batch q180, so the
+    // oracle is q180's verbatim.
+    "st_rsi" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cents").cast("long").as("close_c")),
+        "st_rsi_sink", OutputMode.Complete)
+      graft.queries.Relational.rsiFromDaily(
+        s.table("st_rsi_sink").localCheckpoint(true))
+    }),
     // Streaming Mann–Kendall: the significance companion over the same
     // fold (own sink — streams are one-consumer); sign sum + the
     // tie-corrected integer variance finalize through the shared
@@ -1515,6 +1533,8 @@ object EventStream {
     // st_matrix_profile: q160's window-pair SSD logic on the events
     // table's per-(class, day) units series — dense zero-filled spine,
     // |i−j| ≥ 6 exclusion, smallest-j tie-break as a min() join-back
+    // st_rsi: batch q180's output exactly — same day grain, same cents
+    "st_rsi" -> graft.queries.Relational.oracle("q180_rsi"),
     // st_theilsen / st_mann_kendall: q177/q178's pair logic over the
     // events table's per-(class, day) cents rollup (sparse — observed
     // days), day index = days since epoch

@@ -2819,4 +2819,30 @@ class OperatorExtrasSpec extends AnyFunSuite {
     val res = Relational.q60OverView(spark)
     assert(res.count() === 100000L)
   }
+
+  test("q180 RSI: hand-computed gains/losses on a planted daily series, " +
+      "flat-window NULL, and the 14-full-diffs publication floor") {
+    // class A: 7 days of +10, 7 days of -5, then +3, -2 (16 diffs);
+    // class B: flat (diffs all 0) -> rsi NULL; class C: 14 days, one
+    // short of the floor -> publishes nothing
+    val a = Seq(1000L, 1010, 1020, 1030, 1040, 1050, 1060, 1070,
+      1065, 1060, 1055, 1050, 1045, 1040, 1035, 1038, 1036)
+    val daily = (
+      a.zipWithIndex.map { case (c, i) => ("A", f"d${i + 1}%02d", c) } ++
+      (1 to 15).map(i => ("B", f"d$i%02d", 500L)) ++
+      (1 to 14).map(i => ("C", f"d$i%02d", 300L))
+    ).toDF("event_type", "day", "close_c")
+    val got = Relational.rsiFromDaily(daily).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    // A day15: gains 7x10=70, losses 7x5=35 -> 700000 div 105 = 6666
+    // A day16: gains 6x10+3=63, losses 35   -> 630000 div 98  = 6428
+    // A day17: gains 5x10+3=53, losses 7x5+2=37 -> 530000 div 90 = 5888
+    assert(got.toSeq === Seq(
+      ("A", "d15", 1035L, 70L, 35L, 6666L),
+      ("A", "d16", 1038L, 63L, 35L, 6428L),
+      ("A", "d17", 1036L, 53L, 37L, 5888L),
+      ("B", "d15", 500L, 0L, 0L, -1L)))
+  }
 }

@@ -602,4 +602,98 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) == 127.0 * 127.0))
     assert(rows.forall(_.getInt(3) == 0))
   }
+
+  test("isotropyPanel: hand-computed identities on a planted corpus, " +
+      "zero-scatter NULL share, and a Gram-rows replay on the real table") {
+    // [1,0],[1,0],[0,1] -> codes [127,0]x2,[0,127]: s=(254,127),
+    // g=(32258,16129); both dims tie at var 32258 -> top_dim 0
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val r = Embeddings.isotropyPanel(emb).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4), r(0).getLong(5), r(0).getLong(6),
+      r(0).getLong(7), r(0).getLong(8), r(0).getLong(9)) ===
+      ((3L, 2L, 48387L, 80645L, 32258L, 6L, 64516L, 0L, 32258L, 500000L)))
+    // two identical vectors: all scatter vanishes -> ppm NULL, not 0/0
+    val flat = Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val f = Embeddings.isotropyPanel(flat).collect()(0)
+    assert(f.getLong(4) === 64516L) // pair dot: 2 ordered pairs x 2*127^2
+    assert(f.getLong(6) === 0L && f.isNullAt(9))
+    // real-table cross-check: the panel must replay from gramMatrix rows
+    val real = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val g = Embeddings.gramMatrix(real).collect()
+    val n = g.head.getLong(3)
+    val sums = g.filter(_.getInt(1) == -1).map(_.getLong(2))
+    val diag = g.filter(x => x.getInt(0) == x.getInt(1)).map(_.getLong(2))
+    val p = Embeddings.isotropyPanel(real).collect()(0)
+    assert(p.getLong(0) === n)
+    assert(p.getLong(2) === diag.sum)
+    assert(p.getLong(3) === sums.map(s => s * s).sum)
+    assert(p.getLong(6) === n * diag.sum - sums.map(s => s * s).sum)
+  }
+
+  test("whitening: identity covariance on a planted corpus, rank-floor " +
+      "drop on a degenerate line, all laws green on the real table") {
+    // axis-aligned corpus: covariance diag(127^2/2, 127^2/2), both axes
+    // retained; whitened variance must be 1 on each
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val panel = Embeddings.whitenContract(emb, topK = 2).collect()
+    assert(panel.length === 2)
+    panel.foreach { r =>
+      assert(r.getBoolean(3), s"k=${r.getInt(0)}: unit_var_ok false")
+      assert(r.getBoolean(4) && r.getBoolean(5))
+    }
+    // collinear corpus (per-vector max-abs quantization maps [2,2] and
+    // [1,1] to the SAME code): rank 1 -> exactly one retained axis, and
+    // no axis is divided by a near-zero eigenvalue
+    val line = Seq((1L, Array(1f, 1f)), (2L, Array(-1f, -1f)),
+      (3L, Array(2f, 2f))).toDF("vec_id", "embedding")
+    val w = Embeddings.whitenProject(line, topK = 2)
+    assert(w.columns.toSeq === Seq("vec_id", "w0"), "rank floor must drop w1")
+    val vals = w.collect().map(_.getDouble(1))
+    assert(vals.forall(x => !x.isNaN && !x.isInfinite))
+    // the dropped-axis panel rows publish vacuous TRUE laws
+    val dPanel = Embeddings.whitenContract(line, topK = 2).collect()
+    assert(dPanel.length === 2 && dPanel.forall(_.getBoolean(3)))
+    // real corpus: every law green at full width
+    val real = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val rp = Embeddings.whitenContract(real).collect()
+    assert(rp.length === 8)
+    rp.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"k=${r.getInt(0)} law failed")
+    }
+  }
+
+  test("canonicalizeUrl: each normalization hazard alone and together; " +
+      "urlCanon collapses a planted variant run to one keeper") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443//a//b/?utm_source=x&b=2&a=1#frag",
+      "http://Host.com:80", // scheme folds, default port strips, "/" path
+      "https://h.com/Case/Path", // path case preserved
+      "https://h.com:8080/x?utm_a=1", // non-default port kept
+      "https://h.com/") // bare trailing slash stays "/"
+      .toDF("url").select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(urls === Seq(
+      "https://www.example.com/a/b?a=1&b=2",
+      "https://host.com/",
+      "https://h.com/Case/Path",
+      "https://h.com:8080/x",
+      "https://h.com/"))
+    // doc_ids 0..6 share (source, lang) and doc_id div 7 = 0: every messy
+    // variant (port, case, slashes, utm sides, fragment) collapses to ONE
+    // canonical url; doc_id 7 starts the next group
+    val docs = (0L to 7L).map(i => (i, "en", "s"))
+      .toDF("doc_id", "lang", "source")
+    val got = TextAnalysis.urlCanon(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("https://s.example.com/en/doc0?id=0", 7L, 0L),
+      ("https://s.example.com/en/doc1?id=1", 1L, 7L)))
+  }
 }
