@@ -255,7 +255,18 @@ object Embeddings {
       c(i)(j) = cij
       c(j)(i) = cij
     }
-    // cyclic Jacobi: rotate away the largest off-diagonal until negligible
+    jacobiEigen(c)
+  }
+
+  /** Cyclic Jacobi eigensolver over a symmetric matrix (MUTATES `c`) —
+    * the shared O(d³) driver-side finish of [[pcaFromGram]] and the
+    * Procrustes polar factor. Returns eigenpairs sorted by descending
+    * eigenvalue.
+    */
+  private[operators] def jacobiEigen(
+      c: Array[Array[Double]]): Seq[(Double, Array[Double])] = {
+    val d = c.length
+    // rotate away the largest off-diagonal until negligible
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     while (sweep < 100 && {
@@ -495,6 +506,118 @@ object Embeddings {
       .orderBy("k")
   }
 
+  /** The distributed half of Procrustes: the d×d cross-Gram
+    * M = Σ b qᵀ between the code space and its derived twin
+    * b = σ·reverse(q) (σᵢ = +1 on even dims, −1 on odd — the planted
+    * signed permutation the alignment must RECOVER), plus n and the
+    * code energy Σ‖q‖². One kernel pass, d² long accumulators per
+    * partition, the same partial-agg shuffle shape as [[gramMatrix]];
+    * the collect is d²+1 rows — parameter-bounded, never corpus-sized.
+    */
+  private[operators] def crossGramReversal(
+      emb: DataFrame): (Array[Array[Long]], Long, Long) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = dimOf(emb)
+    val rows = int8Codes(emb).as[Seq[Long]]
+      .mapPartitions { it =>
+        val m = new Array[Long](d * d)
+        var n = 0L
+        var qe = 0L
+        while (it.hasNext) {
+          val q = it.next()
+          require(q != null,
+            "crossGramReversal: corpus contains a NULL embedding")
+          require(q.length == d,
+            s"crossGramReversal: $d-dim corpus contains a ${q.length}-dim vector")
+          n += 1
+          var i = 0
+          while (i < d) {
+            val bi = (if (i % 2 == 0) 1L else -1L) * q(d - 1 - i)
+            var j = 0
+            while (j < d) { m(i * d + j) += bi * q(j); j += 1 }
+            qe += q(i) * q(i)
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((-1, -1, qe, n)) ++
+          Iterator.tabulate(d * d)(x => (x / d, x % d, m(x), n))
+      }
+      .toDF("i", "j", "s_part", "n_part")
+      .groupBy("i", "j")
+      .agg(sum(col("s_part")).cast("long").as("s"),
+        sum(col("n_part")).cast("long").as("n"))
+      .collect()
+    require(rows.nonEmpty, "crossGramReversal: empty embedding table")
+    val m = Array.ofDim[Long](d, d)
+    var n = 0L
+    var qe = 0L
+    rows.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (i == -1) { qe = s; n = r.getLong(3) }
+      else m(i)(j) = s
+    }
+    (m, n, qe)
+  }
+
+  /** The hash-gated Procrustes CONTRACT panel — cross-space orthogonal
+    * alignment, the operator an embedding MIGRATION runs (re-trained
+    * encoder, new model version: find the rotation R = argmin Σ‖Rq − b‖²
+    * s.t. RᵀR = I, then map the old index through R instead of
+    * re-embedding the corpus). Space B derives row-locally as the signed
+    * reversal of the codes, so the optimal R is KNOWN analytically
+    * (R* = S·J — polar(S·J·G) with G ⪰ 0), and the contract checks the
+    * pipeline actually recovers it:
+    *  - `full_rank_ok`: every eigenvalue of MᵀM clears 1e-12·λmax (the
+    *    polar factor is unique);
+    *  - `orthonormal_ok`: max |RᵀR − I| ≤ 1e-6;
+    *  - `permutation_ok`: R matches the planted signed reversal entry by
+    *    entry (pattern cells within 1e-6 of ±1, every other cell ≤ 1e-6);
+    *  - `residual_ok`: relative residual (2Σ‖q‖² − 2·tr(RMᵀ)) / 2Σ‖q‖²
+    *    ≤ 1e-9 — b IS an orthogonal map of q, so alignment is exact.
+    * Published next to the oracle-replayable exact integers: n, the code
+    * energy Σ‖q‖², and tr(M) = Σᵢ σᵢ·Σ q_{d−1−i}·qᵢ (both SQL-derivable
+    * from the raw table). The SVD finish is the driver-side d×d Jacobi
+    * ([[jacobiEigen]] on MᵀM) — the distributed work is the ONE
+    * cross-Gram pass.
+    */
+  def procrustesContract(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mL, n, qe) = crossGramReversal(emb)
+    val d = mL.length
+    val m = mL.map(_.map(_.toDouble))
+    val mtm = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => m(k)(i) * m(k)(j)).sum)
+    val eig = jacobiEigen(mtm)
+    val lmax = math.max(eig.head._1, 1e-300)
+    val floor = 1e-12 * lmax
+    val fullRank = eig.forall(_._1 > floor)
+    // R = M V Λ^{-1/2} Vᵀ over retained axes
+    val r = Array.ofDim[Double](d, d)
+    eig.filter(_._1 > floor).foreach { case (l, v) =>
+      val mv = Array.tabulate(d)(i => (0 until d).map(k => m(i)(k) * v(k)).sum)
+      val inv = 1.0 / math.sqrt(l)
+      for (i <- 0 until d; j <- 0 until d) r(i)(j) += inv * mv(i) * v(j)
+    }
+    val rtr = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(k => r(k)(i) * r(k)(j)).sum)
+    val orthonormal = (for (i <- 0 until d; j <- 0 until d) yield
+      math.abs(rtr(i)(j) - (if (i == j) 1.0 else 0.0))).max <= 1e-6
+    val permutation = (for (i <- 0 until d; j <- 0 until d) yield {
+      val want = if (j == d - 1 - i) (if (i % 2 == 0) 1.0 else -1.0) else 0.0
+      math.abs(r(i)(j) - want)
+    }).max <= 1e-6
+    val trRM = (for (i <- 0 until d; j <- 0 until d) yield r(i)(j) * m(i)(j)).sum
+    val residual = (2.0 * qe - 2.0 * trRM) / math.max(2.0 * qe, 1e-300)
+    val xgramTrace = (0 until d).map(i => mL(i)(i)).sum
+    Seq((n, qe, xgramTrace, fullRank, orthonormal, permutation,
+        residual <= 1e-9))
+      .toDF("n", "q_energy", "xgram_trace", "full_rank_ok",
+        "orthonormal_ok", "permutation_ok", "residual_ok")
+  }
+
   /** THE int8 code builder — (vec_id, m, q) with m = max|component| and q
     * the exact-integer code array. Every quantization consumer
     * ([[quantizeInt8]], [[int8Codes]], [[pcaProject]]) derives from this
@@ -535,15 +658,27 @@ object Embeddings {
     * driver collect. The quadratic quantities come from algebra, not
     * enumeration, which is the only shape that survives n ~ 10¹⁰.
     */
-  def isotropyPanel(emb: DataFrame): DataFrame = {
-    import Exact.{D38 => D}
-    import graft.queries.Relational.boundedLong
-    val per = int8CodesWithId(emb)
+  def isotropyPanel(emb: DataFrame): DataFrame =
+    isotropyFromPerDim(perDimStats(emb))
+
+  /** The per-dimension sufficient-statistic fold (sᵢ, gᵢᵢ, n per dim) —
+    * factored so the streaming twin can run it as a Complete-mode
+    * aggregate (the embedding-DRIFT monitor: anisotropy as ingest
+    * proceeds) and finalize sink-side.
+    */
+  private[graft] def perDimStats(emb: DataFrame): DataFrame =
+    int8CodesWithId(emb)
       .select(posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("i")
       .agg(sum(col("x")).as("si"),
         sum(col("x") * col("x")).as("gii"),
         count(lit(1)).as("nd"))
+
+  /** The isotropy finalization over any (i, si, gii, nd) per-dim frame. */
+  private[graft] def isotropyFromPerDim(per0: DataFrame): DataFrame = {
+    import Exact.{D38 => D}
+    import graft.queries.Relational.boundedLong
+    val per = per0
       .withColumn("var_num",
         col("nd").cast(D) * col("gii").cast(D)
           - col("si").cast(D) * col("si").cast(D))
@@ -858,6 +993,8 @@ object Embeddings {
       isotropyPanel(Tables.load(s, d, "embeddings"))),
     "emb_whitening" -> ((s, d) =>
       whitenContract(Tables.load(s, d, "embeddings"))),
+    "emb_procrustes" -> ((s, d) =>
+      procrustesContract(Tables.load(s, d, "embeddings"))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1012,6 +1149,35 @@ object Embeddings {
         |  END AS top_share_ppm
         |FROM tot, top""".stripMargin
     },
+    // emb_procrustes: the alignment laws assert TRUE; the exact integers
+    // (n, code energy, cross-Gram trace under the signed reversal)
+    // replay from the raw table
+    "emb_procrustes" ->
+      """WITH qq AS (
+        |  SELECT CASE WHEN m = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS BIGINT))
+        |    END AS q
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                  x -> abs(x))) AS m
+        |        FROM embeddings)),
+        |idx AS (SELECT unnest(range(1,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) + 1 FROM embeddings))) AS p),
+        |dd AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d
+        |       FROM embeddings),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qq),
+        |qe AS (SELECT CAST(sum(q[a.p] * q[a.p]) AS BIGINT) AS q_energy
+        |       FROM qq, idx a),
+        |xt AS (
+        |  SELECT CAST(sum(CASE WHEN (a.p - 1) % 2 = 0
+        |                  THEN q[dd.d + 1 - a.p] * q[a.p]
+        |                  ELSE -(q[dd.d + 1 - a.p] * q[a.p]) END) AS BIGINT)
+        |    AS xgram_trace
+        |  FROM qq, idx a, dd)
+        |SELECT n, q_energy, xgram_trace,
+        |  TRUE AS full_rank_ok, TRUE AS orthonormal_ok,
+        |  TRUE AS permutation_ok, TRUE AS residual_ok
+        |FROM base, qe, xt""".stripMargin,
     // emb_whitening: emb_pca's oracle shape — the exact integers replay
     // from the raw table, the whitening laws are asserted TRUE
     "emb_whitening" ->

@@ -1068,6 +1068,55 @@ object Multimodal {
   def phashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     Dedup.hammingPairs60(phash(docs), "phash60", maxHamming)
 
+  /** SSIM verification over the banded pHash candidates — the second
+    * stage of the production image near-dup pipeline (cheap hash over
+    * EVERYTHING → banded candidate pairs → expensive structural verify on
+    * candidates ONLY; the dd_snm gate-vs-metric doctrine applied to
+    * pixels). Global single-window SSIM (Wang et al. 2004, C1 = (0.01·255)²,
+    * C2 = (0.03·255)²) from exact integer sufficient statistics per pair —
+    * Σa, Σa², Σb, Σb², Σab over the DECODED grayscale pixels — published
+    * next to the rounded SSIM so the gate pins the integers exactly and
+    * the one IEEE expression identically (the oracle replays the same
+    * formula over the recipe-derived integers).
+    *
+    * Scale shape: the decode+zip cost is paid ONLY by candidate docs — a
+    * left-semi join prunes the corpus to the banded pair members before
+    * any pixel work, so the O(n_px) cross term runs on |candidates| rows,
+    * never |corpus|. The pair frame carries two 960-long arrays briefly
+    * (join → zip_with → aggregate in one stage) and publishes scalars.
+    */
+  def ssimPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = phashPairs(docs, maxHamming).localCheckpoint(true)
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val px = synthesizeThumbnails(docs.join(ids, Seq("doc_id"), "left_semi"))
+      .mapPartitions(_.map { f =>
+        val (_, _, p) = decodeGrayImage(f.doc_id, f.payload)
+        var s = 0L; var q = 0L; var i = 0
+        while (i < p.length) { s += p(i); q += p(i).toLong * p(i); i += 1 }
+        (f.doc_id, p.map(_.toLong).toSeq, p.length, s, q)
+      }).toDF("doc_id", "px", "n_px", "s", "q")
+      .localCheckpoint(true) // one decode, two join sides
+    val ssim = // ONE expression tree, textually mirrored in the oracle
+      "round(((2.0 * (sa / CAST(n_px AS DOUBLE)) * (sb / CAST(n_px AS DOUBLE)) + 6.5025)" +
+      " * (2.0 * (p / CAST(n_px AS DOUBLE) - (sa / CAST(n_px AS DOUBLE)) * (sb / CAST(n_px AS DOUBLE))) + 58.5225))" +
+      " / (((sa / CAST(n_px AS DOUBLE)) * (sa / CAST(n_px AS DOUBLE)) + (sb / CAST(n_px AS DOUBLE)) * (sb / CAST(n_px AS DOUBLE)) + 6.5025)" +
+      " * ((qa / CAST(n_px AS DOUBLE) - (sa / CAST(n_px AS DOUBLE)) * (sa / CAST(n_px AS DOUBLE)))" +
+      " + (qb / CAST(n_px AS DOUBLE) - (sb / CAST(n_px AS DOUBLE)) * (sb / CAST(n_px AS DOUBLE))) + 58.5225)), 6)"
+    pairs
+      .join(px.select(col("doc_id").as("a_id"), col("px").as("pa"),
+        col("n_px"), col("s").as("sa"), col("q").as("qa")), Seq("a_id"))
+      .join(px.select(col("doc_id").as("b_id"), col("px").as("pb"),
+        col("s").as("sb"), col("q").as("qb")), Seq("b_id"))
+      .withColumn("p", aggregate(zip_with(col("pa"), col("pb"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .select(col("a_id"), col("b_id"), col("hamming"), col("n_px"),
+        col("sa"), col("qa"), col("sb"), col("qb"), col("p"),
+        expr(ssim).as("ssim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Pixel statistics over the DECODED grayscale stream — the image
     * counterpart of [[audioSampleStats]] (mean/energy/range are what an
     * exposure filter, blank-frame detector, or contrast check reads).
@@ -1251,6 +1300,8 @@ object Multimodal {
     "mm_phash_pairs" -> ((s, d) =>
       phashPairs(Tables.load(s, d, "documents"), maxHamming = 2)
         .orderBy("a_id", "b_id")),
+    "mm_ssim" -> ((s, d) =>
+      ssimPairs(Tables.load(s, d, "documents"), maxHamming = 2)),
     "mm_pixel_stats" -> ((s, d) =>
       pixelStats(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "mm_hist" -> ((s, d) =>
@@ -1406,6 +1457,39 @@ object Multimodal {
          |  CAST(bit_count(xor(a.phash60, b.phash60)) AS INTEGER) AS hamming
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash60, b.phash60)) <= 2
+         |ORDER BY 1, 2""".stripMargin,
+    // mm_ssim: the same candidate set as mm_phash_pairs, each pair's
+    // pixel sufficient statistics replayed from the recipe, the ONE
+    // SSIM expression textually identical to the Spark side
+    "mm_ssim" ->
+      s"""WITH $phashOracleCtes,
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.phash60, b.phash60)) AS INTEGER)
+         |      AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash60, b.phash60)) <= 2),
+         |pxy AS (
+         |  SELECT doc_id, x, y,
+         |    (h % 256 + 7 * x + 13 * y + ((x * y) % 5) * 29) % 256 AS g
+         |  FROM r, range(0, 40) tx(x), range(0, 24) ty(y)),
+         |sums AS (
+         |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_px,
+         |    CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS q
+         |  FROM pxy GROUP BY 1),
+         |crs AS (
+         |  SELECT c.a_id, c.b_id, CAST(sum(pa.g * pb.g) AS BIGINT) AS p
+         |  FROM cand c
+         |  JOIN pxy pa ON pa.doc_id = c.a_id
+         |  JOIN pxy pb ON pb.doc_id = c.b_id
+         |    AND pb.x = pa.x AND pb.y = pa.y
+         |  GROUP BY 1, 2)
+         |SELECT c.a_id, c.b_id, c.hamming, sa.n_px,
+         |  sa.s AS sa, sa.q AS qa, sb.s AS sb, sb.q AS qb, crs.p,
+         |  round(((2.0 * (sa.s / CAST(sa.n_px AS DOUBLE)) * (sb.s / CAST(sa.n_px AS DOUBLE)) + 6.5025) * (2.0 * (crs.p / CAST(sa.n_px AS DOUBLE) - (sa.s / CAST(sa.n_px AS DOUBLE)) * (sb.s / CAST(sa.n_px AS DOUBLE))) + 58.5225)) / (((sa.s / CAST(sa.n_px AS DOUBLE)) * (sa.s / CAST(sa.n_px AS DOUBLE)) + (sb.s / CAST(sa.n_px AS DOUBLE)) * (sb.s / CAST(sa.n_px AS DOUBLE)) + 6.5025) * ((sa.q / CAST(sa.n_px AS DOUBLE) - (sa.s / CAST(sa.n_px AS DOUBLE)) * (sa.s / CAST(sa.n_px AS DOUBLE))) + (sb.q / CAST(sa.n_px AS DOUBLE) - (sb.s / CAST(sa.n_px AS DOUBLE)) * (sb.s / CAST(sa.n_px AS DOUBLE))) + 58.5225)), 6) AS ssim
+         |FROM cand c JOIN sums sa ON sa.doc_id = c.a_id
+         |JOIN sums sb ON sb.doc_id = c.b_id
+         |JOIN crs ON crs.a_id = c.a_id AND crs.b_id = c.b_id
          |ORDER BY 1, 2""".stripMargin,
     "mm_pixel_stats" ->
       s"""WITH r AS ($R),

@@ -261,6 +261,7 @@ object Relational {
     "q178_mann_kendall" -> q178,
     "q179_skipgram" -> q179,
     "q180_rsi" -> q180,
+    "q181_stl_decompose" -> q181,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -6427,6 +6428,63 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** STL-lite additive decomposition of the per-class daily event-count
+    * series: x = trend + seasonal + residual — the structural companion
+    * to q125's autocorrelation PROBE (q125 asks "is there a weekly
+    * cycle?"; this one publishes the cycle itself and what is left).
+    * Classical decomposition with exact-rational arithmetic:
+    *   - trend: centered 7-day moving sum t7 (trend = t7/7), published
+    *     only where all 7 window rows exist — a half-window average at
+    *     the series edge would masquerade as trend;
+    *   - seasonal: per (class, weekday) sums of the detrended value
+    *     7x − t7 (weekday = epoch-days mod 7 — pure arithmetic, no
+    *     locale/week-start seam between engines), published as the
+    *     rational s_num/s_den;
+    *   - residual: resid7s = s_den·(7x − t7) − s_num — the residual
+    *     scaled by 7·s_den, an EXACT integer (DECIMAL(38,0) through
+    *     [[boundedLong]]; a 100 TB class's 7·s_den·x passes 2⁶³ only
+    *     with ~10¹⁴ daily events).
+    * NULL trend/residual at the edges and NULL seasonal for weekdays
+    * with no full-window day are explicit branches, not accidents.
+    *
+    * Scale: one partial agg to the (class, day) grain, framed window
+    * sums riding that exchange, then a classes×7-row aggregate
+    * broadcast back — no second corpus pass.
+    */
+  private def q181(spark: SparkSession, dir: String): DataFrame =
+    stlFromDaily(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The decomposition over any (event_type, day, x) daily frame —
+    * factored so the spec can plant a hand-computed series.
+    */
+  private[graft] def stlFromDaily(daily: DataFrame): DataFrame = {
+    val H = DecimalType(38, 0)
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val w7 = byDay.rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("t7", when(count(lit(1)).over(w7) === 7,
+        sum(col("x")).over(w7)))
+      .withColumn("wd",
+        datediff(to_date(col("day")), lit("1970-01-01").cast("date")) % 7)
+    val s = t.filter(col("t7").isNotNull)
+      .groupBy(col("event_type"), col("wd"))
+      .agg(sum(lit(7) * col("x") - col("t7")).as("s_num"),
+        count(lit(1)).as("s_den"))
+    t.join(s, Seq("event_type", "wd"), "left")
+      .select(col("event_type"), col("day"), col("x"), col("t7"),
+        col("wd"), col("s_num"), col("s_den"),
+        when(col("t7").isNotNull && col("s_den").isNotNull,
+          boundedLong(
+            col("s_den").cast(H)
+              * (lit(7).cast(H) * col("x") - col("t7"))
+              - col("s_num"), "resid7s"))
+          .as("resid7s"))
+      .orderBy("event_type", "day")
+  }
+
   /** The per-nation monthly revenue series (q160's rollup over ALL
     * nations, sparse — observed months only) shared by the trend-test
     * duo q177/q178.
@@ -9134,6 +9192,37 @@ object Relational {
         |    THEN CAST((10000 * gain14) // (gain14 + loss14) AS BIGINT)
         |  END AS rsi_bp
         |FROM g WHERE i >= 15 ORDER BY event_type, day""".stripMargin,
+    // q181: same day grain as q104/q180; weekday = epoch-days mod 7 on
+    // both engines (no locale week-start seam); HUGEINT mirrors
+    // DECIMAL(38,0) with the mirrored bounded CASE
+    "q181_stl_decompose" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, x,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN CAST(sum(x) OVER w7 AS BIGINT) END AS t7,
+        |    CAST((CAST(day AS DATE) - DATE '1970-01-01') % 7 AS INTEGER)
+        |      AS wd
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |s AS (
+        |  SELECT event_type, wd,
+        |    CAST(sum(7 * x - t7) AS BIGINT) AS s_num,
+        |    count(*) AS s_den
+        |  FROM t WHERE t7 IS NOT NULL GROUP BY 1, 2)
+        |SELECT t.event_type, t.day, t.x, t.t7, t.wd, s.s_num, s.s_den,
+        |  CASE WHEN t.t7 IS NOT NULL AND s.s_den IS NOT NULL THEN
+        |    ${boundedLongSql(
+             "CAST(s.s_den AS HUGEINT) * (7 * t.x - t.t7) - s.s_num",
+             "resid7s")}
+        |  END AS resid7s
+        |FROM t LEFT JOIN s ON s.event_type = t.event_type
+        |  AND s.wd = t.wd
+        |ORDER BY t.event_type, t.day""".stripMargin,
     "q157_clustering" ->
       """WITH buyers AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust

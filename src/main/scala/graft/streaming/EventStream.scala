@@ -181,6 +181,13 @@ object EventStream {
     spark.readStream.schema(schema).parquet(streamDir.toString)
   }
 
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.tables.Tables.load(spark, dir, "embeddings").schema
+    val streamDir = stageDirSplit(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"), spark)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
   /** Tumbling 1-hour windowed counts per event_type with a 10-minute
     * watermark — streaming twin of batch q17_time_window.
     */
@@ -1247,6 +1254,20 @@ object EventStream {
       graft.queries.Relational.rsiFromDaily(
         s.table("st_rsi_sink").localCheckpoint(true))
     }),
+    // Streaming isotropy: the embedding-DRIFT monitor — the per-dimension
+    // sufficient statistics (sᵢ, gᵢᵢ, n; state = one row per dim) fold as
+    // a Complete-mode aggregate while vectors ingest, and the exact
+    // integer panel finalizes sink-side through the shared
+    // isotropyFromPerDim. The live "is the corpus growing a dominant
+    // common direction" gauge a pipeline watches before cosine dedup/ANN
+    // thresholds go stale. Oracle is emb_isotropy's verbatim.
+    "st_isotropy" -> ((s, d) => {
+      runToMemory(
+        graft.operators.Embeddings.perDimStats(readEmbeddings(s, d)),
+        "st_iso_sink", OutputMode.Complete)
+      graft.operators.Embeddings.isotropyFromPerDim(
+        s.table("st_iso_sink").localCheckpoint(true))
+    }),
     // Streaming Mann–Kendall: the significance companion over the same
     // fold (own sink — streams are one-consumer); sign sum + the
     // tie-corrected integer variance finalize through the shared
@@ -1535,6 +1556,8 @@ object EventStream {
     // |i−j| ≥ 6 exclusion, smallest-j tie-break as a min() join-back
     // st_rsi: batch q180's output exactly — same day grain, same cents
     "st_rsi" -> graft.queries.Relational.oracle("q180_rsi"),
+    // st_isotropy: batch emb_isotropy's output exactly
+    "st_isotropy" -> graft.operators.Embeddings.oracle("emb_isotropy"),
     // st_theilsen / st_mann_kendall: q177/q178's pair logic over the
     // events table's per-(class, day) cents rollup (sparse — observed
     // days), day index = days since epoch

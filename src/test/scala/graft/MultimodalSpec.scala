@@ -452,4 +452,25 @@ class MultimodalSpec extends AnyFunSuite {
       assert(later.count(_._4 == 1).toLong === ms(id)._2, s"doc $id cuts")
     }
   }
+
+  test("ssim: identical-content candidates score exactly 1.0, the pair " +
+      "set is the banded candidate set, and stats replay per-doc sums") {
+    import spark.implicits._
+    // two docs with IDENTICAL text synthesize byte-identical thumbnails
+    // (hamming 0, SSIM exactly 1 — numerator == denominator term by
+    // term); the third is unrelated and must not pair
+    val docs = Seq((1L, "same payload text"), (2L, "same payload text"),
+      (3L, "completely different content here"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.ssimPairs(docs, maxHamming = 2).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1), r.getInt(2)) === ((1L, 2L, 0)))
+    assert(r.getInt(3) === 960) // 40x24 thumbnail
+    assert(r.getLong(4) === r.getLong(6) && r.getLong(5) === r.getLong(7),
+      "identical images must carry identical sums")
+    assert(r.getDouble(9) === 1.0, s"ssim of a duplicate must be exactly 1")
+    // cross term of identical images IS the energy sum
+    assert(r.getLong(8) === r.getLong(5))
+  }
 }

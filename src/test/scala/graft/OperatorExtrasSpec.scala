@@ -2845,4 +2845,37 @@ class OperatorExtrasSpec extends AnyFunSuite {
       ("A", "d17", 1036L, 53L, 37L, 5888L),
       ("B", "d15", 500L, 0L, 0L, -1L)))
   }
+
+  test("q181 STL: a period-7 planted series decomposes with ZERO " +
+      "residuals; edges and short series stay NULL, never half-window") {
+    // x cycles 1..7 twice: every centered 7-sum is 28, the weekday
+    // seasonal absorbs all remaining structure, residuals must vanish
+    val a = (1 to 14).map(i => ("A", f"2024-01-$i%02d", (((i - 1) % 7) + 1).toLong))
+    val b = (1 to 3).map(i => ("B", f"2024-02-$i%02d", 5L)) // no full window
+    val got = Relational.stlFromDaily((a ++ b).toDF("event_type", "day", "x"))
+      .collect()
+    val aRows = got.filter(_.getString(0) == "A").sortBy(_.getString(1))
+    assert(aRows.length === 14)
+    aRows.foreach { r =>
+      val day = r.getString(1).substring(8).toInt
+      if (day >= 4 && day <= 11) {
+        assert(r.getLong(3) === 28L, s"day $day t7")
+        assert(r.getLong(7) === 0L, s"day $day residual must vanish")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(7), s"day $day must be edge-NULL")
+      }
+    }
+    // seasonal sums: wd of 2024-01-04 is 0 (epoch-days 19726 % 7), its
+    // detrended value 7*4-28 = 0 twice -> (0, 2); single-day weekdays
+    // carry their own detrended value
+    val byWd = aRows.filter(!_.isNullAt(5))
+      .map(r => r.getInt(4) -> (r.getLong(5), r.getLong(6))).toMap
+    assert(byWd(0) === ((0L, 2L)))
+    assert(byWd(1) === ((7L, 1L)) && byWd(6) === ((-7L, 1L)))
+    assert(byWd(3) === ((21L, 1L)) && byWd(4) === ((-21L, 1L)))
+    // class B: 3 days, no full window anywhere -> no seasonal, no resid
+    val bRows = got.filter(_.getString(0) == "B")
+    assert(bRows.length === 3)
+    assert(bRows.forall(r => r.isNullAt(3) && r.isNullAt(6) && r.isNullAt(7)))
+  }
 }

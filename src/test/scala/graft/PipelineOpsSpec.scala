@@ -669,6 +669,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("procrustes: the planted signed reversal is recovered exactly on " +
+      "a full-rank corpus; a rank-deficient corpus reports full_rank_ok " +
+      "false instead of inventing a rotation") {
+    // identity basis at d=4: codes 127·e_r, G = 127²·I, M = 127²·S·J —
+    // the polar factor IS the planted signed reversal; trace(M) = 0
+    // (no fixed point of the reversal at even d)
+    val emb = (0 until 4).map(r =>
+      (r.toLong, Array.tabulate(4)(i => if (i == r) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val p = Embeddings.procrustesContract(emb).collect()(0)
+    assert(p.getLong(0) === 4L)
+    assert(p.getLong(1) === 4L * 127 * 127, "code energy")
+    assert(p.getLong(2) === 0L, "reversal has no diagonal at even d")
+    assert(p.getBoolean(3) && p.getBoolean(4) && p.getBoolean(5)
+      && p.getBoolean(6), s"laws: $p")
+    // rank-1 corpus: MᵀM has zero eigenvalues -> the polar factor is not
+    // unique; the panel must SAY so rather than pass a fabricated R
+    val flat = Seq((1L, Array(1f, 1f, 1f, 1f)), (2L, Array(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val f = Embeddings.procrustesContract(flat).collect()(0)
+    assert(!f.getBoolean(3), "rank deficiency must be reported")
+    // real table: full rank, all laws green, exact ints replay from the
+    // gram diagonal (q_energy == Σ gii)
+    val real = graft.tables.Tables.load(spark, TestSpark.sf0001, "embeddings")
+    val rp = Embeddings.procrustesContract(real).collect()(0)
+    val g = Embeddings.gramMatrix(real).collect()
+    val qEnergy = g.filter(r => r.getInt(0) == r.getInt(1))
+      .map(_.getLong(2)).sum
+    assert(rp.getLong(1) === qEnergy)
+    assert(rp.getBoolean(3) && rp.getBoolean(4) && rp.getBoolean(5)
+      && rp.getBoolean(6), s"real-table laws: $rp")
+  }
+
   test("canonicalizeUrl: each normalization hazard alone and together; " +
       "urlCanon collapses a planted variant run to one keeper") {
     val urls = Seq(
