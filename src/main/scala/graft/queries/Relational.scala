@@ -262,6 +262,8 @@ object Relational {
     "q179_skipgram" -> q179,
     "q180_rsi" -> q180,
     "q181_stl_decompose" -> q181,
+    "q182_did" -> q182,
+    "q183_conformal" -> q183,
   )
 
   /** TPC-H Q1-style pricing summary: grouped exact-decimal aggregates with
@@ -6485,6 +6487,115 @@ object Relational {
       .orderBy("event_type", "day")
   }
 
+  /** Difference-in-differences — the workhorse causal panel (Card &
+    * Krueger shape): treated vs control cohorts, pre vs post periods,
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). Cohorts and
+    * cutoff are deterministic derivations both engines replay: treated =
+    * even-length class name (a demo assignment — a real study supplies
+    * its own flag), cutoff = the calendar midpoint of the observed day
+    * span (floor division of the day gap — data-derived, engine-exact).
+    * Publishes the four cells as exact rationals (Σcents, n per cell)
+    * and the DiD point estimate as ONE IEEE tree over those exact
+    * integers (round 6), NULL if any cell is empty (the 0/0 branch made
+    * explicit, q173's lesson).
+    *
+    * Scale: one partial agg to 4 cells (the cutoff scalar is a broadcast
+    * 1-row aggregate) — nothing here is corpus-sized after the scan.
+    */
+  private def q182(spark: SparkSession, dir: String): DataFrame =
+    didFromCents(Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c")))
+
+  /** The DiD panel over any (event_type, d: date, c: cents) frame —
+    * factored so the spec can plant hand-computed cells.
+    */
+  private[graft] def didFromCents(e: DataFrame): DataFrame = {
+    val cut = e.agg(
+      date_add(min(col("d")),
+        (datediff(max(col("d")), min(col("d"))) / 2).cast("int"))
+        .as("cutoff"))
+    val cells = e.crossJoin(broadcast(cut))
+      .groupBy((length(col("event_type")) % 2 === 0).as("treated"),
+        (col("d") >= col("cutoff")).as("post"))
+      .agg(sum(col("c")).cast("long").as("s"), count(lit(1)).as("n"))
+    val p = cells.groupBy().agg(
+      max(when(col("treated") && col("post"), col("s"))).as("s_tp"),
+      max(when(col("treated") && col("post"), col("n"))).as("n_tp"),
+      max(when(col("treated") && !col("post"), col("s"))).as("s_tpre"),
+      max(when(col("treated") && !col("post"), col("n"))).as("n_tpre"),
+      max(when(!col("treated") && col("post"), col("s"))).as("s_cp"),
+      max(when(!col("treated") && col("post"), col("n"))).as("n_cp"),
+      max(when(!col("treated") && !col("post"), col("s"))).as("s_cpre"),
+      max(when(!col("treated") && !col("post"), col("n"))).as("n_cpre"))
+    p.select(col("s_tp"), col("n_tp"), col("s_tpre"), col("n_tpre"),
+      col("s_cp"), col("n_cp"), col("s_cpre"), col("n_cpre"),
+      when(col("n_tp") > 0 && col("n_tpre") > 0
+          && col("n_cp") > 0 && col("n_cpre") > 0,
+        round((col("s_tp") / col("n_tp").cast("double")
+          - col("s_tpre") / col("n_tpre").cast("double"))
+          - (col("s_cp") / col("n_cp").cast("double")
+            - col("s_cpre") / col("n_cpre").cast("double")), 6))
+        .as("did_cents"))
+  }
+
+  /** Split-conformal prediction intervals over a seasonal-naive daily
+    * forecast — the distribution-free uncertainty panel (Vovk;
+    * Angelopoulos & Bates 2023 §2) a forecasting pipeline publishes next
+    * to its point forecasts: with calibration scores sᵢ = |xᵢ − x̂ᵢ| and
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score (α = 0.1),
+    * intervals x̂ ± q̂ cover ≥ 90% of exchangeable test points. Everything
+    * is EXACT: the forecast is the lag-7 count (integer), scores are
+    * integer |Δ|, q̂ is an order statistic (row_number = k — no
+    * interpolation), the even/odd day-index split is deterministic, and
+    * coverage publishes as (hits, n_test, basis points by integer
+    * division).
+    *
+    * Scale: per-class lag windows on the bounded day grain + one
+    * per-class order statistic — the calibration frame is classes ×
+    * days, never event-sized.
+    */
+  private def q183(spark: SparkSession, dir: String): DataFrame =
+    conformalFromDaily(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The conformal panel over any (event_type, day, x) daily frame —
+    * factored so the spec can plant a hand-computed series.
+    */
+  private[graft] def conformalFromDaily(daily: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("fc", lag(col("x"), 7).over(byDay))
+      .filter(col("fc").isNotNull)
+      .withColumn("score", abs(col("x") - col("fc")))
+      .withColumn("cal", col("i") % 2 === 0)
+    val calW = Window.partitionBy("event_type")
+      .orderBy(col("score"), col("day"))
+    val cal = scored.filter(col("cal"))
+      .withColumn("r", row_number().over(calW))
+      .withColumn("n_cal",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      // k = ceil((n_cal + 1) * 0.9) as pure integer arithmetic, capped
+      // at n_cal (the guarantee needs n_cal >= 9 at alpha = 0.1; smaller
+      // classes publish their max score — documented, not hidden)
+      .filter(col("r") === least(col("n_cal"),
+        expr("((n_cal + 1) * 9 + 9) div 10")))
+      .select(col("event_type"), col("n_cal"), col("score").as("qhat"))
+    scored.filter(!col("cal"))
+      .join(cal, Seq("event_type"))
+      .groupBy(col("event_type"), col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("score") <= col("qhat"), 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("event_type"), col("n_cal"), col("qhat"),
+        col("n_test"), col("hits"),
+        expr("(10000 * hits) div n_test").as("cov_bp"))
+      .orderBy("event_type")
+  }
+
   /** The per-nation monthly revenue series (q160's rollup over ALL
     * nations, sparse — observed months only) shared by the trend-test
     * duo q177/q178.
@@ -9223,6 +9334,73 @@ object Relational {
         |FROM t LEFT JOIN s ON s.event_type = t.event_type
         |  AND s.wd = t.wd
         |ORDER BY t.event_type, t.day""".stripMargin,
+    // q182: the same cohort/cutoff derivations (even-length class,
+    // calendar-midpoint day), four exact cells, ONE mirrored IEEE tree
+    "q182_did" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |cut AS (SELECT min(d) + CAST((max(d) - min(d)) // 2 AS INTEGER)
+        |          AS cutoff FROM e),
+        |cells AS (
+        |  SELECT (length(event_type) % 2 = 0) AS treated,
+        |    (d >= cutoff) AS post,
+        |    CAST(sum(c) AS BIGINT) AS s, count(*) AS n
+        |  FROM e, cut GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN treated AND post THEN s END) AS s_tp,
+        |    max(CASE WHEN treated AND post THEN n END) AS n_tp,
+        |    max(CASE WHEN treated AND NOT post THEN s END) AS s_tpre,
+        |    max(CASE WHEN treated AND NOT post THEN n END) AS n_tpre,
+        |    max(CASE WHEN NOT treated AND post THEN s END) AS s_cp,
+        |    max(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+        |    max(CASE WHEN NOT treated AND NOT post THEN s END) AS s_cpre,
+        |    max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_cpre
+        |  FROM cells)
+        |SELECT s_tp, n_tp, s_tpre, n_tpre, s_cp, n_cp, s_cpre, n_cpre,
+        |  CASE WHEN n_tp > 0 AND n_tpre > 0 AND n_cp > 0 AND n_cpre > 0
+        |    THEN round((s_tp / CAST(n_tp AS DOUBLE)
+        |                - s_tpre / CAST(n_tpre AS DOUBLE))
+        |               - (s_cp / CAST(n_cp AS DOUBLE)
+        |                  - s_cpre / CAST(n_cpre AS DOUBLE)), 6)
+        |  END AS did_cents
+        |FROM p""".stripMargin,
+    // q183: lag-7 naive forecast, |Δ| scores, the exact order-statistic
+    // q̂ (k = ceil((n+1)·0.9) as integer arithmetic), even/odd split
+    "q183_conformal" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER w AS i,
+        |    lag(x, 7) OVER w AS fc
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |scored AS (
+        |  SELECT event_type, day, abs(x - fc) AS score, (i % 2 = 0) AS cal
+        |  FROM sc WHERE fc IS NOT NULL),
+        |calr AS (
+        |  SELECT event_type, day, score,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY score, day) AS r,
+        |    count(*) OVER (PARTITION BY event_type) AS n_cal
+        |  FROM scored WHERE cal),
+        |q AS (
+        |  SELECT event_type, n_cal, score AS qhat FROM calr
+        |  WHERE r = least(n_cal, ((n_cal + 1) * 9 + 9) // 10)),
+        |t AS (
+        |  SELECT s.event_type, q.n_cal, q.qhat, s.score
+        |  FROM scored s JOIN q ON q.event_type = s.event_type
+        |  WHERE NOT s.cal)
+        |SELECT event_type, n_cal, qhat, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hits,
+        |  CAST((10000 * sum(CASE WHEN score <= qhat THEN 1 ELSE 0 END))
+        |       // count(*) AS BIGINT) AS cov_bp
+        |FROM t GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q157_clustering" ->
       """WITH buyers AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust

@@ -2878,4 +2878,45 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(bRows.length === 3)
     assert(bRows.forall(r => r.isNullAt(3) && r.isNullAt(6) && r.isNullAt(7)))
   }
+
+  test("q182 DiD: hand-computed four-cell panel, midpoint cutoff, and " +
+      "the empty-cohort NULL branch") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // treated 'aa' (even length): pre mean 200, post mean 600; control
+    // 'b': pre mean 50, post mean 200 -> DiD = 400 - 150 = 250.
+    // cutoff = 01-01 + (3 div 2) = 01-02
+    val e = Seq(
+      ("aa", d("2024-01-01"), 100L), ("aa", d("2024-01-01"), 300L),
+      ("aa", d("2024-01-02"), 500L), ("aa", d("2024-01-03"), 700L),
+      ("b", d("2024-01-01"), 50L),
+      ("b", d("2024-01-02"), 150L), ("b", d("2024-01-04"), 250L))
+      .toDF("event_type", "d", "c")
+    val r = Relational.didFromCents(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((1200L, 2L, 400L, 2L, 400L, 2L, 50L, 1L)))
+    assert(r.getDouble(8) === 250.0)
+    // all classes treated and a zero-width pre period -> empty cells
+    // publish NULL DiD, never 0/0
+    val allPost = Seq(("aa", d("2024-01-01"), 100L),
+      ("aa", d("2024-01-02"), 200L)).toDF("event_type", "d", "c")
+    assert(Relational.didFromCents(allPost).collect()(0).isNullAt(8))
+  }
+
+  test("q183 conformal: exact order-statistic qhat on a planted series " +
+      "and integer coverage on the held-out half") {
+    // 7 flat warmup days then 9 scored days; even day-index = calibration
+    // scores [0,3,5,0,2] (sorted [0,0,2,3,5], k=ceil(6*.9)=6 capped at 5
+    // -> qhat=5), odd = test scores [2,0,0,1] -> 4/4 covered
+    val x = Seq(10L, 10, 10, 10, 10, 10, 10, 10, 12, 13, 10, 15, 10, 10, 11, 10)
+    val daily = x.zipWithIndex
+      .map { case (v, i) => ("A", f"d${i + 1}%02d", v) }
+      .toDF("event_type", "day", "x")
+    val got = Relational.conformalFromDaily(daily).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === (("A", 5L, 5L, 4L, 4L, 10000L)))
+  }
 }
