@@ -1254,6 +1254,25 @@ object EventStream {
       graft.queries.Relational.rsiFromDaily(
         s.table("st_rsi_sink").localCheckpoint(true))
     }),
+    // Streaming conformal coverage: the live "are the forecast intervals
+    // still honest" monitor — the same watermarked day-window count fold
+    // (own sink), with q183's order-statistic q̂ and held-out coverage
+    // finalizing sink-side through the shared conformalFromDaily. A
+    // coverage drop below 1−α on live data is the exchangeability-broken
+    // alarm (regime change) a forecasting pipeline watches for. Oracle
+    // is q183's verbatim.
+    "st_conformal" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("x"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("x")),
+        "st_conf_sink", OutputMode.Complete)
+      graft.queries.Relational.conformalFromDaily(
+        s.table("st_conf_sink").localCheckpoint(true))
+    }),
     // Streaming isotropy: the embedding-DRIFT monitor — the per-dimension
     // sufficient statistics (sᵢ, gᵢᵢ, n; state = one row per dim) fold as
     // a Complete-mode aggregate while vectors ingest, and the exact
@@ -1558,6 +1577,8 @@ object EventStream {
     "st_rsi" -> graft.queries.Relational.oracle("q180_rsi"),
     // st_isotropy: batch emb_isotropy's output exactly
     "st_isotropy" -> graft.operators.Embeddings.oracle("emb_isotropy"),
+    // st_conformal: batch q183's output exactly
+    "st_conformal" -> graft.queries.Relational.oracle("q183_conformal"),
     // st_theilsen / st_mann_kendall: q177/q178's pair logic over the
     // events table's per-(class, day) cents rollup (sparse — observed
     // days), day index = days since epoch
