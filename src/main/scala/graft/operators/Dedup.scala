@@ -791,6 +791,41 @@ object Dedup {
         col("bb.c").as("c"), col("bb.cv").as("cv"))
   }
 
+  /** Hash-bucket-sampled duplicate-rate estimator — the "how much will
+    * dedup save" probe a pipeline runs BEFORE committing to a full-corpus
+    * dedup pass. The estimator's correctness hinges on sampling by
+    * CONTENT hash, not by document id: a uniform doc sample would break
+    * duplicate groups apart and systematically UNDER-estimate the dup
+    * rate (a pair survives a p-sample with probability p², not p);
+    * keying the sample on hash(text) % buckets keeps every group intact
+    * or absent, so the removable fraction in the sample is an unbiased
+    * estimate of the corpus's. Published next to the exact full-corpus
+    * rate so the panel VALIDATES its own estimator (est_err_bp) — at
+    * 100 TB only the sample side runs (1/buckets of the corpus through
+    * one exchange), which is the point.
+    */
+  def dupRateEstimate(docs: DataFrame, buckets: Int = 16): DataFrame = {
+    val h = portableHash60(col("text"))
+    val sample = docs.filter(h % buckets === 0)
+      .agg(count(lit(1)).as("sample_n"),
+        countDistinct(col("text")).as("sample_distinct"))
+    val full = docs.agg(count(lit(1)).as("full_n"),
+      countDistinct(col("text")).as("full_distinct"))
+    sample.crossJoin(full).select(
+      col("sample_n"), col("sample_distinct"),
+      when(col("sample_n") > 0,
+        expr("(10000 * (sample_n - sample_distinct)) div sample_n"))
+        .as("est_bp"),
+      col("full_n"), col("full_distinct"),
+      when(col("full_n") > 0,
+        expr("(10000 * (full_n - full_distinct)) div full_n"))
+        .as("exact_bp"),
+      when(col("sample_n") > 0 && col("full_n") > 0,
+        expr("(10000 * (sample_n - sample_distinct)) div sample_n")
+          - expr("(10000 * (full_n - full_distinct)) div full_n"))
+        .as("est_err_bp"))
+  }
+
   def hammingPairs60(sig: DataFrame, hashCol: String,
                      maxHamming: Int): DataFrame = {
     val banded = hammingBands60(sig, hashCol, maxHamming)
@@ -1459,6 +1494,8 @@ object Dedup {
       phoneticBlocking(Tables.load(s, d, "documents"))),
     "dd_exact" -> ((s, d) =>
       exact(Tables.load(s, d, "documents")).orderBy("content_hash")),
+    "dd_dup_rate" -> ((s, d) =>
+      dupRateEstimate(Tables.load(s, d, "documents"))),
     "dd_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(Tables.load(s, d, "documents"), 0.5).orderBy("a_id", "b_id")),
     // exact Jaccard through prefix filtering: the oracle is the UNCAPPED
@@ -1855,6 +1892,32 @@ object Dedup {
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dd_dup_rate: the same content-hash bucket sample (groups intact or
+    // absent), removable fractions in basis points by integer division
+    "dd_dup_rate" ->
+      """WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS sample_n,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS sample_distinct
+        |  FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+        |        % 16 = 0),
+        |f AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS full_n,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS full_distinct
+        |  FROM documents)
+        |SELECT sample_n, sample_distinct,
+        |  CASE WHEN sample_n > 0 THEN
+        |    CAST((10000 * (sample_n - sample_distinct)) // sample_n
+        |         AS BIGINT) END AS est_bp,
+        |  full_n, full_distinct,
+        |  CASE WHEN full_n > 0 THEN
+        |    CAST((10000 * (full_n - full_distinct)) // full_n
+        |         AS BIGINT) END AS exact_bp,
+        |  CASE WHEN sample_n > 0 AND full_n > 0 THEN
+        |    CAST((10000 * (sample_n - sample_distinct)) // sample_n
+        |         - (10000 * (full_n - full_distinct)) // full_n
+        |         AS BIGINT) END AS est_err_bp
+        |FROM s, f""".stripMargin,
     "dd_ngram_jaccard" ->
       s"""WITH sh_all AS ($SH),
          |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)

@@ -6510,7 +6510,15 @@ object Relational {
   /** The DiD panel over any (event_type, d: date, c: cents) frame —
     * factored so the spec can plant hand-computed cells.
     */
-  private[graft] def didFromCents(e: DataFrame): DataFrame = {
+  private[graft] def didFromCents(e: DataFrame): DataFrame =
+    didFromDaily(e.groupBy(col("event_type"), col("d"))
+      .agg(sum(col("c")).cast("long").as("s"), count(lit(1)).as("n")))
+
+  /** The same panel over a pre-aggregated (event_type, d, s, n) daily
+    * frame — the stream twin's fold grain (cell sums and event counts
+    * re-aggregate exactly, so batch and stream publish identical rows).
+    */
+  private[graft] def didFromDaily(e: DataFrame): DataFrame = {
     val cut = e.agg(
       date_add(min(col("d")),
         (datediff(max(col("d")), min(col("d"))) / 2).cast("int"))
@@ -6518,7 +6526,8 @@ object Relational {
     val cells = e.crossJoin(broadcast(cut))
       .groupBy((length(col("event_type")) % 2 === 0).as("treated"),
         (col("d") >= col("cutoff")).as("post"))
-      .agg(sum(col("c")).cast("long").as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("s")).cast("long").as("s"),
+        sum(col("n")).cast("long").as("n"))
     val p = cells.groupBy().agg(
       max(when(col("treated") && col("post"), col("s"))).as("s_tp"),
       max(when(col("treated") && col("post"), col("n"))).as("n_tp"),

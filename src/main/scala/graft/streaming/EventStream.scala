@@ -1254,6 +1254,26 @@ object EventStream {
       graft.queries.Relational.rsiFromDaily(
         s.table("st_rsi_sink").localCheckpoint(true))
     }),
+    // Streaming DiD: the live experiment readout — per-(cohort-class,
+    // day) cent sums and event counts fold as a watermarked day-window
+    // aggregate, and the four-cell panel (cutoff re-derived from the
+    // observed day span each batch — it FIRMS UP as data arrives, the
+    // honest streaming semantics for a data-derived midpoint) finalizes
+    // sink-side through the shared didFromDaily. Oracle is q182's
+    // verbatim.
+    "st_did" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("long").as("s"), count(lit(1)).as("n"))
+          .select(col("event_type"), to_date(col("w.start")).as("d"),
+            col("s"), col("n")),
+        "st_did_sink", OutputMode.Complete)
+      graft.queries.Relational.didFromDaily(
+        s.table("st_did_sink").localCheckpoint(true))
+    }),
     // Streaming conformal coverage: the live "are the forecast intervals
     // still honest" monitor — the same watermarked day-window count fold
     // (own sink), with q183's order-statistic q̂ and held-out coverage
@@ -1579,6 +1599,8 @@ object EventStream {
     "st_isotropy" -> graft.operators.Embeddings.oracle("emb_isotropy"),
     // st_conformal: batch q183's output exactly
     "st_conformal" -> graft.queries.Relational.oracle("q183_conformal"),
+    // st_did: batch q182's output exactly
+    "st_did" -> graft.queries.Relational.oracle("q182_did"),
     // st_theilsen / st_mann_kendall: q177/q178's pair logic over the
     // events table's per-(class, day) cents rollup (sparse — observed
     // days), day index = days since epoch
