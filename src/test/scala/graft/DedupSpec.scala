@@ -613,4 +613,24 @@ class DedupSpec extends AnyFunSuite {
     assert(terms.contains("aubrey") === (chosen != 0),
       s"chosen vowel index $chosen")
   }
+
+  test("dup-rate estimator: content-hash sampling keeps groups intact, " +
+      "so a uniformly-duplicated corpus estimates its rate EXACTLY") {
+    import spark.implicits._
+    // 20 distinct texts, each duplicated once: every group has size 2,
+    // so ANY content-bucket sample sees removable fraction exactly 1/2
+    // — est_bp == exact_bp == 5000 with zero error, regardless of which
+    // groups land in the bucket (the group-intact property under test;
+    // a doc-id sample would split pairs and understate)
+    val docs = (0 until 20).flatMap(i =>
+      Seq((2L * i, s"text body number $i"), (2L * i + 1, s"text body number $i")))
+      .toDF("doc_id", "text")
+    val r = Dedup.dupRateEstimate(docs, buckets = 2).collect()(0)
+    assert(r.getLong(3) === 40L && r.getLong(4) === 20L)
+    assert(r.getLong(5) === 5000L, "exact rate")
+    assert(r.getLong(0) > 0, "bucket-2 sample of 20 groups must be nonempty")
+    assert(r.getLong(0) === 2 * r.getLong(1), "groups intact in the sample")
+    assert(r.getLong(2) === 5000L && r.getLong(6) === 0L,
+      s"estimator must be exact here: $r")
+  }
 }
