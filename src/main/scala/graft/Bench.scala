@@ -60,15 +60,16 @@ object Bench {
     catch { case _: Throwable => () }
 
     // attribution entries (counted in the total — they really ran):
-    //  - `_build_*`: the shared in-session corpora (trade graph, seeded
-    //    BFS, walk corpus, co-purchase pairs) forced ONCE here so the
-    //    consumer queries below report MARGINAL cost instead of the
-    //    first-touch query absorbing the build;
+    //  - `_build_*`: EVERY family's shared in-session corpora (trade
+    //    graph, seeded BFS, walk corpus, co-purchase pairs, MinHash
+    //    signature/LSH-pair stores, image/clip decode tables) forced
+    //    ONCE here so the consumer queries below report MARGINAL cost
+    //    instead of the first-touch query absorbing the build;
     //  - `_st_harness_floor`: the measured per-twin micro-batch floor
     //    (stage + start + read + drain + stop with ~zero query work) —
     //    subtract it mentally from every st_* figure to read query work.
     val overhead =
-      (graft.queries.Relational.memoWarmers.map { case (n, w) =>
+      (SparkEntry.memoWarmers.map { case (n, w) =>
         (s"_build_$n", () => w(spark, sfDir))
       } :+ ("_st_harness_floor",
         () => graft.streaming.EventStream.harnessFloorProbe(spark, sfDir)))
@@ -78,16 +79,46 @@ object Bench {
           (name, (System.nanoTime() - t0) / 1e9, ok)
         }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       (name, secs, ok)
     }
+
+    // cold/warm attribution (the r13 verdict's ask): a single-pass cold
+    // figure conflates the query's plan cost with first-touch JIT/codegen
+    // compilation and host-steal noise — r13's official record read
+    // dd_blocking_eval at 204 s when the same round's warm probe measured
+    // 1.98 s, and nobody should need a footnote to believe the record.
+    // Any successful entry whose cold run exceeds RerunSec is re-run
+    // once: the named entry reports the WARM time (the figure that
+    // reflects the plan) and `_cold_<name>` keeps the cold measurement
+    // on the record (both runs really happened, so the printed
+    // magnitudes still sum to true wall time).
+    val results = cold.flatMap { case r @ (name, coldSecs, ok) =>
+      if (!ok || coldSecs <= RerunSec) Seq(r)
+      else {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val wok = try { fn(spark, sfDir).count(); true }
+                  catch { case _: Throwable => false }
+        val warm = (System.nanoTime() - t0) / 1e9
+        Seq((name, warm, wok), (s"_cold_$name", coldSecs, true))
+      }
+    }
     println(renderLine(overhead ++ results, sfDir))
     spark.stop()
   }
+
+  /** Cold-run threshold (sec) above which a successful entry earns one
+    * warm re-run for attribution: at sf0.1 the r13 roster's honest
+    * per-entry warm costs top out around 10 s (SCALING.md probes), so a
+    * cold figure past this is dominated by first-touch compilation or
+    * host steal, not plan work.
+    */
+  val RerunSec = 15.0
 
   /** The driver keeps only the LAST `WindowBytes` of bench stdout; the whole
     * contract line must fit inside it (plus its trailing newline). Render at
@@ -136,12 +167,28 @@ object Bench {
     attempt(lo)
   }
 
-  /** Slowest-K + "_other" rollup at 1 decimal. Failed queries sort first
-    * so their negative markers stay in the map as long as ANY entries
-    * fit, and failed[] is always rendered from the FULL result set — a
-    * folded failure loses its per-query timing, never its name. "_other"
-    * carries the summed magnitude of the folded remainder, so "sum of
-    * printed magnitudes == printed total" still reconciles exactly.
+  /** Roster family of a bench entry name, for the rollup buckets:
+    * "q" for the relational q-numbered family, the name's prefix for the
+    * prefixed families (dd/ann/emb/mm/ta/st/src/mr), "overhead" for the
+    * attribution entries (`_build_*`, `_st_harness_floor`, `_cold_*`).
+    */
+  private[graft] def familyOf(name: String): String =
+    if (name.startsWith("_")) "overhead"
+    else if (name.length > 1 && name(0) == 'q' && name(1).isDigit) "q"
+    else {
+      val f = name.takeWhile(_ != '_')
+      if (f.isEmpty) "misc" else f
+    }
+
+  /** Slowest-K + per-family "_other_<fam>" rollup at 1 decimal. Failed
+    * queries sort first so their negative markers stay in the map as long
+    * as ANY entries fit, and failed[] is always rendered from the FULL
+    * result set — a folded failure loses its per-query timing, never its
+    * name. Each `_other_<fam>` bucket carries the summed magnitude of
+    * that family's folded remainder (the r13 verdict's ask: a single
+    * 220 s "_other" line was the ladder's biggest entry and said
+    * nothing), so "sum of printed magnitudes == printed total" still
+    * reconciles exactly.
     */
   private def topKRender(results: Seq[(String, Double, Boolean)],
                          sfDir: String): Option[String] = {
@@ -151,8 +198,13 @@ object Bench {
       val keepNames = prio.take(k).map(_._1).toSet
       val kept = results.filter(r => keepNames(r._1))
       val folded = results.filterNot(r => keepNames(r._1))
-      val other = folded.map { case (_, v, _) => math.abs(v) }.sum
-      renderAt(kept :+ (("_other", other, true)), sfDir, 1,
+      val buckets = folded
+        .groupBy { case (n, _, _) => familyOf(n) }
+        .toSeq.sortBy(_._1)
+        .map { case (fam, rs) =>
+          (s"_other_$fam", rs.map { case (_, v, _) => math.abs(v) }.sum, true)
+        }
+      renderAt(kept ++ buckets, sfDir, 1,
         failedOverride = Some(allFailed))
     }
     var lo = 0

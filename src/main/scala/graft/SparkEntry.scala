@@ -32,4 +32,15 @@ object SparkEntry {
     Relational.oracle ++ MrQueries.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Embeddings.oracle ++
       graft.streaming.EventStream.oracle ++ graft.sources.Sources.oracle
+
+  /** EVERY family's shared in-session corpus build, in dependency order —
+    * the one list Bench (timed `_build_*` attribution entries) and
+    * ScalingProbe force before per-query timing, so no roster entry's
+    * figure silently absorbs a memo build that belongs to the family
+    * (the r12/r13 attribution postmortems: the alphabetically-first
+    * consumer of an unwarmed store read 40–200 s for seconds of query
+    * work).
+    */
+  private[graft] def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Relational.memoWarmers ++ Dedup.memoWarmers ++ Multimodal.memoWarmers
 }

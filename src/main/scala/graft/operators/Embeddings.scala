@@ -685,7 +685,12 @@ object Embeddings {
     val tot = per.agg(
       max(col("nd")).as("n"),
       count(lit(1)).as("d"),
-      sum(col("gii")).cast("long").as("sum_norm2"),
+      // exact DECIMAL accumulation; the BIGINT publish goes through
+      // boundedLong below like every other wide column, so both engines
+      // fail loudly and IDENTICALLY on overflow (a raw .cast("long")
+      // silently wraps/NULLs under non-ANSI Spark while the oracle's
+      // CAST raises — the one asymmetric overflow contract left in r13)
+      sum(col("gii").cast(D)).as("sum_norm2_d"),
       sum(col("si").cast(D) * col("si").cast(D)).as("sv2"),
       sum(col("var_num")).as("scatter"))
     // d-row frame → 1-row argmax (ties → lowest dim); broadcast-bounded
@@ -693,9 +698,10 @@ object Embeddings {
       .select(col("i").cast("long").as("top_dim"),
         col("var_num").as("top_var"))
     tot.crossJoin(broadcast(top)).select(
-      col("n"), col("d"), col("sum_norm2"),
+      col("n"), col("d"),
+      boundedLong(col("sum_norm2_d"), "sum_norm2").as("sum_norm2"),
       boundedLong(col("sv2"), "sumvec_norm2").as("sumvec_norm2"),
-      boundedLong(col("sv2") - col("sum_norm2").cast(D), "pair_dot_num")
+      boundedLong(col("sv2") - col("sum_norm2_d"), "pair_dot_num")
         .as("pair_dot_num"),
       boundedLong(col("n").cast(D) * (col("n") - 1).cast(D), "pair_den")
         .as("pair_den"),
@@ -1132,14 +1138,15 @@ object Embeddings {
         |    FROM qq, idx a GROUP BY 1)),
         |tot AS (
         |  SELECT CAST(max(nd) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS d,
-        |    CAST(sum(gii) AS BIGINT) AS sum_norm2,
+        |    sum(gii) AS sum_norm2_h,
         |    sum(si * si) AS sv2, sum(var_num) AS scatter
         |  FROM pv),
         |top AS (SELECT CAST(i - 1 AS BIGINT) AS top_dim, var_num AS top_var
         |        FROM pv ORDER BY var_num DESC, i LIMIT 1)
-        |SELECT n, d, sum_norm2,
+        |SELECT n, d,
+        |  ${boundedLongSql("sum_norm2_h", "sum_norm2")} AS sum_norm2,
         |  ${boundedLongSql("sv2", "sumvec_norm2")} AS sumvec_norm2,
-        |  ${boundedLongSql("sv2 - sum_norm2", "pair_dot_num")} AS pair_dot_num,
+        |  ${boundedLongSql("sv2 - sum_norm2_h", "pair_dot_num")} AS pair_dot_num,
         |  ${boundedLongSql("CAST(n AS HUGEINT) * (n - 1)", "pair_den")} AS pair_den,
         |  ${boundedLongSql("scatter", "scatter_num")} AS scatter_num,
         |  top_dim,

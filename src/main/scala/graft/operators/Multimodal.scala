@@ -1177,40 +1177,64 @@ object Multimodal {
       }
   }
 
-  final case class MotionStats(doc_id: Long, n_frames: Int, sum_motion: Long,
-                               max_frame_diff: Long, n_cuts: Long)
+  final case class ClipFrameDiff(doc_id: Long, n_frames: Int, t: Int,
+                                 frame_diff: Long, is_cut: Long)
+
+  /** One row per DECODED frame transition of every synthesized clip:
+    * (doc_id, n_frames, t, |Δ| mass against frame t−1, cut-grade flag) —
+    * frame 0 carries (0, 0). The GIF decode is the COST of the whole
+    * temporal family (the per-frame LZW work dwarfs the diff loop), so
+    * this table is built once per (session, corpus) in the shared
+    * corpus store — exactly the [[imageTable]] treatment — and
+    * [[motionStats]] / [[keyFrames]] are projections of it, never
+    * second decodes (the r13 bench measured the duplicated decode at
+    * ~150 s across the two consumers at sf0.1). The cut threshold is
+    * exact-integer (fd ≥ [[CutMeanDelta]]·W·H — no float), folded here
+    * because it needs the decoded (w, h). mapPartitions scan-stage like
+    * every codec operator — zero shuffle; O(docs × [[ClipFrames]]) rows.
+    */
+  private[graft] def clipDiffTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def build: DataFrame =
+      synthesizeClips(docs).mapPartitions(_.flatMap { f =>
+        val (w, h, frames) = decodeGifGrayFrames(f.doc_id, f.payload)
+        val thr = CutMeanDelta.toLong * w * h
+        (0 until frames.length).map { t =>
+          if (t == 0) ClipFrameDiff(f.doc_id, frames.length, 0, 0L, 0L)
+          else {
+            val a = frames(t - 1); val c = frames(t)
+            var fd = 0L; var i = 0
+            while (i < c.length) { fd += math.abs(c(i) - a(i)); i += 1 }
+            ClipFrameDiff(f.doc_id, frames.length, t, fd,
+              if (fd >= thr) 1L else 0L)
+          }
+        }
+      }).toDF()
+    if (docs.isStreaming) build
+    else Dedup.memoized("clipdiff", docs)(build)
+  }
 
   /** Temporal motion statistics over the DECODED frame stream — the
     * video-curation signal (a static clip has zero |Δ| mass; a scene cut
     * spikes it): per clip, the total frame-to-frame |Δ| sum, the largest
     * single frame transition, and the count of cut-grade transitions
-    * (mean per-pixel |Δ| ≥ [[CutMeanDelta]], compared exactly as
-    * fd ≥ CutMeanDelta·W·H — no float). Exact integers end-to-end; the
-    * oracle replays the scrolled pixel recipe arithmetically, so any
-    * multi-frame encoder/decoder disagreement (GCE handling, frame
-    * ordering, dictionary reset across frames) hash-mismatches.
-    * mapPartitions scan-stage like every codec operator — zero shuffle.
+    * (mean per-pixel |Δ| ≥ [[CutMeanDelta]], compared exactly — no
+    * float). Exact integers end-to-end; the oracle replays the scrolled
+    * pixel recipe arithmetically, so any multi-frame encoder/decoder
+    * disagreement (GCE handling, frame ordering, dictionary reset across
+    * frames) hash-mismatches. Aggregation of the shared [[clipDiffTable]]
+    * — the decode pass is memoized; the groupBy moves only the
+    * O(docs × frames) diff rows (partial-aggregated map-side), noise
+    * next to the codec work it replaces re-running.
     */
-  def motionStats(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    synthesizeClips(docs).mapPartitions(_.map { f =>
-      val (w, h, frames) = decodeGifGrayFrames(f.doc_id, f.payload)
-      var total = 0L; var mx = 0L; var cuts = 0L
-      var t = 1
-      while (t < frames.length) {
-        val a = frames(t - 1); val c = frames(t)
-        var fd = 0L; var i = 0
-        while (i < c.length) { fd += math.abs(c(i) - a(i)); i += 1 }
-        total += fd; if (fd > mx) mx = fd
-        if (fd >= CutMeanDelta.toLong * w * h) cuts += 1
-        t += 1
-      }
-      MotionStats(f.doc_id, frames.length, total, mx, cuts)
-    }).toDF()
-  }
-
-  final case class KeyFrame(doc_id: Long, t: Int, frame_diff: Long,
-                            is_key: Int)
+  def motionStats(docs: DataFrame): DataFrame =
+    clipDiffTable(docs)
+      .groupBy("doc_id")
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(col("frame_diff")).as("sum_motion"),
+        max(col("frame_diff")).as("max_frame_diff"),
+        sum(col("is_cut")).as("n_cuts"))
+      .select("doc_id", "n_frames", "sum_motion", "max_frame_diff", "n_cuts")
 
   /** Keyframe selection over the DECODED clip stream — the
     * frame-sampling operator a multimodal training pipeline runs before
@@ -1220,27 +1244,15 @@ object Multimodal {
     * ([[CutMeanDelta]]·W·H, the [[motionStats]] threshold — compared
     * exactly as integers). Emits one row PER FRAME with its diff and
     * verdict, so downstream stages filter `is_key = 1` instead of
-    * decoding everything again. Same envelope as every codec operator:
-    * mapPartitions scan-stage over real decoded animated-GIF frames,
-    * zero shuffle; the oracle replays the scrolled pixel recipe's
-    * closed-form differences.
+    * decoding everything again. Pure projection of the shared
+    * [[clipDiffTable]] (zero extra codec work, zero shuffle); the
+    * oracle replays the scrolled pixel recipe's closed-form differences.
     */
-  def keyFrames(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    synthesizeClips(docs).mapPartitions(_.flatMap { f =>
-      val (w, h, frames) = decodeGifGrayFrames(f.doc_id, f.payload)
-      val thr = CutMeanDelta.toLong * w * h
-      (0 until frames.length).map { t =>
-        if (t == 0) KeyFrame(f.doc_id, 0, 0L, 1)
-        else {
-          val a = frames(t - 1); val c = frames(t)
-          var fd = 0L; var i = 0
-          while (i < c.length) { fd += math.abs(c(i) - a(i)); i += 1 }
-          KeyFrame(f.doc_id, t, fd, if (fd >= thr) 1 else 0)
-        }
-      }
-    }).toDF()
-  }
+  def keyFrames(docs: DataFrame): DataFrame =
+    clipDiffTable(docs)
+      .select(col("doc_id"), col("t"), col("frame_diff"),
+        when(col("t") === 0, lit(1))
+          .otherwise(col("is_cut").cast("int")).as("is_key"))
 
   /** Gradient statistics over the DECODED grayscale stream — the
     * sharpness/blur/flatness signal an image-curation filter reads (a
@@ -1274,6 +1286,20 @@ object Multimodal {
   }
 
   // --- driver-checked query surface ---
+
+  /** The mm_ family's shared in-session corpora, in build-cost order —
+    * Bench forces each under its own timed `_build_*` entry so the
+    * per-query figures read MARGINAL cost (the r13 bench charged the
+    * whole GIF-decode pass to whichever consumer ran first:
+    * mm_motion_stats read 118 s / mm_keyframes 32 s for what is one
+    * shared decode plus two tiny projections).
+    */
+  private[graft] def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      "mm_images" -> ((s, d) =>
+        { imageTable(Tables.load(s, d, "documents")).count(); () }),
+      "mm_clipdiff" -> ((s, d) =>
+        { clipDiffTable(Tables.load(s, d, "documents")).count(); () }))
 
   private def decoded(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -139,6 +139,20 @@ object TextAnalysis {
     * distributed-loop-with-parameter-sized-collect shape as the k-means
     * quantizer ([[Similarity]]) — the standard Spark formulation of an
     * iterative fit.
+    *
+    * 100 TB note: the loop is SEQUENTIAL by definition (merge k+1's pair
+    * counts depend on merge k's rewrite), so wall time is nMerges × one
+    * distributed groupBy over the DISTINCT-WORD table — and that table,
+    * not the corpus, is the per-iteration input: natural-language
+    * vocabulary grows ~O(corpus^0.5) (Heaps' law), so the iteration cost
+    * barely moves with corpus size. A production tokenizer train with
+    * nMerges in the tens of thousands additionally (a) samples the
+    * corpus first (the word-frequency RANKING, which is all BPE reads,
+    * is stable under sampling — this estimator exists here as
+    * [[graft.operators.Dedup.dupRateEstimate]]'s content-keyed sample
+    * pattern) and (b) batches compatible merges per round; both are
+    * deliberately out of scope for an 8-merge exact-oracle contract
+    * where each iteration must match DuckDB bit-for-bit.
     */
   def bpeVocab(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val spark = docs.sparkSession
@@ -1102,10 +1116,18 @@ object TextAnalysis {
       .select("doc_id", "lang", "coin")
   }
 
-  /** Generic URL canonicalizer — the normalization every web-corpus
+  /** DEDUP-KEY URL canonicalizer — the normalization every web-corpus
     * pipeline runs before URL-level dedup (C4/CCNet/RefinedWeb all dedup
-    * on a canonical URL before touching content). Pure string
-    * expressions, applied to ANY url column:
+    * on a canonical URL before touching content). The CONTRACT is the
+    * dedup-key convention, not general-purpose URL rewriting: input is
+    * an absolute scheme://host URL as crawlers emit them. Out of
+    * contract (by design — a dedup key only has to be a deterministic
+    * many-to-one fold, and none of these occur in crawl-frontier URLs):
+    * schemeless input (folds to "https://" + the raw string — still
+    * deterministic, but not a parse), userinfo@ authorities (lowercased
+    * with the host), and bracketed IPv6 hosts (the :80/:443 strip can
+    * touch a bare trailing group if the port is absent). Pure string
+    * expressions, applied to the url column:
     *   1. fragment stripped;
     *   2. host lowercased (path/query case-PRESERVED — they are
     *      case-significant per RFC 3986 §6.2.2.1); the scheme FOLDS to

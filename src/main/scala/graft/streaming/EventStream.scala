@@ -76,28 +76,51 @@ object EventStream {
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[
     String, (String, java.nio.file.Path)]()
 
-  private def deleteStaged(d: java.nio.file.Path,
-                           src: java.nio.file.Path): Unit = {
-    java.nio.file.Files.deleteIfExists(d.resolve(src.getFileName))
-    java.nio.file.Files.deleteIfExists(d)
-  }
+  /** The source's constituent parquet files, in ARRIVAL order. A single
+    * regular file (the testdata layout) stages as one file = one batch; a
+    * DIRECTORY of `*.parquet` slices (the late-data fuzz layout, and any
+    * real multi-file drop) stages one file per lexicographic slice name —
+    * the generator encodes intended arrival order in the names.
+    */
+  private def sourceFiles(src: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (java.nio.file.Files.isDirectory(src)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(src)
+      try s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    } else Seq(src)
 
   private def stageDir(src: java.nio.file.Path): java.nio.file.Path = {
-    // ONE stat call (size and mtime from the same attributes read — two
-    // separate stats could straddle an in-place regeneration and mix old
-    // size with new mtime), at nanosecond mtime granularity where the
-    // filesystem provides it
-    val attrs = java.nio.file.Files.readAttributes(
-      src, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val ver = s"${attrs.size}:" +
-      attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    // ONE stat call per file (size and mtime from the same attributes
+    // read — two separate stats could straddle an in-place regeneration
+    // and mix old size with new mtime), at nanosecond mtime granularity
+    // where the filesystem provides it
+    val files = sourceFiles(src)
+    val ver = files.map { f =>
+      val a = java.nio.file.Files.readAttributes(
+        f, classOf[java.nio.file.attribute.BasicFileAttributes])
+      s"${f.getFileName}:${a.size}:" +
+        a.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    }.mkString(";")
     stagedDirs.compute(src.toString, { (_, old) =>
       if (old != null && old._1 == ver) old
       else {
-        if (old != null) deleteStaged(old._2, src) // superseded version
+        if (old != null) deleteStagedTree(old._2) // superseded version
         val d = java.nio.file.Files.createTempDirectory("graft-stream-events")
-        java.nio.file.Files.copy(src, d.resolve(src.getFileName))
-        sys.addShutdownHook(deleteStaged(d, src)) // no-op if superseded
+        files.zipWithIndex.foreach { case (f, i) =>
+          val dst = d.resolve(f.getFileName)
+          java.nio.file.Files.copy(f, dst)
+          // FileStreamSource orders pending files by MODIFICATION time:
+          // pin strictly increasing mtimes in slice-name order so
+          // one-file-per-trigger replays the slices as the generator
+          // intended — deterministic arrival, not copy-timing luck
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + i * 1000L))
+        }
+        sys.addShutdownHook(deleteStagedTree(d)) // no-op if superseded
         (ver, d)
       }
     })._2
@@ -162,9 +185,18 @@ object EventStream {
     // FileStreamSource requires a directory; the test data is one file per
     // table, so stage it into a (reused) temp dir — a production deployment
     // streams from a directory of arriving files anyway.
-    val streamDir = stageDir(java.nio.file.Paths.get(dir, "events.parquet"))
-    graft.tables.Tables.withTsNs(
-      spark.readStream.schema(schema).parquet(streamDir.toString))
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val multiSlice = sourceFiles(src).size > 1
+    val streamDir = stageDir(src)
+    // a MULTI-slice source replays one slice per micro-batch (the
+    // late-data fuzz contract: slices arrive in name order, each batch
+    // advances the watermark before the next, bounded-late events land
+    // in LATER batches) — the single-file testdata path is unchanged
+    // (one file, one batch, exactly as before)
+    val reader = spark.readStream.schema(schema)
+    val reader2 = if (multiSlice) reader.option("maxFilesPerTrigger", "1")
+                  else reader
+    graft.tables.Tables.withTsNs(reader2.parquet(streamDir.toString))
   }
 
   /** Read the documents table as a file stream (same staging discipline

@@ -38,7 +38,7 @@ object ScalingProbe {
     def sweep(dir: String): Map[String, (Double, Double)] = {
       try graft.SparkEntry.queries("q01_pricing_summary")(spark, dir).count()
       catch { case _: Throwable => () }
-      val builds = graft.queries.Relational.memoWarmers.map { case (n, w) =>
+      val builds = graft.SparkEntry.memoWarmers.map { case (n, w) =>
         val t = timed(w(spark, dir)); (s"_build_$n", (t, t))
       }
       val qs = names.map { name =>

@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   private val names = (SparkEntry.queries.keys.toSeq ++
-    graft.queries.Relational.memoWarmers.map("_build_" + _._1) :+
+    SparkEntry.memoWarmers.map("_build_" + _._1) :+
     "_st_harness_floor").sorted
   private val sfDir = "/root/testdata/sf0.1"
 
@@ -39,14 +39,14 @@ class BenchContractSpec extends AnyFunSuite {
       s"grown line is ${line.length} bytes; adaptive fallback failed")
   }
 
-  test("past the full-map ceiling: slowest-K + _other rollup, reconciled") {
+  test("past the full-map ceiling: slowest-K + per-family rollup, reconciled") {
     // 130 long-named queries: no full map fits at any precision, so the
     // rollup rung must keep the slowest individually and fold the rest
     val huge = (1 to 130).map(i =>
       (f"zz_padding_query_name_$i%03d", 0.1 * (i % 17), i != 7))
     val line = Bench.renderLine(huge, sfDir)
     assert(line.length <= Bench.WindowBytes - 10, s"${line.length} bytes")
-    assert(line.contains("\"_other\":"), line)
+    assert(line.contains("\"_other_zz\":"), line)
     // the failed query is never folded away
     assert(line.contains("\"zz_padding_query_name_007\":-"), line)
     assert(line.contains("\"failed\":[\"zz_padding_query_name_007\"]"), line)
@@ -74,7 +74,12 @@ class BenchContractSpec extends AnyFunSuite {
       s"rendered ${line.length} bytes at 400 queries — the driver window " +
         s"is ${Bench.WindowBytes}")
     assert(!line.contains("\n"))
-    assert(line.contains("\"_other\":"), line)
+    // the rollup is per FAMILY (r13 verdict item 6): at least one of the
+    // eight families must appear as its own bucket, the anonymous catch-all
+    // is gone
+    assert("\"_other_(dd|ann|st|ta|mm|emb|src|q)\":".r
+      .findFirstIn(line).isDefined, line)
+    assert(!line.contains("\"_other\":"), line)
     // every failure is individually named, never folded
     (1 to 400).filter(_ % 97 == 0).foreach { i =>
       val fam = Seq("dd", "ann", "st", "ta", "mm", "emb", "src", "q").apply(i % 8)
@@ -86,7 +91,7 @@ class BenchContractSpec extends AnyFunSuite {
     val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
     val parts = qmap.split(",").map(_.split(":")(1)).map(BigDecimal(_))
     assert(parts.map(_.abs).sum == value,
-      "per-query magnitudes + _other must sum exactly to the total")
+      "per-query magnitudes + _other_* must sum exactly to the total")
   }
 
   test("wholesale failure on a huge roster: true count survives truncation") {
@@ -120,7 +125,7 @@ class BenchContractSpec extends AnyFunSuite {
     val line = Bench.renderLine(pessimistic, sfDir)
     val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
     val entries = qmap.split(",").length
-    assert(entries >= 30 || !qmap.contains("_other"),
+    assert(entries >= 30 || !qmap.contains("_other_"),
       s"only $entries per-query entries survived: $qmap")
   }
 

@@ -26,6 +26,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("multi-slice source: one slice per micro-batch, bounded-late rows still counted") {
+    // the late-data fuzz contract (tools/fuzz_seams.py writes events as a
+    // DIRECTORY of slice files): EventStream stages one slice per
+    // micro-batch in name order, so a later batch can carry events OLDER
+    // than an earlier batch's max — genuine out-of-order arrival. Rows
+    // displaced within the 10-minute watermark bound must still be
+    // aggregated (no engine is allowed to drop them), and the final
+    // Complete-mode result must equal the batch aggregation of the union.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late-slices")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-03-01 $s:00")
+    def writeSlice(name: String,
+                   rows: Seq[(Long, java.sql.Timestamp, Long, String,
+                              Double, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("slice")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = tmp.resolve("events.parquet").resolve(name)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+    }
+    val s0 = Seq(
+      (1L, ts("10:05"), 1L, "click", 1.0, "{}"),
+      (2L, ts("10:40"), 2L, "view", 2.0, "{}"),
+      (3L, ts("11:00"), 1L, "click", 3.0, "{}")) // slice max 11:00
+    val s1 = Seq(
+      (4L, ts("10:56"), 2L, "view", 4.0, "{}"), // LATE: 4 min < watermark
+      (5L, ts("11:30"), 1L, "click", 5.0, "{}")) // slice max 11:30
+    val s2 = Seq(
+      (6L, ts("11:28"), 2L, "view", 6.0, "{}"), // LATE again
+      (7L, ts("12:05"), 1L, "click", 7.0, "{}"))
+    writeSlice("slice-000.parquet", s0)
+    writeSlice("slice-001.parquet", s1)
+    writeSlice("slice-002.parquet", s2)
+
+    val q = EventStream.windowedCounts(EventStream.readEvents(spark, tmp.toString))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("late_slices").start()
+    q.processAllAvailable()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(dataBatches >= 3,
+      s"expected one micro-batch per slice, saw $dataBatches with data")
+
+    val got = spark.table("late_slices")
+      .select("bucket", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = Set(
+      ("2024-03-01 10:00:00", "click", 1L),
+      ("2024-03-01 10:00:00", "view", 2L), // includes the late event 4
+      ("2024-03-01 11:00:00", "click", 2L),
+      ("2024-03-01 11:00:00", "view", 1L), // includes the late event 6
+      ("2024-03-01 12:00:00", "click", 1L))
+    assert(got === want)
+  }
+
   test("streaming dropDuplicates == batch DISTINCT on the key projection") {
     EventStream.runToMemory(
       EventStream.readEvents(spark, dir)

@@ -3,7 +3,11 @@
 (writes <out>/<query>.parquet dirs + oracle_sql.json), then this script runs
 each oracle SQL in DuckDB against the same sf dir and compares.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [prefixes]
+
+The optional comma-separated [prefixes] mirrors graft.Verify's third arg:
+only queries matching a prefix are gated (the rest were deliberately not
+dumped by the filtered Verify run and are skipped, not failed).
 """
 import json
 import sys
@@ -24,15 +28,20 @@ def norm(df):
     return df.reset_index(drop=True)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefixes=None):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # sliced layout (the late-data stream fuzz)
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    pfx = prefixes.split(",") if prefixes else None
     for name in sorted(oracle):
+        if pfx and not any(name.startswith(x) for x in pfx):
+            continue
         sql = oracle[name]
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
@@ -88,4 +97,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -191,10 +191,57 @@ def gen(outdir: Path, seed: int):
             v = round(rng.uniform(0.01, 327.0) + (0.005 if i % 7 == 0 else 0), 3)
         ev["value"].append(v)
         ev["props"].append('{"k": %d}' % (i % 100) if i % 9 else '{"k": 0}')
-    write("events", ev, pa.schema([
+
+    # --- out-of-order / late-arrival slicing (the st_* watermark fuzz) ---
+    # The batch tables are order-insensitive, but the st_* twins replay
+    # events.parquet as a file stream — and when the table is a DIRECTORY
+    # of slice files, EventStream stages one slice per micro-batch in
+    # name order. Slice so that later batches carry events OLDER than
+    # events already processed (genuine late data), under the two
+    # contracts every streaming system states and ours tests:
+    #   1. BOUNDED lateness: a displaced event stays within LATE_BOUND
+    #      (5 min) of its origin slice's max ts — safely inside every
+    #      twin's 10-minute watermark, so no engine is ALLOWED to drop it
+    #      and the batch oracle must still match;
+    #   2. PER-USER arrival order: only a user's ts-SUFFIX within the
+    #      tail window moves (whole suffix or nothing), so the stateful
+    #      twins' documented ordered-arrival convention holds while
+    #      CROSS-user order is violated freely.
+    ev_schema = pa.schema([
         ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
         ("user_id", pa.int64()), ("event_type", pa.string()),
-        ("value", pa.float64()), ("props", pa.string())]))
+        ("value", pa.float64()), ("props", pa.string())])
+    rows = sorted(
+        (dict(zip(ev.keys(), vals)) for vals in zip(*ev.values())),
+        key=lambda r: (r["ts"], r["event_id"]))
+    n_slices, late_bound = 4, timedelta(minutes=5)
+    cut = [rows[i * len(rows) // n_slices:(i + 1) * len(rows) // n_slices]
+           for i in range(n_slices)]
+    for i in range(n_slices - 1):
+        max_ts = max(r["ts"] for r in cut[i])
+        tail_users = {r["user_id"] for r in cut[i]
+                      if r["ts"] >= max_ts - late_bound}
+        # move ~half the tail users' suffixes one slice later; keep the
+        # max-ts event's user so the origin slice's watermark still
+        # advances to max_ts (the displaced events are then genuinely
+        # late relative to it, not merely re-cut)
+        max_user = next(r["user_id"] for r in cut[i] if r["ts"] == max_ts)
+        movers = {u for u in tail_users
+                  if u != max_user and rng.random() < 0.5}
+        moved = [r for r in cut[i]
+                 if r["user_id"] in movers and r["ts"] >= max_ts - late_bound]
+        cut[i] = [r for r in cut[i] if r not in moved]
+        cut[i + 1] = moved + cut[i + 1]
+    ev_dir = outdir / "events.parquet"
+    if ev_dir.exists() and not ev_dir.is_dir():
+        ev_dir.unlink()  # stale single-file layout from an older run
+    ev_dir.mkdir(parents=True, exist_ok=True)
+    for old in ev_dir.glob("*.parquet"):
+        old.unlink()
+    for i, rows_i in enumerate(cut):
+        cols = {k: [r[k] for r in rows_i] for k in ev.keys()}
+        pq.write_table(pa.table(cols, schema=ev_schema),
+                       ev_dir / f"slice-{i:03d}.parquet")
 
     # documents: empty text, single char, exact + near duplicates, and
     # per-source char masses engineered onto isqrt boundaries
@@ -274,8 +321,11 @@ def main():
     if r.returncode != 0:
         print("[fuzz] Verify failed", file=sys.stderr)
         return 1
-    r = subprocess.run([sys.executable, str(REPO / "tools" / "check.py"),
-                        str(data), str(out)], cwd=REPO)
+    check = [sys.executable, str(REPO / "tools" / "check.py"),
+             str(data), str(out)]
+    if args.prefixes:
+        check.append(args.prefixes)
+    r = subprocess.run(check, cwd=REPO)
     return r.returncode
 
 
