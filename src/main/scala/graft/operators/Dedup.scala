@@ -811,6 +811,25 @@ object Dedup {
     */
   val DupRateBuckets = 16
 
+  /** Sink-side finalize of the STREAMING dup-rate monitor (st_dup_rate):
+    * the stream folds per-content-hash counts over the SAMPLE bucket only
+    * (state is O(distinct sampled texts) = 1/buckets of the corpus — the
+    * deployable shape; the full-corpus exact side of [[dupRateEstimate]]
+    * is the batch VALIDATION of this estimator, not something a stream
+    * should carry), and this finalize reads the folded (h, c) table:
+    * sample_n = Σc, sample_distinct = row count, est_bp the same integer
+    * division as the batch panel. Content identity is md5(text) — the
+    * dd_exact convention.
+    */
+  def dupRateFromSampleFreq(freq: DataFrame): DataFrame =
+    freq
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("sample_n"),
+        count(lit(1)).as("sample_distinct"))
+      .select(col("sample_n"), col("sample_distinct"),
+        when(col("sample_n") > 0,
+          expr("(10000 * (sample_n - sample_distinct)) div sample_n"))
+          .as("est_bp"))
+
   def dupRateEstimate(docs: DataFrame, buckets: Int = DupRateBuckets): DataFrame = {
     val h = portableHash60(col("text"))
     val sample = docs.filter(h % buckets === 0)

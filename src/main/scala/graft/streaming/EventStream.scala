@@ -1027,6 +1027,25 @@ object EventStream {
     // projection to the key columns BEFORE dropDuplicates is what makes
     // the output deterministic (which physical row survives per key is
     // arrival-order-dependent; its key columns are not). Finite source, so
+    // Streaming duplicate-rate monitor — the INGEST-side twin of
+    // dd_dup_rate's sample panel: fold per-content-hash counts over the
+    // content-keyed sample bucket only (group-intact by construction —
+    // hash(text) keeps every duplicate group in or out together, the
+    // batch estimator's unbiasedness argument), finalize sample_n /
+    // sample_distinct / est_bp sink-side. State is O(distinct sampled
+    // texts) = 1/16 of the corpus — the deployable monitor shape; the
+    // full-corpus exact side stays a batch validation (dd_dup_rate).
+    "st_dup_rate" -> ((s, d) => {
+      runToMemory(
+        readDocuments(s, d)
+          .filter(graft.functions.hashes.portableHash60(col("text"))
+            % graft.operators.Dedup.DupRateBuckets === 0)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("c")),
+        "st_dup_rate_sink", OutputMode.Complete)
+      graft.operators.Dedup.dupRateFromSampleFreq(
+        s.table("st_dup_rate_sink").localCheckpoint(true))
+    }),
     // no watermark; an unbounded deployment would use
     // dropDuplicatesWithinWatermark to bound the key state.
     "st_dedup" -> ((s, d) => {
@@ -1908,6 +1927,21 @@ object EventStream {
     "st_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // st_dup_rate: the SAMPLE side of dd_dup_rate's panel verbatim (same
+    // content-keyed bucket predicate, same basis-point integer division);
+    // the full-corpus columns belong to the batch validator only
+    "st_dup_rate" ->
+      s"""WITH s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS sample_n,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS sample_distinct
+        |  FROM documents
+        |  WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+        |        % ${graft.operators.Dedup.DupRateBuckets} = 0)
+        |SELECT sample_n, sample_distinct,
+        |  CASE WHEN sample_n > 0 THEN
+        |    CAST((10000 * (sample_n - sample_distinct)) // sample_n
+        |         AS BIGINT) END AS est_bp
+        |FROM s""".stripMargin,
     "st_enrich" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         | c_mktsegment, count(*) AS n,

@@ -84,6 +84,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming dup-rate monitor == the batch estimator's sample panel") {
+    // st_dup_rate folds per-content-hash counts over the sample bucket
+    // in-stream; its finalize must publish exactly the batch panel's
+    // sample columns (same bucket predicate, same integer division)
+    val streamed = SparkEntry.queries("st_dup_rate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    val batch = graft.operators.Dedup.dupRateEstimate(
+      graft.tables.Tables.load(spark, dir, "documents"))
+      .select("sample_n", "sample_distinct", "est_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.head._1 > 0, "sample bucket must be non-empty at sf0.001")
+  }
+
   test("streaming dropDuplicates == batch DISTINCT on the key projection") {
     EventStream.runToMemory(
       EventStream.readEvents(spark, dir)
