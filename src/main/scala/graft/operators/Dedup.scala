@@ -195,6 +195,79 @@ object Dedup {
       .select("a_id", "b_id", "inter", "uni", "jaccard")
   }
 
+  /** Production-capped prefix top-k candidates (the scale-safe twin of
+    * [[prefixJaccardPairs]], r14 verdict item 5): per doc, the k
+    * strongest candidates by PREFIX-OVERLAP count (shared rarest-first
+    * prefix shingles, the AllPairs candidate signal), each then verified
+    * with its exact Jaccard. The exact enumerator emits EVERY qualifying
+    * pair — honest but output-bound (the sf1 record measured its
+    * warm=cold 379–412 s against a 979× pair blowup, eval-only by
+    * framing); a 100 TB curation pipeline instead wants a per-doc
+    * bounded candidate list, which is this shape:
+    *
+    *   - candidate generation is the same complete prefix-collision join
+    *     (rarest-first ordering, pigeonhole prefix length
+    *     p = n − ⌈τ·n⌉ + 1), but aggregated to (pair, overlap) counts —
+    *     map-side combinable, never materialized as verified pairs;
+    *   - the per-doc top-k cut (overlap desc, cand_id asc — a total
+    *     order) bounds everything downstream: the exact-Jaccard verify
+    *     join and the output are both O(docs × k), whatever the corpus'
+    *     duplication density does;
+    *   - no Jaccard threshold filter on the output: the consumer reads
+    *     ranked candidates with verified scores and thresholds
+    *     downstream — the usual production contract for a candidate
+    *     stage.
+    *
+    * The oracle replays the prefix definition exactly (df ascending,
+    * ties by shingle text), so candidate parity — not just verify
+    * parity — is hash-gated.
+    */
+  def prefixTopK(docs: DataFrame, threshold: Double = 0.5,
+                 k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => SqlWindow}
+    require(threshold > 0.0 && threshold <= 1.0 && k >= 1)
+    val sh = shingles(docs)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val lists = sh.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("p",
+        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+          .cast("int"))
+    val prefix = lists
+      .select(col("doc_id"),
+        explode(slice(col("toks"), lit(1), col("p"))).as("t"))
+      .select(col("doc_id"), col("t.s").as("s"))
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.s") === col("pb.s") && col("pa.doc_id") < col("pb.doc_id"))
+      .groupBy(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val sym = cand
+      .select(col("a_id").as("doc_id"), col("b_id").as("cand_id"), col("overlap"))
+      .unionByName(cand
+        .select(col("b_id").as("doc_id"), col("a_id").as("cand_id"), col("overlap")))
+    val win = SqlWindow.partitionBy("doc_id")
+      .orderBy(col("overlap").desc, col("cand_id"))
+    val topk = sym.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+    // exact verify of the <= k-per-doc survivors only
+    val inter = topk
+      .join(sh, "doc_id")
+      .join(sh.select(col("doc_id").as("cand_id"), col("s")), Seq("cand_id", "s"))
+      .groupBy("doc_id", "cand_id", "overlap", "rk")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = lists.select(col("doc_id"), col("n"))
+    inter
+      .join(sizes, "doc_id")
+      .join(sizes.toDF("cand_id", "nc"), "cand_id")
+      .select(col("doc_id"), col("cand_id"), col("overlap"), col("rk"),
+        col("inter"),
+        (col("inter").cast("double") / (col("n") + col("nc") - col("inter")))
+          .as("jaccard"))
+  }
+
   /** SORTED-NEIGHBORHOOD blocking (Hernández–Stolfo SNM): docs sorted by
     * a normalized block key, each compared only to its `window` nearest
     * successors in the GLOBAL order, candidates verified by portable
@@ -537,6 +610,18 @@ object Dedup {
     DataFrame]()
   private val storeHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Evict this session's memo entries for the given stages — how Bench
+    * forces a WARM re-build of one `_build_*` attribution entry: only the
+    * stages the build OWNS ([[graft.SparkEntry.memoStages]]) are dropped,
+    * so its dependencies stay memoized and the re-run measures exactly
+    * the marginal work the cold run measured, minus first-touch JIT.
+    * Evicted checkpoints are ContextCleaner-reclaimed (see store doc).
+    */
+  private[graft] def evictStages(spark: SparkSession, stages: Set[String]): Unit =
+    corpusStore.synchronized {
+      corpusStore.keySet.removeIf(k => (k._1 eq spark) && stages(k._2))
+    }
 
   private[graft] def memoized(stage: String, input: DataFrame)
                       (build: => DataFrame): DataFrame = {
@@ -1545,6 +1630,11 @@ object Dedup {
     "dd_prefix_join" -> ((s, d) =>
       prefixJaccardPairs(Tables.load(s, d, "documents"), 0.5)
         .orderBy("a_id", "b_id")),
+    // the production-capped twin: per-doc top-k candidates, O(docs x k)
+    // verify and output regardless of duplication density
+    "dd_prefix_topk" -> ((s, d) =>
+      prefixTopK(Tables.load(s, d, "documents"), 0.5, 3)
+        .orderBy("doc_id", "rk")),
     "dd_containment" -> ((s, d) =>
       containmentPairs(Tables.load(s, d, "documents"), 0.8)
         .orderBy("contained_id", "container_id")),
@@ -2170,6 +2260,39 @@ object Dedup {
          |FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+    // replays the PREFIX definition itself (df ascending, ties by shingle
+    // text; p = n - ceil(tau*n) + 1 with the same 1e-9 downward guard) so
+    // the candidate stage — not just the verify — is hash-gated
+    "dd_prefix_topk" ->
+      s"""WITH sh AS ($SH),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         |ord AS (SELECT sh.doc_id, sh.s,
+         |          row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.s) AS rn,
+         |          count(*) OVER (PARTITION BY sh.doc_id) AS n
+         |        FROM sh JOIN dfreq USING (s)),
+         |pref AS (SELECT doc_id, s FROM ord
+         |         WHERE rn <= n - CAST(ceil(0.5 * n - 1e-9) AS BIGINT) + 1),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS overlap
+         |         FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |sym AS (SELECT a_id AS doc_id, b_id AS cand_id, overlap FROM cand
+         |        UNION ALL SELECT b_id, a_id, overlap FROM cand),
+         |topk AS (SELECT * FROM (
+         |           SELECT doc_id, cand_id, overlap,
+         |             row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY overlap DESC, cand_id) AS rk
+         |           FROM sym) WHERE rk <= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT t.doc_id, t.cand_id, t.overlap, t.rk, count(*) AS inter
+         |          FROM topk t
+         |          JOIN sh sa ON sa.doc_id = t.doc_id
+         |          JOIN sh sb ON sb.doc_id = t.cand_id AND sb.s = sa.s
+         |          GROUP BY 1, 2, 3, 4)
+         |SELECT i.doc_id, i.cand_id, i.overlap, i.rk, i.inter,
+         |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
+         |             JOIN sizes sb ON sb.doc_id = i.cand_id
+         |ORDER BY i.doc_id, i.rk""".stripMargin,
     "dd_simhash" ->
       s"""WITH sh AS ($SH),
          |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h

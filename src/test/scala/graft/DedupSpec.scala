@@ -101,6 +101,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix top-k: per-doc bound holds and scores agree with the exact join") {
+    val k = 3
+    val topk = Dedup.prefixTopK(docs, 0.5, k).collect()
+    // the production cap: NO doc carries more than k candidates, ranks are
+    // dense 1..m, and the rank order follows (overlap desc, cand_id asc)
+    val perDoc = topk.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.foreach { case (d, rows) =>
+      assert(rows.length <= k, s"doc $d has ${rows.length} > $k candidates")
+      val byRk = rows.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length),
+        s"doc $d ranks not dense")
+      val keys = byRk.map(r =>
+        (-r.getAs[Long]("overlap"), r.getAs[Long]("cand_id")))
+      assert(keys.sameElements(keys.sorted), s"doc $d rank order broken")
+    }
+    // verify parity: every surviving (doc, cand) pair's jaccard must equal
+    // the exact enumerator's for that pair (when the pair qualifies there)
+    val exact = Dedup.prefixJaccardPairs(docs, 0.5).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("jaccard"))).toMap
+    val checked = topk.flatMap { r =>
+      val (d, c) = (r.getAs[Long]("doc_id"), r.getAs[Long]("cand_id"))
+      exact.get((math.min(d, c), math.max(d, c)))
+        .map(j => (d, c, j, r.getAs[Double]("jaccard")))
+    }
+    assert(checked.nonEmpty, "no overlap with the exact join at sf0.001")
+    checked.foreach { case (d, c, want, got) =>
+      assert(got == want, s"pair ($d,$c): topk jaccard $got != exact $want")
+    }
+  }
+
   test("prefix-filtering jaccard: boilerplate shingles stay out of prefixes") {
     import spark.implicits._
     // one df-12 boilerplate shingle, one true content pair. Suffixes are
