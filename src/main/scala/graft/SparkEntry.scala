@@ -43,4 +43,24 @@ object SparkEntry {
     */
   private[graft] def memoWarmers: Seq[(String, (SparkSession, String) => Unit)] =
     Relational.memoWarmers ++ Dedup.memoWarmers ++ Multimodal.memoWarmers
+
+  /** The memo-store stages each warmer OWNS (builds itself, as opposed to
+    * dependencies earlier in [[memoWarmers]]' order it merely consumes) —
+    * what Bench evicts ([[graft.operators.Dedup.evictStages]]) before the
+    * warm re-run of a slow `_build_*` entry, so the re-run rebuilds this
+    * build's exact marginal work with its dependencies still memoized
+    * (e.g. a warm `_build_dd_pairs` re-bands the stored signatures; it
+    * does not re-MinHash the corpus). BenchContractSpec pins that every
+    * warmer has a mapping, so a new build can't silently opt out of the
+    * cold/warm attribution rule.
+    */
+  private[graft] def memoStages: Map[String, Seq[String]] = Map(
+    "trade_graph" -> Seq("trade_edges"),
+    "seeded_bfs"  -> Seq("graph_nodes", "seeded_bfs"),
+    "walk_corpus" -> Seq("walks"),
+    "copurchase"  -> Seq("copurchase_capped", "copurchase_scored"),
+    "dd_sig"      -> Seq("sig"),
+    "dd_pairs"    -> Seq("pairs"),
+    "mm_images"   -> Seq("phash"),
+    "mm_clipdiff" -> Seq("clipdiff"))
 }

@@ -153,6 +153,74 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"failed\":[\"b_bad\"]"), line)
   }
 
+  test("every cold/warm pair survives the rollup fold intact") {
+    // r14 verdict item 1b: four _cold_* samples were visible while their
+    // warm named twins fell below the slowest-K cut into _other_q — the
+    // reader saw the cold sample but not the warm verdict. Construct a
+    // roster big enough to force the fold, with a warm twin that is tiny
+    // (so slowest-K alone would certainly fold it), and assert both
+    // halves of the pair render individually.
+    val base = (1 to 130).map(i =>
+      (f"zz_padding_query_name_$i%03d", 0.1 * (i % 17), true))
+    val pair = Seq(("q999_jit_bound", 0.3, true),
+                   ("_cold_q999_jit_bound", 44.7, true))
+    val line = Bench.renderLine(base ++ pair, sfDir)
+    assert(line.length <= Bench.WindowBytes - 10, s"${line.length} bytes")
+    assert(line.contains("\"_cold_q999_jit_bound\":44.7"), line)
+    assert(line.contains("\"q999_jit_bound\":0.3"), line)
+    // and the reconciliation invariant still holds with the forced keeps
+    val value = BigDecimal("""\"value\":(-?[0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1))
+    val qmap = """\"queries\":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    val parts = qmap.split(",").map(_.split(":")(1)).map(BigDecimal(_))
+    assert(parts.map(_.abs).sum == value)
+  }
+
+  test("every memo warmer has a memoStages eviction mapping") {
+    // the _build_* cold/warm rule needs to know which memo stages a build
+    // OWNS to evict before its warm re-run; a warmer added without a
+    // mapping would silently fall back to a no-op eviction, making its
+    // "warm" figure a memo cache hit instead of a rebuild
+    val missing = SparkEntry.memoWarmers.map(_._1)
+      .filterNot(SparkEntry.memoStages.contains)
+    assert(missing.isEmpty,
+      s"memo warmers without a memoStages entry: ${missing.mkString(", ")}")
+    // and no mapping dangles on a warmer that no longer exists
+    val dangling = SparkEntry.memoStages.keySet --
+      SparkEntry.memoWarmers.map(_._1).toSet
+    assert(dangling.isEmpty,
+      s"memoStages entries without a warmer: ${dangling.mkString(", ")}")
+  }
+
+  test("rerunSec stays a cold-JIT filter across scale factors") {
+    // calibrated 15 s at sf0.1; linear in sf above that so entries that
+    // legitimately cost >15 s at sf1 don't all earn a second full run
+    assert(Bench.rerunSec("/root/testdata/sf0.1") == 15.0)
+    assert(Bench.rerunSec("/root/testdata/sf0.01") == 15.0) // floor below calibration
+    assert(Bench.rerunSec("/root/testdata/sf1") == 150.0)
+    assert(Bench.rerunSec("/some/unrecognized/dir") == 15.0)
+  }
+
+  test("the full-resolution side record carries every entry and parses") {
+    val results = Seq(("a_ok", 1.2345, true), ("_cold_a_ok", 20.0, true),
+                      ("b_bad", 0.5, false), ("_build_x", 3.0, true))
+    val f = java.nio.file.Files.createTempFile("bench_full", ".json")
+    try {
+      Bench.writeFullRecord(results, sfDir, f.toString)
+      val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      results.foreach { case (n, _, _) =>
+        assert(txt.contains("\"name\":\"" + n + "\""), s"$n missing from $txt")
+      }
+      assert(txt.contains("\"ok\":false"), txt)
+      assert(txt.contains("\"n_entries\":4"), txt)
+      // parses as JSON (spark's jackson is on the classpath)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(txt)
+      assert(root.get("entries").size() == 4)
+      assert(root.get("entries").get(0).get("sec").asDouble() == 1.235)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("driver contract consistency: every oracle names a query; rows-only set pinned") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
