@@ -21,7 +21,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExecutorCrashSpec extends AnyFunSuite {
 
-  test("SIGKILL of an executor process mid-job: output byte-matches the golden") {
+  test("SIGKILL of an executor in map AND reduce phases: output byte-matches the golden") {
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
     assume(new java.io.File(sparkHome, "bin/spark-class").exists(),
       "no Spark distribution on this host — local-cluster mode needs " +
@@ -58,15 +58,22 @@ class ExecutorCrashSpec extends AnyFunSuite {
     val outFile = java.nio.file.Files.createTempFile("crash-cluster", ".log")
     pb.redirectOutput(outFile.toFile)
     val proc = pb.start()
-    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    // two jobs (map-phase kill + reduce-phase kill with its parent-stage
+    // resubmission) share one cluster session; allow for both recoveries
+    val finished = proc.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) proc.destroyForcibly()
     val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
     java.nio.file.Files.deleteIfExists(outFile)
     assert(finished, s"crash-cluster harness timed out.\n--- harness output ---\n$out")
     assert(proc.exitValue() == 0,
       s"crash-cluster harness exited ${proc.exitValue()} " +
-        "(2=mismatch, 3=kill never landed, 4=job failed)." +
+        "(2=mismatch, 3=kill never landed or didn't exercise recovery, " +
+        "4=job failed)." +
         s"\n--- harness output tail ---\n${out.takeRight(4000)}")
+    // both fault domains' kills landed, listener-verified (r14 verdict
+    // item 4 + the ADVICE exit-3 rule)
+    assert(out.contains("CRASH_PHASE_OK phase=map"), out.takeRight(4000))
+    assert(out.contains("CRASH_PHASE_OK phase=reduce"), out.takeRight(4000))
     assert(out.contains("CRASH_CLUSTER_PARITY_OK"), out.takeRight(4000))
   }
 }
