@@ -1198,6 +1198,12 @@ object Multimodal {
     def build: DataFrame =
       synthesizeClips(docs).mapPartitions(_.flatMap { f =>
         val (w, h, frames) = decodeGifGrayFrames(f.doc_id, f.payload)
+        // ≥1-frame invariant: a zero-frame decode would emit NO rows here
+        // and motionStats (a groupBy of this table) would silently drop
+        // the doc_id from its row-per-clip contract. Unreachable while
+        // synthesizeClips pins ClipFrames=8 frames per clip; fail loudly
+        // if a future decoder/synthesizer change breaks that.
+        require(frames.nonEmpty, s"clip ${f.doc_id} decoded to 0 frames")
         val thr = CutMeanDelta.toLong * w * h
         (0 until frames.length).map { t =>
           if (t == 0) ClipFrameDiff(f.doc_id, frames.length, 0, 0L, 0L)

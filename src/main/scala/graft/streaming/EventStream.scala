@@ -640,6 +640,22 @@ object EventStream {
     * amortizes the floor over an unbounded stream; the bench pays it
     * per-entry by construction.
     */
+  /** The dup-rate monitor's STREAMING aggregation (shared by the
+    * `st_dup_rate` entry and the state-bound test): per-content-hash
+    * counts folded over the content-keyed 1/16 sample bucket only. The
+    * state this keeps is exactly one row per DISTINCT sampled text —
+    * StreamingSpec reads `lastProgress.stateOperators.numRowsTotal` off a
+    * query over this frame and asserts it equals the batch panel's
+    * sample_distinct, so the "deployable monitor state is 1/16 of the
+    * corpus" claim is measured, not asserted in prose.
+    */
+  private[graft] def dupRateMonitorAgg(s: SparkSession, d: String): DataFrame =
+    readDocuments(s, d)
+      .filter(graft.functions.hashes.portableHash60(col("text"))
+        % graft.operators.Dedup.DupRateBuckets === 0)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+
   def harnessFloorProbe(spark: SparkSession, dir: String): Unit =
     runToMemory(
       readEvents(spark, dir).groupBy().count(),
@@ -1027,6 +1043,15 @@ object EventStream {
     // projection to the key columns BEFORE dropDuplicates is what makes
     // the output deterministic (which physical row survives per key is
     // arrival-order-dependent; its key columns are not). Finite source, so
+    // no watermark; an unbounded deployment would use
+    // dropDuplicatesWithinWatermark to bound the key state.
+    "st_dedup" -> ((s, d) => {
+      runToMemory(
+        readEvents(s, d).select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type"),
+        "st_dedup_sink", OutputMode.Append)
+      s.table("st_dedup_sink").orderBy("user_id", "event_type")
+    }),
     // Streaming duplicate-rate monitor — the INGEST-side twin of
     // dd_dup_rate's sample panel: fold per-content-hash counts over the
     // content-keyed sample bucket only (group-intact by construction —
@@ -1036,24 +1061,10 @@ object EventStream {
     // texts) = 1/16 of the corpus — the deployable monitor shape; the
     // full-corpus exact side stays a batch validation (dd_dup_rate).
     "st_dup_rate" -> ((s, d) => {
-      runToMemory(
-        readDocuments(s, d)
-          .filter(graft.functions.hashes.portableHash60(col("text"))
-            % graft.operators.Dedup.DupRateBuckets === 0)
-          .groupBy(md5(col("text")).as("h"))
-          .agg(count(lit(1)).as("c")),
+      runToMemory(dupRateMonitorAgg(s, d),
         "st_dup_rate_sink", OutputMode.Complete)
       graft.operators.Dedup.dupRateFromSampleFreq(
         s.table("st_dup_rate_sink").localCheckpoint(true))
-    }),
-    // no watermark; an unbounded deployment would use
-    // dropDuplicatesWithinWatermark to bound the key state.
-    "st_dedup" -> ((s, d) => {
-      runToMemory(
-        readEvents(s, d).select(col("user_id"), col("event_type"))
-          .dropDuplicates("user_id", "event_type"),
-        "st_dedup_sink", OutputMode.Append)
-      s.table("st_dedup_sink").orderBy("user_id", "event_type")
     }),
     // Stream-stream interval join through the real harness: two
     // independent file-stream sources over the same staged events dir

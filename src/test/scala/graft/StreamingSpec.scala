@@ -98,6 +98,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.head._1 > 0, "sample bucket must be non-empty at sf0.001")
   }
 
+  test("dup-rate monitor keeps 1/16-sample state, measured via stateOperators") {
+    // the "deployable monitor" claim is a STATE bound: the fold keys on
+    // md5(text) over the content-keyed sample bucket only, so state rows
+    // == distinct sampled texts (the batch panel's sample_distinct), a
+    // 1/16-of-corpus figure — not one row per document. Read the actual
+    // state-store row count off the finished query's progress instead of
+    // trusting the plan shape.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    val q =
+      try {
+        val qq = EventStream.dupRateMonitorAgg(spark, dir).writeStream
+          .outputMode(OutputMode.Complete)
+          .format("memory").queryName("dup_rate_state_probe").start()
+        qq.processAllAvailable()
+        qq.stop()
+        qq
+      } finally spark.conf.set(key, prev)
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val panel = graft.operators.Dedup.dupRateEstimate(
+      graft.tables.Tables.load(spark, dir, "documents"))
+      .select("sample_n", "sample_distinct").head()
+    val (sampleN, sampleDistinct) = (panel.getLong(0), panel.getLong(1))
+    assert(stateRows === sampleDistinct,
+      s"monitor state rows ($stateRows) != batch sample_distinct ($sampleDistinct)")
+    // and the sample really is a fraction of the corpus, so the bound means
+    // something: state stays strictly below the unsampled key cardinality
+    val nDocs = graft.tables.Tables.load(spark, dir, "documents").count()
+    assert(sampleN < nDocs,
+      s"sample bucket ($sampleN) should be a strict subset of $nDocs docs")
+    assert(stateRows <= sampleN)
+  }
+
   test("streaming dropDuplicates == batch DISTINCT on the key projection") {
     EventStream.runToMemory(
       EventStream.readEvents(spark, dir)
