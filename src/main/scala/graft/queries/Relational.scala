@@ -874,11 +874,13 @@ object Relational {
     * merge-by-gap semantics q16 derives with lag/cumsum windows, but
     * planned as Spark's native UpdatingSessions/MergingSessions physical
     * operators (the exact operator Structured Streaming uses for session
-    * state, here in batch). Boundary rule: session_window merges events
-    * whose gap is STRICTLY under the 30-minute timeout — a gap of
-    * exactly 30 min starts a new session — so the oracle's split test is
-    * `gap >= 30 min` (q16's hand-rolled rule is `>`, a deliberate
-    * difference at the measure-zero boundary).
+    * state, here in batch). Boundary rule, MEASURED (the r15 boundary
+    * fuzz planted two events exactly 30 min apart): session_window
+    * MERGES at exactly-gap spacing — the session's end (last event +
+    * gap) is inclusive for the merge test — so the oracle's split test
+    * is `gap > 30 min`, the same convention as q16's hand-rolled rule.
+    * (The pre-r15 oracle asserted a split at equality; nothing before
+    * the fuzz ever landed on the measure-zero boundary to notice.)
     *
     * Scale shape: one hash exchange on user_id, then per-key local sort
     * + merge — identical shuffle volume to q16's window formulation; the
@@ -9691,7 +9693,7 @@ object Relational {
         |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
         |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |         >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |         > 1800000000 THEN 1 ELSE 0 END AS is_new
         |  FROM events),
         |sess AS (
         |  SELECT *, sum(is_new) OVER (PARTITION BY user_id

@@ -304,9 +304,29 @@ class OperatorExtrasSpec extends AnyFunSuite {
     assert(sessions.map(_.getLong(2)).sum === nEvents,
       "session event counts must partition the event stream")
     val q16n = Relational.defs("q16_sessionize")(spark, dir).count()
-    // boundary rules differ only at a gap of EXACTLY 30 min (measure-zero
-    // in µs data): same session count on real data
+    // both rules merge at a gap of exactly 30 min (measured below), so the
+    // session partitions agree everywhere
     assert(sessions.length.toLong === q16n)
+  }
+
+  test("native session_window MERGES events exactly one gap apart") {
+    // the r15 boundary fuzz planted a pair exactly 30 min apart and
+    // caught the oracle asserting a split while Spark's session_window
+    // merged: the session end (last event + gap) is INCLUSIVE for the
+    // merge test. Pin the measured semantics with the minimal corpus so
+    // an engine upgrade that flips the boundary fails here, not in a
+    // fuzz run.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 10:30:00") // == gap
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 11:00:01") // gap + 1s
+    val e = Seq((1L, t0), (1L, t1), (1L, t2)).toDF("user_id", "ts")
+    val sessions = e
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sessions.length === 2, sessions.mkString(";"))
+    assert(sessions.map(_.getAs[Long]("n")).sorted.toSeq === Seq(1L, 2L),
+      "exactly-gap pair must merge; gap+1s must split")
   }
 
   test("q43 incremental merge == direct aggregate over the union") {

@@ -4,10 +4,17 @@
 each oracle SQL in DuckDB against the same sf dir and compares.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [prefixes]
+           [--skip n1,n2] [--only n1,n2] [--exclude-events <ids.txt>]
 
 The optional comma-separated [prefixes] mirrors graft.Verify's third arg:
 only queries matching a prefix are gated (the rest were deliberately not
 dumped by the filtered Verify run and are skipped, not failed).
+
+--skip / --only take EXACT query names. --exclude-events points at a text
+file of event_ids (one per line) removed from the oracle's `events` view —
+the watermark-boundary fuzz uses it to gate a twin whose engine-side
+semantics DROP those rows (beyond allowed lateness) against a batch oracle
+filtered the same way.
 """
 import json
 import sys
@@ -28,7 +35,8 @@ def norm(df):
     return df.reset_index(drop=True)
 
 
-def main(sf_dir, out_dir, prefixes=None):
+def main(sf_dir, out_dir, prefixes=None, skip=None, only=None,
+         exclude_events=None):
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -36,11 +44,25 @@ def main(sf_dir, out_dir, prefixes=None):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif p.exists():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    if exclude_events:
+        ids = [l.strip() for l in Path(exclude_events).read_text().splitlines()
+               if l.strip()]
+        con.sql("DROP VIEW IF EXISTS events")
+        src = Path(sf_dir) / "events.parquet"
+        glob = f"{src}/*.parquet" if src.is_dir() else str(src)
+        id_list = ",".join(ids) if ids else "-1"
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{glob}' "
+                f"WHERE event_id NOT IN ({id_list})")
+        print(f"[check] events view excludes {len(ids)} dropped rows")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     pfx = prefixes.split(",") if prefixes else None
     for name in sorted(oracle):
         if pfx and not any(name.startswith(x) for x in pfx):
+            continue
+        if skip and name in skip:
+            continue
+        if only and name not in only:
             continue
         sql = oracle[name]
         res_dir = Path(out_dir) / name
@@ -86,6 +108,8 @@ def main(sf_dir, out_dir, prefixes=None):
             n_fail += 1
     # queries without oracle get the driver's weaker rows>0 check
     for d in sorted(Path(out_dir).iterdir()):
+        if only is not None:
+            break  # a name-targeted pass gates exactly its names
         if d.is_dir() and d.name not in oracle:
             try:
                 n = con.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
@@ -97,5 +121,13 @@ def main(sf_dir, out_dir, prefixes=None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+    argv = sys.argv[1:]
+    kw = {}
+    for flag, key, split in (("--skip", "skip", True), ("--only", "only", True),
+                             ("--exclude-events", "exclude_events", False)):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            kw[key] = set(val.split(",")) if split else val
+            del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], argv[2] if len(argv) > 2 else None, **kw))

@@ -55,7 +55,139 @@ def boundary_money(rng):
     return round(rng.uniform(0.01, 99999.99), 2)
 
 
-def gen(outdir: Path, seed: int):
+def slice_boundary(cut, rng):
+    """Displace events AT and BEYOND the one watermark-drop boundary this
+    roster has, and return the event_ids a watermark-respecting engine
+    must DROP (the filtered batch oracle for the dropping twin).
+
+    Where the boundary lives: every windowed st_* aggregation runs in
+    Complete mode (state never evicted — late rows are aggregated, the
+    full batch oracle must match them), and the custom-state twins keep
+    their own per-user folds with no watermark filter. The ONE operator
+    whose semantics can lose beyond-lateness data is st_join: an
+    Append-mode stream-stream interval join with 1-hour watermarks on
+    both sides.
+
+    MEASURED semantics (Spark 4.1.2, probes P1–P7 below — the first
+    boundary run falsified the documented the-watermark-drops-inputs
+    model): late INPUT rows are NOT filtered, at any lateness — a
+    purchase 1 s, 31 min, or 26 h beyond the global watermark still
+    joins, and two deep-late rows arriving in the SAME batch still meet
+    (P2, P4, P5, P6 all emitted their pairs). The only mechanism that
+    loses a pair is STATE EVICTION, which runs at batch boundaries: a
+    click is evicted once the watermark passes a_ts + 30min (the join
+    window), so the one losable shape is a pair whose halves arrive
+    separated by at least one watermark advance past the partner's
+    eviction point (P7). On a drained finite replay, everything else
+    matches the batch join bit-for-bit — a far stronger disorder
+    tolerance than the watermark model implies, at the price of state
+    that outlives the watermark by exactly the join window.
+
+    Displacement + probes:
+
+      class B (far beyond): a few users' ENTIRE ts-suffix from an early
+        cut point arrives in the final batch — per-user arrival order
+        holds (the whole suffix moves, in order), but the old rows are
+        hours-to-days beyond the watermark. Measured: counted by every
+        twin (they form no click→purchase pairs, and late inputs are
+        not filtered), so they stay in the FULL oracle view — pure
+        disorder stress.
+
+      P1: purchase at exactly wm, click partner timely — pair survives;
+      P2: purchase at wm - 1s — KEPT (no input filter at the global
+        watermark);
+      P3: click at wm - 15min + in-batch partner at wm + 5min — pair
+        survives;
+      P4: purchase at wm - 31min, click partner at wm - 41min from the
+        PREVIOUS batch — partner still in state (eviction needs the
+        watermark to pass a_ts + 30min, first true in this final batch,
+        and eviction runs after the join) — pair survives;
+      P5: click at wm - 31min + in-batch partner at wm - 1min — KEPT
+        (no a-side input filter either);
+      P6: click/purchase pair 26 h late arriving together — KEPT
+        (deep-late rows still meet in-batch);
+      P7 (the one real loss): click timely in the FIRST batch, its
+        purchase partner arriving in the final batch, days later — the
+        click's state was evicted several watermark advances earlier,
+        so the pair is gone; its purchase id is the drop-file entry the
+        filtered st_join oracle excludes.
+    """
+    H = timedelta(hours=1)
+
+    def side_max(t):
+        return max(r["ts"] for s in cut[:3] for r in s if r["event_type"] == t)
+
+    wm = min(side_max("click"), side_max("purchase")) - H
+    guard_lo, guard_hi = wm - timedelta(minutes=45), wm
+    # the side-max rows must stay in batches 0..2 or wm itself would move
+    pinned_users = {
+        next(r["user_id"] for s in cut[:3] for r in s
+             if r["event_type"] == t and r["ts"] == side_max(t))
+        for t in ("click", "purchase")}
+
+    dropped = []
+    slice0_users = [r["user_id"] for r in cut[0]]
+    cand = sorted({u for u in slice0_users if slice0_users.count(u) >= 3
+                   and u not in pinned_users})
+    moved_users = []
+    for u in cand:
+        if len(moved_users) >= 4:
+            break
+        suffix_cut = sorted(r["ts"] for r in cut[0] if r["user_id"] == u)[2]
+        urows = [r for s in cut for r in s
+                 if r["user_id"] == u and r["ts"] >= suffix_cut]
+        if any(r["event_type"] in ("click", "purchase")
+               and guard_lo <= r["ts"] < guard_hi for r in urows):
+            continue
+        if any(r["ts"] in (side_max("click"), side_max("purchase"))
+               for r in urows):
+            continue
+        moved_users.append(u)
+        for i in range(len(cut)):
+            cut[i] = [r for r in cut[i] if r not in urows]
+        cut[-1] = cut[-1] + sorted(urows, key=lambda r: r["ts"])
+    assert moved_users, "boundary corpus found no class-B candidate users"
+
+    def probe(eid, ts, user, etype):
+        return {"event_id": eid, "ts": ts, "user_id": user,
+                "event_type": etype, "value": 5.0, "props": '{"k": 1}'}
+
+    # P1: purchase exactly AT wm (final batch) + timely click partner
+    cut[2].append(probe(9001, wm - timedelta(minutes=10), 9101, "click"))
+    cut[-1].append(probe(9002, wm, 9101, "purchase"))
+    # P2: purchase 1 s beyond the global watermark — measured KEPT (state
+    # watermark = wm - 30min governs, not wm); its pair must survive
+    cut[2].append(probe(9003, wm - timedelta(minutes=10, seconds=30), 9102,
+                        "click"))
+    cut[-1].append(probe(9004, wm - timedelta(seconds=1), 9102, "purchase"))
+    # P3: click inside the a-side allowance + in-batch purchase partner
+    cut[-1].append(probe(9005, wm - timedelta(minutes=15), 9103, "click"))
+    cut[-1].append(probe(9006, wm + timedelta(minutes=5), 9103, "purchase"))
+    # P4: purchase past the watermark whose previous-batch partner is
+    # still in state (eviction lags the join) — measured KEPT
+    cut[2].append(probe(9007, wm - timedelta(minutes=41), 9104, "click"))
+    cut[-1].append(probe(9008, wm - timedelta(minutes=31), 9104, "purchase"))
+    # P5: click below wm - 30min + in-batch kept partner — measured KEPT
+    cut[-1].append(probe(9009, wm - timedelta(minutes=31), 9105, "click"))
+    cut[-1].append(probe(9010, wm - timedelta(minutes=1), 9105, "purchase"))
+    # P6: deep-late pair arriving together — measured KEPT (meets in-batch)
+    cut[-1].append(probe(9011, wm - timedelta(hours=26), 9106, "click"))
+    cut[-1].append(probe(9012, wm - timedelta(hours=26, minutes=-10), 9106,
+                         "purchase"))
+    # P7: the one losable shape — click timely in the FIRST batch, its
+    # eviction point crossed batches ago; the purchase arrives last
+    first_max = max(r["ts"] for r in cut[0])
+    p7_click_ts = first_max - timedelta(hours=1)
+    cut[0].append(probe(9013, p7_click_ts, 9107, "click"))
+    cut[-1].append(probe(9014, p7_click_ts + timedelta(minutes=10), 9107,
+                         "purchase"))
+    dropped = [9014]
+    print(f"[fuzz] boundary: wm={wm} moved_users={moved_users} "
+          f"dropped={len(dropped)} rows")
+    return dropped
+
+
+def gen(outdir: Path, seed: int, late_mode="bounded"):
     rng = random.Random(seed)
     outdir.mkdir(parents=True, exist_ok=True)
 
@@ -214,7 +346,17 @@ def gen(outdir: Path, seed: int):
     rows = sorted(
         (dict(zip(ev.keys(), vals)) for vals in zip(*ev.values())),
         key=lambda r: (r["ts"], r["event_id"]))
-    n_slices, late_bound = 4, timedelta(minutes=5)
+    n_slices = 4
+    # bounded mode (default, the r14 corpus): displaced rows stay within
+    # 5 min of their origin slice's max — inside every twin's watermark,
+    # so no engine may drop them. boundary mode (r15, verdict item 7):
+    # the tail window widens to 55 min — PAST the agg twins' notional
+    # 10-minute watermark (Complete-mode aggregation keeps all state, so
+    # those twins must still count the rows: the full batch oracle) yet
+    # safely inside st_join's 1-hour horizon — and slice_boundary() below
+    # additionally displaces rows AT and BEYOND the only drop boundary
+    # this roster has.
+    late_bound = timedelta(minutes=5 if late_mode == "bounded" else 55)
     cut = [rows[i * len(rows) // n_slices:(i + 1) * len(rows) // n_slices]
            for i in range(n_slices)]
     for i in range(n_slices - 1):
@@ -232,6 +374,9 @@ def gen(outdir: Path, seed: int):
                  if r["user_id"] in movers and r["ts"] >= max_ts - late_bound]
         cut[i] = [r for r in cut[i] if r not in moved]
         cut[i + 1] = moved + cut[i + 1]
+    dropped_ids = []
+    if late_mode == "boundary":
+        dropped_ids = slice_boundary(cut, rng)
     ev_dir = outdir / "events.parquet"
     if ev_dir.exists() and not ev_dir.is_dir():
         ev_dir.unlink()  # stale single-file layout from an older run
@@ -242,6 +387,11 @@ def gen(outdir: Path, seed: int):
         cols = {k: [r[k] for r in rows_i] for k in ev.keys()}
         pq.write_table(pa.table(cols, schema=ev_schema),
                        ev_dir / f"slice-{i:03d}.parquet")
+    drop_file = outdir / "dropped_event_ids.txt"
+    if late_mode == "boundary":
+        drop_file.write_text("".join(f"{i}\n" for i in sorted(dropped_ids)))
+    elif drop_file.exists():
+        drop_file.unlink()  # stale boundary-mode artifact
 
     # documents: empty text, single char, exact + near duplicates, and
     # per-source char masses engineered onto isqrt boundaries
@@ -308,11 +458,20 @@ def main():
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--prefixes", default=None,
                     help="optional comma-separated query-name prefixes")
+    ap.add_argument("--late-mode", choices=["bounded", "boundary"],
+                    default="bounded",
+                    help="bounded: all displaced rows stay inside every "
+                         "watermark (no engine may drop them). boundary: "
+                         "rows land AT and BEYOND the drop boundary; the "
+                         "dropping twin (st_join) is gated against a "
+                         "batch oracle minus the engine-dropped rows")
     args = ap.parse_args()
-    data = Path(args.outdir) / f"sf-fuzz-{args.seed}"
-    out = Path(args.outdir) / f"verify-{args.seed}"
+    tag = f"{args.seed}" if args.late_mode == "bounded" \
+        else f"{args.seed}-boundary"
+    data = Path(args.outdir) / f"sf-fuzz-{tag}"
+    out = Path(args.outdir) / f"verify-{tag}"
     if not args.skip_gen:
-        gen(data, args.seed)
+        gen(data, args.seed, args.late_mode)
         print(f"[fuzz] corpus written to {data}")
     cmd = ["sbt", "-batch", "runMain graft.Verify %s %s%s" % (
         data, out, f" {args.prefixes}" if args.prefixes else "")]
@@ -321,8 +480,21 @@ def main():
     if r.returncode != 0:
         print("[fuzz] Verify failed", file=sys.stderr)
         return 1
-    check = [sys.executable, str(REPO / "tools" / "check.py"),
-             str(data), str(out)]
+    check_py = str(REPO / "tools" / "check.py")
+    if args.late_mode == "boundary":
+        # two-pass gate: every non-dropping entry against the FULL batch
+        # oracle (Complete-mode aggs must count late rows; custom-state
+        # twins hold their per-user folds), the dropping twin against the
+        # oracle filtered exactly by the replicated drop rule
+        r1 = subprocess.run([sys.executable, check_py, str(data), str(out),
+                             "--skip", "st_join"]
+                            + ([args.prefixes] if args.prefixes else []),
+                            cwd=REPO)
+        r2 = subprocess.run([sys.executable, check_py, str(data), str(out),
+                             "--only", "st_join", "--exclude-events",
+                             str(data / "dropped_event_ids.txt")], cwd=REPO)
+        return r1.returncode or r2.returncode
+    check = [sys.executable, check_py, str(data), str(out)]
     if args.prefixes:
         check.append(args.prefixes)
     r = subprocess.run(check, cwd=REPO)
