@@ -40,3 +40,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// measurement escape hatch: extra JVM flags for diagnostic runs
+// (e.g. SPARK_GRAFT_EXTRA_JVM_OPTS="-Xlog:gc" to correlate bench-entry
+// stalls with collections); empty by default, so the official bench
+// invocation is unchanged
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM_OPTS")
+  .map(_.trim).filter(_.nonEmpty).map(_.split("\\s+").toSeq)
+  .getOrElse(Seq.empty)
+// JVM temp root (streaming temp checkpoints + offset/commit logs, staged
+// stream-source copies, the src_* round-trip stores) on the RAM-backed
+// scratch when available — the same measured rule as Bench.scratchDir:
+// the default /tmp is virtual-disk-backed and stalls identical small
+// writes 20-100x under write-back pressure (SCALING.md sf1 A/B), and a
+// streaming micro-batch commits offset log + per-partition state deltas
+// through exactly this path. On a real cluster this is "put checkpoint
+// and scratch space on fast local storage". SPARK_GRAFT_TMPDIR overrides
+// ('' keeps the JVM default); per-run content is removed by the owning
+// shutdown hooks exactly as under /tmp.
+javaOptions ++= {
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(_.trim) match {
+    case Some("") => Seq.empty[String]
+    case Some(d)  => Seq(s"-Djava.io.tmpdir=$d")
+    case None =>
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val root = new java.io.File(shm, "graft-jvm-tmp")
+        root.mkdirs()
+        Seq(s"-Djava.io.tmpdir=${root.getAbsolutePath}")
+      } else Seq.empty[String]
+  }
+}

@@ -98,11 +98,28 @@ object Bench {
           }
         }
 
+    // env-gated per-entry diagnostic (SPARK_GRAFT_BENCH_DIAG=1, stderr
+    // only — the stdout contract line is untouched): cached-RDD count,
+    // storage bytes and cumulative driver GC time after each entry, to
+    // correlate late-run per-entry inflation with cache/GC pressure.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").exists(_.nonEmpty)
+    def diagLine(name: String, secs: Double): Unit = if (diag) {
+      import scala.jdk.CollectionConverters._
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val infos = spark.sparkContext.getRDDStorageInfo
+      System.err.println(
+        f"[diag] $name%-28s ${secs}%7.2f s  rdds=${infos.length}%3d " +
+          f"mem=${infos.map(_.memSize).sum / 1e6}%.0fMB " +
+          f"disk=${infos.map(_.diskSize).sum / 1e6}%.0fMB gc=${gcMs}ms")
+    }
+
     val cold = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
+      diagLine(name, secs)
       (name, secs, ok)
     }
 
