@@ -2484,7 +2484,13 @@ object Relational {
           .withColumn("dist", lit(step.toLong))
           .select("seed", "node", "dist", "sigma")
           .localCheckpoint(true)
-        visited = visited.unionByName(next).localCheckpoint(true)
+        // the union stays LAZY: both operands are already checkpointed
+        // (seeds at hop 0, each `next` per hop), so the accumulated
+        // visited set is a flat union of ≤9 cached frames — re-
+        // checkpointing it each hop re-materialized the whole growing
+        // frame per iteration, O(V·hops) cache writes for O(V) rows
+        // (the r15 job-level probe: one full extra job per hop)
+        visited = visited.unionByName(next)
         frontier = next
         step += 1
       }
@@ -2525,9 +2531,10 @@ object Relational {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
+      // lazy union of checkpointed hops — the seededBfsSigma rule: no
+      // per-hop re-materialization of the growing visited set
       visited = visited
         .unionByName(next.select(col("node"), lit(step).cast("int").as("hops")))
-        .localCheckpoint(true)
       frontier = next
       step += 1
     }
@@ -7710,29 +7717,47 @@ object Relational {
     // first discovery, so filtering to dist ≤ 6 is identical to running
     // the forward pass with a 6-hop cap.
     val visited = seededBfsSigma(edges).filter(col("dist") <= maxHops)
+    // The shortest-path DAG, built ONCE for all six backward levels:
+    // (seed, v at dist k, σv, w = v's successor at dist k+1, σw, k).
+    // The previous shape re-derived exactly this row set inside the
+    // loop — each level joined its dist slice against the full edge
+    // table and then against the dist-(k+1) slice, 3 exchanges × 6
+    // levels; the r15 restructure pays the visited⋈edges⋈visited cost
+    // once (same total rows shuffled — the per-level intermediates WERE
+    // the DAG, sliced) and each level below is one join against the
+    // previous level's δ frame plus its groupBy. Same recurrence, same
+    // rows, ~half the exchanges and a third of the distinct codegen
+    // stages (per-entry cold cost is JIT-dominated at bench scale).
+    val dagEdges = visited
+      .select(col("seed"), col("node"), col("dist"), col("sigma"))
+      .join(edges, col("node") === col("src"))
+      .join(visited.select(col("seed").as("wseed"), col("node").as("wnode"),
+          col("dist").as("wdist"), col("sigma").as("wsigma")),
+        col("seed") === col("wseed") && col("dst") === col("wnode")
+          && col("wdist") === col("dist") + 1)
+      .select(col("seed"), col("node"), col("dist"), col("sigma"),
+        col("wnode"), col("wsigma"))
+      .localCheckpoint(true)
     // backward: dependencies level by level, deepest first; nodes at
     // the horizon start at zero dependency
     var deltaNext: DataFrame = null // (seed, node, delta) at level k+1
     var acc: DataFrame = null
     for (k <- (maxHops - 1) to 0 by -1) {
-      val vThis = visited.filter(col("dist") === k)
-        .select(col("seed"), col("node"), col("sigma"))
-      val wNextBase = visited.filter(col("dist") === k + 1)
-        .select(col("seed").as("wseed"), col("node").as("wnode"),
-          col("sigma").as("wsigma"))
-      val wNext =
+      val lvl = dagEdges.filter(col("dist") === k)
+      // left join: a successor w with no own successors emitted no δ row
+      // at level k+1 — its dependency is zero (the old wNext coalesce)
+      val withDw =
         if (deltaNext == null)
-          wNextBase.withColumn("dw", lit(0L).cast("decimal(38,0)"))
-        else wNextBase.join(deltaNext
+          lvl.withColumn("dw", lit(0L).cast("decimal(38,0)"))
+        else lvl.join(deltaNext
             .select(col("seed").as("dseed"), col("node").as("dnode"),
               col("delta").as("dw0")),
-          col("wseed") === col("dseed") && col("wnode") === col("dnode"),
+          col("seed") === col("dseed") && col("wnode") === col("dnode"),
           "left")
-          .select(col("wseed"), col("wnode"), col("wsigma"),
+          .select(col("seed"), col("node"), col("sigma"),
+            col("wnode"), col("wsigma"),
             coalesce(col("dw0"), lit(0L).cast("decimal(38,0)")).as("dw"))
-      val dThis = vThis.join(edges, col("node") === col("src"))
-        .join(wNext, col("seed") === col("wseed")
-          && col("dst") === col("wnode"))
+      val dThis = withDw
         .select(col("seed"), col("node"),
           expr(s"CAST((sigma * ($pico + dw)) div wsigma " +
             "AS DECIMAL(38,0))").as("term"))
